@@ -1,0 +1,223 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+The graft's analog of the reference's in-memory SQL-statement test sources
+(reference: akka_streams/BinlogToAkkaTest.scala:25-41 feeds
+``Source(List(sql...))``): a seeded generator (no wall-clock, no external
+data) producing the ``(url, warc_ts, html, text, lang)`` change stream of
+BASELINE.json's input_hint, with the stream phenomena FIXTURES.md §1 asks
+for:
+
+* ~70% of urls appear once (``insert``),
+* ~25% appear 2–5 times at increasing warc_ts with mutated text (``update``),
+* a few hot urls repeat heavily (join/shuffle skew),
+* a small fraction of exact duplicate (url, warc_ts) rows (replay dedup),
+* a small fraction of rows land one epoch later than their warc_ts
+  (late data for watermark routing),
+* a small fraction of malformed html (parse-failure side output).
+
+``html`` is rendered from ``text`` by the invertible template in
+:mod:`gush_ray.extract`, so extraction parity is checkable byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gush_ray.extract import render_html
+
+_WORDS = (
+    "data stream window event page crawl url text html join key value batch "
+    "shuffle state actor arrow parquet ray engine watermark epoch partition "
+    "hash salt skew count sum avg match pattern insert update session tumble "
+    "slide lang site article body title crawler index fetch parse emit sink "
+    "source manifest lineage resume checkpoint exactly once order time stamp"
+).split()
+
+LANGS = ("en", "de", "pt", "fr", "es")
+
+START_US = 1_700_000_000_000_000  # fixed epoch origin (us)
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _gen_text(rng: np.random.RandomState, n_words: int) -> str:
+    idx = rng.randint(0, len(_WORDS), size=n_words)
+    words = [_WORDS[i] for i in idx]
+    # sprinkle characters that exercise the escaper + UTF-8 handling
+    if n_words > 8:
+        words[3] = 'a&b<c>"d"'
+        words[7] = "naïve-émü"
+    return " ".join(words)
+
+
+def gen_pages(
+    n_urls: int = 2_000,
+    seed: int = 7,
+    n_hot: int = 3,
+    hot_repeats: int = 60,
+    update_frac: float = 0.25,
+    dup_frac: float = 0.02,
+    late_frac: float = 0.02,
+    malformed_frac: float = 0.01,
+    n_epochs: int = 4,
+    span_us: int = 4 * 3600 * 1_000_000,
+) -> tuple[pa.Table, np.ndarray]:
+    """Return (pages table sorted by assigned epoch then warc_ts, epoch ids).
+
+    Deterministic in all arguments. ``epoch`` is the *arrival* epoch: for
+    late rows it is greater than the epoch their warc_ts falls in.
+    """
+    rng = np.random.RandomState(seed)
+
+    n_sites = max(4, n_urls // 20)
+    site_of_url = rng.randint(0, n_sites, size=n_urls)
+    urls = np.array(
+        [
+            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
+            for i in range(n_urls)
+        ]
+    )
+    lang_of_url = np.array(LANGS)[rng.randint(0, len(LANGS), size=n_urls)]
+
+    # version counts: 70% one, 25% 2-5, hot urls many
+    n_versions = np.ones(n_urls, dtype=np.int64)
+    upd = rng.rand(n_urls) < update_frac
+    n_versions[upd] = rng.randint(2, 6, size=int(upd.sum()))
+    hot_ids = rng.choice(n_urls, size=min(n_hot, n_urls), replace=False)
+    n_versions[hot_ids] = hot_repeats
+
+    rows_url: list[int] = []
+    rows_ts: list[int] = []
+    rows_ver: list[int] = []
+    for u in range(n_urls):
+        k = int(n_versions[u])
+        ts = np.sort(rng.randint(0, span_us, size=k))
+        # enforce strictly increasing so versions are unambiguous
+        ts = ts + np.arange(k)
+        rows_url.extend([u] * k)
+        rows_ts.extend((START_US + ts).tolist())
+        rows_ver.extend(range(k))
+
+    url_idx = np.array(rows_url)
+    ts_us = np.array(rows_ts, dtype=np.int64)
+    ver = np.array(rows_ver, dtype=np.int64)
+    n = len(url_idx)
+
+    # exact duplicate (url, warc_ts) replay rows
+    n_dup = int(n * dup_frac)
+    if n_dup:
+        dup_pick = rng.choice(n, size=n_dup, replace=False)
+        url_idx = np.concatenate([url_idx, url_idx[dup_pick]])
+        ts_us = np.concatenate([ts_us, ts_us[dup_pick]])
+        ver = np.concatenate([ver, ver[dup_pick]])
+    n = len(url_idx)
+
+    # texts: base text per url, mutated per version
+    base_words = rng.randint(20, 120, size=n_urls)
+    base_texts = [_gen_text(rng, int(w)) for w in base_words]
+    texts = [
+        base_texts[u] if v == 0 else f"{base_texts[u]} [rev {v}]"
+        for u, v in zip(url_idx, ver)
+    ]
+
+    # epochs by event time, then push a fraction late by one epoch
+    epoch_len = span_us // n_epochs + 1
+    epoch = ((ts_us - START_US) // epoch_len).astype(np.int64)
+    n_late = int(n * late_frac)
+    if n_late:
+        late_pick = rng.choice(n, size=n_late, replace=False)
+        epoch[late_pick] = np.minimum(epoch[late_pick] + 1, n_epochs - 1)
+
+    # malformed html rows
+    malformed = rng.rand(n) < malformed_frac
+
+    langs = lang_of_url[url_idx]
+    url_strs = urls[url_idx]
+    htmls = [
+        b"<html><body>malformed page, no article tag"
+        if bad
+        else render_html(u, t, lg)
+        for u, t, lg, bad in zip(url_strs, texts, langs, malformed)
+    ]
+
+    order = np.lexsort((ts_us, epoch))
+    table = pa.table(
+        {
+            "url": pa.array(url_strs[order], type=pa.string()),
+            "warc_ts": pa.array(ts_us[order]).cast(pa.timestamp("us")),
+            "html": pa.array([htmls[i] for i in order], type=pa.binary()),
+            "text": pa.array(
+                [None if malformed[i] else texts[i] for i in order],
+                type=pa.string(),
+            ),
+            "lang": pa.array(langs[order], type=pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    return table, epoch[order]
+
+
+def write_pages_dir(
+    out_dir: str,
+    *,
+    n_urls: int = 2_000,
+    seed: int = 7,
+    n_epochs: int = 4,
+    **kw,
+) -> list[str]:
+    """Write one parquet file per arrival epoch; returns the file list.
+
+    Layout ``epoch=NNNN.parquet`` is the 'ordered change stream' contract:
+    the epoch loop consumes files in name order (graft of the binlog
+    cursor, reference: binlog/BinlogServerReader.scala:23).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    table, epoch = gen_pages(n_urls=n_urls, seed=seed, n_epochs=n_epochs, **kw)
+    paths = []
+    for e in range(n_epochs):
+        mask = pa.array(epoch == e)
+        sub = table.filter(mask)
+        path = os.path.join(out_dir, f"epoch={e:04d}.parquet")
+        pq.write_table(sub, path)
+        paths.append(path)
+    return paths
+
+
+def gen_dim_sites(n_sites: int, seed: int = 7) -> pa.Table:
+    """Dimension snapshot keyed by site domain (FIXTURES.md §2)."""
+    rng = np.random.RandomState(seed + 1)
+    cats = np.array(["news", "shop", "blog", "forum"])
+    return pa.table(
+        {
+            "site": pa.array(
+                [f"site{i:04d}.example.org" for i in range(n_sites)]
+            ),
+            "category": pa.array(cats[rng.randint(0, len(cats), size=n_sites)]),
+            "weight": pa.array(rng.rand(n_sites).round(6)),
+        }
+    )
+
+
+def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
+                 seed: int = 7, n_epochs: int = 4, **kw) -> str:
+    """Idempotently materialize a pages dir for tests/queries; returns dir."""
+    key = f"u{n_urls}_s{seed}_e{n_epochs}"
+    out = os.path.join(tmp_root, key)
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_dir(out, n_urls=n_urls, seed=seed, n_epochs=n_epochs, **kw)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
