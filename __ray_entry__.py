@@ -1,44 +1,54 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship CEP pipeline over the deterministic synthetic pages
+stream; ``queries()`` — one callable per implemented operator from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` — DuckDB
+equivalents for the SQL-expressible subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+in here or in gush_ray calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (read → extract → filter → classify → join →
+    windowed aggregate) on the deterministic synthetic pages stream."""
+    from gush_ray.pipelines.flagship import entry_pipeline
+
+    return entry_pipeline()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gush_ray.pipelines.queries import CORE_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in CORE_QUERIES.items()}
+
+    try:
+        from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+
+        out.update({n: fn for n, (fn, _sql) in EXTRA_QUERIES.items()})
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gush_ray.pipelines.queries import CORE_QUERIES
+
+    out = {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
+    try:
+        from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+
+        out.update({n: sql for n, (_fn, sql) in EXTRA_QUERIES.items() if sql})
+    except ImportError:
+        pass
+    return out

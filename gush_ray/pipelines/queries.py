@@ -1,0 +1,483 @@
+"""Operator query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver-provided tables (``/root/testdata/sf*/``). Column names are kept
+identical between the Ray result and the oracle SQL (driver compares
+row-count + schema + order-insensitive value hash).
+
+Float columns are rounded (4 digits for ratios/averages, 2 for money
+sums) on BOTH sides so summation-order differences can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from gush_ray.config import EngineConfig
+from gush_ray.stages.agg import partial_aggregate
+from gush_ray.stages.changes import classify_changes, latest_snapshot
+from gush_ray.stages.filters import apply_deny_filters, min_length_filter
+from gush_ray.stages.joins import find_hot_keys, hash_join, salted_join, broadcast_join
+from gush_ray.stages.text import quality_score_batch, token_count_batch
+from gush_ray.stages.windows import (
+    session_windows,
+    sliding_aggregate,
+    tumbling_aggregate,
+)
+
+HOUR_US = 3600 * 1_000_000
+SIX_H_US = 6 * HOUR_US
+TWO_H_US = 2 * HOUR_US
+DAY30_US = 30 * 86400 * 1_000_000
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _ts_us(ds, ts_col: str, out: str):
+    """Append int64 microseconds column (oracle pairs with epoch_us())."""
+    return ds.map_batches(
+        lambda b: b.append_column(out, b[ts_col].combine_chunks().cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------- W1 / W2
+
+def q_tumbling_count(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return tumbling_aggregate(
+        ev, ["event_type"], "ts", SIX_H_US, {"n": (None, "count")}
+    )
+
+
+SQL_TUMBLING_COUNT = """
+SELECT event_type, epoch_us(ts) // 21600000000 AS window_id, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tumbling_avg(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = tumbling_aggregate(
+        ev, ["event_type"], "ts", SIX_H_US,
+        {"sum_v": ("value", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_value"] = (df["sum_v"] / df["n"]).round(4)
+    return df[["event_type", "window_id", "avg_value", "n"]]
+
+
+SQL_TUMBLING_AVG = """
+SELECT event_type, epoch_us(ts) // 21600000000 AS window_id,
+       round(sum(value) / count(*), 4) AS avg_value, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- W3
+
+def q_sliding_count(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return sliding_aggregate(
+        ev, ["event_type"], "ts", SIX_H_US, TWO_H_US, {"n": (None, "count")}
+    )
+
+
+SQL_SLIDING_COUNT = """
+SELECT event_type, (epoch_us(ts) // 7200000000) - r.range AS window_id,
+       count(*) AS n
+FROM events CROSS JOIN range(3) r GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- W4
+
+def q_session_count(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ev = _ts_us(ev, "ts", "ts_us")
+    ev = ev.drop_columns(["ts"])
+    return session_windows(ev, "user_id", "ts_us", gap_us=1_800_000_000)
+
+
+SQL_SESSION_COUNT = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+s AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+s2 AS (
+  SELECT user_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+       count(*) AS n_events
+FROM s2 GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------- V1 batch
+
+def q_change_classify(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = classify_changes(ev, key="user_id", ts_col="ts", drop_replays=False)
+    return out.select_columns(["event_id", "user_id", "version", "change_kind"])
+
+
+SQL_CHANGE_CLASSIFY = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS version,
+       CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+            THEN 'insert' ELSE 'update' END AS change_kind
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- D1
+
+def q_latest_version(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    return ev.groupby("user_id").aggregate(
+        Max("ts_us", alias_name="last_ts_us"),
+        Min("ts_us", alias_name="first_ts_us"),
+        Count(alias_name="n_versions"),
+    )
+
+
+SQL_LATEST_VERSION = """
+SELECT user_id, max(epoch_us(ts)) AS last_ts_us,
+       min(epoch_us(ts)) AS first_ts_us, count(*) AS n_versions
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- J1
+
+def _lineitem_with_revenue(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("revenue", rev)
+
+    return li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hash_join_agg(sf_dir: str):
+    li = _lineitem_with_revenue(sf_dir)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on=("l_orderkey",), num_partitions=16,
+                       right_on=("o_orderkey",))
+    agg = partial_aggregate(
+        joined, ["o_orderpriority"],
+        {"revenue": ("revenue", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+SQL_HASH_JOIN_AGG = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- J2
+
+def q_salted_join_agg(sf_dir: str):
+    li = _lineitem_with_revenue(sf_dir)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    hot = find_hot_keys(li, "l_orderkey", threshold=6)
+    joined = salted_join(li, orders.map_batches(
+        lambda b: b.rename_columns(
+            ["l_orderkey" if c == "o_orderkey" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow"), on="l_orderkey", hot_keys=hot,
+        num_salts=4, num_partitions=16)
+    agg = partial_aggregate(
+        joined, ["o_orderstatus"],
+        {"revenue": ("revenue", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+SQL_SALTED_JOIN_AGG = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- broadcast join
+
+def q_broadcast_join_agg(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    agg = partial_aggregate(
+        joined, ["r_name"],
+        {"sum_acctbal": ("c_acctbal", "sum"), "n_customers": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    return df
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT r_name, round(sum(c_acctbal), 2) AS sum_acctbal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- F1-F3
+
+def q_deny_filter(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+    cfg = EngineConfig(ignored_langs=("de",), ignored_url_prefixes=("src0",))
+    docs = apply_deny_filters(docs, cfg, lang_col="lang", url_col="source")
+    docs = min_length_filter(docs, "text", 100)
+    return partial_aggregate(docs, ["lang", "source"], {"n": (None, "count")})
+
+
+SQL_DENY_FILTER = """
+SELECT lang, source, count(*) AS n
+FROM documents
+WHERE lang <> 'de' AND NOT starts_with(source, 'src0') AND length(text) >= 100
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- windowed join
+
+def q_windowed_join_agg(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on=("o_custkey",), num_partitions=16,
+                       right_on=("c_custkey",))
+    agg = tumbling_aggregate(
+        joined, ["c_mktsegment"], "o_orderdate", DAY30_US,
+        {"sum_price": ("o_totalprice", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+SQL_WINDOWED_JOIN_AGG = """
+SELECT c_mktsegment, epoch_us(o_orderdate) // 2592000000000 AS window_id,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- W6
+
+def q_global_count(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    n = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).count()
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+SQL_GLOBAL_COUNT = "SELECT count(*) AS n FROM events WHERE event_type = 'purchase'"
+
+
+# ---------------------------------------------------------------- sort/limit
+
+def q_topk_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    top = docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return top
+
+
+SQL_TOPK_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- distinct
+
+def q_lang_counts(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    return partial_aggregate(docs, ["lang"], {"n": (None, "count")})
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY 1"
+
+
+# ---------------------------------------------------------------- text ops
+
+def q_token_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    agg = partial_aggregate(
+        toks, ["lang"],
+        {"total_tokens": ("n_tokens", "sum"), "n_docs": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_tokens"] = (df["total_tokens"] / df["n_docs"]).round(4)
+    return df
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs,
+       round(CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> ''))) AS DOUBLE)
+             / count(*), 4) AS avg_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_quality_score(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+    scored = docs.map_batches(quality_score_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partial_aggregate(
+        scored, ["source"],
+        {"sum_punct": ("punct_ratio", "sum"),
+         "sum_mtl": ("mean_token_len", "sum"),
+         "n_docs": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_punct_ratio"] = (df["sum_punct"] / df["n_docs"]).round(4)
+    df["avg_token_len"] = (df["sum_mtl"] / df["n_docs"]).round(4)
+    return df[["source", "n_docs", "avg_punct_ratio", "avg_token_len"]]
+
+
+SQL_QUALITY_SCORE = """
+WITH q AS (
+  SELECT source,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / greatest(length(text), 1.0) AS punct_ratio,
+         length(text)
+           / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')), 1.0) AS mean_token_len
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(punct_ratio) / count(*), 4) AS avg_punct_ratio,
+       round(sum(mean_token_len) / count(*), 4) AS avg_token_len
+FROM q GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def q_exact_dedup_docs(sf_dir: str):
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text_hash"] = batch["text"].map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        )
+        return batch[["doc_id", "text_hash"]]
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return partial_aggregate(
+        hashed, ["text_hash"],
+        {"keep_doc_id": ("doc_id", "min"), "n_copies": (None, "count")},
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- ANN
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return brute_force_topk(emb, qvec, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
+               AS raw_sim
+      FROM embeddings)
+SELECT vec_id, round(raw_sim, 4) AS sim
+FROM s ORDER BY raw_sim DESC, vec_id LIMIT 10
+"""
+
+
+CORE_QUERIES = {
+    "tumbling_count": (q_tumbling_count, SQL_TUMBLING_COUNT),
+    "tumbling_avg": (q_tumbling_avg, SQL_TUMBLING_AVG),
+    "sliding_count": (q_sliding_count, SQL_SLIDING_COUNT),
+    "session_count": (q_session_count, SQL_SESSION_COUNT),
+    "change_classify": (q_change_classify, SQL_CHANGE_CLASSIFY),
+    "latest_version": (q_latest_version, SQL_LATEST_VERSION),
+    "hash_join_agg": (q_hash_join_agg, SQL_HASH_JOIN_AGG),
+    "salted_join_agg": (q_salted_join_agg, SQL_SALTED_JOIN_AGG),
+    "broadcast_join_agg": (q_broadcast_join_agg, SQL_BROADCAST_JOIN_AGG),
+    "deny_filter": (q_deny_filter, SQL_DENY_FILTER),
+    "windowed_join_agg": (q_windowed_join_agg, SQL_WINDOWED_JOIN_AGG),
+    "global_count": (q_global_count, SQL_GLOBAL_COUNT),
+    "topk_docs": (q_topk_docs, SQL_TOPK_DOCS),
+    "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+}

@@ -1,0 +1,133 @@
+"""Joins: broadcast small-side, hash-shuffle, and salted-skew variants.
+
+gush has no join operator (SURVEY.md §2.5 — verified over all 12 main
+files); the north rule adds a stateful change-stream × dimension-snapshot
+join with "groupby-shuffle hash join with explicit salt-based skew
+splitting for hot urls" (BASELINE.json north_star). Three strategies:
+
+* :func:`broadcast_join` — dimension fits in memory: ``ray.put`` once,
+  pandas merge per batch inside ``map_batches``. No shuffle at all.
+* :func:`hash_join` — both sides large: Ray Data's hash-partitioned
+  ``Dataset.join`` (Ray 2.46+).
+* :func:`salted_join` — hash join with hot-key salting: hot keys on the
+  probe side are spread across S salt buckets, the build side replicates
+  its hot rows ×S, so no single join partition receives a whole hot key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from gush_ray.stages.agg import partial_aggregate
+
+SALT_COL = "__salt"
+
+
+def _get_cached(ref):
+    # ray.get on a worker hits the local plasma store (zero-copy after the
+    # first fetch per node); a tiny per-process memo avoids repeated
+    # deserialization of pandas objects.
+    cache = _get_cached.__dict__.setdefault("cache", {})
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in cache:
+        cache[key] = ray.get(ref)
+    return cache[key]
+
+
+def broadcast_join(ds, small: pd.DataFrame, on: list[str] | str,
+                   how: str = "inner"):
+    """Broadcast the small side once; merge per batch. No shuffle."""
+    if isinstance(on, str):
+        on = [on]
+    ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = _get_cached(ref)
+        return batch.merge(dim, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def broadcast_semi_filter(ds, keys, on: str, keep: bool = True):
+    """Semi (keep=True) / anti (keep=False) join by broadcasting the key set."""
+    key_set = set(keys)
+    ref = ray.put(key_set)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = _get_cached(ref)
+        mask = pc.is_in(batch[on], value_set=pa.array(list(ks)))
+        if not keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(left, right, on: str | tuple, num_partitions: int = 32,
+              join_type: str = "inner", **kw):
+    """Hash-shuffle join on the shared partitioning key."""
+    if isinstance(on, str):
+        on = (on,)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=on, **kw)
+
+
+def find_hot_keys(ds, key: str, threshold: int, sample_frac: float | None = None):
+    """Count-based heavy-hitter detection (partial-agg, tiny shuffle).
+
+    At 100 TB run this on a sample (``sample_frac``) with a scaled
+    threshold — the partials shuffle is already small, but the scan can be.
+    """
+    src = ds if sample_frac is None else ds.random_sample(sample_frac, seed=13)
+    counts = ds_counts = partial_aggregate(src, [key], {"n": (None, "count")})
+    hot = ds_counts.filter(lambda row: row["n"] >= threshold)
+    return [r[key] for r in hot.take_all()]
+
+
+def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,
+                num_partitions: int = 32, join_type: str = "inner"):
+    """J2: skew-split hash join.
+
+    ``left`` is the big/probe side (rows of a hot key scattered over
+    ``num_salts`` sub-buckets); ``right`` is the build side (its hot-key
+    rows replicated once per salt). Non-hot keys use salt 0 on both sides.
+    """
+    hot_ref = ray.put(set(hot_keys))
+
+    def salt_left(batch: pd.DataFrame) -> pd.DataFrame:
+        hot = _get_cached(hot_ref)
+        n = len(batch)
+        batch = batch.copy()
+        salt = np.zeros(n, dtype=np.int64)
+        is_hot = batch[on].isin(hot).to_numpy()
+        salt[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % num_salts
+        batch[SALT_COL] = salt
+        return batch
+
+    def salt_right(batch: pd.DataFrame) -> pd.DataFrame:
+        hot = _get_cached(hot_ref)
+        batch = batch.copy()
+        is_hot = batch[on].isin(hot).to_numpy()
+        cold = batch[~is_hot].assign(**{SALT_COL: np.int64(0)})
+        hot_rows = batch[is_hot]
+        if len(hot_rows):
+            rep = hot_rows.loc[hot_rows.index.repeat(num_salts)].copy()
+            rep[SALT_COL] = np.tile(
+                np.arange(num_salts, dtype=np.int64), len(hot_rows)
+            )
+            out = pd.concat([cold, rep], ignore_index=True)
+        else:
+            out = cold
+        return out
+
+    l2 = left.map_batches(salt_left, batch_format="pandas")
+    r2 = right.map_batches(salt_right, batch_format="pandas")
+    joined = l2.join(r2, join_type=join_type, num_partitions=num_partitions,
+                     on=(on, SALT_COL))
+    return joined.drop_columns([SALT_COL])

@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the correctness baseline (numpy matmul per
+batch against a broadcast query matrix) and an LSH-bucketed variant as the
+100 TB scale path — no stage materializes the full embedding table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> arrow column → (n, d) float64 matrix (zero-copy-ish)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(col[0])
+    return flat.reshape(len(col), d)
+
+
+def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k: per-batch matmul + per-batch top-k, tiny global
+    merge on the driver (k rows per batch, not the table)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        mat = _to_matrix(batch[emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qv) / norms
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
+        return pa.table({id_col: pa.array(ids), "sim": pa.array(sims[idx])})
+
+    partial = ds.map_batches(batch_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # global merge: ≤ k rows per batch → tiny
+    top = partial.to_pandas()
+    top = top.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+    top["sim"] = top["sim"].round(4)
+    return top.reset_index(drop=True)
+
+
+def lsh_bucket_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 8,
+                    seed: int = 17, id_col: str = "vec_id",
+                    emb_col: str = "embedding", n_probe_bits: int = 1):
+    """Approximate top-k: random-hyperplane LSH prefilter, then exact
+    cosine only inside the query's bucket (± n_probe_bits flipped buckets).
+
+    The scale path: at 10^12 vectors the brute-force scan touches
+    everything; this touches ~n_probe/2^n_planes of it.
+    """
+    rng = np.random.RandomState(seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = len(q)
+    planes = rng.randn(n_planes, d)
+    q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))
+    probe = {q_sig}
+    if n_probe_bits >= 1:  # multi-probe: also search single-bit-flip buckets
+        probe |= {q_sig ^ (1 << b) for b in range(n_planes)}
+    probe_ref = ray.put((planes, frozenset(probe)))
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def bucket_filter_topk(batch: pa.Table) -> pa.Table:
+        planes_, probe_ = ray.get(probe_ref)
+        qv = ray.get(q_ref)
+        mat = _to_matrix(batch[emb_col])
+        sigs = (mat @ planes_.T > 0).dot(1 << np.arange(planes_.shape[0]))
+        mask = np.isin(sigs, list(probe_))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sub = mat[mask]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (sub @ qv) / norms
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[mask]
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table({id_col: pa.array(ids[idx]), "sim": pa.array(sims[idx])})
+
+    partial = ds.map_batches(bucket_filter_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    top = partial.to_pandas()
+    top = top.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+    top["sim"] = top["sim"].round(4)
+    return top.reset_index(drop=True)

@@ -1,0 +1,22 @@
+"""Driver-contract smoke tests."""
+
+import pandas as pd
+
+import __ray_entry__ as entrymod
+
+
+def test_entry_runs():
+    res = entrymod.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    assert len(df) > 0
+    assert set(["category", "change_kind", "window_id", "n", "sum_weight"]) <= set(
+        df.columns
+    )
+    assert set(df["change_kind"].unique()) <= {"insert", "update"}
+
+
+def test_queries_oracle_keys_align():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 18
