@@ -461,7 +461,36 @@ FROM s ORDER BY raw_sim DESC, vec_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------- C3 NFA
+
+def q_nfa_match(sf_dir: str):
+    from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    pat = Pattern(
+        steps=(Step("click", "event_type", "click"),
+               Step("purchase", "event_type", "purchase")),
+        within_us=HOUR_US, key="user_id", ts_col="ts_us", id_col="event_id",
+    )
+    out = match_pattern_batch(ev, pat, num_partitions=16)
+    return out.select_columns(["user_id", "click_id", "purchase_id"])
+
+
+SQL_NFA_MATCH = """
+SELECT a.user_id AS user_id, a.event_id AS click_id,
+       b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+"""
+
+
 CORE_QUERIES = {
+    "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
     "tumbling_count": (q_tumbling_count, SQL_TUMBLING_COUNT),
     "tumbling_avg": (q_tumbling_avg, SQL_TUMBLING_AVG),
     "sliding_count": (q_sliding_count, SQL_SLIDING_COUNT),

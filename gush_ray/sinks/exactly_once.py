@@ -1,0 +1,102 @@
+"""Idempotent exactly-once Parquet sink with per-partition lineage manifests.
+
+Graft-only operator S8 (SURVEY.md §2.1): the reference loses its cursor on
+restart (binlog file+position only logged at connect,
+binlog/BinlogServerReader.scala:23; reconnect re-reads from server default,
+BinlogRemoteReaderActor.scala:49-52 — data loss or duplication). Here:
+
+* every output file is keyed ``{stream}/epoch={e}/part-{pid}.parquet`` and
+  written temp-then-atomic-rename, so a replayed (partition, epoch) task
+  deterministically overwrites its own output — idempotent under retry;
+* an epoch is COMMITTED only when ``_manifest/epoch={e}.json`` exists; the
+  manifest carries the watermark and per-partition lineage + metrics
+  (rows in/out, inserts/updates/dups/late, matches, state snapshot path);
+* resume = max contiguous committed epoch; uncommitted partials are
+  ignored by readers and overwritten on replay.
+
+On a real cluster ``base_dir`` is shared storage (NFS/S3); the layout and
+commit protocol are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class ExactlyOnceSink:
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.manifest_dir = os.path.join(base_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ---- data files (called from workers; must be self-contained) ----
+
+    @staticmethod
+    def write_part(base_dir: str, stream: str, epoch: int, partition_id: int,
+                   table: pa.Table) -> dict:
+        """Atomic idempotent write of one (stream, epoch, partition) file.
+
+        Static so map tasks can call it with only strings/ints captured.
+        """
+        d = os.path.join(base_dir, stream, f"epoch={epoch:05d}")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"part-{partition_id:05d}.parquet")
+        tmp = final + f".inprogress-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # atomic on POSIX: replay overwrites
+        return {"path": final, "rows": table.num_rows}
+
+    # ---- manifest / commit protocol (driver-side) ----
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.manifest_dir, f"epoch={epoch:05d}.json")
+
+    def commit_epoch(self, epoch: int, watermark_us: int,
+                     partitions: list[dict]) -> None:
+        payload = {
+            "epoch": epoch,
+            "watermark_us": watermark_us,
+            "partitions": partitions,
+        }
+        tmp = self._manifest_path(epoch) + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(epoch))
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("epoch=") and name.endswith(".json"):
+                out.append(int(name[len("epoch="):-len(".json")]))
+        return sorted(out)
+
+    def last_contiguous_epoch(self) -> int:
+        """Resume point: highest e such that 0..e are all committed."""
+        done = set(self.committed_epochs())
+        e = -1
+        while e + 1 in done:
+            e += 1
+        return e
+
+    def read_manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def committed_files(self, stream: str) -> list[str]:
+        """Data files belonging to committed epochs only (reader isolation)."""
+        files = []
+        for e in self.committed_epochs():
+            d = os.path.join(self.base_dir, stream, f"epoch={e:05d}")
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, n)
+                    for n in sorted(os.listdir(d))
+                    if n.endswith(".parquet")
+                )
+        return files

@@ -1,0 +1,188 @@
+"""NFA-based CEP pattern matcher (SURVEY.md C3).
+
+Generalizes gush's event-match primitives — type/table filters
+(reference: cep/Cep.scala:11-27, InsertEventFlow/UpdateEventFlow) — to
+*sequences* of predicate-guarded steps with a ``within`` time bound, e.g.
+"insert → k updates within W per url".
+
+Semantics: **skip-till-any-match** with all-runs emission — every
+combination of events satisfying the step sequence inside the time bound
+is emitted (for a 2-step pattern this is exactly the SQL self-join
+oracle's all-pairs semantics, making the matcher DuckDB-checkable).
+Events must be fed per key in event-time order; the engine guarantees
+that by hash-partitioning on the key and sorting each partition batch
+(SURVEY.md §4.2 'Ordering').
+
+The hot path precomputes one boolean numpy vector per step (vectorized
+predicate evaluation); the per-event loop then only touches events that
+match at least one step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class Step:
+    """One NFA state transition: fires when ``column == value`` (or a
+    custom vectorized ``predicate`` over the DataFrame)."""
+
+    name: str
+    column: str | None = None
+    value: object | None = None
+    predicate: Callable[[pd.DataFrame], np.ndarray] | None = None
+
+    def mask(self, df: pd.DataFrame) -> np.ndarray:
+        if self.predicate is not None:
+            return np.asarray(self.predicate(df), dtype=bool)
+        return (df[self.column] == self.value).to_numpy()
+
+
+@dataclass(frozen=True)
+class Pattern:
+    steps: tuple[Step, ...]
+    within_us: int
+    key: str
+    ts_col: str = "ts"
+    id_col: str | None = None  # column captured per matched step
+
+
+@dataclass
+class _Partial:
+    step_idx: int
+    start_us: int
+    captured: tuple
+
+
+def _empty_matches(pattern: Pattern) -> pd.DataFrame:
+    cols: dict = {pattern.key: pd.Series(dtype="object")}
+    for s in pattern.steps:
+        cols[f"{s.name}_id"] = pd.Series(dtype="int64")
+    cols["start_us"] = pd.Series(dtype="int64")
+    cols["end_us"] = pd.Series(dtype="int64")
+    return pd.DataFrame(cols)
+
+
+class NFARunner:
+    """Carries per-key partial-match state; usable batch-at-a-time.
+
+    The streaming state store holds one runner per partition and calls
+    :meth:`process_sorted` once per epoch batch; partials survive across
+    calls, and :meth:`prune` drops partials that can no longer complete
+    once the watermark passed ``start + within``.
+    """
+
+    def __init__(self, pattern: Pattern):
+        self.pattern = pattern
+        self.partials: dict[object, list[_Partial]] = {}
+
+    def process_sorted(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Feed events (already sorted by (key, ts) within the partition);
+        returns completed matches as a DataFrame."""
+        pat = self.pattern
+        if len(df) == 0:
+            return _empty_matches(pat)
+        masks = [s.mask(df) for s in pat.steps]
+        any_mask = np.logical_or.reduce(masks)
+        if not any_mask.any():
+            return _empty_matches(pat)
+
+        keys = df[pat.key].to_numpy()
+        ts = df[pat.ts_col].astype("int64").to_numpy()
+        ids = (
+            df[pat.id_col].to_numpy()
+            if pat.id_col is not None
+            else np.arange(len(df))
+        )
+        idxs = np.nonzero(any_mask)[0]
+
+        n_steps = len(pat.steps)
+        out_rows: list[tuple] = []
+        for i in idxs:
+            k = keys[i]
+            t = int(ts[i])
+            plist = self.partials.get(k)
+            if plist is None:
+                plist = self.partials[k] = []
+            new_partials: list[_Partial] = []
+            # advance existing runs (all-runs: the old partial survives too,
+            # skip-till-any-match keeps skipping non-matching events)
+            for p in plist:
+                nxt = p.step_idx + 1
+                if (
+                    nxt < n_steps
+                    and masks[nxt][i]
+                    and t - p.start_us <= pat.within_us
+                    and t > p.start_us
+                ):
+                    cand = _Partial(nxt, p.start_us, p.captured + (ids[i],))
+                    if nxt == n_steps - 1:
+                        out_rows.append(
+                            (k, *cand.captured, cand.start_us, t)
+                        )
+                    else:
+                        new_partials.append(cand)
+            # start a new run
+            if masks[0][i]:
+                cand = _Partial(0, t, (ids[i],))
+                if n_steps == 1:
+                    out_rows.append((k, ids[i], t, t))
+                else:
+                    new_partials.append(cand)
+            plist.extend(new_partials)
+            # cheap in-place expiry against the current event time
+            if len(plist) > 64:
+                self.partials[k] = [
+                    p for p in plist if t - p.start_us <= pat.within_us
+                ]
+
+        if not out_rows:
+            return _empty_matches(pat)
+        cols = list(zip(*out_rows))
+        data = {pat.key: np.asarray(cols[0])}
+        for j, s in enumerate(pat.steps):
+            data[f"{s.name}_id"] = np.asarray(cols[1 + j], dtype="int64")
+        data["start_us"] = np.asarray(cols[1 + n_steps], dtype="int64")
+        data["end_us"] = np.asarray(cols[2 + n_steps], dtype="int64")
+        return pd.DataFrame(data)
+
+    def prune(self, watermark_us: int) -> None:
+        """Drop partials whose within-window closed before the watermark."""
+        dead = []
+        for k, plist in self.partials.items():
+            alive = [
+                p for p in plist
+                if watermark_us - p.start_us <= self.pattern.within_us
+            ]
+            if alive:
+                self.partials[k] = alive
+            else:
+                dead.append(k)
+        for k in dead:
+            del self.partials[k]
+
+    def state(self) -> dict:
+        return {"partials": self.partials}
+
+    def restore(self, st: dict) -> None:
+        self.partials = st["partials"]
+
+
+def match_pattern_batch(ds, pattern: Pattern, num_partitions: int = 32):
+    """Batch form: one shuffle by hash(key), per-partition sorted NFA run.
+
+    A fresh :class:`NFARunner` per partition (no cross-epoch state) — the
+    streaming form lives in the state store.
+    """
+    from gush_ray.stages.shuffle import partition_map
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([pattern.key, pattern.ts_col], kind="mergesort")
+        return NFARunner(pattern).process_sorted(df)
+
+    return partition_map(ds, pattern.key, per_part, num_partitions)

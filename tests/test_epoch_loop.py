@@ -1,0 +1,111 @@
+"""End-to-end streaming job: correctness vs batch oracle + exactly-once
+kill/resume parity (SURVEY.md §5 graft test plan)."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from gush_ray.datagen import write_pages_dir
+from gush_ray.pipelines.epoch_loop import StreamingJob
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    write_pages_dir(str(d), n_urls=400, seed=21, n_epochs=3)
+    return str(d)
+
+
+def run_job(pages_dir, out_dir, run_id, **kw):
+    job = StreamingJob(pages_dir, out_dir, run_id=run_id, num_partitions=4)
+    res = job.run(**kw)
+    return job, res
+
+
+def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame(columns=cols)
+    return (
+        df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+
+
+def test_streaming_end_to_end(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    job, res = run_job(pages_dir, out, run_id="e2e")
+    assert res["completed"] == 2
+
+    changes = job.read_output("changes")
+    assert len(changes) > 0
+    # versions are dense per url starting at 0, insert==version 0
+    g = changes.groupby("url")["version"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.size()).all()
+    k = changes[changes["version"] == 0]
+    assert (k["change_kind"] == "insert").all()
+    # no duplicate (url, version) — exactly-once
+    assert not changes.duplicated(["url", "version"]).any()
+
+    # windows: per (lang, change_kind, window) counts must equal recounting
+    # the emitted change rows (conservation)
+    windows = job.read_output("windows")
+    assert windows["n"].sum() == len(changes)
+
+    # matches exist (hot urls produce insert->update inside 30 min often)
+    matches = job.read_output("matches")
+    assert {"url", "first_id", "recrawl_id"} <= set(matches.columns)
+
+    # manifests carry lineage + metrics
+    man = job.sink.read_manifest(0)
+    assert {"epoch", "watermark_us", "partitions"} <= set(man)
+    assert any("rows_in" in p for p in man["partitions"])
+    job.kill_actors()
+
+
+def test_kill_resume_parity(pages_dir, tmp_path):
+    out_a = str(tmp_path / "uninterrupted")
+    out_b = str(tmp_path / "resumed")
+
+    job_a, _ = run_job(pages_dir, out_a, run_id="runA")
+    job_a.kill_actors()
+
+    # crash after epoch 1 commits: stop, kill all actors (state lost), resume
+    job_b1, r1 = run_job(pages_dir, out_b, run_id="runB1", stop_after=2)
+    assert r1["completed"] == 1
+    job_b1.kill_actors()
+
+    job_b2, r2 = run_job(pages_dir, out_b, run_id="runB2", resume=True)
+    assert r2["completed"] == 2
+
+    for stream, cols in [
+        ("changes", ["url", "ts_us", "version", "change_kind"]),
+        ("windows", ["lang", "change_kind", "window_id", "n"]),
+        ("matches", ["url", "first_id", "recrawl_id", "start_us"]),
+        ("late", ["url", "ts_us"]),
+    ]:
+        a = norm(job_a.read_output(stream), cols)
+        b = norm(job_b2.read_output(stream), cols)
+        pd.testing.assert_frame_equal(a, b), stream
+
+    # sessions: union of in-process closes and watermark closes
+    cols = ["url", "session_start_us", "session_end_us", "n_events"]
+    a = pd.concat([job_a.read_output("sessions"),
+                   job_a.read_output("sessions_wm")])
+    b = pd.concat([job_b2.read_output("sessions"),
+                   job_b2.read_output("sessions_wm")])
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+    job_b2.kill_actors()
+
+
+def test_rerun_completed_is_noop(pages_dir, tmp_path):
+    out = str(tmp_path / "noop")
+    job, _ = run_job(pages_dir, out, run_id="noop1")
+    job.kill_actors()
+    before = job.read_output("windows")
+    job2, res = run_job(pages_dir, out, run_id="noop2", resume=True)
+    assert res.get("already_done")
+    after = job2.read_output("windows")
+    pd.testing.assert_frame_equal(
+        norm(before, list(before.columns)), norm(after, list(after.columns))
+    )

@@ -1,0 +1,127 @@
+"""NFA matcher unit tests (semantics pinned before oracle comparison)."""
+
+import pandas as pd
+
+from gush_ray.stages.nfa import NFARunner, Pattern, Step
+
+
+def mkpat(within=100):
+    return Pattern(
+        steps=(Step("a", "etype", "A"), Step("b", "etype", "B")),
+        within_us=within,
+        key="k",
+        ts_col="ts",
+        id_col="eid",
+    )
+
+
+def run(df, pat):
+    df = df.sort_values(["k", "ts"], kind="mergesort")
+    return NFARunner(pat).process_sorted(df)
+
+
+def test_simple_sequence():
+    df = pd.DataFrame(
+        {"k": ["u", "u"], "ts": [10, 50], "etype": ["A", "B"], "eid": [1, 2]}
+    )
+    out = run(df, mkpat())
+    assert len(out) == 1
+    assert out.iloc[0].to_dict() == {
+        "k": "u", "a_id": 1, "b_id": 2, "start_us": 10, "end_us": 50
+    }
+
+
+def test_all_pairs_semantics():
+    # 2 A's then 2 B's within window -> 4 pairs (SQL self-join parity)
+    df = pd.DataFrame(
+        {
+            "k": ["u"] * 4,
+            "ts": [10, 20, 30, 40],
+            "etype": ["A", "A", "B", "B"],
+            "eid": [1, 2, 3, 4],
+        }
+    )
+    out = run(df, mkpat())
+    assert len(out) == 4
+    assert set(zip(out.a_id, out.b_id)) == {(1, 3), (1, 4), (2, 3), (2, 4)}
+
+
+def test_within_bound():
+    df = pd.DataFrame(
+        {"k": ["u", "u"], "ts": [10, 200], "etype": ["A", "B"], "eid": [1, 2]}
+    )
+    assert len(run(df, mkpat(within=100))) == 0
+    assert len(run(df, mkpat(within=190))) == 1
+
+
+def test_skip_till_any_match():
+    # non-matching event between A and B is skipped
+    df = pd.DataFrame(
+        {
+            "k": ["u"] * 3,
+            "ts": [10, 20, 30],
+            "etype": ["A", "X", "B"],
+            "eid": [1, 2, 3],
+        }
+    )
+    assert len(run(df, mkpat())) == 1
+
+
+def test_keys_isolated():
+    df = pd.DataFrame(
+        {
+            "k": ["u", "v"],
+            "ts": [10, 20],
+            "etype": ["A", "B"],
+            "eid": [1, 2],
+        }
+    )
+    assert len(run(df, mkpat())) == 0
+
+
+def test_equal_ts_no_pair():
+    df = pd.DataFrame(
+        {"k": ["u", "u"], "ts": [10, 10], "etype": ["A", "B"], "eid": [1, 2]}
+    )
+    assert len(run(df, mkpat())) == 0
+
+
+def test_three_step():
+    pat = Pattern(
+        steps=(
+            Step("a", "etype", "A"),
+            Step("b", "etype", "B"),
+            Step("c", "etype", "C"),
+        ),
+        within_us=100, key="k", ts_col="ts", id_col="eid",
+    )
+    df = pd.DataFrame(
+        {
+            "k": ["u"] * 4,
+            "ts": [10, 20, 30, 40],
+            "etype": ["A", "B", "C", "C"],
+            "eid": [1, 2, 3, 4],
+        }
+    )
+    out = run(df, pat)
+    assert set(zip(out.a_id, out.b_id, out.c_id)) == {(1, 2, 3), (1, 2, 4)}
+
+
+def test_cross_batch_state():
+    pat = mkpat()
+    r = NFARunner(pat)
+    b1 = pd.DataFrame({"k": ["u"], "ts": [10], "etype": ["A"], "eid": [1]})
+    b2 = pd.DataFrame({"k": ["u"], "ts": [50], "etype": ["B"], "eid": [2]})
+    assert len(r.process_sorted(b1)) == 0
+    out = r.process_sorted(b2)
+    assert len(out) == 1 and out.iloc[0].b_id == 2
+
+
+def test_prune_drops_expired():
+    pat = mkpat(within=100)
+    r = NFARunner(pat)
+    r.process_sorted(
+        pd.DataFrame({"k": ["u"], "ts": [10], "etype": ["A"], "eid": [1]})
+    )
+    r.prune(watermark_us=200)
+    assert r.partials == {}

@@ -1,0 +1,137 @@
+"""PartitionState unit tests: V1 dedup versioning, idempotent replay,
+watermark window/session closing, snapshot/restore."""
+
+import pandas as pd
+import pyarrow as pa
+
+from gush_ray.stages.nfa import Pattern, Step
+from gush_ray.state.store import NEG_INF, POS_INF, PartitionState, StateParams
+
+
+def mk(pattern=None, **kw):
+    defaults = dict(
+        key_col="url", ts_col="ts_us", window_group_cols=("lang",),
+        window_size_us=100, session_gap_us=50, pattern=pattern,
+    )
+    defaults.update(kw)
+    return PartitionState(0, StateParams(**defaults))
+
+
+def tbl(rows):
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def test_dedup_versioning():
+    ps = mk()
+    out = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "a", "ts_us": 20, "lang": "en"},
+        {"url": "b", "ts_us": 15, "lang": "de"},
+        {"url": "a", "ts_us": 20, "lang": "en"},  # exact replay
+    ]))
+    ch = out["changes"].to_pandas().sort_values(["url", "ts_us"])
+    assert list(ch["change_kind"]) == ["insert", "update", "insert"]
+    assert list(ch["version"]) == [0, 1, 0]
+    assert out["metrics"]["replays_dropped"] == 1
+
+    # next epoch: stale row (ts <= last) dropped, new version continues
+    out2 = ps.process(1, tbl([
+        {"url": "a", "ts_us": 5, "lang": "en"},    # stale
+        {"url": "a", "ts_us": 30, "lang": "en"},
+    ]))
+    ch2 = out2["changes"].to_pandas()
+    assert list(ch2["version"]) == [2]
+    assert out2["metrics"]["stale_dropped"] == 1
+
+
+def test_idempotent_replay():
+    ps = mk()
+    t = tbl([{"url": "a", "ts_us": 10, "lang": "en"}])
+    out1 = ps.process(0, t)
+    out2 = ps.process(0, t)  # replay of same epoch: cached, state unchanged
+    assert out1["changes"].equals(out2["changes"])
+    out3 = ps.process(1, t)  # genuinely new epoch: now it's a stale dup
+    assert out3["changes"].num_rows == 0
+    assert out3["metrics"]["stale_dropped"] == 1
+
+
+def test_windows_close_at_watermark():
+    ps = mk()
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "b", "ts_us": 110, "lang": "en"},
+    ]))
+    c = ps.advance_watermark(100)  # closes window 0 only
+    w = c["windows"].to_pandas()
+    assert len(w) == 1 and w.iloc[0]["window_id"] == 0 and w.iloc[0]["n"] == 1
+    c2 = ps.advance_watermark(POS_INF)
+    assert len(c2["windows"].to_pandas()) == 1  # window 1 now closes
+
+
+def test_watermark_monotone_and_late():
+    ps = mk()
+    ps.process(0, tbl([{"url": "a", "ts_us": 100, "lang": "en"}]))
+    ps.advance_watermark(100)
+    ps.advance_watermark(50)  # must not regress
+    assert ps.watermark_us == 100
+    out = ps.process(1, tbl([{"url": "z", "ts_us": 40, "lang": "en"}]))
+    assert out["metrics"]["late_rows"] == 1
+    assert out["changes"].num_rows == 0
+
+
+def test_sessions_gap_merge_and_close():
+    ps = mk()
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "a", "ts_us": 40, "lang": "en"},   # same session (gap 50)
+        {"url": "a", "ts_us": 200, "lang": "en"},  # new session -> closes first
+    ]))
+    # first session closed by the in-batch gap
+    # (emitted in process output, not at watermark)
+    c = ps.advance_watermark(POS_INF)
+    s = c["sessions"].to_pandas()
+    assert len(s) == 1
+    assert s.iloc[0]["session_start_us"] == 200
+
+
+def test_session_closed_in_process_output():
+    ps = mk()
+    out = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "a", "ts_us": 200, "lang": "en"},
+    ]))
+    s = out["sessions_closed"].to_pandas()
+    assert len(s) == 1
+    assert s.iloc[0].to_dict() == {
+        "url": "a", "session_start_us": 10, "session_end_us": 10, "n_events": 1
+    }
+
+
+def test_nfa_in_state():
+    pat = Pattern(
+        steps=(Step("first", "change_kind", "insert"),
+               Step("recrawl", "change_kind", "update")),
+        within_us=1000, key="url", ts_col="ts_us", id_col="version",
+    )
+    ps = mk(pattern=pat)
+    out0 = ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    assert out0["matches"].num_rows == 0
+    out1 = ps.process(1, tbl([{"url": "a", "ts_us": 20, "lang": "en"}]))
+    m = out1["matches"].to_pandas()
+    assert len(m) == 1 and m.iloc[0]["recrawl_id"] == 1
+
+
+def test_snapshot_restore_roundtrip():
+    ps = mk()
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "a", "ts_us": 20, "lang": "en"},
+    ]))
+    blob = ps.snapshot_bytes()
+    ps2 = mk()
+    ps2.restore_bytes(blob)
+    out = ps2.process(1, tbl([{"url": "a", "ts_us": 30, "lang": "en"}]))
+    assert list(out["changes"].to_pandas()["version"]) == [2]
+    c = ps2.advance_watermark(POS_INF)
+    w = c["windows"].to_pandas()
+    assert w["n"].sum() == 3  # accumulators survived the roundtrip
