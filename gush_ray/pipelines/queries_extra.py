@@ -1,0 +1,237 @@
+"""Rows-only query entries: streaming/CEP pipelines over the synthetic
+pages stream and the near-dup / similarity / multimodal operators.
+
+These are the non-SQL-expressible operators (stateful streaming,
+LSH-approximate algorithms, stubbed decode): the driver records a weaker
+rows-only check; semantics are pinned by unit tests instead
+(tests/test_dedup.py, tests/test_epoch_loop.py).
+
+Each callable is deterministic in ``sf_dir`` (seeded generators, no
+wall-clock): repeated invocations return identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from gush_ray.datagen import ensure_pages
+from gush_ray.stages.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+    simhash_near_dup_pairs,
+)
+from gush_ray.stages.multimodal import decode_features, sniff_blob_batch
+from gush_ray.stages.text import LangIdModel, fingerprint_batch
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _dup_corpus(sf_dir: str):
+    """documents ∪ mutated copies (doc_id+1_000_000) — a deterministic
+    near-dup corpus with known ground truth for the dedup operators."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["doc_id"] = out["doc_id"] + 1_000_000
+        out["text"] = out["text"].map(
+            lambda t: " ".join(
+                (t.split()[:-2] + ["mutated", "tail"]) if t else ["mutated"]
+            )
+        )
+        return out
+
+    mutated = docs.map_batches(mutate, batch_format="pandas")
+    return docs.union(mutated)
+
+
+def q_minhash_dedup(sf_dir: str):
+    corpus = _dup_corpus(sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5, num_perm=64,
+                              num_bands=16, shingle=3)
+    df = pairs.to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_simhash_dedup(sf_dir: str):
+    corpus = _dup_corpus(sf_dir)
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=3)
+    df = pairs.to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """MinHash candidates verified with exact n-gram Jaccard.
+
+    The text lookup is a broadcast dict at this scale; at corpus scale the
+    verification is a hash join of the candidate pairs back to the corpus.
+    """
+    corpus = _dup_corpus(sf_dir)
+    cdf = corpus.to_pandas()  # ONE execution: (doc_id, text) stay row-aligned
+    texts = dict(zip(cdf["doc_id"], cdf["text"]))
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5).to_pandas()
+    out = ngram_jaccard_verify(pairs, texts, n=3)
+    out = out[out["jaccard"] >= 0.5]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=8)
+    df = pairs.to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    """Approximate ANN (LSH-bucketed) — scale path of ann_topk."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.similarity import lsh_bucket_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return lsh_bucket_topk(emb, qvec, k=10, n_planes=6)
+
+
+def q_lang_id(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = docs.map_batches(LangIdModel, batch_format="pandas",
+                            concurrency=2, batch_size=256, num_cpus=1)
+    from gush_ray.stages.agg import partial_aggregate
+
+    return partial_aggregate(pred, ["lang", "lang_pred"],
+                             {"n": (None, "count")})
+
+
+def q_fingerprint(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    fp = docs.map_batches(lambda b: fingerprint_batch(b),
+                          batch_format="pandas")
+
+    def to_out(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["doc_id", "lang", "fingerprint"]]
+
+    return fp.map_batches(to_out, batch_format="pandas")
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-blob plumbing: sniff + actor-pool decode stub over the
+    synthetic pages' html column; per-lang feature aggregate."""
+    pages_dir = ensure_pages(n_urls=1_000, seed=7)
+    ds = rd.read_parquet(pages_dir)
+    ds = ds.map_batches(sniff_blob_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = decode_features(ds, blob_col="html", concurrency=2, batch_size=256)
+    from gush_ray.stages.agg import partial_aggregate
+
+    agg = partial_aggregate(
+        ds, ["lang", "blob_kind"],
+        {"n": (None, "count"), "sum_w": ("width", "sum")},
+    )
+    df = agg.to_pandas()
+    df["avg_width"] = (df["sum_w"] / df["n"]).round(4)
+    return df.drop(columns=["sum_w"])
+
+
+def q_pages_flagship(sf_dir: str):
+    """The full streaming CEP pipeline (extract → dedup/version → windows
+    → sessions → NFA → exactly-once sink) over the deterministic synthetic
+    pages stream; returns the closed event-time windows."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=4)
+    job.run()
+    windows = job.read_output("windows")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return windows.sort_values(
+        ["lang", "change_kind", "window_id"]
+    ).reset_index(drop=True)
+
+
+def q_pages_late_routing(sf_dir: str):
+    """Watermark late-data routing (W5): per-lang late-row counts from the
+    streaming job's late side-output."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=4)
+    job.run()
+    late = job.read_output("late")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    if late.empty:
+        return pd.DataFrame({"lang": [], "n_late": []})
+    out = late.groupby("lang", as_index=False).size()
+    return out.rename(columns={"size": "n_late"}).sort_values(
+        "lang"
+    ).reset_index(drop=True)
+
+
+def q_extract_parity(sf_dir: str):
+    """Byte-identity audit of html→text extraction over the synthetic
+    pages: returns per-lang (rows, n_identical, n_errors) — n_identical
+    must equal rows-n_errors (asserted in tests)."""
+    from gush_ray.extract import extract_text_batch
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    ds = rd.read_parquet(pages_dir)
+    ds = ds.map_batches(
+        lambda b: extract_text_batch(b, out_col="text_extracted"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def flags(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "lang": b["lang"],
+            "ok": b["extract_ok"],
+            "same": pc.fill_null(
+                pc.equal(b["text_extracted"], b["text"]), False
+            ),
+        }).to_pandas()
+
+    f = ds.map_batches(flags, batch_format="pyarrow")
+    from gush_ray.stages.agg import partial_aggregate
+
+    return partial_aggregate(
+        f, ["lang"],
+        {"rows": (None, "count"), "n_identical": ("same", "sum"),
+         "n_ok": ("ok", "sum")},
+    )
+
+
+EXTRA_QUERIES = {
+    "minhash_dedup": (q_minhash_dedup, None),
+    "simhash_dedup": (q_simhash_dedup, None),
+    "ngram_jaccard": (q_ngram_jaccard, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
+    "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "lang_id": (q_lang_id, None),
+    "fingerprint": (q_fingerprint, None),
+    "multimodal_features": (q_multimodal_features, None),
+    "pages_flagship": (q_pages_flagship, None),
+    "pages_late_routing": (q_pages_late_routing, None),
+    "extract_parity": (q_extract_parity, None),
+}

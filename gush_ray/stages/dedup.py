@@ -1,0 +1,309 @@
+"""Near-duplicate detection family: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the training-data-pipeline operators (driver brief),
+all expressed as Ray Data stages with shuffles only over small derived
+rows (signatures / band keys / candidate pairs), never the corpus.
+
+Scale shape (ray_guide.md "Aggregation at scale"): shingle+minhash per
+batch (vectorized numpy) → explode to (band_id, band_hash, doc_id[, sig])
+rows → groupby bands → candidate pairs verified inside the group →
+global pair dedup. The documents never shuffle; only ~bands×O(doc) small
+rows do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    """Word-shingle uint64 hashes (deterministic)."""
+    words = text.split()
+    if len(words) < shingle:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [
+            " ".join(words[i : i + shingle])
+            for i in range(len(words) - shingle + 1)
+        ]
+    return pd.util.hash_array(np.asarray(grams, dtype=object),
+                              categorize=False)
+
+
+def _perm_params(num_perm: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(batch: pd.DataFrame, text_col: str = "text",
+                  num_perm: int = 64, shingle: int = 3,
+                  seed: int = 1234) -> pd.DataFrame:
+    """doc → minhash signature (uint64[num_perm]); vectorized per doc."""
+    a, b = _perm_params(num_perm, seed)
+    sigs = np.empty((len(batch), num_perm), dtype=np.uint64)
+    for i, text in enumerate(batch[text_col].fillna("")):
+        h = _token_hashes(text, shingle)
+        # (a*h + b) mod p, min over tokens — outer product t×num_perm
+        vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        sigs[i] = vals.min(axis=0)
+    out = batch[[c for c in batch.columns if c != text_col]].copy()
+    out["sig"] = list(sigs)
+    return out
+
+
+def explode_bands(batch: pd.DataFrame, num_bands: int,
+                  id_col: str = "doc_id") -> pd.DataFrame:
+    """signature rows → (band_id, band_hash, id, sig) rows (×num_bands)."""
+    sigs = np.stack(batch["sig"].to_numpy())  # (n, num_perm)
+    n, num_perm = sigs.shape
+    rows_per_band = num_perm // num_bands
+    out_frames = []
+    for band in range(num_bands):
+        chunk = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+        # deterministic band hash: fold the chunk columns
+        bh = np.zeros(n, dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            bh = bh * np.uint64(1099511628211) + chunk[:, j]
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "band_id": np.full(n, band, dtype=np.int64),
+                    "band_hash": bh,
+                    id_col: batch[id_col].to_numpy(),
+                    "sig": batch["sig"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def _pairs_in_group(g: pd.DataFrame, id_col: str,
+                    max_group: int = 200) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket + signature-estimated Jaccard.
+
+    ``max_group`` caps degenerate buckets (a bucket of size m yields
+    m(m-1)/2 pairs — a poisoned bucket would explode; log-and-truncate is
+    the documented behavior, mirroring salting for skewed joins).
+    """
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {"doc_a": np.array([], dtype=ids.dtype),
+             "doc_b": np.array([], dtype=ids.dtype),
+             "est_jaccard": np.array([], dtype=np.float64)}
+        )
+    # deterministic truncation: sort by id BEFORE capping the bucket
+    g = g.sort_values(id_col, kind="mergesort").iloc[:max_group]
+    ids = g[id_col].to_numpy()
+    sigs = np.stack(g["sig"].to_numpy())
+    ia, ib = np.triu_indices(len(ids), k=1)
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    return pd.DataFrame(
+        {"doc_a": ids[ia], "doc_b": ids[ib], "est_jaccard": est}
+    )
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, num_bands: int = 16,
+                      shingle: int = 3, threshold: float = 0.7,
+                      seed: int = 1234):
+    """Full MinHash-LSH near-dup pipeline → unique candidate pairs with
+    signature-estimated Jaccard ≥ threshold."""
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, text_col, num_perm, shingle, seed),
+        batch_format="pandas",
+    )
+    bands = sigs.map_batches(
+        lambda b: explode_bands(b, num_bands, id_col), batch_format="pandas"
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _pairs_in_group(g, id_col), batch_format="pandas"
+    )
+
+    # a pair can surface from several bands → global dedup (tiny shuffle)
+    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first_per_pair, batch_format="pandas"
+    )
+    return uniq.filter(expr=f"est_jaccard >= {threshold}")
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash_batch(batch: pd.DataFrame, text_col: str = "text",
+                  out: str = "simhash") -> pd.DataFrame:
+    """64-bit SimHash per doc — fully vectorized over the batch via
+    unpackbits + add.reduceat on doc boundaries."""
+    texts = batch[text_col].fillna("")
+    hashes = []
+    bounds = [0]
+    for t in texts:
+        h = pd.util.hash_array(
+            np.asarray(t.split() or [""], dtype=object), categorize=False
+        )
+        hashes.append(h)
+        bounds.append(bounds[-1] + len(h))
+    all_h = np.concatenate(hashes) if hashes else np.array([], dtype=np.uint64)
+    bits = np.unpackbits(
+        all_h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )  # (total_tokens, 64)
+    starts = np.asarray(bounds[:-1])
+    sums = np.add.reduceat(bits, starts, axis=0) if len(all_h) else np.zeros(
+        (len(batch), 64), dtype=np.int64
+    )
+    counts = np.diff(bounds)[:, None]
+    sig_bits = (2 * sums >= counts).astype(np.uint64)
+    sig = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out_df = batch[[c for c in batch.columns if c != text_col]].copy()
+    out_df[out] = sig
+    return out_df
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3):
+    """Near-dup via SimHash banding: 4 chunks of 16 bits — any pair within
+    hamming distance ≤ 3 shares at least one exact chunk (pigeonhole)."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, text_col), batch_format="pandas"
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        sh = b["simhash"].to_numpy().astype(np.uint64)
+        frames = []
+        for c in range(4):
+            chunk = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "chunk_id": np.full(len(b), c, dtype=np.int64),
+                        "chunk_val": chunk,
+                        id_col: b[id_col].to_numpy(),
+                        "simhash": sh,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    bands = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        empty = pd.DataFrame(
+            {"doc_a": np.array([], dtype=np.int64),
+             "doc_b": np.array([], dtype=np.int64),
+             "hamming": np.array([], dtype=np.int64)}
+        )
+        if len(ids) < 2:
+            return empty
+        g = g.sort_values(id_col, kind="mergesort").iloc[:200]
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array(
+            [bin(int(v)).count("1") for v in x], dtype=np.int64
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+             "hamming": ham[keep]}
+        )
+
+    pairs = bands.groupby(["chunk_id", "chunk_val"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------- exact n-gram J
+
+def ngram_jaccard_verify(pairs_df: pd.DataFrame, texts: dict,
+                         n: int = 3) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification stage).
+
+    ``texts`` is a broadcastable {id: text} mapping — at scale this is a
+    hash join of the (small) candidate-pair set back to the corpus; at
+    test scale a broadcast dict.
+    """
+    def grams(t: str) -> set:
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    cache: dict = {}
+
+    def g(i):
+        if i not in cache:
+            cache[i] = grams(texts.get(i, ""))
+        return cache[i]
+
+    jac = [
+        len(g(a) & g(b)) / max(1, len(g(a) | g(b)))
+        for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])
+    ]
+    out = pairs_df.copy()
+    out["jaccard"] = np.round(jac, 4)
+    return out
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
+                             seed: int = 99, id_col: str = "vec_id",
+                             emb_col: str = "embedding"):
+    """Cosine near-dup via random-hyperplane bucketing: only vectors in the
+    same LSH bucket are compared pairwise (numpy matmul per bucket)."""
+    from gush_ray.stages.similarity import _to_matrix
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        rng = np.random.RandomState(seed)
+        mat = _to_matrix(batch[emb_col])
+        planes = rng.randn(n_planes, mat.shape[1])
+        sig = (mat @ planes.T > 0).dot(1 << np.arange(n_planes))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "bucket": sig.astype(np.int64),
+                "emb": list(mat),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": np.array([], dtype=np.int64),
+             "doc_b": np.array([], dtype=np.int64),
+             "cosine": np.array([], dtype=np.float64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col, kind="mergesort").iloc[:500]
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["emb"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = sims[ia, ib]
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+             "cosine": np.round(cos[keep], 4)}
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )

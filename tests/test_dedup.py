@@ -1,0 +1,158 @@
+"""Dedup family + similarity + multimodal + extra-query tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def corpus_with_dups():
+    base = [
+        ("the quick brown fox jumps over the lazy dog again and again", 1),
+        ("an entirely different document about ray data pipelines", 2),
+        ("numbers and words mixed together in a long stream of text", 3),
+    ]
+    rows = []
+    for text, did in base:
+        rows.append({"doc_id": did, "text": text})
+        # near-dup: last word changed
+        rows.append({"doc_id": did + 100,
+                     "text": " ".join(text.split()[:-1] + ["changed"])})
+    rows.append({"doc_id": 999, "text": "totally unrelated tiny text"})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_finds_near_dups():
+    from gush_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(corpus_with_dups(), threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert {(1, 101), (2, 102), (3, 103)} <= found
+    # unrelated docs must not pair
+    assert not any(999 in p for p in found)
+
+
+def test_simhash_finds_near_dups():
+    # simhash needs long-ish docs: one changed word in 60 flips few bits,
+    # keeping hamming within the 4x16-bit banding guarantee (<=3)
+    from gush_ray.stages.dedup import simhash_near_dup_pairs
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for did in (1, 2, 3):
+        base = " ".join(words[(did + i) % len(words)] for i in range(60))
+        rows.append({"doc_id": did, "text": base})
+        rows.append({"doc_id": did + 100,
+                     "text": base.rsplit(" ", 1)[0] + " changed"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_near_dup_pairs(ds, max_hamming=8).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert {(1, 101), (2, 102), (3, 103)} <= found
+
+
+def test_ngram_jaccard_exact():
+    from gush_ray.stages.dedup import ngram_jaccard_verify
+
+    texts = {1: "a b c d e", 2: "a b c d x"}
+    pairs = pd.DataFrame({"doc_a": [1], "doc_b": [2], "est_jaccard": [0.5]})
+    out = ngram_jaccard_verify(pairs, texts, n=3)
+    # 3-grams: {abc,bcd,cde} vs {abc,bcd,cdx}: |∩|=2 |∪|=4
+    assert out.iloc[0]["jaccard"] == 0.5
+
+
+def test_embedding_near_dup_self_plus_noise():
+    from gush_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    noisy = base + rng.randn(20, 16) * 0.01  # ~identical directions
+    mat = np.vstack([base, noisy])
+    ids = np.arange(40)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99,
+                                     n_planes=4).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    # most (i, i+20) pairs land in the same bucket and survive
+    hits = sum((i, i + 20) in found for i in range(20))
+    assert hits >= 12
+
+
+def test_multimodal_stub_plumbing():
+    from gush_ray.stages.multimodal import (
+        DecodeFeaturesStub,
+        FEATURE_DIM,
+        sniff_blob_batch,
+    )
+
+    t = pa.table({
+        "id": [1, 2],
+        "html": pa.array([b"\x89PNG\r\n fake", b"<!DOCTYPE html><p>x"],
+                         type=pa.binary()),
+    })
+    sniffed = sniff_blob_batch(t)
+    assert sniffed["blob_kind"].to_pylist() == ["png", "html"]
+    stage = DecodeFeaturesStub(blob_col="html")
+    out = stage(t)
+    assert "html" not in out.column_names
+    assert out["features"].type.list_size == FEATURE_DIM
+    # deterministic fake
+    out2 = DecodeFeaturesStub(blob_col="html")(t)
+    assert out.equals(out2)
+    # real-codec path is explicitly unimplemented
+    with pytest.raises(NotImplementedError):
+        DecodeFeaturesStub(blob_col="html", use_real_codec=True)._decode_impl(b"x")
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in EXTRA_QUERIES if not n.startswith("pages_")]
+)
+def test_extra_queries_run_and_are_deterministic(name):
+    fn, _ = EXTRA_QUERIES[name]
+    r1 = fn(SF_DIR)
+    r1 = r1.to_pandas() if hasattr(r1, "to_pandas") else r1
+    assert len(r1) >= 0 and len(r1.columns) > 0
+    r2 = fn(SF_DIR)
+    r2 = r2.to_pandas() if hasattr(r2, "to_pandas") else r2
+    a = r1.sort_values(list(r1.columns)).reset_index(drop=True)
+    b = r2.sort_values(list(r2.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_recall_on_mutated_corpus():
+    from gush_ray.pipelines.queries_extra import q_minhash_dedup
+
+    pairs = q_minhash_dedup(SF_DIR)
+    # ground truth: every doc_id pairs with doc_id + 1_000_000
+    truth_hits = pairs[pairs["doc_b"] == pairs["doc_a"] + 1_000_000]
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    recall = len(truth_hits) / n_docs
+    assert recall >= 0.8, f"minhash recall {recall:.2f}"
+
+
+def test_pages_flagship_query_runs():
+    fn, _ = EXTRA_QUERIES["pages_flagship"]
+    out = fn(SF_DIR)
+    assert len(out) > 0
+    assert {"lang", "change_kind", "window_id", "n"} <= set(out.columns)
+
+
+def test_extract_parity_query_all_identical():
+    fn, _ = EXTRA_QUERIES["extract_parity"]
+    out = fn(SF_DIR)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # every successfully-extracted row is byte-identical
+    assert (out["n_identical"] == out["n_ok"]).all()
+    assert out["n_ok"].sum() > 0
