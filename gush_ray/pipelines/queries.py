@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from gush_ray.config import EngineConfig
 from gush_ray.stages.agg import partial_aggregate
@@ -151,10 +150,10 @@ FROM events
 def q_latest_version(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["ts", "user_id"])
     ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
-    return ev.groupby("user_id").aggregate(
-        Max("ts_us", alias_name="last_ts_us"),
-        Min("ts_us", alias_name="first_ts_us"),
-        Count(alias_name="n_versions"),
+    return partial_aggregate(
+        ev, ["user_id"],
+        {"last_ts_us": ("ts_us", "max"), "first_ts_us": ("ts_us", "min"),
+         "n_versions": (None, "count")},
     )
 
 
@@ -182,7 +181,7 @@ def _lineitem_with_revenue(sf_dir: str):
 def q_hash_join_agg(sf_dir: str):
     li = _lineitem_with_revenue(sf_dir)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on=("l_orderkey",), num_partitions=16,
+    joined = hash_join(li, orders, on=("l_orderkey",), num_partitions=8,
                        right_on=("o_orderkey",))
     agg = partial_aggregate(
         joined, ["o_orderpriority"],
@@ -213,7 +212,7 @@ def q_salted_join_agg(sf_dir: str):
             ["l_orderkey" if c == "o_orderkey" else c for c in b.column_names]
         ),
         batch_format="pyarrow"), on="l_orderkey", hot_keys=hot,
-        num_salts=4, num_partitions=16)
+        num_salts=4, num_partitions=8)
     agg = partial_aggregate(
         joined, ["o_orderstatus"],
         {"revenue": ("revenue", "sum"), "n": (None, "count")},
@@ -290,7 +289,7 @@ def q_windowed_join_agg(sf_dir: str):
                    columns=["o_orderkey", "o_custkey", "o_orderdate",
                             "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = hash_join(orders, cust, on=("o_custkey",), num_partitions=16,
+    joined = hash_join(orders, cust, on=("o_custkey",), num_partitions=8,
                        right_on=("c_custkey",))
     agg = tumbling_aggregate(
         joined, ["c_mktsegment"], "o_orderdate", DAY30_US,
@@ -474,7 +473,7 @@ def q_nfa_match(sf_dir: str):
                Step("purchase", "event_type", "purchase")),
         within_us=HOUR_US, key="user_id", ts_col="ts_us", id_col="event_id",
     )
-    out = match_pattern_batch(ev, pat, num_partitions=16)
+    out = match_pattern_batch(ev, pat, num_partitions=8)
     return out.select_columns(["user_id", "click_id", "purchase_id"])
 
 

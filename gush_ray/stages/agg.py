@@ -12,21 +12,28 @@ all-to-all of the stream and an all-to-all of ~P × num_keys rows.
 from __future__ import annotations
 
 import pandas as pd
-from ray.data.aggregate import Max, Min, Sum
 
 # spec: out_col -> (src_col, op) with op in {sum,count,min,max}
 Spec = dict[str, tuple[str | None, str]]
 
 _PARTIAL_OPS = {"sum": "sum", "count": "size", "min": "min", "max": "max"}
-_MERGE_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+# merging partials: counts merge by summing; the rest are idempotent
+_MERGE_OPS = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
-def partial_aggregate(ds, keys: list[str], specs: Spec):
+def partial_aggregate(ds, keys: list[str], specs: Spec,
+                      num_partitions: int = 8):
     """groupby(keys) with per-batch combining. Returns a small Dataset.
 
     specs example::
 
         {"n": (None, "count"), "sum_v": ("value", "sum"), "max_ts": ("ts", "max")}
+
+    The merge of partials deliberately avoids Ray's sort-based
+    ``groupby().aggregate()`` (per-group Python overhead makes it ~20x
+    slower at moderate key cardinality); instead partials are
+    hash-partitioned and merged with one vectorized pandas groupby per
+    partition (O(P) Python calls).
     """
     named = {}
     for out, (src, op) in specs.items():
@@ -39,10 +46,17 @@ def partial_aggregate(ds, keys: list[str], specs: Spec):
         return batch.groupby(keys, as_index=False, sort=False).agg(**named)
 
     partials = ds.map_batches(combine, batch_format="pandas")
-    merges = [
-        _MERGE_AGG[op](out, alias_name=out) for out, (_, op) in specs.items()
-    ]
-    return partials.groupby(keys).aggregate(*merges)
+
+    merge_named = {
+        out: (out, _MERGE_OPS[op]) for out, (_, op) in specs.items()
+    }
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
+
+    from gush_ray.stages.shuffle import partition_map
+
+    return partition_map(partials, keys, merge, num_partitions)
 
 
 def finalize_mean(

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ray.data.aggregate import Count, Max, Min
-
 from gush_ray.stages.shuffle import partition_map
 
 
@@ -43,8 +41,10 @@ def classify_changes(ds, key: str = "url", ts_col: str = "warc_ts",
 def latest_snapshot(ds, key: str = "url", ts_col: str = "warc_ts"):
     """D1: dimension snapshot of the change stream — one row per key with
     last_ts + n_versions. Partial-friendly (Max/Count merge associatively)."""
-    return ds.groupby(key).aggregate(
-        Max(ts_col, alias_name="last_ts"),
-        Min(ts_col, alias_name="first_ts"),
-        Count(alias_name="n_versions"),
+    from gush_ray.stages.agg import partial_aggregate
+
+    return partial_aggregate(
+        ds, [key],
+        {"last_ts": (ts_col, "max"), "first_ts": (ts_col, "min"),
+         "n_versions": (None, "count")},
     )

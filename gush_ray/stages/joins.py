@@ -85,9 +85,11 @@ def find_hot_keys(ds, key: str, threshold: int, sample_frac: float | None = None
     threshold — the partials shuffle is already small, but the scan can be.
     """
     src = ds if sample_frac is None else ds.random_sample(sample_frac, seed=13)
-    counts = ds_counts = partial_aggregate(src, [key], {"n": (None, "count")})
-    hot = ds_counts.filter(lambda row: row["n"] >= threshold)
-    return [r[key] for r in hot.take_all()]
+    counts = partial_aggregate(src, [key], {"n": (None, "count")})
+    # one partial row per key — small enough to threshold driver-side
+    # (vectorized; a per-row Python filter here costs seconds for nothing)
+    df = counts.to_pandas()
+    return df.loc[df["n"] >= threshold, key].tolist()
 
 
 def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,

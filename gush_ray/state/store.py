@@ -72,6 +72,57 @@ class PartitionState:
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
         self._epoch_cache: dict[int, dict] = {}
+        # direct-exchange ingest buffers: epoch -> fragments; frag keys make
+        # re-sent fragments (task retries) idempotent
+        self._frag_buf: dict[int, list] = {}
+        self._frag_seen: dict[int, set] = {}
+
+    # -------------------------------------------- direct-exchange ingest
+
+    def ingest(self, epoch: int, frag_key: int, table: pa.Table) -> None:
+        """Buffer one shuffle fragment (idempotent under task retry: a
+        re-sent fragment with a seen key is dropped)."""
+        seen = self._frag_seen.setdefault(epoch, set())
+        if frag_key in seen:
+            return
+        seen.add(frag_key)
+        self._frag_buf.setdefault(epoch, []).append(table)
+
+    def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
+        """Sort + process everything ingested for ``epoch`` and write this
+        partition's output files idempotently; returns metrics.
+
+        Replay-idempotent: a second call for a processed epoch returns the
+        cached metrics without re-advancing state (files were written
+        atomically to deterministic names, so they are already correct).
+        """
+        if epoch in self._epoch_cache:
+            return self._epoch_cache[epoch]["metrics"]
+        from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+        frags = self._frag_buf.pop(epoch, [])
+        self._frag_seen.pop(epoch, None)
+        if frags:
+            table = pa.concat_tables(frags, promote_options="default")
+            out = self._process_impl(table)
+            ExactlyOnceSink.write_part(
+                base_dir, "changes", epoch, self.pid, out["changes"]
+            )
+            if out["matches"].num_columns:
+                ExactlyOnceSink.write_part(
+                    base_dir, "matches", epoch, self.pid, out["matches"]
+                )
+            ExactlyOnceSink.write_part(
+                base_dir, "late", epoch, self.pid, out["late"]
+            )
+            ExactlyOnceSink.write_part(
+                base_dir, "sessions", epoch, self.pid, out["sessions_closed"]
+            )
+            metrics = out["metrics"]
+        else:
+            metrics = {"rows_in": 0, "max_ts_us": self.max_ts_us}
+        self._epoch_cache[epoch] = {"metrics": metrics}
+        return metrics
 
     # ------------------------------------------------------------ ingest
 
@@ -167,32 +218,80 @@ class PartitionState:
         return out
 
     def _update_sessions(self, df: pd.DataFrame) -> pa.Table:
+        """Vectorized session merge: within-batch gap split, then merge
+        each key's FIRST batch session with its stored open session and
+        keep its LAST batch session open (a per-key iterrows loop here was
+        the reduce-phase bottleneck at scale)."""
         p = self.p
+        if not len(df):
+            return _sessions_table([], p.key_col)
+        us = df[p.ts_col].astype("int64")
+        new_key = df[p.key_col].ne(df[p.key_col].shift())
+        gap_break = us.diff() > p.session_gap_us
+        sid = (new_key | gap_break).cumsum()
+        per = (
+            df.assign(__us=us, __sid=sid)
+            .groupby([p.key_col, "__sid"], sort=False)["__us"]
+            .agg(["min", "max", "size"])
+            .reset_index()
+        )
+        keys = per[p.key_col].to_numpy()
+        mins = per["min"].to_numpy().astype(np.int64)
+        maxs = per["max"].to_numpy().astype(np.int64)
+        sizes = per["size"].to_numpy().astype(np.int64)
+        first_mask = per[p.key_col].ne(per[p.key_col].shift()).to_numpy()
+        last_mask = per[p.key_col].ne(per[p.key_col].shift(-1)).to_numpy()
+
+        stored = [self.sessions.get(k) for k in keys[first_mask]]
+        has_prev = np.array([s is not None for s in stored], dtype=bool)
+        prev_start = np.array(
+            [s[0] if s is not None else 0 for s in stored], dtype=np.int64
+        )
+        prev_last = np.array(
+            [s[1] if s is not None else 0 for s in stored], dtype=np.int64
+        )
+        prev_n = np.array(
+            [s[2] if s is not None else 0 for s in stored], dtype=np.int64
+        )
+        merge_ok = has_prev & (
+            mins[first_mask] - prev_last <= p.session_gap_us
+        )
+
+        # sessions extended by a merge take over the stored start/count
+        adj_start = mins.copy()
+        adj_n = sizes.copy()
+        fm_idx = np.nonzero(first_mask)[0]
+        merged_idx = fm_idx[merge_ok]
+        adj_start[merged_idx] = prev_start[merge_ok]
+        adj_n[merged_idx] += prev_n[merge_ok]
+
         closed: list[tuple] = []
-        if len(df):
-            us = df[p.ts_col].astype("int64")
-            new_key = df[p.key_col].ne(df[p.key_col].shift())
-            gap_break = us.diff() > p.session_gap_us
-            sid = (new_key | gap_break).cumsum()
-            per = (
-                df.assign(__us=us, __sid=sid)
-                .groupby([p.key_col, "__sid"], sort=False)["__us"]
-                .agg(["min", "max", "size"])
-                .reset_index()
+        # (a) stored sessions whose gap to the new first session broke
+        broke = has_prev & ~merge_ok
+        closed.extend(
+            zip(keys[first_mask][broke], prev_start[broke],
+                prev_last[broke], prev_n[broke])
+        )
+        # (b) batch sessions closed by a later in-batch session of same key
+        nb = ~last_mask
+        closed.extend(
+            zip(keys[nb], adj_start[nb], maxs[nb], adj_n[nb])
+        )
+        # keep the last session of each key open
+        self.sessions.update(
+            dict(
+                zip(
+                    keys[last_mask],
+                    zip(adj_start[last_mask].tolist(),
+                        maxs[last_mask].tolist(),
+                        adj_n[last_mask].tolist()),
+                )
             )
-            for key, grp in per.groupby(p.key_col, sort=False):
-                cur = self.sessions.get(key)
-                for _, row in grp.iterrows():
-                    s, e, n = int(row["min"]), int(row["max"]), int(row["size"])
-                    if cur is None:
-                        cur = [s, e, n]
-                    elif s - cur[1] <= p.session_gap_us:
-                        cur = [cur[0], e, cur[2] + n]
-                    else:
-                        closed.append((key, cur[0], cur[1], cur[2]))
-                        cur = [s, e, n]
-                self.sessions[key] = cur
-        return _sessions_table(closed, self.p.key_col)
+        )
+        return _sessions_table(
+            [(k, int(s), int(e), int(n)) for k, s, e, n in closed],
+            p.key_col,
+        )
 
     # ------------------------------------------------------- watermark
 
@@ -313,6 +412,32 @@ class StateStoreActor:
 
     def process(self, epoch: int, table: pa.Table) -> dict:
         return self.ps.process(epoch, table)
+
+    def ingest(self, epoch: int, frag_key: int, table: pa.Table) -> None:
+        self.ps.ingest(epoch, frag_key, table)
+
+    def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
+        return self.ps.process_epoch_to(epoch, base_dir)
+
+    def process_epoch_tables(self, epoch: int, base_dir: str,
+                             *tables) -> dict:
+        """Exchange ingestion with refs passed as DIRECT variadic args:
+        Ray resolves them to Arrow tables before the call (zero-copy, no
+        borrower bookkeeping — nested refs in a list make every actor a
+        borrower and the resulting ref-counting RPC storm measurably
+        degrades later map rounds; see BENCH/BASELINE.md)."""
+        for i, t in enumerate(tables):
+            if t is not None and t.num_rows:
+                self.ps.ingest(epoch, i, t)
+        return self.ps.process_epoch_to(epoch, base_dir)
+
+    def process_epoch_refs(self, epoch: int, frags: list,
+                           base_dir: str) -> dict:
+        """Pull-model exchange: fetch this partition's fragments from the
+        object store (zero-copy plasma reads), then process + sink."""
+        for frag_key, ref in frags:
+            self.ps.ingest(epoch, frag_key, ray.get(ref))
+        return self.ps.process_epoch_to(epoch, base_dir)
 
     def advance_watermark(self, wm_us: int) -> dict:
         return self.ps.advance_watermark(wm_us)

@@ -17,8 +17,9 @@ def pages_dir(tmp_path_factory):
     return str(d)
 
 
-def run_job(pages_dir, out_dir, run_id, **kw):
-    job = StreamingJob(pages_dir, out_dir, run_id=run_id, num_partitions=4)
+def run_job(pages_dir, out_dir, run_id, mode="tasks", **kw):
+    job = StreamingJob(pages_dir, out_dir, run_id=run_id, num_partitions=4,
+                       mode=mode)
     res = job.run(**kw)
     return job, res
 
@@ -31,9 +32,10 @@ def norm(df: pd.DataFrame, cols) -> pd.DataFrame:
     )
 
 
-def test_streaming_end_to_end(pages_dir, tmp_path):
-    out = str(tmp_path / "out")
-    job, res = run_job(pages_dir, out, run_id="e2e")
+@pytest.mark.parametrize("mode", ["tasks", "actors"])
+def test_streaming_end_to_end(pages_dir, tmp_path, mode):
+    out = str(tmp_path / f"out-{mode}")
+    job, res = run_job(pages_dir, out, run_id=f"e2e-{mode}", mode=mode)
     assert res["completed"] == 2
 
     changes = job.read_output("changes")
@@ -63,19 +65,23 @@ def test_streaming_end_to_end(pages_dir, tmp_path):
     job.kill_actors()
 
 
-def test_kill_resume_parity(pages_dir, tmp_path):
-    out_a = str(tmp_path / "uninterrupted")
-    out_b = str(tmp_path / "resumed")
+@pytest.mark.parametrize("mode", ["tasks", "actors"])
+def test_kill_resume_parity(pages_dir, tmp_path, mode):
+    out_a = str(tmp_path / f"uninterrupted-{mode}")
+    out_b = str(tmp_path / f"resumed-{mode}")
 
-    job_a, _ = run_job(pages_dir, out_a, run_id="runA")
+    job_a, _ = run_job(pages_dir, out_a, run_id=f"rA-{mode}", mode=mode)
     job_a.kill_actors()
 
-    # crash after epoch 1 commits: stop, kill all actors (state lost), resume
-    job_b1, r1 = run_job(pages_dir, out_b, run_id="runB1", stop_after=2)
+    # crash after epoch 1 commits: stop, kill state (actors / in-memory),
+    # then resume from the committed manifests + snapshots
+    job_b1, r1 = run_job(pages_dir, out_b, run_id=f"rB1-{mode}",
+                         mode=mode, stop_after=2)
     assert r1["completed"] == 1
     job_b1.kill_actors()
 
-    job_b2, r2 = run_job(pages_dir, out_b, run_id="runB2", resume=True)
+    job_b2, r2 = run_job(pages_dir, out_b, run_id=f"rB2-{mode}",
+                         mode=mode, resume=True)
     assert r2["completed"] == 2
 
     for stream, cols in [
@@ -96,6 +102,24 @@ def test_kill_resume_parity(pages_dir, tmp_path):
                    job_b2.read_output("sessions_wm")])
     pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
     job_b2.kill_actors()
+
+
+def test_mode_parity(pages_dir, tmp_path):
+    """tasks-mode and actors-mode must produce identical outputs."""
+    out_t = str(tmp_path / "mode-tasks")
+    out_a = str(tmp_path / "mode-actors")
+    jt, _ = run_job(pages_dir, out_t, run_id="mpT", mode="tasks")
+    ja, _ = run_job(pages_dir, out_a, run_id="mpA", mode="actors")
+    for stream, cols in [
+        ("changes", ["url", "ts_us", "version", "change_kind"]),
+        ("windows", ["lang", "change_kind", "window_id", "n"]),
+        ("matches", ["url", "first_id", "recrawl_id", "start_us"]),
+        ("late", ["url", "ts_us"]),
+    ]:
+        a = norm(jt.read_output(stream), cols)
+        b = norm(ja.read_output(stream), cols)
+        pd.testing.assert_frame_equal(a, b), stream
+    ja.kill_actors()
 
 
 def test_rerun_completed_is_noop(pages_dir, tmp_path):
