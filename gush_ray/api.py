@@ -1,0 +1,200 @@
+"""Fluent user API — the graft of gush's extension surface.
+
+gush users compose Akka ``Flow``s/``Sink``s against the public
+``BinlogEvent`` stream and plug them in via ``startSending(sink)``
+(reference: README.md:15-29, SqlToBinlog.scala:18-22, GushCEP.scala as
+the worked example). Here the same surface is a small builder over
+``ray.data.Dataset``: each method appends Ray Data stages; arbitrary UDFs
+enter as ``map_batches`` callables; ``Stream.from_dataset`` accepts any
+Dataset the way ``SqlToBinlog`` accepts any ``Source[String]``.
+
+Example::
+
+    from gush_ray.api import Stream
+
+    out = (
+        Stream.from_parquet(f"{sf}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+        .with_ts_us("ts")
+        .filter_equals("event_type", "purchase")
+        .window_tumbling(["event_type"], size_us=HOUR, n=("*", "count"))
+        .to_pandas()
+    )
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from gush_ray.config import EngineConfig
+from gush_ray.stages.agg import Spec, partial_aggregate
+from gush_ray.stages.changes import classify_changes, latest_snapshot
+from gush_ray.stages.filters import apply_deny_filters
+from gush_ray.stages.joins import broadcast_join, hash_join, salted_join
+from gush_ray.stages.nfa import Pattern, match_pattern_batch
+from gush_ray.stages.windows import (
+    session_windows,
+    sliding_aggregate,
+    tumbling_aggregate,
+)
+
+
+class Stream:
+    """A lazy pipeline builder over a ``ray.data.Dataset``."""
+
+    def __init__(self, ds, cfg: EngineConfig | None = None):
+        self.ds = ds
+        self.cfg = cfg or EngineConfig()
+
+    # ------------------------------------------------------------ sources
+
+    @classmethod
+    def from_parquet(cls, paths, columns=None, cfg: EngineConfig | None = None,
+                     **kw) -> "Stream":
+        return cls(rd.read_parquet(paths, columns=columns, **kw), cfg)
+
+    @classmethod
+    def from_dataset(cls, ds, cfg: EngineConfig | None = None) -> "Stream":
+        return cls(ds, cfg)
+
+    @classmethod
+    def from_arrow(cls, table: pa.Table,
+                   cfg: EngineConfig | None = None) -> "Stream":
+        return cls(rd.from_arrow(table), cfg)
+
+    # ------------------------------------------------------- transforms
+
+    def _wrap(self, ds) -> "Stream":
+        return Stream(ds, self.cfg)
+
+    def map_batches(self, fn: Callable, **kw) -> "Stream":
+        kw.setdefault("batch_format", "pyarrow")
+        if kw["batch_format"] == "pyarrow":
+            kw.setdefault("zero_copy_batch", True)
+        return self._wrap(self.ds.map_batches(fn, **kw))
+
+    def filter_expr(self, fn: Callable[[pa.Table], pa.Array]) -> "Stream":
+        """Vectorized predicate: fn(batch) → boolean mask."""
+        return self.map_batches(lambda b: b.filter(fn(b)))
+
+    def filter_equals(self, col: str, value) -> "Stream":
+        return self.filter_expr(lambda b: pc.equal(b[col], value))
+
+    def deny_filter(self, **cols) -> "Stream":
+        return self._wrap(apply_deny_filters(self.ds, self.cfg, **cols))
+
+    def select(self, cols: list[str]) -> "Stream":
+        return self._wrap(self.ds.select_columns(cols))
+
+    def with_ts_us(self, ts_col: str, out: str = "ts_us") -> "Stream":
+        return self.map_batches(
+            lambda b: b.append_column(
+                out, b[ts_col].combine_chunks().cast(pa.int64())
+            )
+        )
+
+    def extract_text(self, html_col: str = "html",
+                     out_col: str = "text") -> "Stream":
+        from gush_ray.extract import extract_text_batch, split_errors
+
+        s = self.map_batches(
+            lambda b: extract_text_batch(b, html_col=html_col, out_col=out_col)
+        )
+        return s.map_batches(lambda b: split_errors(b)[0])
+
+    # --------------------------------------------------------- stateful
+
+    def classify_changes(self, key: str = "url",
+                         ts_col: str = "ts_us") -> "Stream":
+        return self._wrap(
+            classify_changes(self.ds, key=key, ts_col=ts_col,
+                             num_partitions=self.cfg.num_partitions)
+        )
+
+    def latest_snapshot(self, key: str = "url",
+                        ts_col: str = "ts_us") -> "Stream":
+        return self._wrap(latest_snapshot(self.ds, key=key, ts_col=ts_col))
+
+    # ---------------------------------------------------------- windows
+
+    def window_tumbling(self, keys: list[str], ts_col: str, size_us: int,
+                        specs: Spec) -> "Stream":
+        return self._wrap(
+            tumbling_aggregate(self.ds, keys, ts_col, size_us, specs)
+        )
+
+    def window_sliding(self, keys: list[str], ts_col: str, size_us: int,
+                       slide_us: int, specs: Spec) -> "Stream":
+        return self._wrap(
+            sliding_aggregate(self.ds, keys, ts_col, size_us, slide_us, specs)
+        )
+
+    def window_session(self, key: str, ts_col: str, gap_us: int) -> "Stream":
+        return self._wrap(
+            session_windows(self.ds, key, ts_col, gap_us,
+                            num_partitions=self.cfg.num_partitions)
+        )
+
+    def aggregate(self, keys: list[str], specs: Spec) -> "Stream":
+        return self._wrap(partial_aggregate(self.ds, keys, specs))
+
+    # -------------------------------------------------------------- CEP
+
+    def match_pattern(self, pattern: Pattern) -> "Stream":
+        return self._wrap(
+            match_pattern_batch(self.ds, pattern,
+                                num_partitions=self.cfg.num_partitions)
+        )
+
+    # ------------------------------------------------------------ joins
+
+    def join(self, other: "Stream | object", on, right_on=None,
+             num_partitions: int | None = None,
+             join_type: str = "inner") -> "Stream":
+        ods = other.ds if isinstance(other, Stream) else other
+        return self._wrap(
+            hash_join(self.ds, ods, on=on,
+                      num_partitions=num_partitions or 8,
+                      right_on=right_on, join_type=join_type)
+        )
+
+    def join_broadcast(self, small_df, on, how: str = "inner") -> "Stream":
+        return self._wrap(broadcast_join(self.ds, small_df, on=on, how=how))
+
+    def join_salted(self, other: "Stream | object", on: str, hot_keys: list,
+                    num_salts: int = 8) -> "Stream":
+        ods = other.ds if isinstance(other, Stream) else other
+        return self._wrap(
+            salted_join(self.ds, ods, on=on, hot_keys=hot_keys,
+                        num_salts=num_salts)
+        )
+
+    def union(self, other: "Stream") -> "Stream":
+        return self._wrap(self.ds.union(other.ds))
+
+    # ------------------------------------------------------------ sinks
+
+    def sink_parquet(self, path: str, **kw) -> None:
+        self.ds.write_parquet(path, **kw)
+
+    def to_pandas(self):
+        return self.ds.to_pandas()
+
+    def to_arrow(self) -> pa.Table:
+        import ray
+
+        tabs = [t for t in ray.get(self.ds.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return pa.table({})
+        return pa.concat_tables(tabs, promote_options="default")
+
+    def count(self) -> int:
+        return self.ds.count()
+
+    def take(self, n: int = 20):
+        return self.ds.take(n)

@@ -72,6 +72,22 @@ def run_flagship(pages_dir: str, cfg: EngineConfig | None = None,
 
 
 def entry_pipeline():
-    """Driver smoke entry: flagship over a small deterministic pages dir."""
+    """Driver smoke entry: the full streaming CEP engine over a small
+    deterministic pages stream — epoch loop, V1 dedup, event-time
+    tumbling windows closed by watermarks, sessions, NFA matches,
+    exactly-once sink — returning the closed windows table."""
+    import shutil
+    import uuid
+
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
     pages_dir = ensure_pages("/tmp/gush_ray_pages", n_urls=2_000, seed=7)
-    return run_flagship(pages_dir)
+    out_dir = f"/tmp/gush_ray_entry/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=4)
+    job.run()
+    windows = job.read_output("windows")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return windows.sort_values(
+        ["lang", "change_kind", "window_id"]
+    ).reset_index(drop=True)

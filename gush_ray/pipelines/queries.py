@@ -460,6 +460,153 @@ FROM s ORDER BY raw_sim DESC, vec_id LIMIT 10
 """
 
 
+# ------------------------------------------------- F8/F10 update deltas
+
+def q_change_delta(sf_dir: str):
+    """Update rows carrying old→new deltas (graft of gush's
+    UpdateStatement updatedFields-vs-target semantics,
+    parser/UpdateNodeVisitor.scala:111-143): per user in ts order, the
+    change in ``value`` vs the previous event."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["value"].shift()
+        out = df[["event_id", "user_id"]].copy()
+        out["delta_value"] = (df["value"] - prev).round(4)
+        return out[prev.notna()]
+
+    return partition_map(ev, "user_id", per_part, 8)
+
+
+SQL_CHANGE_DELTA = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 4)
+         AS delta_value
+FROM events
+QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        IS NOT NULL
+"""
+
+
+# ------------------------------------------------- F12 typed extraction
+
+def q_typed_field_extract(sf_dir: str):
+    """Typed field extractor (graft of getField/getAsFloat,
+    binlog/BinlogEvent.scala:34-36): pull the numeric ``k`` out of the
+    stringly-typed ``props`` JSON and aggregate it — strict-cast errors
+    would route to the side output (none in this data)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    typed = ev.map_batches(extract, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return partial_aggregate(
+        typed, ["event_type"], {"sum_k": ("k", "sum"), "n": (None, "count")}
+    )
+
+
+SQL_TYPED_FIELD_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------- semi/anti join
+
+def q_anti_join(sf_dir: str):
+    """Anti join via broadcast key set: customers with no high-value
+    order (a bare never-ordered set is empty in this data)."""
+    from gush_ray.stages.joins import broadcast_semi_filter
+
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    big = pq.read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    buyers = big.filter(
+        pc.greater(big["o_totalprice"], pa.scalar(250_000.0))
+    )["o_custkey"]
+    filtered = broadcast_semi_filter(cust, set(buyers.to_pylist()),
+                                     on="c_custkey", keep=False)
+    return partial_aggregate(filtered, ["c_mktsegment"],
+                             {"n": (None, "count")})
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 250000.0)
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- union (S6 fan-in)
+
+def q_union_counts(sf_dir: str):
+    """Dataset.union of two filtered streams then one aggregate."""
+    ev1 = _read(sf_dir, "events", columns=["event_type", "value"])
+    ev1 = ev1.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ev2 = _read(sf_dir, "events", columns=["event_type", "value"])
+    ev2 = ev2.map_batches(
+        lambda b: b.filter(pc.greater(b["value"], pa.scalar(15.0))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    u = ev1.union(ev2)
+    agg = partial_aggregate(
+        u, ["event_type"], {"n": (None, "count"), "sum_v": ("value", "sum")}
+    )
+    df = agg.to_pandas()
+    df["sum_v"] = df["sum_v"].round(2)
+    return df
+
+
+SQL_UNION_COUNTS = """
+WITH u AS (
+  SELECT event_type, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE value > 15.0
+)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+FROM u GROUP BY 1
+"""
+
+
+# ------------------------------------------------- W3 sliding avg
+
+def q_sliding_avg(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = sliding_aggregate(
+        ev, ["event_type"], "ts", SIX_H_US, TWO_H_US,
+        {"sum_v": ("value", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_value"] = (df["sum_v"] / df["n"]).round(4)
+    return df[["event_type", "window_id", "avg_value", "n"]]
+
+
+SQL_SLIDING_AVG = """
+SELECT event_type, (epoch_us(ts) // 7200000000) - r.range AS window_id,
+       round(sum(value) / count(*), 4) AS avg_value, count(*) AS n
+FROM events CROSS JOIN range(3) r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- C3 NFA
 
 def q_nfa_match(sf_dir: str):
@@ -490,6 +637,11 @@ FROM events a JOIN events b
 
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
+    "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
+    "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "union_counts": (q_union_counts, SQL_UNION_COUNTS),
+    "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
     "tumbling_count": (q_tumbling_count, SQL_TUMBLING_COUNT),
     "tumbling_avg": (q_tumbling_avg, SQL_TUMBLING_AVG),
     "sliding_count": (q_sliding_count, SQL_SLIDING_COUNT),

@@ -1,0 +1,94 @@
+"""Fluent Stream API tests (the user extension surface, SURVEY.md §2.7)."""
+
+import pandas as pd
+import pyarrow as pa
+
+from gush_ray.api import Stream
+from gush_ray.stages.nfa import Pattern, Step
+
+SF = "/root/testdata/sf0.001"
+HOUR_US = 3600 * 1_000_000
+
+
+def test_filter_window_pipeline():
+    out = (
+        Stream.from_parquet(f"{SF}/events.parquet",
+                            columns=["ts", "event_type"])
+        .filter_equals("event_type", "purchase")
+        .window_tumbling(["event_type"], "ts", 6 * HOUR_US,
+                         {"n": (None, "count")})
+        .to_pandas()
+    )
+    assert len(out) > 0 and set(out["event_type"]) == {"purchase"}
+
+
+def test_from_arrow_classify_and_session():
+    t = pa.table(
+        {
+            "url": ["a", "a", "b"],
+            "ts_us": pa.array([10, 2_000_000_000, 30], type=pa.int64()),
+        }
+    )
+    ch = Stream.from_arrow(t).classify_changes("url", "ts_us").to_pandas()
+    assert sorted(ch["change_kind"]) == ["insert", "insert", "update"]
+    sess = (
+        Stream.from_arrow(t)
+        .window_session("url", "ts_us", gap_us=100)
+        .to_pandas()
+    )
+    assert len(sess) == 3  # the two 'a' events are > gap apart
+
+
+def test_join_and_union():
+    li = Stream.from_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity"])
+    orders = Stream.from_parquet(f"{SF}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderstatus"])
+    j = li.join(orders, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = j.aggregate(["o_orderstatus"], {"n": (None, "count")}).to_pandas()
+    assert agg["n"].sum() == 6000
+
+    a = Stream.from_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    u = a.union(Stream.from_parquet(f"{SF}/events.parquet",
+                                    columns=["event_type"]))
+    assert u.count() == 2000
+
+
+def test_match_pattern_and_sink(tmp_path):
+    pat = Pattern(
+        steps=(Step("c", "event_type", "click"),
+               Step("p", "event_type", "purchase")),
+        within_us=HOUR_US, key="user_id", ts_col="ts_us",
+        id_col="event_id",
+    )
+    s = (
+        Stream.from_parquet(f"{SF}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+        .with_ts_us("ts")
+        .match_pattern(pat)
+    )
+    out_dir = str(tmp_path / "matches")
+    s.sink_parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    back = pq.read_table(out_dir)
+    assert back.num_rows == s.count() and back.num_rows > 0
+
+
+def test_extract_text_stream():
+    from gush_ray.datagen import gen_pages
+
+    table, _ = gen_pages(n_urls=100, seed=3)
+    out = (
+        Stream.from_arrow(table.drop_columns(["text"]))
+        .extract_text(html_col="html", out_col="text")
+        .to_pandas()
+    )
+    truth = table.to_pandas()
+    merged = out.merge(
+        truth[["url", "warc_ts", "text"]], on=["url", "warc_ts"],
+        suffixes=("_got", "_want"),
+    )
+    ok = merged["text_want"].notna()
+    assert (merged.loc[ok, "text_got"] == merged.loc[ok, "text_want"]).all()

@@ -9,9 +9,7 @@ def test_entry_runs():
     res = entrymod.entry()
     df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
     assert len(df) > 0
-    assert set(["category", "change_kind", "window_id", "n", "sum_weight"]) <= set(
-        df.columns
-    )
+    assert set(["lang", "change_kind", "window_id", "n"]) <= set(df.columns)
     assert set(df["change_kind"].unique()) <= {"insert", "update"}
 
 
