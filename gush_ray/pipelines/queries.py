@@ -635,8 +635,43 @@ FROM events a JOIN events b
 """
 
 
+def q_nfa_strict_match(sf_dir: str):
+    """Strict-contiguity NFA: click immediately followed by purchase
+    (no intervening event of the same key) within 1h — the lead() oracle."""
+    from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    pat = Pattern(
+        steps=(Step("click", "event_type", "click"),
+               Step("purchase", "event_type", "purchase")),
+        within_us=HOUR_US, key="user_id", ts_col="ts_us",
+        id_col="event_id", contiguity="strict",
+    )
+    out = match_pattern_batch(ev, pat, num_partitions=8)
+    return out.select_columns(["user_id", "click_id", "purchase_id"])
+
+
+SQL_NFA_STRICT_MATCH = """
+WITH w AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         lead(event_id) OVER win AS next_id,
+         lead(event_type) OVER win AS next_type,
+         lead(epoch_us(ts)) OVER win AS next_tus
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS click_id, next_id AS purchase_id
+FROM w
+WHERE event_type = 'click' AND next_type = 'purchase'
+  AND next_tus > tus AND next_tus - tus <= 3600000000
+"""
+
+
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
+    "nfa_strict_match": (q_nfa_strict_match, SQL_NFA_STRICT_MATCH),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),

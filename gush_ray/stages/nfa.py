@@ -50,6 +50,11 @@ class Pattern:
     key: str
     ts_col: str = "ts"
     id_col: str | None = None  # column captured per matched step
+    # "skip"   = skip-till-any-match: non-matching events are ignored and
+    #            every run survives (all-pairs semantics for 2 steps);
+    # "strict" = strict contiguity: any event of the key that does not
+    #            advance a partial run kills it (consecutive-events match)
+    contiguity: str = "skip"
 
 
 @dataclass
@@ -87,9 +92,10 @@ class NFARunner:
         pat = self.pattern
         if len(df) == 0:
             return _empty_matches(pat)
+        strict = pat.contiguity == "strict"
         masks = [s.mask(df) for s in pat.steps]
         any_mask = np.logical_or.reduce(masks)
-        if not any_mask.any():
+        if not strict and not any_mask.any():
             return _empty_matches(pat)
 
         keys = df[pat.key].to_numpy()
@@ -99,7 +105,9 @@ class NFARunner:
             if pat.id_col is not None
             else np.arange(len(df))
         )
-        idxs = np.nonzero(any_mask)[0]
+        # strict contiguity must see EVERY event of a key (a non-matching
+        # event kills partial runs); skip mode only touches matching rows
+        idxs = np.arange(len(df)) if strict else np.nonzero(any_mask)[0]
 
         n_steps = len(pat.steps)
         out_rows: list[tuple] = []
@@ -110,8 +118,8 @@ class NFARunner:
             if plist is None:
                 plist = self.partials[k] = []
             new_partials: list[_Partial] = []
-            # advance existing runs (all-runs: the old partial survives too,
-            # skip-till-any-match keeps skipping non-matching events)
+            # advance existing runs (skip mode: the old partial survives
+            # too and keeps skipping; strict mode: only advanced runs live)
             for p in plist:
                 nxt = p.step_idx + 1
                 if (
@@ -134,6 +142,9 @@ class NFARunner:
                     out_rows.append((k, ids[i], t, t))
                 else:
                     new_partials.append(cand)
+            if strict:
+                self.partials[k] = new_partials
+                continue
             plist.extend(new_partials)
             # cheap in-place expiry against the current event time
             if len(plist) > 64:

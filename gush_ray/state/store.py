@@ -52,6 +52,9 @@ class StateParams:
     ts_col: str = "ts_us"
     window_group_cols: tuple[str, ...] = ("lang",)
     window_size_us: int = 600_000_000
+    # None → tumbling; set → sliding: each row lands in size/slide
+    # overlapping windows, window w covers [w*slide, w*slide + size)
+    window_slide_us: int | None = None
     session_gap_us: int = 1_800_000_000
     value_col: str | None = None        # optional numeric col summed per window
     pattern: Pattern | None = None      # NFA over emitted change rows
@@ -171,13 +174,23 @@ class PartitionState:
         )
         self.version.update(dict(zip(tail[p.key_col], tail["version"])))
 
-        # W1/W2 window accumulators on the deduped change rows
+        # W1/W2/W3 window accumulators on the deduped change rows
         if len(df):
-            wid = (df[p.ts_col].to_numpy().astype("int64")
-                   // p.window_size_us)
+            us = df[p.ts_col].to_numpy().astype("int64")
             gcols = [df[c].to_numpy() for c in p.window_group_cols]
             val = (df[p.value_col].to_numpy()
                    if p.value_col else np.ones(len(df)))
+            if p.window_slide_us:
+                # sliding (W3): replicate each row into its k windows
+                k = p.window_size_us // p.window_slide_us
+                base = us // p.window_slide_us
+                rep = np.repeat(np.arange(len(df)), k)
+                offs = np.tile(np.arange(k, dtype=np.int64), len(df))
+                wid = base[rep] - offs
+                gcols = [g[rep] for g in gcols]
+                val = val[rep]
+            else:
+                wid = us // p.window_size_us
             acc_df = pd.DataFrame(
                 {f"g{i}": g for i, g in enumerate(gcols)} | {
                     "w": wid, "v": val}
@@ -301,10 +314,11 @@ class PartitionState:
         wm = max(self.watermark_us, watermark_us - self.p.allowed_lateness_us)
         self.watermark_us = wm
 
+        slide = self.p.window_slide_us or self.p.window_size_us
         win_rows = []
         for key, (cnt, s) in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
-            w_end = (wid + 1) * self.p.window_size_us
+            w_end = wid * slide + self.p.window_size_us
             if w_end <= wm:
                 win_rows.append((*groups, wid, cnt, s))
                 del self.win[key]

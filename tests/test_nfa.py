@@ -125,3 +125,30 @@ def test_prune_drops_expired():
     )
     r.prune(watermark_us=200)
     assert r.partials == {}
+
+
+def test_strict_contiguity():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"), Step("b", "etype", "B")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+        contiguity="strict",
+    )
+    # A X B: the X kills the run under strict contiguity
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 30],
+         "etype": ["A", "X", "B"], "eid": [1, 2, 3]}
+    )
+    assert len(run(df, pat)) == 0
+    # A B: consecutive -> match
+    df2 = pd.DataFrame(
+        {"k": ["u"] * 2, "ts": [10, 20], "etype": ["A", "B"], "eid": [1, 2]}
+    )
+    out = run(df2, pat)
+    assert len(out) == 1 and out.iloc[0]["b_id"] == 2
+    # A A B: only the second A pairs (first killed by second)
+    df3 = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 30],
+         "etype": ["A", "A", "B"], "eid": [1, 2, 3]}
+    )
+    out3 = run(df3, pat)
+    assert set(zip(out3.a_id, out3.b_id)) == {(2, 3)}

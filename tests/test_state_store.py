@@ -135,3 +135,45 @@ def test_snapshot_restore_roundtrip():
     c = ps2.advance_watermark(POS_INF)
     w = c["windows"].to_pandas()
     assert w["n"].sum() == 3  # accumulators survived the roundtrip
+
+
+def test_streaming_sliding_windows():
+    # size 100, slide 50: event at ts=120 lands in windows 2 ([100,200))
+    # and 1 ([50,150))
+    ps = mk(window_size_us=100, window_slide_us=50)
+    ps.process(0, tbl([{"url": "a", "ts_us": 120, "lang": "en"}]))
+    c = ps.advance_watermark(150)  # closes window 1 (end=150) only
+    w = c["windows"].to_pandas()
+    assert list(w["window_id"]) == [1]
+    c2 = ps.advance_watermark(POS_INF)
+    assert list(c2["windows"].to_pandas()["window_id"]) == [2]
+
+
+def test_allowed_lateness_shifts_watermark():
+    ps = mk(allowed_lateness_us=50)
+    ps.process(0, tbl([{"url": "a", "ts_us": 100, "lang": "en"}]))
+    ps.advance_watermark(100)
+    assert ps.watermark_us == 50  # lateness subtracted
+    out = ps.process(1, tbl([{"url": "z", "ts_us": 60, "lang": "en"}]))
+    assert out["metrics"]["late_rows"] == 0  # within lateness -> accepted
+    out2 = ps.process(2, tbl([{"url": "y", "ts_us": 40, "lang": "en"}]))
+    assert out2["metrics"]["late_rows"] == 1
+
+
+def test_strict_nfa_in_state():
+    from gush_ray.stages.nfa import Pattern, Step
+
+    pat = Pattern(
+        steps=(Step("first", "change_kind", "insert"),
+               Step("recrawl", "change_kind", "update")),
+        within_us=1000, key="url", ts_col="ts_us", id_col="version",
+        contiguity="strict",
+    )
+    ps = mk(pattern=pat)
+    out = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},   # insert
+        {"url": "a", "ts_us": 20, "lang": "en"},   # update -> strict match
+        {"url": "a", "ts_us": 30, "lang": "en"},   # update (no new insert)
+    ]))
+    m = out["matches"].to_pandas()
+    assert len(m) == 1 and m.iloc[0]["recrawl_id"] == 1
