@@ -36,6 +36,15 @@ TWO_H_US = 2 * HOUR_US
 DAY30_US = 30 * 86400 * 1_000_000
 
 
+def _round_ha(x, d: int):
+    """Round half-AWAY-from-zero (DuckDB's ROUND mode; numpy/pandas round
+    half-even — the modes disagree exactly on .5 boundaries, which real
+    2-decimal money/value data hits constantly)."""
+    scale = 10.0 ** d
+    arr = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(arr) * scale + 0.5), arr) / scale
+
+
 def _read(sf_dir: str, name: str, columns=None):
     """Size-aware read: Ray's default block heuristic splits small files
     into cpu-count blocks, drowning small inputs in per-task overhead
@@ -81,13 +90,13 @@ def q_tumbling_avg(sf_dir: str):
         {"sum_v": ("value", "sum"), "n": (None, "count")},
     )
     df = agg.to_pandas()
-    df["avg_value"] = (df["sum_v"] / df["n"]).round(4)
+    df["avg_value"] = _round_ha(_round_ha(df["sum_v"], 2) / df["n"], 4)
     return df[["event_type", "window_id", "avg_value", "n"]]
 
 
 SQL_TUMBLING_AVG = """
 SELECT event_type, epoch_us(ts) // 21600000000 AS window_id,
-       round(sum(value) / count(*), 4) AS avg_value, count(*) AS n
+       round(round(sum(value), 2) / count(*), 4) AS avg_value, count(*) AS n
 FROM events GROUP BY 1, 2
 """
 
@@ -199,7 +208,7 @@ def q_hash_join_agg(sf_dir: str):
         {"revenue": ("revenue", "sum"), "n": (None, "count")},
     )
     df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round_ha(df["revenue"], 2)
     return df
 
 
@@ -229,7 +238,7 @@ def q_salted_join_agg(sf_dir: str):
         {"revenue": ("revenue", "sum"), "n": (None, "count")},
     )
     df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round_ha(df["revenue"], 2)
     return df
 
 
@@ -261,7 +270,7 @@ def q_broadcast_join_agg(sf_dir: str):
         {"sum_acctbal": ("c_acctbal", "sum"), "n_customers": (None, "count")},
     )
     df = agg.to_pandas()
-    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    df["sum_acctbal"] = _round_ha(df["sum_acctbal"], 2)
     return df
 
 
@@ -307,7 +316,7 @@ def q_windowed_join_agg(sf_dir: str):
         {"sum_price": ("o_totalprice", "sum"), "n": (None, "count")},
     )
     df = agg.to_pandas()
-    df["sum_price"] = df["sum_price"].round(2)
+    df["sum_price"] = _round_ha(df["sum_price"], 2)
     return df
 
 
@@ -368,7 +377,7 @@ def q_token_stats(sf_dir: str):
         {"total_tokens": ("n_tokens", "sum"), "n_docs": (None, "count")},
     )
     df = agg.to_pandas()
-    df["avg_tokens"] = (df["total_tokens"] / df["n_docs"]).round(4)
+    df["avg_tokens"] = _round_ha(df["total_tokens"] / df["n_docs"], 4)
     return df
 
 
@@ -395,8 +404,8 @@ def q_quality_score(sf_dir: str):
          "n_docs": (None, "count")},
     )
     df = agg.to_pandas()
-    df["avg_punct_ratio"] = (df["sum_punct"] / df["n_docs"]).round(4)
-    df["avg_token_len"] = (df["sum_mtl"] / df["n_docs"]).round(4)
+    df["avg_punct_ratio"] = _round_ha(df["sum_punct"] / df["n_docs"], 4)
+    df["avg_token_len"] = _round_ha(df["sum_mtl"] / df["n_docs"], 4)
     return df[["source", "n_docs", "avg_punct_ratio", "avg_token_len"]]
 
 
@@ -487,7 +496,7 @@ def q_change_delta(sf_dir: str):
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         prev = df.groupby("user_id", sort=False)["value"].shift()
         out = df[["event_id", "user_id"]].copy()
-        out["delta_value"] = (df["value"] - prev).round(4)
+        out["delta_value"] = _round_ha(df["value"] - prev, 4)
         return out[prev.notna()]
 
     return partition_map(ev, "user_id", per_part, 8)
@@ -583,7 +592,7 @@ def q_union_counts(sf_dir: str):
         u, ["event_type"], {"n": (None, "count"), "sum_v": ("value", "sum")}
     )
     df = agg.to_pandas()
-    df["sum_v"] = df["sum_v"].round(2)
+    df["sum_v"] = _round_ha(df["sum_v"], 2)
     return df
 
 
@@ -607,13 +616,13 @@ def q_sliding_avg(sf_dir: str):
         {"sum_v": ("value", "sum"), "n": (None, "count")},
     )
     df = agg.to_pandas()
-    df["avg_value"] = (df["sum_v"] / df["n"]).round(4)
+    df["avg_value"] = _round_ha(_round_ha(df["sum_v"], 2) / df["n"], 4)
     return df[["event_type", "window_id", "avg_value", "n"]]
 
 
 SQL_SLIDING_AVG = """
 SELECT event_type, (epoch_us(ts) // 7200000000) - r.range AS window_id,
-       round(sum(value) / count(*), 4) AS avg_value, count(*) AS n
+       round(round(sum(value), 2) / count(*), 4) AS avg_value, count(*) AS n
 FROM events CROSS JOIN range(3) r GROUP BY 1, 2
 """
 
