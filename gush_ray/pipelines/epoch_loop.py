@@ -395,7 +395,24 @@ class StreamingJob:
             )
             parts.append(row)
         self.sink.commit_epoch(epoch, int(watermark), parts)
+        self._prune_snapshots(epoch)
         return watermark
+
+    def _prune_snapshots(self, committed_epoch: int, keep: int = 2) -> None:
+        """Retention: only the last ``keep`` committed epochs' snapshots
+        are needed for resume; older ones are dead weight on a long
+        stream (at 10^12 docs, per-partition state is GBs)."""
+        cutoff = committed_epoch - keep
+        if cutoff < 0 or not os.path.isdir(self.ckpt_dir):
+            return
+        import shutil
+
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("epoch="):
+                e = int(name.split("=")[1])
+                if e <= cutoff:
+                    shutil.rmtree(os.path.join(self.ckpt_dir, name),
+                                  ignore_errors=True)
 
     def _flush_final(self, n_epochs: int) -> None:
         epoch = n_epochs  # final flush writes into a dedicated epoch slot

@@ -33,8 +33,7 @@ from gush_ray.stages.multimodal import decode_features, sniff_blob_batch
 from gush_ray.stages.text import LangIdModel, fingerprint_batch
 
 
-def _read(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from gush_ray.pipelines.queries import _read  # size-aware block policy
 
 
 def _dup_corpus(sf_dir: str):
@@ -62,6 +61,17 @@ def q_minhash_dedup(sf_dir: str):
                               num_bands=16, shingle=3)
     df = pairs.to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup pairs resolved into duplicate clusters (connected
+    components, min-id keeper) — the full dedup decision output."""
+    from gush_ray.stages.dedup import cluster_summary, duplicate_clusters
+
+    corpus = _dup_corpus(sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5).to_pandas()
+    clusters = duplicate_clusters(pairs)
+    return cluster_summary(clusters)
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -224,6 +234,7 @@ def q_extract_parity(sf_dir: str):
 
 EXTRA_QUERIES = {
     "minhash_dedup": (q_minhash_dedup, None),
+    "minhash_clusters": (q_minhash_clusters, None),
     "simhash_dedup": (q_simhash_dedup, None),
     "ngram_jaccard": (q_ngram_jaccard, None),
     "embedding_near_dup": (q_embedding_near_dup, None),

@@ -135,6 +135,49 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return uniq.filter(expr=f"est_jaccard >= {threshold}")
 
 
+# ------------------------------------------------- duplicate clusters
+
+def duplicate_clusters(pairs_df: pd.DataFrame, a_col: str = "doc_a",
+                       b_col: str = "doc_b") -> pd.DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the minimum member id (the canonical keeper).
+
+    Driver-side union-find with path compression — sound here because the
+    pair set is small BY CONSTRUCTION (LSH buckets are capped and pairs
+    are threshold-filtered). At 10^12-doc scale the same result comes
+    from a few rounds of min-label propagation (groupby-min over the edge
+    list) — the pairs, not the corpus, are the input either way.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df[a_col], pairs_df[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id so the root IS the canonical keeper
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(pairs_df[a_col]) | set(pairs_df[b_col]))
+    return pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+    )
+
+
+def cluster_summary(clusters: pd.DataFrame) -> pd.DataFrame:
+    """(cluster_id, n_members, keep_doc_id) — one keeper per cluster."""
+    g = clusters.groupby("cluster_id", as_index=False).agg(
+        n_members=("doc_id", "size"), keep_doc_id=("doc_id", "min")
+    )
+    return g.sort_values("cluster_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ SimHash
 
 def simhash_batch(batch: pd.DataFrame, text_col: str = "text",

@@ -30,12 +30,17 @@ import pandas as pd
 @dataclass(frozen=True)
 class Step:
     """One NFA state transition: fires when ``column == value`` (or a
-    custom vectorized ``predicate`` over the DataFrame)."""
+    custom vectorized ``predicate`` over the DataFrame).
+
+    ``quantifier``: "1" (exactly one event, default) or "+" (one or
+    more: once entered, further events matching this step extend the run;
+    all-runs semantics branches on every extension)."""
 
     name: str
     column: str | None = None
     value: object | None = None
     predicate: Callable[[pd.DataFrame], np.ndarray] | None = None
+    quantifier: str = "1"
 
     def mask(self, df: pd.DataFrame) -> np.ndarray:
         if self.predicate is not None:
@@ -68,9 +73,22 @@ def _empty_matches(pattern: Pattern) -> pd.DataFrame:
     cols: dict = {pattern.key: pd.Series(dtype="object")}
     for s in pattern.steps:
         cols[f"{s.name}_id"] = pd.Series(dtype="int64")
+        if s.quantifier == "+":
+            cols[f"{s.name}_n"] = pd.Series(dtype="int64")
     cols["start_us"] = pd.Series(dtype="int64")
     cols["end_us"] = pd.Series(dtype="int64")
     return pd.DataFrame(cols)
+
+
+def _emit_row(pat: Pattern, k, captured, start_us: int, end_us: int) -> tuple:
+    vals: list = [k]
+    for s, (first_id, cnt) in zip(pat.steps, captured):
+        vals.append(first_id)
+        if s.quantifier == "+":
+            vals.append(cnt)
+    vals.append(start_us)
+    vals.append(end_us)
+    return tuple(vals)
 
 
 class NFARunner:
@@ -110,6 +128,7 @@ class NFARunner:
         idxs = np.arange(len(df)) if strict else np.nonzero(any_mask)[0]
 
         n_steps = len(pat.steps)
+        last = n_steps - 1
         out_rows: list[tuple] = []
         for i in idxs:
             k = keys[i]
@@ -118,29 +137,44 @@ class NFARunner:
             if plist is None:
                 plist = self.partials[k] = []
             new_partials: list[_Partial] = []
-            # advance existing runs (skip mode: the old partial survives
-            # too and keeps skipping; strict mode: only advanced runs live)
+            # advance / extend existing runs (skip mode: the old partial
+            # survives too and keeps skipping; strict: only advanced live)
             for p in plist:
+                in_time = (t - p.start_us <= pat.within_us
+                           and t > p.start_us)
                 nxt = p.step_idx + 1
-                if (
-                    nxt < n_steps
-                    and masks[nxt][i]
-                    and t - p.start_us <= pat.within_us
-                    and t > p.start_us
-                ):
-                    cand = _Partial(nxt, p.start_us, p.captured + (ids[i],))
-                    if nxt == n_steps - 1:
+                if nxt < n_steps and masks[nxt][i] and in_time:
+                    cand = _Partial(
+                        nxt, p.start_us, p.captured + ((ids[i], 1),)
+                    )
+                    if nxt == last:
                         out_rows.append(
-                            (k, *cand.captured, cand.start_us, t)
+                            _emit_row(pat, k, cand.captured, p.start_us, t)
                         )
-                    else:
+                    if nxt < last or pat.steps[nxt].quantifier == "+":
                         new_partials.append(cand)
+                # Kleene +: extend the current step with another match
+                if (
+                    pat.steps[p.step_idx].quantifier == "+"
+                    and masks[p.step_idx][i]
+                    and in_time
+                ):
+                    first_id, cnt = p.captured[-1]
+                    cand = _Partial(
+                        p.step_idx, p.start_us,
+                        p.captured[:-1] + ((first_id, cnt + 1),),
+                    )
+                    if p.step_idx == last:
+                        out_rows.append(
+                            _emit_row(pat, k, cand.captured, p.start_us, t)
+                        )
+                    new_partials.append(cand)
             # start a new run
             if masks[0][i]:
-                cand = _Partial(0, t, (ids[i],))
+                cand = _Partial(0, t, ((ids[i], 1),))
                 if n_steps == 1:
-                    out_rows.append((k, ids[i], t, t))
-                else:
+                    out_rows.append(_emit_row(pat, k, cand.captured, t, t))
+                if n_steps > 1 or pat.steps[0].quantifier == "+":
                     new_partials.append(cand)
             if strict:
                 self.partials[k] = new_partials
@@ -156,10 +190,15 @@ class NFARunner:
             return _empty_matches(pat)
         cols = list(zip(*out_rows))
         data = {pat.key: np.asarray(cols[0])}
-        for j, s in enumerate(pat.steps):
-            data[f"{s.name}_id"] = np.asarray(cols[1 + j], dtype="int64")
-        data["start_us"] = np.asarray(cols[1 + n_steps], dtype="int64")
-        data["end_us"] = np.asarray(cols[2 + n_steps], dtype="int64")
+        j = 1
+        for s in pat.steps:
+            data[f"{s.name}_id"] = np.asarray(cols[j], dtype="int64")
+            j += 1
+            if s.quantifier == "+":
+                data[f"{s.name}_n"] = np.asarray(cols[j], dtype="int64")
+                j += 1
+        data["start_us"] = np.asarray(cols[j], dtype="int64")
+        data["end_us"] = np.asarray(cols[j + 1], dtype="int64")
         return pd.DataFrame(data)
 
     def prune(self, watermark_us: int) -> None:

@@ -156,3 +156,19 @@ def test_extract_parity_query_all_identical():
     # every successfully-extracted row is byte-identical
     assert (out["n_identical"] == out["n_ok"]).all()
     assert out["n_ok"].sum() > 0
+
+
+def test_duplicate_clusters_union_find():
+    from gush_ray.stages.dedup import cluster_summary, duplicate_clusters
+
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 10, 20], "doc_b": [2, 3, 11, 21]}
+    )
+    cl = duplicate_clusters(pairs)
+    m = dict(zip(cl.doc_id, cl.cluster_id))
+    assert m[1] == m[2] == m[3] == 1
+    assert m[10] == m[11] == 10
+    assert m[20] == m[21] == 20
+    s = cluster_summary(cl)
+    assert list(s.n_members) == [3, 2, 2]
+    assert list(s.keep_doc_id) == [1, 10, 20]

@@ -152,3 +152,38 @@ def test_strict_contiguity():
     )
     out3 = run(df3, pat)
     assert set(zip(out3.a_id, out3.b_id)) == {(2, 3)}
+
+
+def test_kleene_plus_all_runs():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A", quantifier="+"),
+               Step("b", "etype", "B")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+    )
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 30],
+         "etype": ["A", "A", "B"], "eid": [1, 2, 3]}
+    )
+    out = run(df, pat)
+    # all runs: [A1]->B, [A1,A2]->B, [A2]->B
+    assert sorted(zip(out.a_id, out.a_n, out.b_id)) == [
+        (1, 1, 3), (1, 2, 3), (2, 1, 3)
+    ]
+
+
+def test_kleene_plus_final_step_extends():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", quantifier="+")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+    )
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 30],
+         "etype": ["A", "B", "B"], "eid": [1, 2, 3]}
+    )
+    out = run(df, pat)
+    # emits on completion AND on each extension; all-runs also starts a
+    # fresh B-run from the second B (skip-till-any-match)
+    assert sorted(zip(out.a_id, out.b_id, out.b_n)) == [
+        (1, 2, 1), (1, 2, 2), (1, 3, 1)
+    ]
