@@ -1,0 +1,87 @@
+"""CLI entry point for the streaming job — the ``ray job submit`` target.
+
+North-rule deployment shape: ``ray job submit -- python -m gush_ray.run_job
+--pages-dir ... --out-dir ...`` on a cluster (the driver inherits the
+cluster address from the job environment); standalone it starts a local
+session. This module OWNS its Ray session (guarded init + shutdown);
+nothing in the library does.
+
+Usage::
+
+    python -m gush_ray.run_job --pages-dir /data/pages --out-dir /data/out \
+        --num-partitions 32 [--no-resume] [--window-sec 900] [--gap-sec 1800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="gush-ray streaming CEP job")
+    ap.add_argument("--pages-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--num-partitions", type=int, default=32)
+    ap.add_argument("--run-id", default="job")
+    ap.add_argument("--mode", choices=["tasks", "actors"], default="tasks")
+    ap.add_argument("--window-sec", type=int, default=900)
+    ap.add_argument("--slide-sec", type=int, default=None)
+    ap.add_argument("--gap-sec", type=int, default=1800)
+    ap.add_argument("--lateness-sec", type=int, default=0)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone local runs")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        init_kw = dict(include_dashboard=False, ignore_reinit_error=True,
+                       logging_level="ERROR")
+        # under `ray job submit` the address comes from the environment;
+        # standalone we run local
+        init_kw["address"] = "local"
+        if args.num_cpus:
+            init_kw["num_cpus"] = args.num_cpus
+        ray.init(**init_kw)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from gush_ray.config import EngineConfig
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    cfg = EngineConfig(allowed_lateness_us=args.lateness_sec * 1_000_000)
+    job = StreamingJob(
+        args.pages_dir,
+        args.out_dir,
+        cfg=cfg,
+        run_id=args.run_id,
+        num_partitions=args.num_partitions,
+        window_size_us=args.window_sec * 1_000_000,
+        session_gap_us=args.gap_sec * 1_000_000,
+        mode=args.mode,
+    )
+    if args.slide_sec:
+        job.params.window_slide_us = args.slide_sec * 1_000_000
+    res = job.run(resume=not args.no_resume)
+    summary = {
+        "result": res,
+        "committed_epochs": job.sink.committed_epochs(),
+        "streams": {
+            s: int(len(job.read_output(s)))
+            for s in ("changes", "windows", "sessions", "sessions_wm",
+                      "matches", "late")
+        },
+    }
+    print(json.dumps(summary))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -133,3 +133,52 @@ def test_rerun_completed_is_noop(pages_dir, tmp_path):
     pd.testing.assert_frame_equal(
         norm(before, list(before.columns)), norm(after, list(after.columns))
     )
+
+
+def test_reduce_task_retry_idempotent(pages_dir, tmp_path):
+    """A retried reduce (same epoch, same snapshot-in) must write
+    byte-identical outputs and an identical snapshot."""
+    import os
+    import ray
+    from gush_ray.pipelines.epoch_loop import (
+        StreamingJob, _map_shard, _reduce_partition, _shard_files,
+    )
+
+    out = str(tmp_path / "retry")
+    job = StreamingJob(pages_dir, out, run_id="retry", num_partitions=2)
+    path = job.epoch_files()[0]
+    shards = _shard_files(path)
+    refsets = [
+        _map_shard.options(num_returns=1 + job.P).remote(s, job.cfg, job.P)
+        for s in shards
+    ]
+    metas = ray.get([rs[0] for rs in refsets])
+
+    def run_reduce(snap_out):
+        return ray.get(
+            _reduce_partition.remote(
+                0, 0, None, snap_out, out, job.params,
+                [m["frag_keys"][0] for m in metas], -(1 << 62),
+                *[rs[1] for rs in refsets],
+            )
+        )
+
+    m1 = run_reduce(str(tmp_path / "s1.pkl"))
+    f1 = open(f"{out}/changes/epoch=00000/part-00000.parquet", "rb").read()
+    m2 = run_reduce(str(tmp_path / "s2.pkl"))  # the "retry"
+    f2 = open(f"{out}/changes/epoch=00000/part-00000.parquet", "rb").read()
+    assert m1 == m2
+    assert f1 == f2
+    assert (open(str(tmp_path / "s1.pkl"), "rb").read()
+            == open(str(tmp_path / "s2.pkl"), "rb").read())
+
+
+def test_run_job_cli(pages_dir, tmp_path):
+    from gush_ray.run_job import main
+
+    out = str(tmp_path / "cli")
+    rc = main(["--pages-dir", pages_dir, "--out-dir", out,
+               "--num-partitions", "2", "--run-id", "cli"])
+    assert rc == 0
+    import os
+    assert os.path.isdir(os.path.join(out, "_manifest"))

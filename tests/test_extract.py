@@ -88,3 +88,21 @@ def test_gen_pages_has_stream_phenomena():
     assert any(c > 1 for c in pairs.values())  # exact replay dups
     # late rows: within-arrival-order ts regressions across epoch boundary
     assert (epoch[:-1] <= epoch[1:]).all()
+
+
+def test_comment_nodes_ignored():
+    # graft of 'trailing comments ignored' (FoundationParserTest.scala:21-27):
+    # comment nodes outside <article> never leak into the extracted text
+    html = render_html("https://x.org/p/9", "body text")
+    assert b"<!-- warc:" in html  # template embeds a comment node
+    arr = extract_text_array(pa.array([html], type=pa.binary()))
+    assert arr.to_pylist() == ["body text"]
+
+
+def test_multiline_utf8_conformance():
+    # graft of the 22-column multiline UTF-8 INSERT
+    # (FoundationParserTest.scala:14-19)
+    text = "Zeile eins\r\nZeile zwei mit Ümläuten — ß\n\tthird line"
+    html = render_html("https://x.org/p/10", text)
+    arr = extract_text_array(pa.array([html], type=pa.binary()))
+    assert arr.to_pylist() == [text]
