@@ -21,6 +21,16 @@ import sys
 import time
 import uuid
 
+# make gush_ray importable for this driver AND for Ray workers (worker
+# processes inherit PYTHONPATH from the environment at ray.init time),
+# regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -52,7 +62,7 @@ def _warm_cache(sf_dir: str, extra_paths=()):
 def bench_flagship_stream(sf_dir: str) -> dict:
     """End-to-end streaming CEP job (extract → dedup/version → windows →
     sessions → NFA → exactly-once sink) over the synthetic pages stream."""
-    from gush_ray.datagen import ensure_pages
+    from gush_ray.datagen import ensure_pages, gen_dim_sites
     from gush_ray.pipelines.epoch_loop import StreamingJob
 
     import ray
@@ -63,8 +73,11 @@ def bench_flagship_stream(sf_dir: str) -> dict:
     )
     _warm_cache(sf_dir, [pages_dir])
     out_dir = f"/tmp/gush_ray_bench/{uuid.uuid4().hex}"
+    # full north-star pipeline incl. the change-stream × dimension join
+    dim = gen_dim_sites(max(4, BENCH_PAGES_URLS // 20)).to_pandas()
     job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
-                       num_partitions=32)
+                       num_partitions=32, dim_df=dim,
+                       window_group_cols=("category", "change_kind"))
 
     # cluster warmup (worker process spawn) is excluded from throughput
     @ray.remote

@@ -93,13 +93,34 @@ def _shard_files(path: str) -> list[str]:
     return [path]
 
 
+def _dim_lookup(dim_holder, dim_key: str):
+    """Per-worker memoized fetch of the broadcast dimension snapshot,
+    pre-indexed by the join key so each batch is a pure hash probe
+    (re-building the join hash per task costs more than the probe)."""
+    cache = _dim_lookup.__dict__.setdefault("cache", {})
+    ref = dim_holder[0]
+    key = ref.hex()
+    if key not in cache:
+        dim = ray.get(ref)  # local plasma read after first fetch
+        cache[key] = dim.set_index(dim_key)
+    return cache[key]
+
+
 @ray.remote
-def _map_shard(shard_path: str, cfg: EngineConfig, P: int) -> list:
-    """Stateless map side: read one shard, extract, filter, partition.
+def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
+               dim_holder: list | None = None,
+               dim_key: str = "site") -> list:
+    """Stateless map side: read one shard, extract, filter, (optionally)
+    broadcast-join the dimension snapshot, partition.
 
     Invoked with ``num_returns=1+P``: returns ``[meta, frag_0..frag_{P-1}]``
     so each fragment is its own driver-owned Ray object — state workers
     fetch exactly their partition, nothing else moves.
+
+    The dimension join is the north-star "change stream × dimension
+    snapshot" join in its broadcast form: ``ray.put`` once on the driver,
+    memoized per worker, merged per batch — no shuffle (J1 small-side;
+    the big-side shuffle variant is stages/joins.salted_join).
     """
     import pyarrow.parquet as pq
 
@@ -116,6 +137,21 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int) -> list:
     )
     # keep the exchanged payload narrow (no duplicated extracted body)
     batch = batch.drop_columns(["text_extracted", "extract_ok"])
+
+    if dim_holder is not None:
+        import pyarrow.compute as pc
+
+        dim = _dim_lookup(dim_holder, dim_key)  # indexed: site -> attrs
+        site = pc.struct_field(
+            pc.extract_regex(batch["url"], r"https?://(?P<site>[^/]+)/"),
+            "site",
+        )
+        probes = pd.Index(site.to_numpy(zero_copy_only=False))
+        joined = dim.reindex(probes)
+        for col in joined.columns:
+            batch = batch.append_column(
+                col, pa.Array.from_pandas(joined[col].reset_index(drop=True))
+            )
 
     h = stable_hash(batch["url"].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)
@@ -218,6 +254,9 @@ class StreamingJob:
         window_size_us: int = 15 * 60 * 1_000_000,
         session_gap_us: int = 30 * 60 * 1_000_000,
         mode: str = "tasks",
+        dim_df=None,
+        dim_key: str = "site",
+        window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
     ):
         assert mode in ("tasks", "actors")
         self.pages_dir = pages_dir
@@ -230,12 +269,15 @@ class StreamingJob:
         self.params = StateParams(
             key_col="url",
             ts_col="ts_us",
-            window_group_cols=("lang", "change_kind"),
+            window_group_cols=window_group_cols,
             window_size_us=window_size_us,
             session_gap_us=session_gap_us,
             pattern=pattern,
             allowed_lateness_us=self.cfg.allowed_lateness_us,
         )
+        self.dim_df = dim_df
+        self.dim_key = dim_key
+        self._dim_holder = None
         self.ckpt_dir = os.path.join(out_dir, "_state")
         self._actors = None
         # running per-partition event-time maxima (watermark inputs)
@@ -312,17 +354,20 @@ class StreamingJob:
         t0 = time.perf_counter()
 
         shards = _shard_files(path)
+        if self.dim_df is not None and self._dim_holder is None:
+            self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
         refsets = [
             _map_shard.options(num_returns=1 + self.P).remote(
-                s, self.cfg, self.P
+                s, self.cfg, self.P, self._dim_holder, self.dim_key
             )
             for s in shards
         ]
         metas = ray.get([rs[0] for rs in refsets])
+        map_sec = round(time.perf_counter() - t0, 3)
         if prof:
-            print(f"[prof] epoch {epoch} map: "
-                  f"{time.perf_counter() - t0:.2f}s ({len(shards)} shards)")
-            t0 = time.perf_counter()
+            print(f"[prof] epoch {epoch} map: {map_sec}s "
+                  f"({len(shards)} shards)")
+        t0 = time.perf_counter()
 
         # watermark from map metadata — known before the reduce runs
         for m in metas:
@@ -380,9 +425,9 @@ class StreamingJob:
                 ]
             )
             ray.get([a.commit_epoch.remote(epoch) for a in actors])
+        reduce_sec = round(time.perf_counter() - t0, 3)
         if prof:
-            print(f"[prof] epoch {epoch} reduce+sink: "
-                  f"{time.perf_counter() - t0:.2f}s")
+            print(f"[prof] epoch {epoch} reduce+sink: {reduce_sec}s")
 
         parts = []
         for pid in range(self.P):
@@ -394,7 +439,12 @@ class StreamingJob:
                  for k, v in metrics[pid].items()}
             )
             parts.append(row)
-        self.sink.commit_epoch(epoch, int(watermark), parts)
+        self.sink.commit_epoch(
+            epoch, int(watermark), parts,
+            extra={"timings": {"map_sec": map_sec,
+                               "reduce_sec": reduce_sec,
+                               "n_shards": len(shards)}},
+        )
         self._prune_snapshots(epoch)
         return watermark
 

@@ -56,12 +56,14 @@ class ExactlyOnceSink:
         return os.path.join(self.manifest_dir, f"epoch={epoch:05d}.json")
 
     def commit_epoch(self, epoch: int, watermark_us: int,
-                     partitions: list[dict]) -> None:
+                     partitions: list[dict], extra: dict | None = None) -> None:
         payload = {
             "epoch": epoch,
             "watermark_us": watermark_us,
             "partitions": partitions,
         }
+        if extra:
+            payload.update(extra)
         tmp = self._manifest_path(epoch) + ".inprogress"
         with open(tmp, "w") as f:
             json.dump(payload, f)

@@ -182,3 +182,25 @@ def test_run_job_cli(pages_dir, tmp_path):
     assert rc == 0
     import os
     assert os.path.isdir(os.path.join(out, "_manifest"))
+
+
+def test_streaming_dim_join(pages_dir, tmp_path):
+    """Broadcast dimension join inside the streaming loop: change rows
+    carry category/weight; windows key on the joined dimension."""
+    from gush_ray.datagen import gen_dim_sites
+
+    out = str(tmp_path / "dimjoin")
+    dim = gen_dim_sites(100).to_pandas()
+    job = StreamingJob(pages_dir, out, run_id="dimj", num_partitions=4,
+                       dim_df=dim,
+                       window_group_cols=("category", "change_kind"))
+    job.run()
+    ch = job.read_output("changes")
+    assert {"category", "weight"} <= set(ch.columns)
+    assert ch["category"].notna().all()
+    w = job.read_output("windows")
+    assert set(w["category"].unique()) <= {"news", "shop", "blog", "forum"}
+    assert w["n"].sum() == len(ch)
+    # timings recorded in the manifest
+    man = job.sink.read_manifest(0)
+    assert {"map_sec", "reduce_sec", "n_shards"} <= set(man["timings"])
