@@ -689,9 +689,30 @@ WHERE event_type = 'click' AND next_type = 'purchase'
 """
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (the SQL-checkable baseline the LSH
+    variant approximates)."""
+    from gush_ray.stages.similarity import exact_cosine_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return exact_cosine_pairs(emb, threshold=0.3)
+
+
+SQL_EMBEDDING_PAIRS_EXACT = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
     "nfa_strict_match": (q_nfa_strict_match, SQL_NFA_STRICT_MATCH),
+    "embedding_pairs_exact": (q_embedding_pairs_exact,
+                              SQL_EMBEDDING_PAIRS_EXACT),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),

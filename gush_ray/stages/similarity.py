@@ -51,6 +51,43 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
     return top.reset_index(drop=True)
 
 
+def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
+                       emb_col: str = "embedding", ndigits: int = 4):
+    """Exact all-pairs cosine ≥ threshold via a broadcast matrix: each
+    batch computes batch × ALL sims with one matmul and keeps (a < b)
+    pairs. O(n²) flops but O(n·d) broadcast traffic — the exact baseline
+    the LSH-bucketed near-dup approximates; at corpus scale use
+    :func:`~gush_ray.stages.dedup.embedding_near_dup_pairs` instead."""
+    import pandas as pd
+
+    full = ds.to_pandas()  # the broadcast side (small by contract)
+    ids_all = full[id_col].to_numpy()
+    mat_all = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in full[emb_col]])
+    norms_all = np.linalg.norm(mat_all, axis=1)
+    norms_all[norms_all == 0] = 1.0
+    unit_all = mat_all / norms_all[:, None]
+    ref = ray.put((ids_all, unit_all))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids_a, unit_a = ray.get(ref)
+        mat = _to_matrix(batch[emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ unit_a.T
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = ids_b[bi] < ids_a[ai]  # (a < b), no self/dup pairs
+        return pa.table({
+            "doc_a": pa.array(ids_b[bi][keep], type=pa.int64()),
+            "doc_b": pa.array(ids_a[ai][keep], type=pa.int64()),
+            "cosine": pa.array(np.round(sims[bi, ai][keep], ndigits)),
+        })
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def lsh_bucket_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 8,
                     seed: int = 17, id_col: str = "vec_id",
                     emb_col: str = "embedding", n_probe_bits: int = 1):
