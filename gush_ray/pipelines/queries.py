@@ -708,11 +708,58 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of (temporal) join: each purchase paired with the user's most
+    recent strictly-prior click (the change-stream 'value as of t'
+    lookup; DuckDB ASOF JOIN oracle)."""
+    from gush_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us")
+
+    def side(kind, idcol, tscol):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], kind))
+            return pa.table({
+                idcol: b["event_id"], "user_id": b["user_id"],
+                tscol: b["ts_us"],
+            })
+        return f
+
+    purchases = ev.map_batches(side("purchase", "purchase_id", "p_ts_us"),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    clicks = ev.map_batches(side("click", "click_id", "c_ts_us"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(purchases, clicks, key="user_id",
+                       ts_col="p_ts_us", right_ts_col="c_ts_us")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["click_id"].notna()].copy()
+        out["click_id"] = out["click_id"].astype("int64")
+        out["purchase_id"] = out["purchase_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["purchase_id", "user_id", "click_id"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id AS cu, ts AS cts, event_id
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.cu AND p.ts > c.cts
+"""
+
+
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
     "nfa_strict_match": (q_nfa_strict_match, SQL_NFA_STRICT_MATCH),
     "embedding_pairs_exact": (q_embedding_pairs_exact,
                               SQL_EMBEDDING_PAIRS_EXACT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),

@@ -69,6 +69,58 @@ def broadcast_semi_filter(ds, keys, on: str, keep: bool = True):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
+              num_partitions: int = 8, suffix: str = "_r"):
+    """As-of (temporal) join: for each left row, the latest right row of
+    the same key with ``right_ts < left_ts`` (strict — the change-stream
+    'most recent prior version' lookup).
+
+    Composition (ray_guide.md 'As-of / range join'): co-partition both
+    sides by hash(key) in ONE shuffle (tag + union), then a vectorized
+    ``pd.merge_asof`` per partition. Documented partitioning assumption:
+    all rows of a key fit one partition's memory.
+    """
+    import pandas as pd
+
+    from gush_ray.stages.shuffle import partition_map
+
+    lnames = left.schema().names
+    rnames = right.schema().names
+    assert set(lnames) & set(rnames) == {key}, (
+        "asof_join requires disjoint columns except the key"
+    )
+    all_cols = lnames + [c for c in rnames if c not in lnames]
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reindex(columns=all_cols)  # NaN-fill the other side's
+            df["__side"] = side
+            return df
+        return f
+
+    l2 = left.map_batches(tag("l"), batch_format="pandas")
+    r2 = right.map_batches(tag("r"), batch_format="pandas")
+    both = l2.union(r2)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df["__side"] == "l"].drop(columns=["__side"])
+        rdf = df[df["__side"] == "r"].drop(columns=["__side"])
+        ldf = ldf.dropna(axis=1, how="all").sort_values(ts_col)
+        rdf = rdf.dropna(axis=1, how="all").sort_values(right_ts_col)
+        if not len(ldf):
+            return ldf
+        if not len(rdf):
+            return ldf
+        out = pd.merge_asof(
+            ldf, rdf, left_on=ts_col, right_on=right_ts_col, by=key,
+            direction="backward", allow_exact_matches=False,
+            suffixes=("", suffix),
+        )
+        return out
+
+    return partition_map(both, key, per_part, num_partitions)
+
+
 def hash_join(left, right, on: str | tuple, num_partitions: int = 32,
               join_type: str = "inner", **kw):
     """Hash-shuffle join on the shared partitioning key."""

@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): engine semantics vs independent
+brute-force reference implementations on random inputs."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from gush_ray.stages.nfa import NFARunner, Pattern, Step
+from gush_ray.state.store import PartitionState, StateParams, POS_INF
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["u", "v", "w"]),          # key
+        st.integers(min_value=0, max_value=400),   # ts
+        st.sampled_from(["A", "B", "X"]),          # type
+    ),
+    min_size=0, max_size=40,
+)
+
+
+def _dedup_events(evs):
+    # unique (key, ts) so ordering is total and ids are unambiguous
+    seen, out = set(), []
+    for k, t, e in evs:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            out.append((k, t, e))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(events_strategy, st.integers(min_value=1, max_value=200))
+def test_nfa_skip_equals_all_pairs(evs, within):
+    """skip-till-any-match 2-step == brute-force all A→B pairs."""
+    evs = _dedup_events(evs)
+    df = pd.DataFrame(evs, columns=["k", "ts", "etype"])
+    df["eid"] = np.arange(len(df))
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"), Step("b", "etype", "B")),
+        within_us=within, key="k", ts_col="ts", id_col="eid",
+    )
+    out = NFARunner(pat).process_sorted(
+        df.sort_values(["k", "ts"], kind="mergesort")
+    )
+    got = set(zip(out["a_id"], out["b_id"])) if len(out) else set()
+
+    want = set()
+    for _, a in df[df.etype == "A"].iterrows():
+        for _, b in df[df.etype == "B"].iterrows():
+            if (a.k == b.k and b.ts > a.ts and b.ts - a.ts <= within):
+                want.add((a.eid, b.eid))
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(events_strategy, st.integers(min_value=1, max_value=100))
+def test_sessions_match_reference(evs, gap):
+    """Vectorized per-partition session merge == naive per-key scan,
+    regardless of how the stream is cut into batches."""
+    evs = sorted(_dedup_events(evs), key=lambda e: (e[1], e[0]))
+    # engine: feed in two arbitrary chronological batches
+    ps = PartitionState(
+        0, StateParams(key_col="k", ts_col="ts", window_group_cols=("g",),
+                       window_size_us=1_000_000, session_gap_us=gap),
+    )
+    cut = len(evs) // 2
+    emitted = []
+    for chunk in (evs[:cut], evs[cut:]):
+        if not chunk:
+            continue
+        df = pd.DataFrame(chunk, columns=["k", "ts", "etype"])
+        df["g"] = "x"
+        out = ps.process(len(emitted), _to_table(df))
+        emitted.append(out["sessions_closed"].to_pandas())
+    emitted.append(ps.advance_watermark(POS_INF)["sessions"].to_pandas())
+    got = pd.concat(emitted, ignore_index=True)
+    got = got.sort_values(["k", "session_start_us"]).reset_index(drop=True)
+
+    # reference: per-key linear scan
+    want_rows = []
+    by_key: dict = {}
+    for k, t, _ in evs:
+        by_key.setdefault(k, []).append(t)
+    for k, times in by_key.items():
+        times = sorted(times)
+        start = last = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - last > gap:
+                want_rows.append((k, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        want_rows.append((k, start, last, n))
+    want = pd.DataFrame(
+        want_rows,
+        columns=["k", "session_start_us", "session_end_us", "n_events"],
+    ).sort_values(["k", "session_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype(want.dtypes.to_dict()), want
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=100)),
+    min_size=0, max_size=40,
+))
+def test_dedup_versioning_matches_rank(rows):
+    """V1 dedup across arbitrary batch cuts == pandas dense rank over the
+    distinct (key, ts) stream."""
+    df = pd.DataFrame(rows, columns=["url", "ts_us"]).drop_duplicates()
+    df = df.sort_values(["ts_us", "url"]).reset_index(drop=True)
+    df["lang"] = "en"
+    ps = PartitionState(
+        0, StateParams(key_col="url", ts_col="ts_us",
+                       window_group_cols=("lang",), window_size_us=10),
+    )
+    cut = len(df) // 3
+    outs = []
+    for i, chunk in enumerate((df[:cut], df[cut:])):
+        if len(chunk):
+            outs.append(
+                ps.process(i, _to_table(chunk))["changes"].to_pandas()
+            )
+    got = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        columns=["url", "ts_us", "version", "change_kind"]
+    )
+    got = got.sort_values(["url", "ts_us"]).reset_index(drop=True)
+
+    want = df.sort_values(["url", "ts_us"]).reset_index(drop=True)
+    want["version"] = want.groupby("url").cumcount()
+    assert list(got["version"]) == list(want["version"])
+    if len(got):
+        assert (got.loc[got.version == 0, "change_kind"] == "insert").all()
+
+
+def _to_table(df):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False)
