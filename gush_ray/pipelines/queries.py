@@ -627,6 +627,90 @@ FROM events CROSS JOIN range(3) r GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- rank / top-k / distinct
+
+def q_windowed_topk(sf_dir: str):
+    """Top-2 users by summed value per (event_type, 6h window) — grouped
+    rank after a combiner aggregate."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "user_id",
+                                          "value"])
+    agg = tumbling_aggregate(
+        ev, ["event_type", "user_id"], "ts", SIX_H_US,
+        {"sum_v": ("value", "sum")},
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_v"] = _round_ha(df["sum_v"], 2)
+        df = df.sort_values(["event_type", "window_id", "sum_v", "user_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        df["rank"] = (df.groupby(["event_type", "window_id"],
+                                 sort=False).cumcount() + 1)
+        return df[df["rank"] <= 2]
+
+    return partition_map(agg, ["event_type", "window_id"], topk, 8)
+
+
+SQL_WINDOWED_TOPK = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) // 21600000000 AS window_id, user_id,
+         round(sum(value), 2) AS sum_v
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, window_id, user_id, sum_v,
+       row_number() OVER (PARTITION BY event_type, window_id
+                          ORDER BY sum_v DESC, user_id) AS rank
+FROM a QUALIFY rank <= 2
+"""
+
+
+def q_latest_row(sf_dir: str):
+    """D1 with payload: the full latest row per key (arg-max by ts)."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+
+    def last_row(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last")
+
+    return partition_map(ev, "user_id", last_row, 8)
+
+
+SQL_LATEST_ROW = """
+SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact grouped count-distinct via per-partition nunique."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def nu(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+
+    return partition_map(ev, "event_type", nu, 8)
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- C3 NFA
 
 def q_nfa_match(sf_dir: str):
@@ -760,6 +844,9 @@ CORE_QUERIES = {
     "embedding_pairs_exact": (q_embedding_pairs_exact,
                               SQL_EMBEDDING_PAIRS_EXACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "windowed_topk": (q_windowed_topk, SQL_WINDOWED_TOPK),
+    "latest_row": (q_latest_row, SQL_LATEST_ROW),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
