@@ -109,7 +109,8 @@ def _dim_lookup(dim_holder, dim_key: str):
 @ray.remote
 def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
                dim_holder: list | None = None,
-               dim_key: str = "site") -> list:
+               dim_key: str = "site",
+               errors_sink: tuple | None = None) -> list:
     """Stateless map side: read one shard, extract, filter, (optionally)
     broadcast-join the dimension snapshot, partition.
 
@@ -131,6 +132,14 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
     n_read = batch.num_rows
     batch = extract_text_batch(batch, out_col="text_extracted")
     batch, errors = split_errors(batch)
+    if errors_sink is not None and errors.num_rows:
+        # dead-letter side output (SURVEY.md §1.2): unparseable rows are
+        # kept, not silently dropped (gush merely Resumes past them)
+        base_dir, epoch, shard_idx = errors_sink
+        ExactlyOnceSink.write_part(
+            base_dir, "errors", epoch, shard_idx,
+            errors.select(["url", "warc_ts", "lang"]),
+        )
     batch = deny_filter_batch(batch, cfg)
     batch = batch.append_column(
         "ts_us", batch["warc_ts"].combine_chunks().cast(pa.int64())
@@ -358,9 +367,10 @@ class StreamingJob:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
         refsets = [
             _map_shard.options(num_returns=1 + self.P).remote(
-                s, self.cfg, self.P, self._dim_holder, self.dim_key
+                s, self.cfg, self.P, self._dim_holder, self.dim_key,
+                (self.out_dir, epoch, i),
             )
-            for s in shards
+            for i, s in enumerate(shards)
         ]
         metas = ray.get([rs[0] for rs in refsets])
         map_sec = round(time.perf_counter() - t0, 3)

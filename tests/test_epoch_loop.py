@@ -204,3 +204,18 @@ def test_streaming_dim_join(pages_dir, tmp_path):
     # timings recorded in the manifest
     man = job.sink.read_manifest(0)
     assert {"map_sec", "reduce_sec", "n_shards"} <= set(man["timings"])
+
+
+def test_error_side_output(pages_dir, tmp_path):
+    """Malformed html rows land in the dead-letter 'errors' stream
+    (gush's Resume path kept, not silently dropped)."""
+    out = str(tmp_path / "errstream")
+    job, _ = run_job(pages_dir, out, run_id="errs")
+    errors = job.read_output("errors")
+    assert len(errors) > 0  # datagen injects malformed html
+    assert {"url", "warc_ts", "lang"} <= set(errors.columns)
+    # error rows never reach the change stream
+    ch = job.read_output("changes")
+    assert not set(errors["url"]) & set(
+        ch.merge(errors, on=["url", "warc_ts"], how="inner")["url"]
+    )
