@@ -96,9 +96,28 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def q_embedding_near_dup(sf_dir: str):
+def _emb_dup_corpus(sf_dir: str):
+    """embeddings ∪ slightly-perturbed copies (vec_id + 1_000_000):
+    deterministic ground-truth near-dups at cosine ≈ 0.999."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=8)
+
+    def perturb(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["embedding"] = [
+            (np.asarray(v, dtype=np.float32)
+             + np.random.RandomState(4242 + int(i)).randn(len(v))
+               .astype(np.float32) * 0.01).tolist()
+            for i, v in zip(out["vec_id"], out["embedding"])
+        ]  # noise keyed by vec_id → independent of batch boundaries
+        out["vec_id"] = out["vec_id"] + 1_000_000
+        return out
+
+    return emb.union(emb.map_batches(perturb, batch_format="pandas"))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    corpus = _emb_dup_corpus(sf_dir)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.95)
     df = pairs.to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

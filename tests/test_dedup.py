@@ -80,12 +80,11 @@ def test_embedding_near_dup_self_plus_noise():
         "embedding": pa.array([list(map(float, r)) for r in mat],
                               type=pa.list_(pa.float32())),
     }))
-    pairs = embedding_near_dup_pairs(ds, threshold=0.99,
-                                     n_planes=4).to_pandas()
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
     found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
-    # most (i, i+20) pairs land in the same bucket and survive
+    # OR-amplified banding: collision prob ≈0.99+ at cosine ~0.9999
     hits = sum((i, i + 20) in found for i in range(20))
-    assert hits >= 12
+    assert hits >= 18
 
 
 def test_multimodal_stub_plumbing():
@@ -172,3 +171,22 @@ def test_duplicate_clusters_union_find():
     s = cluster_summary(cl)
     assert list(s.n_members) == [3, 2, 2]
     assert list(s.keep_doc_id) == [1, 10, 20]
+
+
+def test_embedding_lsh_recall_vs_exact():
+    """LSH near-dup recall audited against the exact all-pairs baseline
+    on the ground-truth perturbed corpus."""
+    from gush_ray.pipelines.queries_extra import (
+        _emb_dup_corpus, q_embedding_near_dup,
+    )
+    from gush_ray.stages.similarity import exact_cosine_pairs
+
+    corpus = _emb_dup_corpus(SF_DIR)
+    exact = exact_cosine_pairs(corpus, threshold=0.95).to_pandas()
+    lsh = q_embedding_near_dup(SF_DIR)
+    e = set(zip(exact.doc_a, exact.doc_b))
+    l = set(zip(lsh.doc_a, lsh.doc_b))
+    assert l <= e  # exact verification inside buckets → precision 1.0
+    assert len(e) > 0
+    recall = len(l & e) / len(e)
+    assert recall >= 0.9, f"LSH recall {recall:.3f}"
