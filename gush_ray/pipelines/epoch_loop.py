@@ -6,8 +6,9 @@ Graft of GushApp (reference: gush_example/gush.scala:33-36 + SURVEY.md
 binlog-cursor analog):
 
 1. **map side** — one task per input shard: read → deterministic
-   html→text extraction (byte-identity parser; unparseable rows dropped
-   per gush's Resume supervision, gush.scala:13-18) → deny filters →
+   html→text extraction (byte-identity parser; unparseable rows go to
+   the dead-letter ``errors`` stream — gush merely Resumes past them,
+   gush.scala:13-18) → deny filters →
    hash-partition by ``url`` into P Arrow fragments, returned as separate
    Ray objects (``num_returns=1+P`` — the driver owns every fragment);
 2. **reduce side** — one worker per partition: restore partition state
