@@ -838,9 +838,43 @@ ASOF JOIN (SELECT user_id AS cu, ts AS cts, event_id
 """
 
 
+def q_nfa_three_step(sf_dir: str):
+    """3-step sequence signup→click→purchase within 24h per user
+    (all-runs ≡ the triple self-join oracle)."""
+    from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    pat = Pattern(
+        steps=(Step("signup", "event_type", "signup"),
+               Step("click", "event_type", "click"),
+               Step("purchase", "event_type", "purchase")),
+        within_us=24 * HOUR_US, key="user_id", ts_col="ts_us",
+        id_col="event_id",
+    )
+    out = match_pattern_batch(ev, pat, num_partitions=8)
+    return out.select_columns(["user_id", "signup_id", "click_id",
+                               "purchase_id"])
+
+
+SQL_NFA_THREE_STEP = """
+SELECT s.user_id AS user_id, s.event_id AS signup_id,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM events s
+JOIN events c ON s.user_id = c.user_id
+ AND s.event_type = 'signup' AND c.event_type = 'click'
+ AND c.ts > s.ts
+JOIN events p ON s.user_id = p.user_id
+ AND p.event_type = 'purchase' AND p.ts > c.ts
+ AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+"""
+
+
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
     "nfa_strict_match": (q_nfa_strict_match, SQL_NFA_STRICT_MATCH),
+    "nfa_three_step": (q_nfa_three_step, SQL_NFA_THREE_STEP),
     "embedding_pairs_exact": (q_embedding_pairs_exact,
                               SQL_EMBEDDING_PAIRS_EXACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
