@@ -12,12 +12,13 @@ Example::
 
     from gush_ray.api import Stream
 
+    HOUR_US = 3600 * 1_000_000
     out = (
         Stream.from_parquet(f"{sf}/events.parquet",
                             columns=["ts", "user_id", "event_type"])
-        .with_ts_us("ts")
         .filter_equals("event_type", "purchase")
-        .window_tumbling(["event_type"], size_us=HOUR, n=("*", "count"))
+        .window_tumbling(["event_type"], "ts", HOUR_US,
+                         {"n": (None, "count")})
         .to_pandas()
     )
 """

@@ -236,8 +236,8 @@ def _reduce_partition(
 
 
 @ray.remote
-def _flush_partition(pid: int, snapshot_in: str, epoch: int, out_dir: str,
-                     params: StateParams) -> dict:
+def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
+                     out_dir: str, params: StateParams) -> dict:
     """End-of-stream flush: close every remaining window/session."""
     ps = PartitionState(pid, params)
     if os.path.exists(snapshot_in):
@@ -332,7 +332,15 @@ class StreamingJob:
         start_epoch = 0
 
         last = self.sink.last_contiguous_epoch() if resume else -1
-        if last >= n_epochs:  # data epochs + final flush all committed
+        if resume and self.sink.final_committed():
+            fin = self.sink.read_final()
+            if n_epochs > fin["n_epochs"]:
+                raise ValueError(
+                    f"stream was finalized after epoch {fin['n_epochs'] - 1} "
+                    f"(watermark closed at +inf) but {n_epochs} epochs are "
+                    f"now present — appending data to a finalized stream "
+                    f"is not allowed"
+                )
             return {"completed": n_epochs - 1, "already_done": True}
         if 0 <= last < n_epochs:
             start_epoch = last + 1
@@ -476,14 +484,16 @@ class StreamingJob:
                                   ignore_errors=True)
 
     def _flush_final(self, n_epochs: int) -> None:
-        epoch = n_epochs  # final flush writes into a dedicated epoch slot
+        # the flush gets its own "final" slot — NOT integer epoch n_epochs,
+        # which a later appended data epoch would occupy
+        slot = "final"
         if self.mode == "tasks":
             ray.get(
                 [
                     _flush_partition.remote(
                         pid,
                         self._snapshot_path(n_epochs - 1, pid),
-                        epoch,
+                        slot,
                         self.out_dir,
                         self.params,
                     )
@@ -497,15 +507,16 @@ class StreamingJob:
             )
             for pid, c in enumerate(closes):
                 ExactlyOnceSink.write_part(
-                    self.out_dir, "windows", epoch, pid, c["windows"]
+                    self.out_dir, "windows", slot, pid, c["windows"]
                 )
                 ExactlyOnceSink.write_part(
-                    self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
+                    self.out_dir, "sessions_wm", slot, pid, c["sessions"]
                 )
-        self.sink.commit_epoch(
-            epoch, POS_INF, [{"partition_id": p, "final_flush": True,
-                              "max_ts_us": int(self._part_max_ts[p])}
-                             for p in range(self.P)]
+        self.sink.commit_final(
+            {"n_epochs": n_epochs, "watermark_us": POS_INF,
+             "partitions": [{"partition_id": p,
+                             "max_ts_us": int(self._part_max_ts[p])}
+                            for p in range(self.P)]}
         )
 
     # ---------------------------------------------------------- readers

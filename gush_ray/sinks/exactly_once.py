@@ -36,13 +36,18 @@ class ExactlyOnceSink:
     # ---- data files (called from workers; must be self-contained) ----
 
     @staticmethod
-    def write_part(base_dir: str, stream: str, epoch: int, partition_id: int,
-                   table: pa.Table) -> dict:
+    def write_part(base_dir: str, stream: str, epoch: "int | str",
+                   partition_id: int, table: pa.Table) -> dict:
         """Atomic idempotent write of one (stream, epoch, partition) file.
+
+        ``epoch`` may be the string label ``"final"`` for the
+        end-of-stream flush (its own slot — it must never occupy an
+        integer epoch a future appended data epoch would use).
 
         Static so map tasks can call it with only strings/ints captured.
         """
-        d = os.path.join(base_dir, stream, f"epoch={epoch:05d}")
+        slot = f"epoch={epoch:05d}" if isinstance(epoch, int) else f"epoch={epoch}"
+        d = os.path.join(base_dir, stream, slot)
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"part-{partition_id:05d}.parquet")
         tmp = final + f".inprogress-{os.getpid()}"
@@ -78,6 +83,26 @@ class ExactlyOnceSink:
                 out.append(int(name[len("epoch="):-len(".json")]))
         return sorted(out)
 
+    # ---- final-flush slot -------------------------------------------
+
+    def _final_path(self) -> str:
+        return os.path.join(self.manifest_dir, "final.json")
+
+    def commit_final(self, payload: dict) -> None:
+        tmp = self._final_path() + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._final_path())
+
+    def final_committed(self) -> bool:
+        return os.path.exists(self._final_path())
+
+    def read_final(self) -> dict:
+        with open(self._final_path()) as f:
+            return json.load(f)
+
     def last_contiguous_epoch(self) -> int:
         """Resume point: highest e such that 0..e are all committed."""
         done = set(self.committed_epochs())
@@ -92,9 +117,12 @@ class ExactlyOnceSink:
 
     def committed_files(self, stream: str) -> list[str]:
         """Data files belonging to committed epochs only (reader isolation)."""
+        slots = [f"epoch={e:05d}" for e in self.committed_epochs()]
+        if self.final_committed():
+            slots.append("epoch=final")
         files = []
-        for e in self.committed_epochs():
-            d = os.path.join(self.base_dir, stream, f"epoch={e:05d}")
+        for slot in slots:
+            d = os.path.join(self.base_dir, stream, slot)
             if os.path.isdir(d):
                 files.extend(
                     os.path.join(d, n)

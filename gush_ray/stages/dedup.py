@@ -33,11 +33,21 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
                               categorize=False)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
 def _perm_params(num_perm: int, seed: int):
+    # cached per worker process: regenerating per batch wastes the RNG
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+@lru_cache(maxsize=32)
+def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
 
 
 def minhash_batch(batch: pd.DataFrame, text_col: str = "text",
@@ -320,9 +330,13 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 8,
     from gush_ray.stages.similarity import _to_matrix
 
     def add_buckets(batch: pa.Table) -> pd.DataFrame:
-        rng = np.random.RandomState(seed)
+        if batch.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "emb": pd.Series(dtype="object")})
         mat = _to_matrix(batch[emb_col])
-        planes = rng.randn(n_bands * band_bits, mat.shape[1])
+        planes = _lsh_planes(n_bands * band_bits, mat.shape[1], seed)
         bits = (mat @ planes.T > 0)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         frames = []

@@ -18,7 +18,9 @@ from gush_ray.config import EngineConfig
 
 def deny_filter_batch(batch: pa.Table, cfg: EngineConfig,
                       lang_col: str = "lang", url_col: str = "url") -> pa.Table:
-    mask = pa.array([True] * batch.num_rows)
+    if batch.num_rows == 0:
+        return batch  # pa.array([]) infers null type; filter() would throw
+    mask = pa.array([True] * batch.num_rows, type=pa.bool_())
     if cfg.ignored_langs and lang_col in batch.column_names:
         mask = pc.and_(
             mask,

@@ -53,15 +53,23 @@ def broadcast_join(ds, small: pd.DataFrame, on: list[str] | str,
 
 
 def broadcast_semi_filter(ds, keys, on: str, keep: bool = True):
-    """Semi (keep=True) / anti (keep=False) join by broadcasting the key set."""
-    key_set = set(keys)
-    ref = ray.put(key_set)
+    """Semi (keep=True) / anti (keep=False) join by broadcasting the key set.
+
+    The Arrow value_set is built ONCE on the driver and broadcast — not
+    rebuilt from a Python set per batch (O(|keys|) per batch otherwise).
+    """
+    key_list = sorted(set(keys))
+    value_set = (pa.array(key_list) if key_list
+                 else pa.array([], type=pa.int64()))
+    ref = ray.put(value_set)
 
     def f(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ks = _get_cached(ref)
-        mask = pc.is_in(batch[on], value_set=pa.array(list(ks)))
+        if batch.num_rows == 0:
+            return batch
+        vs = _get_cached(ref)
+        mask = pc.is_in(batch[on], value_set=vs)
         if not keep:
             mask = pc.invert(mask)
         return batch.filter(mask)
@@ -102,21 +110,21 @@ def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
     r2 = right.map_batches(tag("r"), batch_format="pandas")
     both = l2.union(r2)
 
+    out_cols = lnames + [c for c in rnames if c != key]
+
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df["__side"] == "l"].drop(columns=["__side"])
-        rdf = df[df["__side"] == "r"].drop(columns=["__side"])
-        ldf = ldf.dropna(axis=1, how="all").sort_values(ts_col)
-        rdf = rdf.dropna(axis=1, how="all").sort_values(right_ts_col)
-        if not len(ldf):
-            return ldf
-        if not len(rdf):
-            return ldf
+        # split by the KNOWN column lists (schema is identical for every
+        # partition regardless of which sides are present)
+        ldf = df.loc[df["__side"] == "l", lnames].sort_values(ts_col)
+        rdf = df.loc[df["__side"] == "r", rnames].sort_values(right_ts_col)
+        if not len(ldf) or not len(rdf):
+            return ldf.reindex(columns=out_cols)
         out = pd.merge_asof(
             ldf, rdf, left_on=ts_col, right_on=right_ts_col, by=key,
             direction="backward", allow_exact_matches=False,
             suffixes=("", suffix),
         )
-        return out
+        return out.reindex(columns=out_cols)
 
     return partition_map(both, key, per_part, num_partitions)
 

@@ -67,6 +67,7 @@ class _Partial:
     step_idx: int
     start_us: int
     captured: tuple
+    last_us: int = 0  # event time of the most recent matched event
 
 
 def _empty_matches(pattern: Pattern) -> pd.DataFrame:
@@ -140,12 +141,14 @@ class NFARunner:
             # advance / extend existing runs (skip mode: the old partial
             # survives too and keeps skipping; strict: only advanced live)
             for p in plist:
+                # strictly increasing event time step-to-step (matches the
+                # SQL oracles' b.ts > a.ts; equal-ts events never chain)
                 in_time = (t - p.start_us <= pat.within_us
-                           and t > p.start_us)
+                           and t > p.last_us)
                 nxt = p.step_idx + 1
                 if nxt < n_steps and masks[nxt][i] and in_time:
                     cand = _Partial(
-                        nxt, p.start_us, p.captured + ((ids[i], 1),)
+                        nxt, p.start_us, p.captured + ((ids[i], 1),), t
                     )
                     if nxt == last:
                         out_rows.append(
@@ -162,7 +165,7 @@ class NFARunner:
                     first_id, cnt = p.captured[-1]
                     cand = _Partial(
                         p.step_idx, p.start_us,
-                        p.captured[:-1] + ((first_id, cnt + 1),),
+                        p.captured[:-1] + ((first_id, cnt + 1),), t
                     )
                     if p.step_idx == last:
                         out_rows.append(
@@ -171,7 +174,7 @@ class NFARunner:
                     new_partials.append(cand)
             # start a new run
             if masks[0][i]:
-                cand = _Partial(0, t, ((ids[i], 1),))
+                cand = _Partial(0, t, ((ids[i], 1),), t)
                 if n_steps == 1:
                     out_rows.append(_emit_row(pat, k, cand.captured, t, t))
                 if n_steps > 1 or pat.steps[0].quantifier == "+":

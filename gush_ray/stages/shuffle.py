@@ -68,7 +68,10 @@ def partition_map(
 
     def apply(group):
         out = fn(group)
-        if PART_COL in getattr(out, "columns", []):
+        if isinstance(out, pa.Table):
+            if PART_COL in out.column_names:
+                out = out.drop_columns([PART_COL])
+        elif PART_COL in getattr(out, "columns", []):
             out = out.drop(columns=[PART_COL])
         return out
 

@@ -15,12 +15,22 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> arrow column → (n, d) float64 matrix (zero-copy-ish)."""
+    """list<float> arrow column → (n, d) float64 matrix (zero-copy-ish).
+
+    Empty columns yield a (0, 0) matrix — callers must guard (Ray Data
+    hands empty blocks to map_batches fns after filters/splits)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     d = len(col[0])
     return flat.reshape(len(col), d)
+
+
+def _empty_topk(id_col: str) -> pa.Table:
+    return pa.table({id_col: pa.array([], type=pa.int64()),
+                     "sim": pa.array([], type=pa.float64())})
 
 
 def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
@@ -32,15 +42,19 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
     q_ref = ray.put(qn)
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
         qv = ray.get(q_ref)
         mat = _to_matrix(batch[emb_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ qv) / norms
-        kk = min(k, len(sims))
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
-        return pa.table({id_col: pa.array(ids), "sim": pa.array(sims[idx])})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # deterministic cut: ties at the k-th boundary break by id asc
+        # (matches the oracle's ORDER BY sim DESC, vec_id)
+        order = np.lexsort((ids, -sims))[: min(k, len(sims))]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "sim": pa.array(sims[order])})
 
     partial = ds.map_batches(batch_topk, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -70,6 +84,10 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
     ref = ray.put((ids_all, unit_all))
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
         ids_a, unit_a = ray.get(ref)
         mat = _to_matrix(batch[emb_col])
         norms = np.linalg.norm(mat, axis=1)
@@ -110,22 +128,23 @@ def lsh_bucket_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 8,
     q_ref = ray.put(qn)
 
     def bucket_filter_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk(id_col)
         planes_, probe_ = ray.get(probe_ref)
         qv = ray.get(q_ref)
         mat = _to_matrix(batch[emb_col])
         sigs = (mat @ planes_.T > 0).dot(1 << np.arange(planes_.shape[0]))
         mask = np.isin(sigs, list(probe_))
         if not mask.any():
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "sim": pa.array([], type=pa.float64())})
+            return _empty_topk(id_col)
         sub = mat[mask]
         norms = np.linalg.norm(sub, axis=1)
         norms[norms == 0] = 1.0
         sims = (sub @ qv) / norms
         ids = batch[id_col].to_numpy(zero_copy_only=False)[mask]
-        kk = min(k, len(sims))
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        return pa.table({id_col: pa.array(ids[idx]), "sim": pa.array(sims[idx])})
+        order = np.lexsort((ids, -sims))[: min(k, len(sims))]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "sim": pa.array(sims[order])})
 
     partial = ds.map_batches(bucket_filter_topk, batch_format="pyarrow",
                              zero_copy_batch=True)

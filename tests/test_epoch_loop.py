@@ -219,3 +219,21 @@ def test_error_side_output(pages_dir, tmp_path):
     assert not set(errors["url"]) & set(
         ch.merge(errors, on=["url", "warc_ts"], how="inner")["url"]
     )
+
+
+def test_finalized_stream_rejects_appended_epochs(pages_dir, tmp_path):
+    import shutil as sh
+    import os
+
+    src = pages_dir
+    work = str(tmp_path / "pages_copy")
+    sh.copytree(src, work)
+    out = str(tmp_path / "finalized")
+    job, _ = run_job(work, out, run_id="fin1")
+    # append a new epoch directory after finalize
+    epochs = sorted(os.listdir(work))
+    sh.copytree(os.path.join(work, epochs[0]),
+                os.path.join(work, "epoch=0099"))
+    job2 = StreamingJob(work, out, run_id="fin2", num_partitions=4)
+    with pytest.raises(ValueError, match="finalized"):
+        job2.run(resume=True)

@@ -187,3 +187,22 @@ def test_kleene_plus_final_step_extends():
     assert sorted(zip(out.a_id, out.b_id, out.b_n)) == [
         (1, 2, 1), (1, 2, 2), (1, 3, 1)
     ]
+
+
+def test_equal_ts_consecutive_steps_never_chain():
+    # oracle parity: SQL requires strictly increasing ts between steps
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"), Step("b", "etype", "B"),
+               Step("c", "etype", "C")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+    )
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [1, 5, 5],
+         "etype": ["A", "B", "C"], "eid": [1, 2, 3]}
+    )
+    assert len(run(df, pat)) == 0
+    df2 = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [1, 5, 6],
+         "etype": ["A", "B", "C"], "eid": [1, 2, 3]}
+    )
+    assert len(run(df2, pat)) == 1
