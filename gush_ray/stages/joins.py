@@ -129,13 +129,22 @@ def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
     return partition_map(both, key, per_part, num_partitions)
 
 
+def _strip_meta(ds):
+    # parquet files carry pandas metadata dicts in their schema; the hash
+    # join's schema-dedup can't hash them and logs a warning per block
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def hash_join(left, right, on: str | tuple, num_partitions: int = 32,
               join_type: str = "inner", **kw):
     """Hash-shuffle join on the shared partitioning key."""
     if isinstance(on, str):
         on = (on,)
-    return left.join(right, join_type=join_type,
-                     num_partitions=num_partitions, on=on, **kw)
+    return _strip_meta(left).join(_strip_meta(right), join_type=join_type,
+                                  num_partitions=num_partitions, on=on, **kw)
 
 
 def find_hot_keys(ds, key: str, threshold: int, sample_frac: float | None = None):
