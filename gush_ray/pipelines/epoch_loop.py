@@ -111,7 +111,9 @@ def _dim_lookup(dim_holder, dim_key: str):
 def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
                dim_holder: list | None = None,
                dim_key: str = "site",
-               errors_sink: tuple | None = None) -> list:
+               errors_sink: tuple | None = None,
+               key_col: str = "url",
+               raw_ts_col: str = "warc_ts") -> list:
     """Stateless map side: read one shard, extract, filter, (optionally)
     broadcast-join the dimension snapshot, partition.
 
@@ -131,29 +133,33 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
 
     batch = pq.read_table(shard_path)
     n_read = batch.num_rows
-    batch = extract_text_batch(batch, out_col="text_extracted")
-    batch, errors = split_errors(batch)
-    if errors_sink is not None and errors.num_rows:
-        # dead-letter side output (SURVEY.md §1.2): unparseable rows are
-        # kept, not silently dropped (gush merely Resumes past them)
-        base_dir, epoch, shard_idx = errors_sink
-        ExactlyOnceSink.write_part(
-            base_dir, "errors", epoch, shard_idx,
-            errors.select(["url", "warc_ts", "lang"]),
-        )
+    n_errors = 0
+    if "html" in batch.column_names:
+        # pages schema: html→text extraction + dead-letter side output;
+        # any other keyed event table streams through unchanged
+        batch = extract_text_batch(batch, out_col="text_extracted")
+        batch, errors = split_errors(batch)
+        n_errors = errors.num_rows
+        if errors_sink is not None and errors.num_rows:
+            # dead-letter side output (SURVEY.md §1.2): unparseable rows
+            # are kept, not silently dropped (gush merely Resumes)
+            base_dir, epoch, shard_idx = errors_sink
+            ExactlyOnceSink.write_part(
+                base_dir, "errors", epoch, shard_idx,
+                errors.select([key_col, raw_ts_col, "lang"]),
+            )
+        batch = batch.drop_columns(["text_extracted", "extract_ok"])
     batch = deny_filter_batch(batch, cfg)
     batch = batch.append_column(
-        "ts_us", batch["warc_ts"].combine_chunks().cast(pa.int64())
+        "ts_us", batch[raw_ts_col].combine_chunks().cast(pa.int64())
     )
-    # keep the exchanged payload narrow (no duplicated extracted body)
-    batch = batch.drop_columns(["text_extracted", "extract_ok"])
 
     if dim_holder is not None:
         import pyarrow.compute as pc
 
         dim = _dim_lookup(dim_holder, dim_key)  # indexed: site -> attrs
         site = pc.struct_field(
-            pc.extract_regex(batch["url"], r"https?://(?P<site>[^/]+)/"),
+            pc.extract_regex(batch[key_col], r"https?://(?P<site>[^/]+)/"),
             "site",
         )
         probes = pd.Index(site.to_numpy(zero_copy_only=False))
@@ -163,7 +169,7 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
                 col, pa.Array.from_pandas(joined[col].reset_index(drop=True))
             )
 
-    h = stable_hash(batch["url"].to_numpy(zero_copy_only=False))
+    h = stable_hash(batch[key_col].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)
     ts = batch["ts_us"].to_numpy(zero_copy_only=False)
     frags: list = [None] * P
@@ -187,7 +193,7 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
         "max_ts": max_ts,
         "rows": rows,
         "rows_read": n_read,
-        "parse_errors": int(errors.num_rows),
+        "parse_errors": int(n_errors),
     }
     return [meta] + frags
 
@@ -267,8 +273,12 @@ class StreamingJob:
         dim_df=None,
         dim_key: str = "site",
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
+        key_col: str = "url",
+        raw_ts_col: str = "warc_ts",
     ):
         assert mode in ("tasks", "actors")
+        self.key_col = key_col
+        self.raw_ts_col = raw_ts_col
         self.pages_dir = pages_dir
         self.out_dir = out_dir
         self.cfg = cfg or EngineConfig()
@@ -277,7 +287,7 @@ class StreamingJob:
         self.mode = mode
         self.sink = ExactlyOnceSink(out_dir)
         self.params = StateParams(
-            key_col="url",
+            key_col=key_col,
             ts_col="ts_us",
             window_group_cols=window_group_cols,
             window_size_us=window_size_us,
@@ -377,7 +387,7 @@ class StreamingJob:
         refsets = [
             _map_shard.options(num_returns=1 + self.P).remote(
                 s, self.cfg, self.P, self._dim_holder, self.dim_key,
-                (self.out_dir, epoch, i),
+                (self.out_dir, epoch, i), self.key_col, self.raw_ts_col,
             )
             for i, s in enumerate(shards)
         ]

@@ -1,0 +1,109 @@
+"""Streaming == batch equivalence: the streaming engine run over the
+events table micro-batched into epochs must reproduce the batch/DuckDB
+window and session results exactly (the north rule's 'output rows must
+match reference semantics for the same input stream + watermark')."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gush_ray.pipelines.epoch_loop import StreamingJob
+
+SF_DIR = "/root/testdata/sf0.001"
+SIX_H_US = 6 * 3600 * 1_000_000
+GAP_US = 1_800_000_000
+
+
+@pytest.fixture(scope="module")
+def events_epochs(tmp_path_factory):
+    """events sorted by ts, cut into 3 epoch shard dirs (a micro-batched
+    stream of the exact same rows the batch oracles see)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending")])
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for e in range(3):
+        sub = t.slice(cuts[e], cuts[e + 1] - cuts[e])
+        ed = os.path.join(str(d), f"epoch={e:04d}")
+        os.makedirs(ed)
+        per = max(1, sub.num_rows // 4)
+        for k in range(4):
+            shard = sub.slice(k * per, per if k < 3 else sub.num_rows - 3 * per)
+            pq.write_table(shard, os.path.join(ed, f"part-{k:04d}.parquet"))
+    return str(d)
+
+
+def test_streaming_windows_and_sessions_match_batch_oracle(
+    events_epochs, tmp_path
+):
+    job = StreamingJob(
+        events_epochs,
+        str(tmp_path / "out"),
+        run_id="sbeq",
+        num_partitions=4,
+        pattern=None,
+        window_size_us=SIX_H_US,
+        session_gap_us=GAP_US,
+        window_group_cols=("event_type",),
+        key_col="user_id",
+        raw_ts_col="ts",
+    )
+    job.run()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+
+    # ---- tumbling windows (W1) -------------------------------------
+    w = job.read_output("windows")
+    got_w = (
+        w.groupby(["event_type", "window_id"], as_index=False)["n"].sum()
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    )
+    want_w = con.execute("""
+        SELECT event_type, epoch_us(ts) // 21600000000 AS window_id,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got_w, want_w.astype(got_w.dtypes.to_dict())
+    )
+
+    # ---- session windows (W4) --------------------------------------
+    s = pd.concat([job.read_output("sessions"),
+                   job.read_output("sessions_wm")], ignore_index=True)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    got_s = s[cols].sort_values(cols).reset_index(drop=True)
+    want_s = con.execute("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        x AS (
+          SELECT user_id, tus,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                           OR tus - lag(tus) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        ),
+        y AS (
+          SELECT user_id, tus,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x
+        )
+        SELECT user_id, min(tus) AS session_start_us,
+               max(tus) AS session_end_us, count(*) AS n_events
+        FROM y GROUP BY user_id, sid
+    """).fetchdf()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s.astype(got_s.dtypes.to_dict())
+    )
+
+    # exactly-once accounting: every input row became exactly one change
+    ch = job.read_output("changes")
+    assert len(ch) == 1000
+    assert not ch.duplicated(["user_id", "ts_us"]).any()
