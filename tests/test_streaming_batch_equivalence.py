@@ -107,3 +107,44 @@ def test_streaming_windows_and_sessions_match_batch_oracle(
     ch = job.read_output("changes")
     assert len(ch) == 1000
     assert not ch.duplicated(["user_id", "ts_us"]).any()
+
+
+def test_streaming_nfa_matches_sql_oracle(events_epochs, tmp_path):
+    """The STREAMING NFA (cross-epoch partial-match state) over the
+    micro-batched events stream equals the batch SQL self-join oracle."""
+    from gush_ray.stages.nfa import Pattern, Step
+
+    pat = Pattern(
+        steps=(Step("click", "event_type", "click"),
+               Step("purchase", "event_type", "purchase")),
+        within_us=3600 * 1_000_000, key="user_id", ts_col="ts_us",
+        id_col="event_id",
+    )
+    job = StreamingJob(
+        events_epochs, str(tmp_path / "nfa_out"), run_id="sbeq-nfa",
+        num_partitions=4, pattern=pat, window_size_us=SIX_H_US,
+        session_gap_us=GAP_US, window_group_cols=("event_type",),
+        key_col="user_id", raw_ts_col="ts",
+    )
+    job.run()
+    m = job.read_output("matches")
+    got = (m[["user_id", "click_id", "purchase_id"]]
+           .sort_values(["user_id", "click_id", "purchase_id"])
+           .reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.execute("""
+        SELECT a.user_id AS user_id, a.event_id AS click_id,
+               b.event_id AS purchase_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts > a.ts
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+        ORDER BY 1, 2, 3
+    """).fetchdf().reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
