@@ -140,3 +140,44 @@ def _to_table(df):
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=50),
+       st.integers(min_value=1, max_value=5))
+def test_sliding_assignment_covers_exactly_k_windows(ts_list, slide, k):
+    """Every event lands in exactly size/slide sliding windows, and each
+    assigned window really contains the event."""
+    import pyarrow as pa
+
+    from gush_ray.stages.windows import assign_sliding
+
+    size = slide * k
+    t = pa.table({"ts": pa.array(ts_list, type=pa.int64()).cast(
+        pa.timestamp("us"))})
+    out = assign_sliding(t, "ts", size, slide)
+    assert out.num_rows == len(ts_list) * k
+    us = out["ts"].cast(pa.int64()).to_pylist()
+    wid = out["window_id"].to_pylist()
+    for u, w in zip(us, wid):
+        start = w * slide
+        assert start <= u < start + size
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=100))
+def test_tumbling_assignment_partition_of_time(ts_list, size):
+    import pyarrow as pa
+
+    from gush_ray.stages.windows import assign_tumbling
+
+    t = pa.table({"ts": pa.array(ts_list, type=pa.int64()).cast(
+        pa.timestamp("us"))})
+    out = assign_tumbling(t, "ts", size)
+    us = out["ts"].cast(pa.int64()).to_pylist()
+    for u, w in zip(us, out["window_id"].to_pylist()):
+        assert w * size <= u < (w + 1) * size
