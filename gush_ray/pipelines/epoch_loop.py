@@ -173,23 +173,15 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
     part = (h % np.uint64(P)).astype(np.int64)
     ts = batch["ts_us"].to_numpy(zero_copy_only=False)
     frags: list = [None] * P
-    frag_keys = [0] * P
     max_ts = [NEG_INF] * P
     rows = [0] * P
     for pid in np.unique(part):
         sel = part == pid
         i = int(pid)
         frags[i] = batch.filter(pa.array(sel))
-        frag_keys[i] = int(
-            (np.uint64(h[sel].sum())
-             + np.uint64(ts[sel].astype(np.uint64).sum())
-             + np.uint64(sel.sum()))
-            % np.uint64(1 << 62)
-        )
         max_ts[i] = int(ts[sel].max())
         rows[i] = int(sel.sum())
     meta = {
-        "frag_keys": frag_keys,
         "max_ts": max_ts,
         "rows": rows,
         "rows_read": n_read,
@@ -219,7 +211,14 @@ def _reduce_partition(
     deterministic names.
     """
     ps = PartitionState(pid, params)
-    if snapshot_in is not None and os.path.exists(snapshot_in):
+    if snapshot_in is not None:
+        # a missing snapshot for epoch>0 means lost state — proceeding
+        # with an empty PartitionState would silently re-emit version-0
+        # inserts and drop open windows; fail loudly instead
+        if not os.path.exists(snapshot_in):
+            raise FileNotFoundError(
+                f"state snapshot missing for partition {pid}: {snapshot_in}"
+            )
         with open(snapshot_in, "rb") as f:
             ps.restore_bytes(f.read())
     for key, t in zip(frag_keys, tables):
@@ -246,9 +245,12 @@ def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
                      out_dir: str, params: StateParams) -> dict:
     """End-of-stream flush: close every remaining window/session."""
     ps = PartitionState(pid, params)
-    if os.path.exists(snapshot_in):
-        with open(snapshot_in, "rb") as f:
-            ps.restore_bytes(f.read())
+    if not os.path.exists(snapshot_in):
+        raise FileNotFoundError(
+            f"state snapshot missing for final flush: {snapshot_in}"
+        )
+    with open(snapshot_in, "rb") as f:
+        ps.restore_bytes(f.read())
     closes = ps.advance_watermark(POS_INF)
     ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
                                closes["windows"])
@@ -264,7 +266,7 @@ class StreamingJob:
         pages_dir: str,
         out_dir: str,
         cfg: EngineConfig | None = None,
-        run_id: str = "default",
+        run_id: str | None = None,
         num_partitions: int = 8,
         pattern: Pattern | None = DEFAULT_PATTERN,
         window_size_us: int = 15 * 60 * 1_000_000,
@@ -282,6 +284,12 @@ class StreamingJob:
         self.pages_dir = pages_dir
         self.out_dir = out_dir
         self.cfg = cfg or EngineConfig()
+        if run_id is None:
+            # unique by default: a reused name + get_if_exists named
+            # actors would silently share another job's state
+            import uuid as _uuid
+
+            run_id = _uuid.uuid4().hex
         self.run_id = run_id
         self.P = num_partitions
         self.mode = mode
@@ -339,6 +347,8 @@ class StreamingJob:
     def run(self, resume: bool = True, stop_after: int | None = None) -> dict:
         files = self.epoch_files()
         n_epochs = len(files)
+        if n_epochs == 0:
+            return {"completed": -1, "empty": True}
         start_epoch = 0
 
         last = self.sink.last_contiguous_epoch() if resume else -1
@@ -398,15 +408,16 @@ class StreamingJob:
                   f"({len(shards)} shards)")
         t0 = time.perf_counter()
 
-        # watermark from map metadata — known before the reduce runs
+        # watermark from map metadata — known before the reduce runs.
+        # Partitions that have NEVER seen a row are idle sources and do
+        # not hold the watermark back (they have no pending state); only
+        # partitions with data participate in the min (W5).
         for m in metas:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts[pid]:
                     self._part_max_ts[pid] = m["max_ts"][pid]
-        if all(t > NEG_INF for t in self._part_max_ts):
-            watermark = min(self._part_max_ts)
-        else:
-            watermark = NEG_INF
+        seen = [t for t in self._part_max_ts if t > NEG_INF]
+        watermark = min(seen) if seen else NEG_INF
 
         if self.mode == "tasks":
             metrics = ray.get(
@@ -419,7 +430,9 @@ class StreamingJob:
                         self._snapshot_path(epoch, pid),
                         self.out_dir,
                         self.params,
-                        [m["frag_keys"][pid] for m in metas],
+                        # fragment identity = shard index (exact; content
+                        # sums could collide and drop a distinct shard)
+                        list(range(len(metas))),
                         watermark,
                         *[rs[1 + pid] for rs in refsets],
                     )

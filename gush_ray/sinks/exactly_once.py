@@ -46,12 +46,19 @@ class ExactlyOnceSink:
 
         Static so map tasks can call it with only strings/ints captured.
         """
+        if table.num_rows == 0:
+            # skip empty outputs entirely: an empty table's schema may be
+            # a typeless placeholder (e.g. empty window groups) and would
+            # poison concat on read; readers already tolerate missing files
+            return {"path": None, "rows": 0}
         slot = f"epoch={epoch:05d}" if isinstance(epoch, int) else f"epoch={epoch}"
         d = os.path.join(base_dir, stream, slot)
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"part-{partition_id:05d}.parquet")
         tmp = final + f".inprogress-{os.getpid()}"
         pq.write_table(table, tmp)
+        with open(tmp, "rb") as f:  # durability before the manifest commit
+            os.fsync(f.fileno())
         os.replace(tmp, final)  # atomic on POSIX: replay overwrites
         return {"path": final, "rows": table.num_rows}
 
