@@ -99,13 +99,19 @@ class Stream:
             )
         )
 
-    def extract_text(self, html_col: str = "html",
-                     out_col: str = "text") -> "Stream":
+    def extract_text(self, html_col: str = "html", out_col: str = "text",
+                     on_error: str = "drop") -> "Stream":
+        """html→text extraction. ``on_error``: "drop" discards
+        unparseable rows (gush's Resume, SqlToBinlog supervision);
+        "keep" retains them with ``extract_ok=False`` so the caller can
+        route the dead letters (``.filter_expr`` on extract_ok)."""
         from gush_ray.extract import extract_text_batch, split_errors
 
         s = self.map_batches(
             lambda b: extract_text_batch(b, html_col=html_col, out_col=out_col)
         )
+        if on_error == "keep":
+            return s
         return s.map_batches(lambda b: split_errors(b)[0])
 
     # --------------------------------------------------------- stateful
@@ -126,13 +132,15 @@ class Stream:
     def window_tumbling(self, keys: list[str], ts_col: str, size_us: int,
                         specs: Spec) -> "Stream":
         return self._wrap(
-            tumbling_aggregate(self.ds, keys, ts_col, size_us, specs)
+            tumbling_aggregate(self.ds, keys, ts_col, size_us, specs,
+                               num_partitions=self.cfg.num_partitions)
         )
 
     def window_sliding(self, keys: list[str], ts_col: str, size_us: int,
                        slide_us: int, specs: Spec) -> "Stream":
         return self._wrap(
-            sliding_aggregate(self.ds, keys, ts_col, size_us, slide_us, specs)
+            sliding_aggregate(self.ds, keys, ts_col, size_us, slide_us, specs,
+                              num_partitions=self.cfg.num_partitions)
         )
 
     def window_session(self, key: str, ts_col: str, gap_us: int) -> "Stream":
@@ -142,7 +150,10 @@ class Stream:
         )
 
     def aggregate(self, keys: list[str], specs: Spec) -> "Stream":
-        return self._wrap(partial_aggregate(self.ds, keys, specs))
+        return self._wrap(
+            partial_aggregate(self.ds, keys, specs,
+                              num_partitions=self.cfg.num_partitions)
+        )
 
     # -------------------------------------------------------------- CEP
 
@@ -158,9 +169,12 @@ class Stream:
              num_partitions: int | None = None,
              join_type: str = "inner") -> "Stream":
         ods = other.ds if isinstance(other, Stream) else other
+        # Dataset.join spawns one aggregator ACTOR per partition; unlike
+        # queued tasks, an actor pool larger than the CPU count can
+        # deadlock a small cluster — cap the config-derived default
+        np_ = num_partitions or min(self.cfg.num_partitions, 8)
         return self._wrap(
-            hash_join(self.ds, ods, on=on,
-                      num_partitions=num_partitions or 8,
+            hash_join(self.ds, ods, on=on, num_partitions=np_,
                       right_on=right_on, join_type=join_type)
         )
 
@@ -191,6 +205,10 @@ class Stream:
 
         tabs = [t for t in ray.get(self.ds.to_arrow_refs()) if t.num_rows]
         if not tabs:
+            schema = self.ds.schema()
+            base = getattr(schema, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                return base.empty_table()
             return pa.table({})
         return pa.concat_tables(tabs, promote_options="default")
 

@@ -133,8 +133,12 @@ def gen_pages(
     ]
 
     # epochs by event time, then push a fraction late by one epoch
+    # (cap: the strictly-increasing ts shift can push a timestamp past
+    # span_us, which must not create an unwritten epoch n_epochs)
     epoch_len = span_us // n_epochs + 1
-    epoch = ((ts_us - START_US) // epoch_len).astype(np.int64)
+    epoch = np.minimum(
+        ((ts_us - START_US) // epoch_len).astype(np.int64), n_epochs - 1
+    )
     n_late = int(n * late_frac)
     if n_late:
         late_pick = rng.choice(n, size=n_late, replace=False)
@@ -227,6 +231,13 @@ def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
                  seed: int = 7, n_epochs: int = 4, **kw) -> str:
     """Idempotently materialize a pages dir for tests/queries; returns dir."""
     key = f"u{n_urls}_s{seed}_e{n_epochs}_v2"
+    if kw:  # non-default generator params must not hit the default cache
+        import hashlib
+
+        sig = hashlib.sha1(
+            repr(sorted(kw.items())).encode()
+        ).hexdigest()[:8]
+        key += f"_{sig}"
     out = os.path.join(tmp_root, key)
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):

@@ -43,7 +43,10 @@ def partial_aggregate(ds, keys: list[str], specs: Spec,
             named[out] = (src, _PARTIAL_OPS[op])
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(keys, as_index=False, sort=False).agg(**named)
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
+        # silently discards null-keyed rows
+        return batch.groupby(keys, as_index=False, sort=False,
+                             dropna=False).agg(**named)
 
     partials = ds.map_batches(combine, batch_format="pandas")
 
@@ -52,7 +55,8 @@ def partial_aggregate(ds, keys: list[str], specs: Spec,
     }
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False, sort=False).agg(**merge_named)
+        return df.groupby(keys, as_index=False, sort=False,
+                          dropna=False).agg(**merge_named)
 
     from gush_ray.stages.shuffle import partition_map
 

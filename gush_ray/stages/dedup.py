@@ -251,8 +251,8 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         empty = pd.DataFrame(
-            {"doc_a": np.array([], dtype=np.int64),
-             "doc_b": np.array([], dtype=np.int64),
+            {"doc_a": np.array([], dtype=ids.dtype),
+             "doc_b": np.array([], dtype=ids.dtype),
              "hamming": np.array([], dtype=np.int64)}
         )
         if len(ids) < 2:
@@ -355,8 +355,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 8,
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"doc_a": np.array([], dtype=np.int64),
-             "doc_b": np.array([], dtype=np.int64),
+            {"doc_a": pd.Series(dtype=g[id_col].dtype),
+             "doc_b": pd.Series(dtype=g[id_col].dtype),
              "cosine": np.array([], dtype=np.float64)}
         )
         if len(g) < 2:

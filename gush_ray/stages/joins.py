@@ -27,13 +27,16 @@ from gush_ray.stages.agg import partial_aggregate
 SALT_COL = "__salt"
 
 
-def _get_cached(ref):
+def _get_cached(ref, max_entries: int = 4):
     # ray.get on a worker hits the local plasma store (zero-copy after the
-    # first fetch per node); a tiny per-process memo avoids repeated
-    # deserialization of pandas objects.
+    # first fetch per node); a tiny BOUNDED per-process memo avoids
+    # repeated deserialization of pandas objects without leaking every
+    # broadcast a long-lived worker ever saw.
     cache = _get_cached.__dict__.setdefault("cache", {})
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in cache:
+        while len(cache) >= max_entries:
+            cache.pop(next(iter(cache)))  # evict oldest insertion
         cache[key] = ray.get(ref)
     return cache[key]
 
@@ -59,9 +62,16 @@ def broadcast_semi_filter(ds, keys, on: str, keep: bool = True):
     rebuilt from a Python set per batch (O(|keys|) per batch otherwise).
     """
     key_list = sorted(set(keys))
-    value_set = (pa.array(key_list) if key_list
-                 else pa.array([], type=pa.int64()))
-    ref = ray.put(value_set)
+    if not key_list:
+        # empty key set short-circuits: semi keeps nothing, anti keeps all
+        # (a typed empty value_set can't be built without knowing the
+        # column type, and is_in would raise on a type mismatch)
+        if keep:
+            return ds.map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return ds
+    ref = ray.put(pa.array(key_list))
 
     def f(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

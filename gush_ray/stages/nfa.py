@@ -60,6 +60,12 @@ class Pattern:
     # "strict" = strict contiguity: any event of the key that does not
     #            advance a partial run kills it (consecutive-events match)
     contiguity: str = "skip"
+    # hard bound on live partial runs per key: all-runs semantics with a
+    # Kleene '+' step branches on every extension (2^n runs for n
+    # repeats), so a hot key would hang the engine. When the bound is
+    # hit the OLDEST-started runs are dropped deterministically; matches
+    # already emitted are unaffected.
+    max_partials: int = 64
 
 
 @dataclass
@@ -183,11 +189,16 @@ class NFARunner:
                 self.partials[k] = new_partials
                 continue
             plist.extend(new_partials)
-            # cheap in-place expiry against the current event time
-            if len(plist) > 64:
-                self.partials[k] = [
+            # bound the run set: expire by time, then hard-cap by
+            # keeping the NEWEST-started runs (deterministic truncation)
+            if len(plist) > pat.max_partials:
+                alive = [
                     p for p in plist if t - p.start_us <= pat.within_us
                 ]
+                if len(alive) > pat.max_partials:
+                    alive.sort(key=lambda p: p.start_us)
+                    alive = alive[-pat.max_partials:]
+                self.partials[k] = alive
 
         if not out_rows:
             return _empty_matches(pat)

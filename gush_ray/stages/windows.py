@@ -58,17 +58,20 @@ def assign_sliding(batch: pa.Table, ts_col: str, size_us: int, slide_us: int,
 
 
 def tumbling_aggregate(ds, keys: list[str], ts_col: str, size_us: int,
-                       specs: Spec, window_col: str = "window_id"):
+                       specs: Spec, window_col: str = "window_id",
+                       num_partitions: int = 8):
     """Tumbling-window grouped aggregate with partial combining (W1/W2)."""
     withw = ds.map_batches(
         lambda b: assign_tumbling(b, ts_col, size_us, window_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return partial_aggregate(withw, keys + [window_col], specs)
+    return partial_aggregate(withw, keys + [window_col], specs,
+                             num_partitions=num_partitions)
 
 
 def sliding_aggregate(ds, keys: list[str], ts_col: str, size_us: int,
-                      slide_us: int, specs: Spec, window_col: str = "window_id"):
+                      slide_us: int, specs: Spec, window_col: str = "window_id",
+                      num_partitions: int = 8):
     """Sliding-window grouped aggregate (W3): row replication + combiner.
 
     Replication happens inside ``map_batches`` immediately before the
@@ -78,7 +81,8 @@ def sliding_aggregate(ds, keys: list[str], ts_col: str, size_us: int,
         lambda b: assign_sliding(b, ts_col, size_us, slide_us, window_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return partial_aggregate(withw, keys + [window_col], specs)
+    return partial_aggregate(withw, keys + [window_col], specs,
+                             num_partitions=num_partitions)
 
 
 def _session_assign(df: pd.DataFrame, key: str, ts_col: str, gap_us: int) -> pd.DataFrame:

@@ -206,3 +206,27 @@ def test_equal_ts_consecutive_steps_never_chain():
          "etype": ["A", "B", "C"], "eid": [1, 2, 3]}
     )
     assert len(run(df2, pat)) == 1
+
+
+def test_kleene_hot_key_bounded():
+    """Kleene '+' all-runs branching is exponential; the per-key partial
+    cap must keep a hot key (60+ repeats) fast and bounded."""
+    import time
+
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"), Step("b", "etype", "B",
+                                             quantifier="+")),
+        within_us=10_000, key="k", ts_col="ts", id_col="eid",
+    )
+    n = 60
+    df = pd.DataFrame(
+        {"k": ["u"] * (n + 1), "ts": range(n + 1),
+         "etype": ["A"] + ["B"] * n, "eid": range(n + 1)}
+    )
+    t0 = time.perf_counter()
+    out = run(df, pat)
+    assert time.perf_counter() - t0 < 5.0
+    r = NFARunner(pat)
+    r.process_sorted(df.sort_values(["k", "ts"]))
+    assert all(len(v) <= pat.max_partials for v in r.partials.values())
+    assert len(out) > 0
