@@ -377,20 +377,32 @@ class StreamingJob:
                 )
 
         watermark = NEG_INF
+        pending_map = None
         for e in range(start_epoch, n_epochs):
             if stop_after is not None and e >= stop_after:
                 return {"stopped_at": e, "completed": e - 1}
-            watermark = self._run_epoch(e, files[e])
+            if pending_map is None:
+                pending_map = self._submit_map(e, files[e])
+            this_map = pending_map
+            # pipeline: launch the NEXT epoch's stateless map while this
+            # epoch's stateful reduce + durability sync + commit run —
+            # the map has no state dependency, so its work overlaps the
+            # serial commit path (a real streaming engine runs stages
+            # concurrently; gush's fused Akka graph does too)
+            nxt = e + 1
+            if nxt < n_epochs and (stop_after is None or nxt < stop_after):
+                pending_map = self._submit_map(nxt, files[nxt])
+            else:
+                pending_map = None
+            watermark = self._run_epoch(e, this_map)
 
         self._flush_final(n_epochs)
         return {"completed": n_epochs - 1, "watermark_us": watermark}
 
     # ------------------------------------------------------- one epoch
 
-    def _run_epoch(self, epoch: int, path: str) -> int:
-        prof = os.environ.get("GUSH_PROFILE")
-        t0 = time.perf_counter()
-
+    def _submit_map(self, epoch: int, path: str):
+        """Launch the stateless map tasks for an epoch (non-blocking)."""
         shards = _shard_files(path)
         if self.dim_df is not None and self._dim_holder is None:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
@@ -401,6 +413,14 @@ class StreamingJob:
             )
             for i, s in enumerate(shards)
         ]
+        return epoch, shards, refsets
+
+    def _run_epoch(self, epoch: int, submitted) -> int:
+        prof = os.environ.get("GUSH_PROFILE")
+        t0 = time.perf_counter()
+
+        map_epoch, shards, refsets = submitted
+        assert map_epoch == epoch
         metas = ray.get([rs[0] for rs in refsets])
         map_sec = round(time.perf_counter() - t0, 3)
         if prof:
