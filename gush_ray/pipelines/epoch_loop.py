@@ -310,6 +310,8 @@ class StreamingJob:
         self._actors = None
         # running per-partition event-time maxima (watermark inputs)
         self._part_max_ts = [NEG_INF] * self.P
+        self._commit_thread = None
+        self._commit_queue = None
 
     # ------------------------------------------------------------ setup
 
@@ -380,6 +382,7 @@ class StreamingJob:
         pending_map = None
         for e in range(start_epoch, n_epochs):
             if stop_after is not None and e >= stop_after:
+                self._drain_commits()
                 return {"stopped_at": e, "completed": e - 1}
             if pending_map is None:
                 pending_map = self._submit_map(e, files[e])
@@ -396,7 +399,12 @@ class StreamingJob:
                 pending_map = None
             watermark = self._run_epoch(e, this_map)
 
-        self._flush_final(n_epochs)
+        # overlap: flush tasks only need the last epoch's SNAPSHOTS (already
+        # written by its reduce), so they run while the committer drains the
+        # last manifests; commit_final still happens strictly afterwards
+        flush_refs = self._submit_flush(n_epochs)
+        self._drain_commits()  # all epoch manifests durable before finalize
+        self._complete_flush(n_epochs, flush_refs)
         return {"completed": n_epochs - 1, "watermark_us": watermark}
 
     # ------------------------------------------------------- one epoch
@@ -501,14 +509,46 @@ class StreamingJob:
                  for k, v in metrics[pid].items()}
             )
             parts.append(row)
-        self.sink.commit_epoch(
+        # commit off the critical path: the durability sync + manifest
+        # write run in an ORDERED background committer while the next
+        # epoch's map/reduce proceed (manifest order is preserved; a
+        # crash before the commit just replays the epoch idempotently)
+        self._enqueue_commit(
             epoch, int(watermark), parts,
-            extra={"timings": {"map_sec": map_sec,
-                               "reduce_sec": reduce_sec,
-                               "n_shards": len(shards)}},
+            {"timings": {"map_sec": map_sec,
+                         "reduce_sec": reduce_sec,
+                         "n_shards": len(shards)}},
         )
-        self._prune_snapshots(epoch)
         return watermark
+
+    # ------------------------------------------------- ordered committer
+
+    def _enqueue_commit(self, epoch, watermark, parts, extra) -> None:
+        import queue
+        import threading
+
+        if self._commit_thread is None:
+            self._commit_queue = queue.Queue()
+
+            def worker():
+                while True:
+                    item = self._commit_queue.get()
+                    if item is None:
+                        return
+                    e, wm, p, x = item
+                    self.sink.commit_epoch(e, wm, p, extra=x)
+                    self._prune_snapshots(e)
+
+            self._commit_thread = threading.Thread(target=worker, daemon=True)
+            self._commit_thread.start()
+        self._commit_queue.put((epoch, watermark, parts, extra))
+
+    def _drain_commits(self) -> None:
+        if self._commit_thread is not None:
+            self._commit_queue.put(None)
+            self._commit_thread.join()
+            self._commit_thread = None
+            self._commit_queue = None
 
     def _prune_snapshots(self, committed_epoch: int, keep: int = 2) -> None:
         """Retention: only the last ``keep`` committed epochs' snapshots
@@ -526,23 +566,26 @@ class StreamingJob:
                     shutil.rmtree(os.path.join(self.ckpt_dir, name),
                                   ignore_errors=True)
 
-    def _flush_final(self, n_epochs: int) -> None:
+    def _submit_flush(self, n_epochs: int):
+        if self.mode != "tasks":
+            return None
         # the flush gets its own "final" slot — NOT integer epoch n_epochs,
         # which a later appended data epoch would occupy
+        return [
+            _flush_partition.remote(
+                pid,
+                self._snapshot_path(n_epochs - 1, pid),
+                "final",
+                self.out_dir,
+                self.params,
+            )
+            for pid in range(self.P)
+        ]
+
+    def _complete_flush(self, n_epochs: int, flush_refs) -> None:
         slot = "final"
         if self.mode == "tasks":
-            ray.get(
-                [
-                    _flush_partition.remote(
-                        pid,
-                        self._snapshot_path(n_epochs - 1, pid),
-                        slot,
-                        self.out_dir,
-                        self.params,
-                    )
-                    for pid in range(self.P)
-                ]
-            )
+            ray.get(flush_refs)
         else:
             actors = self.actors()
             closes = ray.get(
