@@ -16,7 +16,15 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers resolve imports from PYTHONPATH at worker-process spawn;
+# setting it here covers lazily-spawned workers even when the driver's
+# cwd is not the repo root.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def entry() -> Any:
