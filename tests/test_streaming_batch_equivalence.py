@@ -109,6 +109,36 @@ def test_streaming_windows_and_sessions_match_batch_oracle(
     assert not ch.duplicated(["user_id", "ts_us"]).any()
 
 
+def test_streaming_sliding_windows_match_batch_oracle(events_epochs, tmp_path):
+    """Streaming sliding windows (6h size / 2h slide) across epochs equal
+    the CROSS JOIN range() batch oracle."""
+    job = StreamingJob(
+        events_epochs, str(tmp_path / "slide_out"), run_id="sbeq-slide",
+        num_partitions=4, pattern=None,
+        window_size_us=SIX_H_US, session_gap_us=GAP_US,
+        window_group_cols=("event_type",),
+        key_col="user_id", raw_ts_col="ts",
+    )
+    job.params.window_slide_us = 2 * 3600 * 1_000_000
+    job.run()
+    w = job.read_output("windows")
+    got = (
+        w.groupby(["event_type", "window_id"], as_index=False)["n"].sum()
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.execute("""
+        SELECT event_type, (epoch_us(ts) // 7200000000) - r.range AS window_id,
+               count(*) AS n
+        FROM events CROSS JOIN range(3) r
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
 def test_streaming_nfa_matches_sql_oracle(events_epochs, tmp_path):
     """The STREAMING NFA (cross-epoch partial-match state) over the
     micro-batched events stream equals the batch SQL self-join oracle."""
