@@ -38,25 +38,18 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from gush_ray.pipelines.queries import CORE_QUERIES
 
+    from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+
     out = {name: fn for name, (fn, _sql) in CORE_QUERIES.items()}
-
-    try:
-        from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
-
-        out.update({n: fn for n, (fn, _sql) in EXTRA_QUERIES.items()})
-    except ImportError:
-        pass
+    out.update({n: fn for n, (fn, _sql) in EXTRA_QUERIES.items()})
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from gush_ray.pipelines.queries import CORE_QUERIES
 
-    out = {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
-    try:
-        from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+    from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
 
-        out.update({n: sql for n, (_fn, sql) in EXTRA_QUERIES.items() if sql})
-    except ImportError:
-        pass
+    out = {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
+    out.update({n: sql for n, (_fn, sql) in EXTRA_QUERIES.items() if sql})
     return out

@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NCPU,
+        "rows": rows,
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows": flag["rows"],
     }
@@ -209,12 +210,17 @@ def run_scaling() -> dict:
             GRAFT_BENCH_URLS=str(SCALING_URLS),
             GRAFT_BENCH_EPOCHS="2",
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-only"],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:  # surface the child's traceback
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(
+                f"scaling child (cpus={ncpu}) failed rc={proc.returncode}"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = SCALE_LO, SCALE_HI
     # best-of-2 per level: single-shot numbers on this shared VM vary

@@ -270,6 +270,7 @@ class StreamingJob:
         num_partitions: int = 8,
         pattern: Pattern | None = DEFAULT_PATTERN,
         window_size_us: int = 15 * 60 * 1_000_000,
+        window_slide_us: int | None = None,
         session_gap_us: int = 30 * 60 * 1_000_000,
         mode: str = "tasks",
         dim_df=None,
@@ -299,6 +300,7 @@ class StreamingJob:
             ts_col="ts_us",
             window_group_cols=window_group_cols,
             window_size_us=window_size_us,
+            window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,
             pattern=pattern,
             allowed_lateness_us=self.cfg.allowed_lateness_us,

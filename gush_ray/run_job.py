@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -41,9 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     if owns_session:
         init_kw = dict(include_dashboard=False, ignore_reinit_error=True,
                        logging_level="ERROR")
-        # under `ray job submit` the address comes from the environment;
-        # standalone we run local
-        init_kw["address"] = "local"
+        # under `ray job submit`, RAY_ADDRESS points at the cluster and
+        # ray.init() must be left to honor it (passing address="local"
+        # would force a NEW nested local instance and ignore the cluster);
+        # only force local when no address is in the environment
+        if not os.environ.get("RAY_ADDRESS"):
+            init_kw["address"] = "local"
         if args.num_cpus:
             init_kw["num_cpus"] = args.num_cpus
         ray.init(**init_kw)
@@ -64,15 +68,20 @@ def main(argv: list[str] | None = None) -> int:
         window_size_us=args.window_sec * 1_000_000,
         session_gap_us=args.gap_sec * 1_000_000,
         mode=args.mode,
+        window_slide_us=(args.slide_sec * 1_000_000
+                         if args.slide_sec else None),
     )
-    if args.slide_sec:
-        job.params.window_slide_us = args.slide_sec * 1_000_000
     res = job.run(resume=not args.no_resume)
     summary = {
         "result": res,
         "committed_epochs": job.sink.committed_epochs(),
         "streams": {
-            s: int(len(job.read_output(s)))
+            # metadata-only row counts — never load the output into memory
+            s: sum(
+                __import__("pyarrow.parquet", fromlist=["x"])
+                .ParquetFile(f).metadata.num_rows
+                for f in job.sink.committed_files(s)
+            )
             for s in ("changes", "windows", "sessions", "sessions_wm",
                       "matches", "late")
         },
