@@ -237,3 +237,18 @@ def test_finalized_stream_rejects_appended_epochs(pages_dir, tmp_path):
     job2 = StreamingJob(work, out, run_id="fin2", num_partitions=4)
     with pytest.raises(ValueError, match="finalized"):
         job2.run(resume=True)
+
+
+def test_many_empty_partitions_still_close_windows(pages_dir, tmp_path):
+    """P far above the key spread: idle partitions must not pin the
+    watermark, windows still close, totals conserve."""
+    out = str(tmp_path / "sparseP")
+    job = StreamingJob(pages_dir, out, run_id="sparse", num_partitions=64)
+    res = job.run()
+    assert res["completed"] == 2
+    ch = job.read_output("changes")
+    w = job.read_output("windows")
+    assert w["n"].sum() == len(ch) > 0
+    # non-final epochs must have a real (finite) watermark
+    man = job.sink.read_manifest(1)
+    assert man["watermark_us"] > -(1 << 61)
