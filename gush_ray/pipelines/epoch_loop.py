@@ -314,16 +314,43 @@ class StreamingJob:
         self._part_max_ts = [NEG_INF] * self.P
         self._commit_thread = None
         self._commit_queue = None
+        self._commit_error: BaseException | None = None
 
     # ------------------------------------------------------------ setup
 
     def epoch_files(self) -> list[str]:
-        """Epoch inputs in stream order: ``epoch=NNNN`` shard directories
-        (or single ``epoch=NNNN.parquet`` files)."""
-        return sorted(
-            p for p in glob.glob(os.path.join(self.pages_dir, "epoch=*"))
-            if os.path.isdir(p) or p.endswith(".parquet")
-        )
+        """Epoch inputs in stream order, keyed by the NUMBER parsed from
+        the ``epoch=NNNN`` directory/file name.
+
+        A lexicographic sort mis-orders unpadded ``epoch=9`` vs
+        ``epoch=10`` and would silently re-bind already-committed
+        manifests to different input data; epoch numbers must be
+        contiguous from 0 (a gap is a missing slice of the stream) and
+        unique — both fail loudly.
+        """
+        import re
+
+        found: dict[int, str] = {}
+        for p in glob.glob(os.path.join(self.pages_dir, "epoch=*")):
+            if not (os.path.isdir(p) or p.endswith(".parquet")):
+                continue
+            m = re.match(r"epoch=(\d+)", os.path.basename(p))
+            if not m:
+                raise ValueError(f"cannot parse epoch number from {p!r}")
+            e = int(m.group(1))
+            if e in found:
+                raise ValueError(
+                    f"duplicate epoch {e}: {found[e]!r} and {p!r}"
+                )
+            found[e] = p
+        if not found:
+            return []
+        nums = sorted(found)
+        if nums != list(range(len(nums))):
+            raise ValueError(
+                f"epoch numbers must be contiguous from 0, got {nums}"
+            )
+        return [found[e] for e in nums]
 
     def actors(self):
         if self._actors is None:
@@ -366,8 +393,27 @@ class StreamingJob:
                     f"is not allowed"
                 )
             return {"completed": n_epochs - 1, "already_done": True}
+        if last >= n_epochs:
+            raise ValueError(
+                f"{last + 1} epochs are committed but only {n_epochs} are "
+                f"present in {self.pages_dir!r} — the input shrank under a "
+                f"committed stream (refusing to silently re-bind manifests)"
+            )
         if 0 <= last < n_epochs:
             start_epoch = last + 1
+            # committed manifests must still describe the discovered input:
+            # an inserted/renamed epoch directory would re-bind an already
+            # committed manifest to different data — fail loudly instead
+            for e in range(last + 1):
+                rec = self.sink.read_manifest(e).get("input_path")
+                if rec is not None and os.path.basename(rec) != \
+                        os.path.basename(files[e]):
+                    raise ValueError(
+                        f"committed epoch {e} was produced from "
+                        f"{os.path.basename(rec)!r} but the discovered "
+                        f"input for that slot is now "
+                        f"{os.path.basename(files[e])!r}"
+                    )
             man = self.sink.read_manifest(last)
             for p in man["partitions"]:
                 pid = p["partition_id"]
@@ -406,6 +452,15 @@ class StreamingJob:
         # last manifests; commit_final still happens strictly afterwards
         flush_refs = self._submit_flush(n_epochs)
         self._drain_commits()  # all epoch manifests durable before finalize
+        committed = self.sink.last_contiguous_epoch()
+        if committed != n_epochs - 1:
+            # belt-and-braces behind _drain_commits' error propagation: the
+            # stream must NEVER finalize with a manifest gap (resume would
+            # report already_done and readers would omit the gap's data)
+            raise RuntimeError(
+                f"cannot finalize: last contiguous committed epoch is "
+                f"{committed}, expected {n_epochs - 1}"
+            )
         self._complete_flush(n_epochs, flush_refs)
         return {"completed": n_epochs - 1, "watermark_us": watermark}
 
@@ -423,13 +478,13 @@ class StreamingJob:
             )
             for i, s in enumerate(shards)
         ]
-        return epoch, shards, refsets
+        return epoch, path, shards, refsets
 
     def _run_epoch(self, epoch: int, submitted) -> int:
         prof = os.environ.get("GUSH_PROFILE")
         t0 = time.perf_counter()
 
-        map_epoch, shards, refsets = submitted
+        map_epoch, input_path, shards, refsets = submitted
         assert map_epoch == epoch
         metas = ray.get([rs[0] for rs in refsets])
         map_sec = round(time.perf_counter() - t0, 3)
@@ -517,7 +572,8 @@ class StreamingJob:
         # crash before the commit just replays the epoch idempotently)
         self._enqueue_commit(
             epoch, int(watermark), parts,
-            {"timings": {"map_sec": map_sec,
+            {"input_path": input_path,
+             "timings": {"map_sec": map_sec,
                          "reduce_sec": reduce_sec,
                          "n_shards": len(shards)}},
         )
@@ -529,6 +585,11 @@ class StreamingJob:
         import queue
         import threading
 
+        # a dead committer must fail the job LOUDLY: swallowing its
+        # exception would let run() finalize a stream with missing epoch
+        # manifests (resume then reports already_done and readers silently
+        # omit the uncommitted epochs' data)
+        self._raise_commit_error()
         if self._commit_thread is None:
             self._commit_queue = queue.Queue()
 
@@ -538,12 +599,25 @@ class StreamingJob:
                     if item is None:
                         return
                     e, wm, p, x = item
-                    self.sink.commit_epoch(e, wm, p, extra=x)
-                    self._prune_snapshots(e)
+                    try:
+                        self.sink.commit_epoch(e, wm, p, extra=x)
+                        self._prune_snapshots(e)
+                    except BaseException as exc:  # captured, re-raised on
+                        self._commit_error = exc  # the driver thread
+                        return
 
             self._commit_thread = threading.Thread(target=worker, daemon=True)
             self._commit_thread.start()
         self._commit_queue.put((epoch, watermark, parts, extra))
+
+    def _raise_commit_error(self) -> None:
+        if self._commit_error is not None:
+            err, self._commit_error = self._commit_error, None
+            self._commit_thread = None
+            self._commit_queue = None
+            raise RuntimeError(
+                "epoch manifest commit failed in the background committer"
+            ) from err
 
     def _drain_commits(self) -> None:
         if self._commit_thread is not None:
@@ -551,6 +625,7 @@ class StreamingJob:
             self._commit_thread.join()
             self._commit_thread = None
             self._commit_queue = None
+        self._raise_commit_error()
 
     def _prune_snapshots(self, committed_epoch: int, keep: int = 2) -> None:
         """Retention: only the last ``keep`` committed epochs' snapshots

@@ -151,7 +151,8 @@ FROM s2 GROUP BY user_id, sid
 
 def q_change_classify(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    out = classify_changes(ev, key="user_id", ts_col="ts", drop_replays=False)
+    out = classify_changes(ev, key="user_id", ts_col="ts",
+                           drop_replays=False, tie_col="event_id")
     return out.select_columns(["event_id", "user_id", "version", "change_kind"])
 
 
@@ -493,7 +494,9 @@ def q_change_delta(sf_dir: str):
                                           "value"])
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        # event_id tie-break matches the oracle's ORDER BY ts, event_id
+        # (ties would otherwise resolve by nondeterministic block order)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         prev = df.groupby("user_id", sort=False)["value"].shift()
         out = df[["event_id", "user_id"]].copy()
         out["delta_value"] = _round_ha(df["value"] - prev, 4)

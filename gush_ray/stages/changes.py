@@ -21,12 +21,20 @@ from gush_ray.stages.shuffle import partition_map
 
 
 def classify_changes(ds, key: str = "url", ts_col: str = "warc_ts",
-                     num_partitions: int = 32, drop_replays: bool = True):
+                     num_partitions: int = 32, drop_replays: bool = True,
+                     tie_col: str | None = None):
     """Add ``version`` (0-based per key, ts order) and ``change_kind``
-    ('insert' | 'update'); drop exact (key, ts) replay duplicates."""
+    ('insert' | 'update'); drop exact (key, ts) replay duplicates.
+
+    ``tie_col`` (e.g. an event id) breaks (key, ts) ties deterministically
+    — without it, Ray's nondeterministic block order makes the version
+    assignment of tied rows vary across runs (the paired oracles order by
+    ``ts, event_id``). Leave ``None`` only when (key, ts) is unique.
+    """
+    sort_cols = [key, ts_col] + ([tie_col] if tie_col else [])
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, ts_col], kind="mergesort")
+        df = df.sort_values(sort_cols, kind="mergesort")
         if drop_replays:
             df = df.drop_duplicates([key, ts_col], keep="first")
         df = df.copy()

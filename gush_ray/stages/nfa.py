@@ -110,6 +110,11 @@ class NFARunner:
     def __init__(self, pattern: Pattern):
         self.pattern = pattern
         self.partials: dict[object, list[_Partial]] = {}
+        # cumulative count of partial runs dropped by the max_partials cap
+        # — surfaced in process metrics so oracle divergence on hot keys is
+        # diagnosable (the truncation itself is deterministic but would
+        # otherwise be unobservable)
+        self.truncated: int = 0
 
     def process_sorted(self, df: pd.DataFrame) -> pd.DataFrame:
         """Feed events (already sorted by (key, ts) within the partition);
@@ -197,6 +202,7 @@ class NFARunner:
                 ]
                 if len(alive) > pat.max_partials:
                     alive.sort(key=lambda p: p.start_us)
+                    self.truncated += len(alive) - pat.max_partials
                     alive = alive[-pat.max_partials:]
                 self.partials[k] = alive
 
@@ -231,10 +237,11 @@ class NFARunner:
             del self.partials[k]
 
     def state(self) -> dict:
-        return {"partials": self.partials}
+        return {"partials": self.partials, "truncated": self.truncated}
 
     def restore(self, st: dict) -> None:
         self.partials = st["partials"]
+        self.truncated = st.get("truncated", 0)
 
 
 def match_pattern_batch(ds, pattern: Pattern, num_partitions: int = 32):

@@ -202,8 +202,13 @@ class PartitionState:
                 {f"g{i}": g for i, g in enumerate(gcols)} | {
                     "w": wid, "v": val}
             )
+            # dropna=False: rows whose group column is null (e.g. an
+            # unmatched dimension key from the broadcast dim join) must
+            # still be counted — pandas' default silently drops them,
+            # breaking changes/windows conservation (agg.py sets the same)
             grouped = acc_df.groupby(
-                [f"g{i}" for i in range(len(gcols))] + ["w"], sort=False
+                [f"g{i}" for i in range(len(gcols))] + ["w"], sort=False,
+                dropna=False,
             )["v"].agg(["size", "sum"])
             # plain zip over index tuples — iterrows materializes a Series
             # per group and was measurably hot in the reduce phase
@@ -211,6 +216,15 @@ class PartitionState:
                 grouped.index, grouped["size"].to_numpy(),
                 grouped["sum"].to_numpy()
             ):
+                # NaN group labels are normalized to None: since py3.10
+                # distinct float('nan') objects hash by identity, so raw
+                # NaN keys would never merge across batches/epochs
+                if not isinstance(key, tuple):
+                    key = (key,)
+                key = tuple(
+                    None if (isinstance(v, float) and v != v) else v
+                    for v in key
+                )
                 slot = self.win.setdefault(key, [0, 0.0])
                 slot[0] += int(cnt)
                 slot[1] += float(s)
@@ -237,6 +251,9 @@ class PartitionState:
                 "inserts": int((df["change_kind"] == "insert").sum()) if len(df) else 0,
                 "updates": int((df["change_kind"] == "update").sum()) if len(df) else 0,
                 "matches": int(len(matches)),
+                # cumulative runs dropped by the max_partials cap (0 means
+                # the all-runs/SQL-self-join semantics are exact so far)
+                "nfa_truncated": int(self.nfa.truncated) if self.nfa else 0,
                 "max_ts_us": self.max_ts_us,
             },
         }
@@ -256,11 +273,17 @@ class PartitionState:
         sid = (new_key | gap_break).cumsum()
         per = (
             df.assign(__us=us, __sid=sid)
-            .groupby([p.key_col, "__sid"], sort=False)["__us"]
+            .groupby([p.key_col, "__sid"], sort=False, dropna=False)["__us"]
             .agg(["min", "max", "size"])
             .reset_index()
         )
         keys = per[p.key_col].to_numpy()
+        if keys.dtype == object:
+            # normalize NaN keys to None (see window-accumulator note)
+            keys = np.array(
+                [None if (isinstance(k, float) and k != k) else k
+                 for k in keys], dtype=object,
+            )
         mins = per["min"].to_numpy().astype(np.int64)
         maxs = per["max"].to_numpy().astype(np.int64)
         sizes = per["size"].to_numpy().astype(np.int64)

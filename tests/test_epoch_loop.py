@@ -230,10 +230,10 @@ def test_finalized_stream_rejects_appended_epochs(pages_dir, tmp_path):
     sh.copytree(src, work)
     out = str(tmp_path / "finalized")
     job, _ = run_job(work, out, run_id="fin1")
-    # append a new epoch directory after finalize
+    # append the next contiguous epoch directory after finalize
     epochs = sorted(os.listdir(work))
     sh.copytree(os.path.join(work, epochs[0]),
-                os.path.join(work, "epoch=0099"))
+                os.path.join(work, f"epoch={len(epochs):04d}"))
     job2 = StreamingJob(work, out, run_id="fin2", num_partitions=4)
     with pytest.raises(ValueError, match="finalized"):
         job2.run(resume=True)
@@ -252,3 +252,94 @@ def test_many_empty_partitions_still_close_windows(pages_dir, tmp_path):
     # non-final epochs must have a real (finite) watermark
     man = job.sink.read_manifest(1)
     assert man["watermark_us"] > -(1 << 61)
+
+
+def test_commit_failure_fails_run(pages_dir, tmp_path):
+    """A failing manifest commit in the background committer must fail
+    run() loudly — never finalize a stream with missing epoch manifests
+    (resume would report already_done and readers would omit data)."""
+    out = str(tmp_path / "commitfail")
+    job = StreamingJob(pages_dir, out, run_id="cfail", num_partitions=2)
+
+    def boom(*a, **kw):
+        raise OSError("ENOSPC (simulated)")
+
+    job.sink.commit_epoch = boom
+    with pytest.raises(RuntimeError, match="commit failed"):
+        job.run()
+    assert not job.sink.final_committed()
+    assert job.sink.committed_epochs() == []
+
+
+def test_epoch_dirs_sorted_numerically(tmp_path):
+    """Unpadded epoch=9 vs epoch=10 must order numerically, not
+    lexicographically (lexicographic re-binds manifests to wrong data)."""
+    import os
+
+    d = str(tmp_path / "unpadded")
+    os.makedirs(d)
+    for e in range(11):
+        os.makedirs(os.path.join(d, f"epoch={e}"))
+    job = StreamingJob(d, str(tmp_path / "o1"), run_id="np1")
+    files = job.epoch_files()
+    assert [os.path.basename(f) for f in files] == \
+        [f"epoch={e}" for e in range(11)]
+
+    # a gap in the epoch numbering is a missing stream slice: loud error
+    os.rename(os.path.join(d, "epoch=5"), os.path.join(d, "epoch=50"))
+    with pytest.raises(ValueError, match="contiguous"):
+        job.epoch_files()
+
+
+def test_resume_rejects_rebound_input(pages_dir, tmp_path):
+    """Resume must fail loudly when a committed epoch's manifest no longer
+    matches the discovered input directory for that slot."""
+    import os
+    import shutil as sh
+
+    work = str(tmp_path / "pages_rebind")
+    sh.copytree(pages_dir, work)
+    out = str(tmp_path / "rebind_out")
+    job = StreamingJob(work, out, run_id="rb1", num_partitions=2)
+    job.run(stop_after=1)  # commit epoch 0 only
+    # same epoch number, different directory name → different input binding
+    os.rename(os.path.join(work, "epoch=0000"), os.path.join(work, "epoch=0"))
+    job2 = StreamingJob(work, out, run_id="rb2", num_partitions=2)
+    with pytest.raises(ValueError, match="discovered input"):
+        job2.run(resume=True)
+
+
+def test_resume_rejects_shrunk_input(pages_dir, tmp_path):
+    """More epochs committed than discovered → the input shrank under a
+    committed stream; refuse instead of silently reprocessing from 0."""
+    import os
+    import shutil as sh
+
+    work = str(tmp_path / "pages_shrink")
+    sh.copytree(pages_dir, work)
+    out = str(tmp_path / "shrink_out")
+    job = StreamingJob(work, out, run_id="sh1", num_partitions=2)
+    job.run(stop_after=2)  # commit epochs 0 and 1
+    for name in sorted(os.listdir(work))[1:]:
+        sh.rmtree(os.path.join(work, name))
+    job2 = StreamingJob(work, out, run_id="sh2", num_partitions=2)
+    with pytest.raises(ValueError, match="shrank"):
+        job2.run(resume=True)
+
+
+def test_streaming_dim_join_unmatched_keys(pages_dir, tmp_path):
+    """Sites missing from the dimension snapshot produce null-category
+    change rows — window counts must still conserve (dropna=False in the
+    streaming accumulators; an earlier version silently dropped them)."""
+    from gush_ray.datagen import gen_dim_sites
+
+    out = str(tmp_path / "dimjoin_miss")
+    dim = gen_dim_sites(100).to_pandas().iloc[:3]  # most sites unmatched
+    job = StreamingJob(pages_dir, out, run_id="dimm", num_partitions=4,
+                       dim_df=dim,
+                       window_group_cols=("category", "change_kind"))
+    job.run()
+    ch = job.read_output("changes")
+    assert ch["category"].isna().any()  # unmatched keys exist
+    w = job.read_output("windows")
+    assert w["n"].sum() == len(ch)      # conservation incl. null groups

@@ -177,3 +177,44 @@ def test_strict_nfa_in_state():
     ]))
     m = out["matches"].to_pandas()
     assert len(m) == 1 and m.iloc[0]["recrawl_id"] == 1
+
+
+def test_null_group_rows_counted_in_windows():
+    """Rows whose window-group column is null (e.g. an unmatched dim key
+    from the broadcast dimension join) must still be counted — pandas'
+    default dropna=True silently broke changes/windows conservation."""
+    ps = mk(window_size_us=100)
+    out = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "b", "ts_us": 20, "lang": None},   # unmatched dim key
+        {"url": "c", "ts_us": 30, "lang": None},
+    ]))
+    assert out["changes"].num_rows == 3
+    # NaN group labels merge ACROSS batches (keys normalized to None —
+    # distinct float('nan') objects hash by identity since py3.10)
+    ps.process(1, tbl([{"url": "d", "ts_us": 40, "lang": None}]))
+    closes = ps.advance_watermark(1_000)
+    w = closes["windows"].to_pandas()
+    assert w["n"].sum() == 4  # conservation incl. the null-group rows
+    null_rows = w[w["lang"].isna()]
+    assert len(null_rows) == 1 and null_rows.iloc[0]["n"] == 3
+
+
+def test_nfa_truncation_surfaced_in_metrics():
+    """The max_partials cap must be observable: a hot key that overflows
+    the live-run bound reports how many runs were dropped."""
+    pat = Pattern(
+        steps=(Step("a", "change_kind", "insert"),
+               Step("b", "change_kind", "update", quantifier="+")),
+        within_us=10_000, key="url", ts_col="ts_us", id_col="version",
+        max_partials=4,
+    )
+    ps = mk(pattern=pat, window_size_us=100_000)
+    rows = [{"url": "hot", "ts_us": 10 + i, "lang": "en"}
+            for i in range(40)]
+    out = ps.process(0, tbl(rows))
+    assert out["metrics"]["nfa_truncated"] > 0
+    # counter survives snapshot/restore
+    ps2 = mk(pattern=pat, window_size_us=100_000)
+    ps2.restore_bytes(ps.snapshot_bytes())
+    assert ps2.nfa.truncated == ps.nfa.truncated
