@@ -26,7 +26,6 @@ from gush_ray.datagen import ensure_pages
 from gush_ray.stages.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
-    ngram_jaccard_verify,
     simhash_near_dup_pairs,
 )
 from gush_ray.stages.multimodal import decode_features, sniff_blob_batch
@@ -65,13 +64,21 @@ def q_minhash_dedup(sf_dir: str):
 
 def q_minhash_clusters(sf_dir: str):
     """Near-dup pairs resolved into duplicate clusters (connected
-    components, min-id keeper) — the full dedup decision output."""
-    from gush_ray.stages.dedup import cluster_summary, duplicate_clusters
+    components, min-id keeper) — the full dedup decision output.
+
+    Clustering runs distributed (min-label propagation over the edge
+    list, stages/dedup.duplicate_clusters_distributed): no whole-edge-set
+    union-find on the driver; only the final (doc_id, cluster_id) rows —
+    bounded by the candidate set — are collected for the summary."""
+    from gush_ray.stages.dedup import (
+        cluster_summary,
+        duplicate_clusters_distributed,
+    )
 
     corpus = _dup_corpus(sf_dir)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.5).to_pandas()
-    clusters = duplicate_clusters(pairs)
-    return cluster_summary(clusters)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    clusters = duplicate_clusters_distributed(pairs)
+    return cluster_summary(clusters.to_pandas())
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -82,18 +89,17 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """MinHash candidates verified with exact n-gram Jaccard.
+    """MinHash candidates verified with exact n-gram Jaccard via a hash
+    join of the (small-by-construction) candidate-pair set back to the
+    corpus — the corpus is never materialized driver-side
+    (stages/dedup.ngram_jaccard_pairs)."""
+    from gush_ray.stages.dedup import ngram_jaccard_pairs
 
-    The text lookup is a broadcast dict at this scale; at corpus scale the
-    verification is a hash join of the candidate pairs back to the corpus.
-    """
     corpus = _dup_corpus(sf_dir)
-    cdf = corpus.to_pandas()  # ONE execution: (doc_id, text) stay row-aligned
-    texts = dict(zip(cdf["doc_id"], cdf["text"]))
-    pairs = minhash_lsh_pairs(corpus, threshold=0.5).to_pandas()
-    out = ngram_jaccard_verify(pairs, texts, n=3)
-    out = out[out["jaccard"] >= 0.5]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    out = ngram_jaccard_pairs(corpus, pairs, n=3)
+    df = out.filter(expr="jaccard >= 0.5").to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _emb_dup_corpus(sf_dir: str):

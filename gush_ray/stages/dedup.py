@@ -147,16 +147,106 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------- duplicate clusters
 
+def duplicate_clusters_distributed(pairs_ds, a_col: str = "doc_a",
+                                   b_col: str = "doc_b",
+                                   num_partitions: int = 8,
+                                   max_rounds: int = 30):
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    Dataset, cluster_id = minimum member id — computed DISTRIBUTED via
+    min-label propagation: rounds of hash-join + groupby-min over the
+    edge list until fixpoint. Only the edge list (small relative to the
+    corpus, but potentially far beyond driver memory at 10^12 docs)
+    shuffles; the driver holds one scalar per round.
+
+    Rounds needed = O(cluster diameter); near-dup clusters are shallow
+    (stars/cliques from shared LSH buckets), so 2-4 rounds is typical.
+    ``max_rounds`` bounds pathological chains; hitting it raises rather
+    than returning partially-merged clusters.
+    """
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([b[a_col].to_numpy(),
+                                    b[b_col].to_numpy()]),
+            "nbr": np.concatenate([b[b_col].to_numpy(),
+                                   b[a_col].to_numpy()]),
+        })
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pandas").materialize()
+
+    def init_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": b["node"].to_numpy(),
+            "label": np.minimum(b["node"].to_numpy(), b["nbr"].to_numpy()),
+        })
+
+    # the trailing repartition is load-bearing, not cosmetic: map_groups
+    # (inside partial_aggregate) emits schema-LESS empty blocks for empty
+    # partitions, map_batches skips empty blocks so they can't be fixed
+    # downstream, and the Acero hash join rejects a schemaless right side;
+    # repartition folds the empties into schemaed blocks
+    labels = partial_aggregate(
+        edges.map_batches(init_label, batch_format="pandas"),
+        ["node"], {"label": ("label", "min")},
+    ).repartition(num_partitions).materialize()
+    prev_sum = labels.sum("label")
+
+    def to_nbr(b: pd.DataFrame) -> pd.DataFrame:
+        # groupby().map_groups (inside partial_aggregate) can emit empty
+        # blocks with NO schema; the Acero hash join rejects a schemaless
+        # right side ("no match for key field") — normalize them here
+        if len(b) == 0:
+            return pd.DataFrame({"nbr": pd.Series(dtype="int64"),
+                                 "nbr_label": pd.Series(dtype="int64")})
+        return b.rename(columns={"node": "nbr", "label": "nbr_label"})
+
+    for _ in range(max_rounds):
+        # propagate each node's label across its edges, take the min of
+        # (own label, every neighbor's label)
+        nbr_labels = labels.map_batches(to_nbr, batch_format="pandas")
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                     "label": pd.Series(dtype="int64")})
+            return pd.DataFrame({"node": b["node"].to_numpy(),
+                                 "label": b["nbr_label"].to_numpy()})
+
+        cand = hash_join(edges, nbr_labels, on=("nbr",),
+                         num_partitions=num_partitions).map_batches(
+            project, batch_format="pandas",
+        )
+        labels = partial_aggregate(
+            cand.union(labels), ["node"], {"label": ("label", "min")}
+        ).repartition(num_partitions).materialize()
+        # labels are componentwise non-increasing, so an unchanged sum IS
+        # the fixpoint (total decrease per round is far below 2^63, so the
+        # int64 sum can't alias a real decrease to equality)
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels.map_batches(
+                lambda b: b.rename(columns={"node": "doc_id",
+                                            "label": "cluster_id"}),
+                batch_format="pandas",
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_rounds} rounds"
+    )
+
+
 def duplicate_clusters(pairs_df: pd.DataFrame, a_col: str = "doc_a",
                        b_col: str = "doc_b") -> pd.DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the minimum member id (the canonical keeper).
 
-    Driver-side union-find with path compression — sound here because the
-    pair set is small BY CONSTRUCTION (LSH buckets are capped and pairs
-    are threshold-filtered). At 10^12-doc scale the same result comes
-    from a few rounds of min-label propagation (groupby-min over the edge
-    list) — the pairs, not the corpus, are the input either way.
+    Driver-side union-find with path compression — the small-input
+    reference implementation (pair-set fits driver memory); the scale
+    path is :func:`duplicate_clusters_distributed`, which produces the
+    identical mapping (pinned by a parity test) without materializing
+    the edge list on the driver.
     """
     parent: dict = {}
 
@@ -281,13 +371,78 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # --------------------------------------------------------- exact n-gram J
 
+def _gram_hash_batch(b: pd.DataFrame, id_col: str, text_col: str,
+                     n: int, grams_col: str) -> pd.DataFrame:
+    """doc → sorted unique uint64 word-n-gram hashes, PACKED AS BYTES:
+    a binary column survives the Acero hash join as a payload field,
+    whereas numpy-array cells become Ray's tensor extension type which
+    the join rejects."""
+    out_ids = b[id_col].to_numpy()
+    grams = []
+    for t in b[text_col].fillna(""):
+        h = _token_hashes(t, n)
+        grams.append(np.unique(h).tobytes())
+    return pd.DataFrame({id_col: out_ids, grams_col: grams})
+
+
+def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 8):
+    """Exact word-n-gram Jaccard verification of candidate pairs WITHOUT
+    materializing the corpus anywhere: the corpus is semi-filtered to the
+    candidate doc ids (broadcast id set — the pair set is small BY
+    CONSTRUCTION: LSH buckets are capped and pairs threshold-filtered),
+    its n-gram hash sets are hash-joined onto the pairs, and the Jaccard
+    is computed per batch. Only candidate docs' gram sets ever shuffle.
+    """
+    from gush_ray.stages.joins import broadcast_semi_filter, hash_join
+
+    # pairs are consumed twice (id set + join): pin them so the upstream
+    # LSH pipeline doesn't re-execute; they are small by construction
+    pairs_ds = pairs_ds.materialize()
+    pdf_ids = pairs_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
+    cand_ids = set(pdf_ids["doc_a"]) | set(pdf_ids["doc_b"])
+    # pin the filtered corpus too: the full-corpus scan behind the semi
+    # filter must run once, not once per join side
+    sub = broadcast_semi_filter(corpus_ds, cand_ids, on=id_col).materialize()
+    grams_a = sub.map_batches(
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "grams_a")
+        .rename(columns={id_col: "doc_a"}),
+        batch_format="pandas",
+    )
+    grams_b = sub.map_batches(
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "grams_b")
+        .rename(columns={id_col: "doc_b"}),
+        batch_format="pandas",
+    )
+    j1 = hash_join(pairs_ds, grams_a, on=("doc_a",),
+                   num_partitions=num_partitions)
+    j2 = hash_join(j1, grams_b, on=("doc_b",),
+                   num_partitions=num_partitions)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(b), dtype=np.float64)
+        for i, (ga, gb) in enumerate(zip(b["grams_a"], b["grams_b"])):
+            ga = np.frombuffer(ga, dtype=np.uint64)
+            gb = np.frombuffer(gb, dtype=np.uint64)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            jac[i] = inter / max(1, union)
+        out = b.drop(columns=["grams_a", "grams_b"]).copy()
+        out["jaccard"] = np.round(jac, 4)
+        return out
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def ngram_jaccard_verify(pairs_df: pd.DataFrame, texts: dict,
                          n: int = 3) -> pd.DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification stage).
 
-    ``texts`` is a broadcastable {id: text} mapping — at scale this is a
-    hash join of the (small) candidate-pair set back to the corpus; at
-    test scale a broadcast dict.
+    ``texts`` is a {id: text} dict — the SMALL-INPUT reference form; the
+    scale path is :func:`ngram_jaccard_pairs`, which hash-joins the
+    candidate pairs back to the corpus instead (identical jaccard values,
+    pinned by a parity test).
     """
     def grams(t: str) -> set:
         w = t.split()

@@ -160,15 +160,17 @@ def hash_join(left, right, on: str | tuple, num_partitions: int = 32,
 def find_hot_keys(ds, key: str, threshold: int, sample_frac: float | None = None):
     """Count-based heavy-hitter detection (partial-agg, tiny shuffle).
 
-    At 100 TB run this on a sample (``sample_frac``) with a scaled
-    threshold — the partials shuffle is already small, but the scan can be.
+    The ``n >= threshold`` cut runs DISTRIBUTED, after the merge stage —
+    only the hot keys (tiny by definition of "hot") ever reach the
+    driver; at 10^9+ distinct keys materializing one count row per key
+    driver-side would OOM. At 100 TB also run this on a sample
+    (``sample_frac``) with a scaled threshold — the partials shuffle is
+    already small, but the scan can be.
     """
     src = ds if sample_frac is None else ds.random_sample(sample_frac, seed=13)
     counts = partial_aggregate(src, [key], {"n": (None, "count")})
-    # one partial row per key — small enough to threshold driver-side
-    # (vectorized; a per-row Python filter here costs seconds for nothing)
-    df = counts.to_pandas()
-    return df.loc[df["n"] >= threshold, key].tolist()
+    hot = counts.filter(expr=f"n >= {threshold}")
+    return hot.to_pandas()[key].tolist()
 
 
 def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,

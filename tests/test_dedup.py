@@ -190,3 +190,70 @@ def test_embedding_lsh_recall_vs_exact():
     assert len(e) > 0
     recall = len(l & e) / len(e)
     assert recall >= 0.9, f"LSH recall {recall:.3f}"
+
+
+def test_distributed_clusters_match_union_find():
+    """Min-label propagation (the distributed/100-TB path) must produce
+    the identical (doc_id, cluster_id) mapping as driver union-find —
+    including a chain (propagation depth > 1)."""
+    from gush_ray.stages.dedup import (
+        duplicate_clusters, duplicate_clusters_distributed,
+    )
+
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 3, 10, 20, 30, 31],
+        "doc_b": [2, 3, 4, 11, 21, 31, 32],   # chain 1-2-3-4, chain 30-31-32
+    })
+    ref = duplicate_clusters(pairs).sort_values("doc_id")
+    got = (
+        duplicate_clusters_distributed(rd.from_pandas(pairs))
+        .to_pandas().sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        ref.reset_index(drop=True),
+        got[["doc_id", "cluster_id"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_distributed_clusters_on_fixture_corpus():
+    """Cluster parity old-vs-new on the real fixture pipeline output."""
+    from gush_ray.stages.dedup import (
+        duplicate_clusters, duplicate_clusters_distributed, minhash_lsh_pairs,
+    )
+    from gush_ray.pipelines.queries_extra import _dup_corpus
+
+    pairs = minhash_lsh_pairs(_dup_corpus(SF_DIR), threshold=0.5).materialize()
+    ref = duplicate_clusters(pairs.to_pandas()).sort_values("doc_id")
+    got = (duplicate_clusters_distributed(pairs)
+           .to_pandas().sort_values("doc_id"))
+    pd.testing.assert_frame_equal(
+        ref.reset_index(drop=True),
+        got[["doc_id", "cluster_id"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_ngram_jaccard_join_matches_broadcast_dict():
+    """The hash-join verification path (no driver-side corpus dict) must
+    produce identical jaccard values to the reference broadcast-dict
+    implementation."""
+    from gush_ray.stages.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, ngram_jaccard_verify,
+    )
+
+    corpus = corpus_with_dups()
+    pairs = minhash_lsh_pairs(corpus, threshold=0.3).materialize()
+    cdf = corpus.to_pandas()
+    ref = ngram_jaccard_verify(
+        pairs.to_pandas(), dict(zip(cdf["doc_id"], cdf["text"])), n=3
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    got = (
+        ngram_jaccard_pairs(corpus, pairs, n=3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        ref[["doc_a", "doc_b", "jaccard"]],
+        got[["doc_a", "doc_b", "jaccard"]],
+        check_dtype=False,
+    )
