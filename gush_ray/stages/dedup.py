@@ -50,17 +50,75 @@ def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
+def hash_object_chunks(arr: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
+    """``pd.util.hash_array`` in cache-sized chunks: one call over a
+    megabyte-scale object array runs ~2x slower than chunked on this
+    memory-bandwidth-bound machine (measurement in BENCH/BASELINE.md).
+    Elementwise hash → chunking cannot change values."""
+    if len(arr) <= chunk:
+        return pd.util.hash_array(arr, categorize=False)
+    return np.concatenate([
+        pd.util.hash_array(arr[i : i + chunk], categorize=False)
+        for i in range(0, len(arr), chunk)
+    ])
+
+
+def _batch_grams(texts, shingle: int) -> tuple[list, np.ndarray]:
+    """All docs' word-shingle grams concatenated + doc-boundary starts.
+    Every doc contributes ≥1 gram (short/empty docs yield one), so the
+    starts are strictly increasing — a reduceat precondition."""
+    all_grams: list = []
+    bounds = [0]
+    for text in texts:
+        words = text.split()
+        if len(words) < shingle:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [
+                " ".join(words[i : i + shingle])
+                for i in range(len(words) - shingle + 1)
+            ]
+        all_grams.extend(grams)
+        bounds.append(bounds[-1] + len(grams))
+    return all_grams, np.asarray(bounds, dtype=np.int64)
+
+
+# tokens per permute chunk. Two jobs: (1) bound the (tokens × num_perm)
+# temp regardless of batch text volume; (2) keep it CACHE-SIZED — 2048
+# tokens × 64 perms × 8 B = 1 MiB. Measured on this sandbox: the same
+# arithmetic over a 64 MiB temp is 7x SLOWER than 1 MiB chunks (memory
+# bandwidth, not flops, is the wall; sweep recorded in BENCH/BASELINE.md)
+_MINHASH_CHUNK_TOKENS = 2048
+
+
 def minhash_batch(batch: pd.DataFrame, text_col: str = "text",
                   num_perm: int = 64, shingle: int = 3,
                   seed: int = 1234) -> pd.DataFrame:
-    """doc → minhash signature (uint64[num_perm]); vectorized per doc."""
+    """doc → minhash signature (uint64[num_perm]), vectorized over the
+    WHOLE batch: one hash_array call for every doc's grams, then
+    ``np.minimum.reduceat`` at doc boundaries (the same pattern as
+    :func:`simhash_batch`; the per-doc outer-product loop this replaces
+    was the hot path of the dedup family — measured speedup recorded in
+    BENCH/BASELINE.md). Chunked over docs so the permute temp stays
+    bounded for text-heavy batches."""
     a, b = _perm_params(num_perm, seed)
-    sigs = np.empty((len(batch), num_perm), dtype=np.uint64)
-    for i, text in enumerate(batch[text_col].fillna("")):
-        h = _token_hashes(text, shingle)
-        # (a*h + b) mod p, min over tokens — outer product t×num_perm
-        vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-        sigs[i] = vals.min(axis=0)
+    n = len(batch)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n:
+        all_grams, bounds = _batch_grams(batch[text_col].fillna(""), shingle)
+        h = hash_object_chunks(np.asarray(all_grams, dtype=object))
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1  # always take ≥1 doc, even one over the token cap
+            while d1 < n and bounds[d1 + 1] - bounds[d0] <= _MINHASH_CHUNK_TOKENS:
+                d1 += 1
+            hh = h[bounds[d0] : bounds[d1]]
+            # (a*h + b) mod p over all tokens at once, min per doc segment
+            vals = (hh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            sigs[d0:d1] = np.minimum.reduceat(
+                vals, bounds[d0:d1] - bounds[d0], axis=0
+            )
+            d0 = d1
     out = batch[[c for c in batch.columns if c != text_col]].copy()
     out["sig"] = list(sigs)
     return out

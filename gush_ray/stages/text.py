@@ -87,19 +87,33 @@ def fingerprint_batch(batch: pd.DataFrame, col: str = "text",
     """Winnowing-style document fingerprint: min hash over char shingles.
 
     Deterministic (pd.util.hash_array, fixed key); rows with text shorter
-    than the shingle get the hash of the whole text.
+    than the shingle get the hash of the whole text; null rows get 0.
+    Vectorized over the batch: ONE hash_array call for all docs' shingles
+    + ``np.minimum.reduceat`` at doc boundaries (a per-row ``.map`` with a
+    per-doc hash_array call was measurably hot — see BENCH/BASELINE.md).
     """
-    def fp(s: str) -> np.uint64:
-        if s is None:
-            return np.uint64(0)
-        if len(s) <= shingle:
-            return pd.util.hash_array(np.array([s], dtype=object))[0]
-        grams = np.array(
-            [s[i : i + shingle] for i in range(len(s) - shingle + 1)],
-            dtype=object,
-        )
-        return pd.util.hash_array(grams, categorize=False).min()
-
     batch = batch.copy()
-    batch[out] = batch[col].map(fp).astype("uint64")
+    n = len(batch)
+    if n == 0:
+        batch[out] = pd.Series(dtype="uint64")
+        return batch
+    all_grams: list = []
+    bounds = [0]
+    null_mask = np.zeros(n, dtype=bool)
+    for i, s in enumerate(batch[col]):
+        if s is None or (isinstance(s, float) and s != s):
+            null_mask[i] = True
+            grams = [""]  # placeholder segment, overwritten with 0 below
+        elif len(s) <= shingle:
+            grams = [s]
+        else:
+            grams = [s[j : j + shingle] for j in range(len(s) - shingle + 1)]
+        all_grams.extend(grams)
+        bounds.append(bounds[-1] + len(grams))
+    from gush_ray.stages.dedup import hash_object_chunks
+
+    h = hash_object_chunks(np.asarray(all_grams, dtype=object))
+    fps = np.minimum.reduceat(h, np.asarray(bounds[:-1], dtype=np.int64))
+    fps[null_mask] = 0
+    batch[out] = fps.astype("uint64")
     return batch

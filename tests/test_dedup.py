@@ -257,3 +257,61 @@ def test_ngram_jaccard_join_matches_broadcast_dict():
         got[["doc_a", "doc_b", "jaccard"]],
         check_dtype=False,
     )
+
+
+def test_minhash_batch_vectorized_parity():
+    """The batch-vectorized minhash (concat + minimum.reduceat) must
+    produce byte-identical signatures to the per-doc reference math."""
+    from gush_ray.stages.dedup import (
+        _MERSENNE, _perm_params, _token_hashes, minhash_batch,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    docs.loc[docs.index[:2], "text"] = ["", "one two"]  # short/empty docs
+    got = minhash_batch(docs.copy(), num_perm=64, shingle=3, seed=1234)
+
+    a, b = _perm_params(64, 1234)
+    for i, (did, text) in enumerate(zip(docs["doc_id"], docs["text"].fillna(""))):
+        h = _token_hashes(text, 3)
+        ref = ((h[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
+        assert (got["sig"].iloc[i] == ref).all(), f"doc {did} mismatch"
+
+
+def test_minhash_batch_chunking_parity():
+    """Chunk boundaries must not change signatures (force tiny chunks)."""
+    import gush_ray.stages.dedup as D
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).head(50)
+    full = D.minhash_batch(docs.copy())
+    orig = D._MINHASH_CHUNK_TOKENS
+    try:
+        D._MINHASH_CHUNK_TOKENS = 7  # force many tiny doc chunks
+        tiny = D.minhash_batch(docs.copy())
+    finally:
+        D._MINHASH_CHUNK_TOKENS = orig
+    for s1, s2 in zip(full["sig"], tiny["sig"]):
+        assert (s1 == s2).all()
+
+
+def test_fingerprint_batch_vectorized_parity():
+    from gush_ray.stages.text import fingerprint_batch
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    docs.loc[docs.index[0], "text"] = None     # null row → 0
+    docs.loc[docs.index[1], "text"] = "abc"    # shorter than shingle
+    got = fingerprint_batch(docs.copy(), shingle=5)
+
+    def ref_fp(s):
+        if s is None:
+            return np.uint64(0)
+        if len(s) <= 5:
+            return pd.util.hash_array(np.array([s], dtype=object))[0]
+        grams = np.array([s[i:i + 5] for i in range(len(s) - 4)],
+                         dtype=object)
+        return pd.util.hash_array(grams, categorize=False).min()
+
+    for i, s in enumerate(docs["text"]):
+        assert got["fingerprint"].iloc[i] == ref_fp(s), f"row {i}"
