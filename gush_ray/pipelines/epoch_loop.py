@@ -352,6 +352,40 @@ class StreamingJob:
             )
         return [found[e] for e in nums]
 
+    def _discover_ready(self, ready_marker: str | None = "_READY") -> list[str]:
+        """Continuous-ingestion discovery: the contiguous READY prefix of
+        the epoch stream (the graft of the reference's live binlog tail,
+        binlog/BinlogServerReader.scala:10-19 — epochs appear while the
+        job runs).
+
+        A directory epoch is ready when it contains ``ready_marker`` (the
+        writer drops it after the shard files are complete — without a
+        marker a half-written directory would be consumed as a short
+        epoch); a single ``epoch=N.parquet`` file is ready by existence
+        (single-file writes are atomic via rename). Epochs beyond a gap
+        are ignored until the gap fills — epoch order is stream order.
+        """
+        import re
+
+        found: dict[int, str] = {}
+        for p in glob.glob(os.path.join(self.pages_dir, "epoch=*")):
+            m = re.match(r"epoch=(\d+)", os.path.basename(p))
+            if not m:
+                continue
+            e = int(m.group(1))
+            if p.endswith(".parquet"):
+                found[e] = p
+            elif os.path.isdir(p):
+                if ready_marker is None or os.path.exists(
+                        os.path.join(p, ready_marker)):
+                    found[e] = p
+        out: list[str] = []
+        e = 0
+        while e in found:
+            out.append(found[e])
+            e += 1
+        return out
+
     def actors(self):
         if self._actors is None:
             self._actors = [
@@ -375,13 +409,15 @@ class StreamingJob:
 
     # ------------------------------------------------------------- run
 
-    def run(self, resume: bool = True, stop_after: int | None = None) -> dict:
-        files = self.epoch_files()
-        n_epochs = len(files)
-        if n_epochs == 0:
-            return {"completed": -1, "empty": True}
-        start_epoch = 0
+    def _resume_start(self, resume: bool, files: list[str],
+                      allow_growth: bool = False) -> "int | dict":
+        """Shared resume protocol: returns the first epoch to process, or
+        a result dict when the stream is already finalized.
 
+        ``allow_growth``: continuous mode discovers epochs incrementally,
+        so "fewer discovered than committed" only errors in batch mode.
+        """
+        n_epochs = len(files)
         last = self.sink.last_contiguous_epoch() if resume else -1
         if resume and self.sink.final_committed():
             fin = self.sink.read_final()
@@ -392,19 +428,18 @@ class StreamingJob:
                     f"now present — appending data to a finalized stream "
                     f"is not allowed"
                 )
-            return {"completed": n_epochs - 1, "already_done": True}
-        if last >= n_epochs:
+            return {"completed": fin["n_epochs"] - 1, "already_done": True}
+        if last >= n_epochs and not allow_growth:
             raise ValueError(
                 f"{last + 1} epochs are committed but only {n_epochs} are "
                 f"present in {self.pages_dir!r} — the input shrank under a "
                 f"committed stream (refusing to silently re-bind manifests)"
             )
-        if 0 <= last < n_epochs:
-            start_epoch = last + 1
+        if last >= 0:
             # committed manifests must still describe the discovered input:
             # an inserted/renamed epoch directory would re-bind an already
             # committed manifest to different data — fail loudly instead
-            for e in range(last + 1):
+            for e in range(min(last + 1, n_epochs)):
                 rec = self.sink.read_manifest(e).get("input_path")
                 if rec is not None and os.path.basename(rec) != \
                         os.path.basename(files[e]):
@@ -425,6 +460,16 @@ class StreamingJob:
                         for pid, a in enumerate(self.actors())
                     ]
                 )
+        return last + 1
+
+    def run(self, resume: bool = True, stop_after: int | None = None) -> dict:
+        files = self.epoch_files()
+        n_epochs = len(files)
+        if n_epochs == 0:
+            return {"completed": -1, "empty": True}
+        start_epoch = self._resume_start(resume, files)
+        if isinstance(start_epoch, dict):
+            return start_epoch
 
         watermark = NEG_INF
         pending_map = None
@@ -447,6 +492,10 @@ class StreamingJob:
                 pending_map = None
             watermark = self._run_epoch(e, this_map)
 
+        self._finalize(n_epochs)
+        return {"completed": n_epochs - 1, "watermark_us": watermark}
+
+    def _finalize(self, n_epochs: int) -> None:
         # overlap: flush tasks only need the last epoch's SNAPSHOTS (already
         # written by its reduce), so they run while the committer drains the
         # last manifests; commit_final still happens strictly afterwards
@@ -462,7 +511,81 @@ class StreamingJob:
                 f"{committed}, expected {n_epochs - 1}"
             )
         self._complete_flush(n_epochs, flush_refs)
-        return {"completed": n_epochs - 1, "watermark_us": watermark}
+
+    # --------------------------------------------- continuous ingestion
+
+    def run_continuous(
+        self,
+        poll_interval_s: float = 0.25,
+        stop_marker: str = "_END",
+        ready_marker: str | None = "_READY",
+        idle_timeout_s: float | None = 60.0,
+        resume: bool = True,
+    ) -> dict:
+        """Tail the input directory while running: consume new
+        ``epoch=N`` slices as they appear (the live-ingestion form of the
+        reference's binlog tail — the batch :meth:`run` is its replay).
+
+        Protocol: the writer drops ``ready_marker`` inside each completed
+        epoch directory, then ``stop_marker`` in ``pages_dir`` after the
+        final epoch. The job polls, processes every ready contiguous
+        epoch (next epoch's map pipelined with the current reduce, same
+        as batch mode), and on stop flushes remaining windows/sessions
+        and finalizes — producing output identical to a batch run over
+        the same epochs (pinned by an e2e test). ``idle_timeout_s`` with
+        no new input and no stop marker returns WITHOUT finalizing (the
+        stream stays resumable); pass ``None`` to wait forever.
+        """
+        files = self._discover_ready(ready_marker)
+        start = self._resume_start(resume, files, allow_growth=True)
+        if isinstance(start, dict):
+            return start
+        next_epoch = start
+        watermark = NEG_INF
+        pending = None  # (epoch, submitted) map pipelined ahead
+        idle_since = time.monotonic()
+
+        while True:
+            files = self._discover_ready(ready_marker)
+            progressed = False
+            while next_epoch < len(files):
+                if pending is None:
+                    submitted = self._submit_map(next_epoch,
+                                                 files[next_epoch])
+                else:
+                    assert pending[0] == next_epoch
+                    submitted = pending[1]
+                    pending = None
+                # pipeline the next ready epoch's stateless map under this
+                # epoch's stateful reduce + commit
+                if next_epoch + 1 < len(files):
+                    pending = (next_epoch + 1,
+                               self._submit_map(next_epoch + 1,
+                                                files[next_epoch + 1]))
+                watermark = self._run_epoch(next_epoch, submitted)
+                next_epoch += 1
+                progressed = True
+            if progressed:
+                idle_since = time.monotonic()
+
+            if os.path.exists(os.path.join(self.pages_dir, stop_marker)):
+                # consume anything that raced in with the stop marker
+                if next_epoch < len(self._discover_ready(ready_marker)):
+                    continue
+                if next_epoch == 0:
+                    self._drain_commits()
+                    return {"completed": -1, "empty": True,
+                            "finalized": False}
+                self._finalize(next_epoch)
+                return {"completed": next_epoch - 1,
+                        "watermark_us": watermark, "finalized": True}
+
+            if (idle_timeout_s is not None
+                    and time.monotonic() - idle_since > idle_timeout_s):
+                self._drain_commits()
+                return {"completed": next_epoch - 1, "finalized": False,
+                        "idle_timeout": True}
+            time.sleep(poll_interval_s)
 
     # ------------------------------------------------------- one epoch
 

@@ -178,3 +178,100 @@ def test_streaming_nfa_matches_sql_oracle(events_epochs, tmp_path):
     """).fetchdf().reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_continuous_ingestion_matches_batch_run(tmp_path):
+    """Live-tail mode: epochs written concurrently with a running job
+    (ready markers, then a stop marker) must produce output identical to
+    a batch run over the same epochs."""
+    import shutil
+    import threading
+    import time as _time
+
+    from gush_ray.datagen import write_pages_dir
+
+    src = str(tmp_path / "src_pages")
+    write_pages_dir(src, n_urls=300, seed=33, n_epochs=4)
+
+    # batch reference over the full input
+    batch_out = str(tmp_path / "batch_out")
+    jb = StreamingJob(src, batch_out, run_id="contB", num_partitions=4)
+    jb.run()
+
+    # live dir: a writer thread moves epochs in one by one with markers
+    live = str(tmp_path / "live_pages")
+    os.makedirs(live)
+
+    def writer():
+        for e in range(4):
+            _time.sleep(0.4)
+            name = f"epoch={e:04d}"
+            shutil.copytree(os.path.join(src, name),
+                            os.path.join(live, name + ".tmp"))
+            os.rename(os.path.join(live, name + ".tmp"),
+                      os.path.join(live, name))
+            open(os.path.join(live, name, "_READY"), "w").close()
+        open(os.path.join(live, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    live_out = str(tmp_path / "live_out")
+    jl = StreamingJob(live, live_out, run_id="contL", num_partitions=4)
+    res = jl.run_continuous(poll_interval_s=0.1)
+    t.join()
+    assert res["finalized"] and res["completed"] == 3
+
+    for stream, cols in [
+        ("changes", ["url", "ts_us", "version", "change_kind"]),
+        ("windows", ["lang", "change_kind", "window_id", "n"]),
+        ("matches", ["url", "first_id", "recrawl_id", "start_us"]),
+    ]:
+        a = jb.read_output(stream)
+        b = jl.read_output(stream)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), stream
+
+
+def test_continuous_ingestion_idle_timeout_keeps_stream_open(tmp_path):
+    """No stop marker + idle timeout → return WITHOUT finalizing; a later
+    continuous run resumes and finalizes with identical totals."""
+    import shutil
+
+    from gush_ray.datagen import write_pages_dir
+
+    src = str(tmp_path / "src2")
+    write_pages_dir(src, n_urls=200, seed=44, n_epochs=3)
+    live = str(tmp_path / "live2")
+    os.makedirs(live)
+    for e in range(2):  # only the first two epochs present initially
+        name = f"epoch={e:04d}"
+        shutil.copytree(os.path.join(src, name), os.path.join(live, name))
+        open(os.path.join(live, name, "_READY"), "w").close()
+
+    out = str(tmp_path / "out2")
+    j1 = StreamingJob(live, out, run_id="idle1", num_partitions=4)
+    r1 = j1.run_continuous(poll_interval_s=0.05, idle_timeout_s=1.0)
+    assert not r1["finalized"] and r1["completed"] == 1
+    assert not j1.sink.final_committed()
+
+    # the missing epoch arrives, plus the stop marker → resume + finalize
+    name = "epoch=0002"
+    shutil.copytree(os.path.join(src, name), os.path.join(live, name))
+    open(os.path.join(live, name, "_READY"), "w").close()
+    open(os.path.join(live, "_END"), "w").close()
+    j2 = StreamingJob(live, out, run_id="idle2", num_partitions=4)
+    r2 = j2.run_continuous(poll_interval_s=0.05)
+    assert r2["finalized"] and r2["completed"] == 2
+
+    # totals equal a batch run over the same three epochs
+    ref_out = str(tmp_path / "ref2")
+    jr = StreamingJob(src, ref_out, run_id="idleR", num_partitions=4)
+    jr.run()
+    a = jr.read_output("changes")
+    b = j2.read_output("changes")
+    cols = ["url", "ts_us", "version", "change_kind"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
