@@ -245,3 +245,39 @@ def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
+    """Deterministic multimodal fixture: real PNG / BMP / WAV blobs (plus
+    a few deliberately-truncated ones) as an opaque binary column with an
+    id and a ground-truth kind — input for the real-decode stage."""
+    from gush_ray.stages.codecs import encode_bmp, encode_png, encode_wav
+
+    rng = np.random.RandomState(seed)
+    blobs, kinds = [], []
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_png(px))
+            kinds.append("png")
+        elif k == 1:
+            w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_bmp(px))
+            kinds.append("bmp")
+        else:
+            nsamp = int(rng.randint(200, 2000))
+            s = (rng.randn(nsamp, 1) * 8000).astype(np.int16)
+            blobs.append(encode_wav(s, rate=16_000))
+            kinds.append("wav")
+    # a few malformed blobs: valid magic, truncated body (dead-letter path)
+    for j in range(max(2, n // 20)):
+        blobs.append(blobs[j][: len(blobs[j]) // 2])
+        kinds.append("truncated")
+    return pa.table({
+        "media_id": pa.array(range(len(blobs)), type=pa.int64()),
+        "blob": pa.array(blobs, type=pa.binary()),
+        "true_kind": pa.array(kinds, type=pa.string()),
+    })

@@ -183,6 +183,31 @@ def q_multimodal_features(sf_dir: str):
     return df.drop(columns=["sum_w"])
 
 
+def q_multimodal_decode(sf_dir: str):
+    """REAL media decode (pure-stdlib PNG/BMP/WAV codecs) over a
+    deterministic fixture of actual encoded blobs: sniff → actor-pool
+    decode → per-format aggregate of real widths/heights. Truncated
+    blobs surface as decode_ok=False (dead-letter analog)."""
+    from gush_ray.datagen import gen_media_table
+    from gush_ray.stages.agg import partial_aggregate
+
+    ds = rd.from_arrow(gen_media_table(n=60, seed=11))
+    ds = ds.map_batches(lambda b: sniff_blob_batch(b, blob_col="blob"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = decode_features(ds, blob_col="blob", concurrency=2, batch_size=32)
+    agg = partial_aggregate(
+        ds, ["decode_kind", "decode_ok"],
+        {"n": (None, "count"), "sum_w": ("width", "sum"),
+         "sum_h": ("height", "sum")},
+    )
+    df = agg.to_pandas()
+    df["avg_width"] = (df["sum_w"] / df["n"]).round(2)
+    df["avg_height"] = (df["sum_h"] / df["n"]).round(2)
+    return (df.drop(columns=["sum_w", "sum_h"])
+            .sort_values(["decode_kind", "decode_ok"])
+            .reset_index(drop=True))
+
+
 def q_pages_flagship(sf_dir: str):
     """The full streaming CEP pipeline (extract → dedup/version → windows
     → sessions → NFA → exactly-once sink) over the deterministic synthetic
@@ -267,6 +292,7 @@ EXTRA_QUERIES = {
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_decode": (q_multimodal_decode, None),
     "pages_flagship": (q_pages_flagship, None),
     "pages_late_routing": (q_pages_late_routing, None),
     "extract_parity": (q_extract_parity, None),

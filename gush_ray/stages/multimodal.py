@@ -1,12 +1,14 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column stages.
 
 Binary payloads are opaque ``binary`` columns + typed metadata; decode /
-feature-extract / resize / frame-sample are actor-pool ``map_batches``
-stages. The image/audio codec libraries are NOT in this container, so the
-codec kernels are STUBBED (clearly marked) behind a deterministic fake —
-the Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is real and tested, and a real decoder drops into ``_decode_impl``
-without touching the pipeline.
+feature-extract are actor-pool ``map_batches`` stages. PNG, BMP and WAV
+decode is REAL (pure-stdlib codecs, :mod:`gush_ray.stages.codecs`);
+formats that require native libraries absent from this environment
+(JPEG/GIF/video) fall back per ``on_unsupported`` — a deterministic
+hash-derived fake (so the full pipeline stays exercised end-to-end) or
+a loud ``NotImplementedError``. The decode itself is per-blob by nature;
+the actor-pool pattern (setup once per actor, small batches so wide
+payloads × concurrency fit the worker heap) is the scalable shape.
 """
 
 from __future__ import annotations
@@ -16,63 +18,197 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from gush_ray.stages.codecs import decode_bmp, decode_png, decode_wav
+
 FEATURE_DIM = 8
 
-_MAGIC = {
-    b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
-    b"GIF8": "gif",
-    b"RIFF": "riff",
-    b"<!DO": "html",
-    b"<htm": "html",
-}
+# (kind, prefix, offset) — tested vectorized, LAST match wins, so order
+# from weakest to most specific (wav after riff overrides it)
+_SNIFF_RULES = (
+    ("html", b"<!DO", 0),
+    ("html", b"<htm", 0),
+    ("jpeg", b"\xff\xd8\xff", 0),
+    ("gif", b"GIF8", 0),
+    ("bmp", b"BM", 0),
+    ("png", b"\x89PNG", 0),
+    ("riff", b"RIFF", 0),
+    ("wav", b"WAVE", 8),
+)
 
 
 def sniff_blob_batch(batch: pa.Table, blob_col: str = "html") -> pa.Table:
-    """Typed metadata for an opaque binary column: size + magic sniff."""
+    """Typed metadata for an opaque binary column: size + magic sniff —
+    fully vectorized (``pc.binary_slice`` prefix compares; no per-row
+    ``as_py`` loop)."""
     blobs = batch[blob_col].combine_chunks()
     sizes = pc.binary_length(blobs).cast(pa.int64())
-    heads = [bytes(v.as_py()[:4]) if v.is_valid else b"" for v in blobs]
-    kinds = [
-        next((k for m, k in _MAGIC.items() if h.startswith(m[: len(h)]) and h),
-             "unknown")
-        for h in heads
-    ]
+    kinds = np.full(len(blobs), "unknown", dtype=object)
+    for kind, prefix, offset in _SNIFF_RULES:
+        sl = pc.binary_slice(blobs, offset, offset + len(prefix))
+        eq = pc.fill_null(
+            pc.equal(sl, pa.scalar(prefix, type=pa.binary())), False
+        ).to_numpy(zero_copy_only=False)
+        kinds[eq] = kind
     batch = batch.append_column("blob_size", sizes)
     batch = batch.append_column("blob_kind", pa.array(kinds, type=pa.string()))
     return batch
 
 
-class DecodeFeaturesStub:
-    """Actor-pool decode + feature-extraction stage.
+def _fake_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic hash-derived stand-in for formats without a codec."""
+    h = np.frombuffer(
+        np.array([hash_bytes(blob)], dtype=np.uint64).tobytes(),
+        dtype=np.uint8,
+    ).astype(np.float64)
+    width = int(64 + (h[0] % 64))
+    height = int(64 + (h[1] % 64))
+    feats = (h[:FEATURE_DIM] / 255.0).astype(np.float32)
+    return width, height, feats
 
-    Real deployment: ``__init__`` loads the codec/model ONCE per actor;
-    ``__call__`` decodes each blob and emits fixed-dim features. Here the
-    decode is a STUB — ``use_real_codec=True`` raises NotImplementedError
-    (no codec libs in this container); the default deterministic fake
-    derives width/height/features from a hash of the bytes so the full
-    pipeline (schema, batching, actor reuse) is exercised end-to-end.
+
+def _image_features(px: np.ndarray) -> tuple[int, int, np.ndarray]:
+    if px.ndim == 2:
+        px3 = np.repeat(px[:, :, None], 3, axis=2)
+    elif px.shape[2] == 4:
+        px3 = px[:, :, :3]
+    elif px.shape[2] == 2:  # gray+alpha
+        px3 = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        px3 = px
+    h, w = px3.shape[:2]
+    gray = px3.mean(axis=2)
+    f = np.array(
+        [
+            px3[:, :, 0].mean() / 255.0,
+            px3[:, :, 1].mean() / 255.0,
+            px3[:, :, 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+            min(w / max(h, 1), 4.0) / 4.0,
+            1.0,  # modality tag: image
+        ],
+        dtype=np.float32,
+    )
+    return w, h, f
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> tuple[int, int, np.ndarray]:
+    n, ch = samples.shape
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    f = np.array(
+        [
+            float(mono.mean()),
+            float(mono.std()),
+            float(np.sqrt((mono ** 2).mean())),
+            zc,
+            min(n / max(rate, 1), 60.0) / 60.0,
+            rate / 48_000.0,
+            ch / 8.0,
+            0.5,  # modality tag: audio
+        ],
+        dtype=np.float32,
+    )
+    return n, ch, f
+
+
+class DecodeFeatures:
+    """Actor-pool decode + feature-extraction stage with REAL codecs.
+
+    ``__init__`` runs once per actor (the pattern a model/codec load
+    follows); ``__call__`` decodes each blob by sniffed magic:
+
+    * png/bmp → real pixels → (width, height, image features)
+    * wav → real samples → (n_frames, channels, audio features)
+    * anything else → ``on_unsupported``: "fake" (deterministic
+      hash-derived, keeps the pipeline exercised) or "error"
+      (NotImplementedError — the honest boundary for codecs this
+      environment cannot provide).
+
+    Malformed blobs of a recognized format set ``decode_ok=False`` and
+    fall back to the fake (a dead-letter filter on that column mirrors
+    the parse-error side output).
     """
+
+    def __init__(self, blob_col: str = "html",
+                 on_unsupported: str = "fake"):
+        assert on_unsupported in ("fake", "error")
+        self.blob_col = blob_col
+        self.on_unsupported = on_unsupported
+        self.calls = 0  # proves actor reuse across batches in tests
+
+    def _decode_one(self, blob: bytes) -> tuple[int, int, np.ndarray, str, bool]:
+        try:
+            if blob.startswith(b"\x89PNG"):
+                w, h, f = _image_features(decode_png(blob))
+                return w, h, f, "png", True
+            if blob.startswith(b"BM"):
+                w, h, f = _image_features(decode_bmp(blob))
+                return w, h, f, "bmp", True
+            if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                n, ch, f = _audio_features(*decode_wav(blob))
+                return n, ch, f, "wav", True
+        except ValueError:
+            w, h, f = _fake_decode(blob)
+            return w, h, f, "malformed", False
+        if self.on_unsupported == "error":
+            raise NotImplementedError(
+                "no pure-stdlib codec for this format (JPEG/GIF/video "
+                "need native libraries not present in this environment); "
+                "plug a decoder into DecodeFeatures._decode_one"
+            )
+        w, h, f = _fake_decode(blob)
+        return w, h, f, "fake", True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        blobs = batch[self.blob_col].combine_chunks()
+        n = len(blobs)
+        widths = np.empty(n, dtype=np.int32)
+        heights = np.empty(n, dtype=np.int32)
+        feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+        kinds = np.empty(n, dtype=object)
+        oks = np.empty(n, dtype=bool)
+        for i, v in enumerate(blobs):
+            data = v.as_py() if v.is_valid else b""
+            w, h, f, kind, ok = self._decode_one(data or b"")
+            widths[i], heights[i] = w, h
+            feats[i] = f
+            kinds[i] = kind
+            oks[i] = ok
+        out = batch.drop_columns([self.blob_col])
+        out = out.append_column("width", pa.array(widths))
+        out = out.append_column("height", pa.array(heights))
+        out = out.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), FEATURE_DIM
+            ),
+        )
+        out = out.append_column("decode_kind", pa.array(kinds, type=pa.string()))
+        out = out.append_column("decode_ok", pa.array(oks))
+        return out
+
+
+class DecodeFeaturesStub:
+    """Round-1 stub kept for compatibility: always the deterministic
+    fake; ``use_real_codec=True`` raises (the real path now lives in
+    :class:`DecodeFeatures`)."""
 
     def __init__(self, blob_col: str = "html", use_real_codec: bool = False):
         self.blob_col = blob_col
         self.use_real_codec = use_real_codec
-        self.calls = 0  # proves actor reuse across batches in tests
+        self.calls = 0
 
     def _decode_impl(self, blob: bytes) -> tuple[int, int, np.ndarray]:
         if self.use_real_codec:
             raise NotImplementedError(
-                "real image/audio decode requires codec libraries not "
-                "present in this environment; plug a decoder in here"
+                "use DecodeFeatures for the real PNG/BMP/WAV codecs; "
+                "other formats need native libraries not present here"
             )
-        h = np.frombuffer(
-            np.array([hash_bytes(blob)], dtype=np.uint64).tobytes(),
-            dtype=np.uint8,
-        ).astype(np.float64)
-        width = int(64 + (h[0] % 64))
-        height = int(64 + (h[1] % 64))
-        feats = (h[:FEATURE_DIM] / 255.0).astype(np.float32)
-        return width, height, feats
+        return _fake_decode(blob)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.calls += 1
@@ -102,12 +238,13 @@ def hash_bytes(b: bytes) -> np.uint64:
 
 
 def decode_features(ds, blob_col: str = "html", concurrency: int = 4,
-                    batch_size: int = 512):
+                    batch_size: int = 512, on_unsupported: str = "fake"):
     """Attach the actor-pool decode stage (small batches: wide binary
     payloads × concurrency must fit the worker heap)."""
     return ds.map_batches(
-        DecodeFeaturesStub,
-        fn_constructor_kwargs={"blob_col": blob_col},
+        DecodeFeatures,
+        fn_constructor_kwargs={"blob_col": blob_col,
+                               "on_unsupported": on_unsupported},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

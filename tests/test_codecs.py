@@ -1,0 +1,132 @@
+"""Pure-stdlib codec round-trips + the real multimodal decode stage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gush_ray.stages.codecs import (
+    decode_bmp, decode_png, decode_wav, encode_bmp, encode_png, encode_wav,
+)
+
+
+@pytest.mark.parametrize("shape", [(5, 9), (1, 1), (8, 6, 3), (4, 4, 4)])
+def test_png_roundtrip(shape):
+    px = np.random.RandomState(3).randint(0, 256, size=shape, dtype=np.uint8)
+    back = decode_png(encode_png(px))
+    assert back.shape == px.shape
+    assert (back == px).all()
+
+
+def test_png_all_filter_types_decode():
+    """Decode a PNG whose rows use every filter type (our encoder only
+    writes filter 0; foreign encoders use them all)."""
+    import struct
+    import zlib
+
+    from gush_ray.stages.codecs import PNG_MAGIC
+
+    rng = np.random.RandomState(5)
+    w, h, ch = 6, 5, 3
+    rows = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else c
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y].astype(np.int16)
+        enc = cur.copy()
+        for x in range(w * ch):
+            left = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[ftype]
+            enc[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert (dec.reshape(h, w * ch) == rows).all()
+
+
+def test_bmp_roundtrip():
+    px = np.random.RandomState(4).randint(0, 256, size=(7, 5, 3),
+                                          dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_wav_roundtrip():
+    s = (np.random.RandomState(6).randn(1000, 2) * 9000).astype(np.int16)
+    back, rate = decode_wav(encode_wav(s, 22_050))
+    assert rate == 22_050
+    assert (back == s).all()
+
+
+def test_decoders_reject_garbage():
+    for fn in (decode_png, decode_bmp, decode_wav):
+        with pytest.raises(ValueError):
+            fn(b"garbage bytes here")
+
+
+def test_decode_features_real_codecs():
+    """The actor-pool stage computes REAL widths/heights for encoded
+    blobs; truncated blobs surface as decode_ok=False; unknown formats
+    fall back to the deterministic fake."""
+    from gush_ray.stages.multimodal import DecodeFeatures, sniff_blob_batch
+
+    png = encode_png(np.full((12, 34, 3), 7, dtype=np.uint8))
+    bmp = encode_bmp(np.full((9, 21, 3), 200, dtype=np.uint8))
+    wav = encode_wav(np.zeros((500, 2), dtype=np.int16), rate=8000)
+    t = pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "blob": pa.array([png, bmp, wav, png[:40], b"<!DOCTYPE html>"],
+                         type=pa.binary()),
+    })
+    sniffed = sniff_blob_batch(t, blob_col="blob")
+    assert sniffed["blob_kind"].to_pylist() == \
+        ["png", "bmp", "wav", "png", "html"]
+    out = DecodeFeatures(blob_col="blob")(t)
+    w = out["width"].to_pylist()
+    h = out["height"].to_pylist()
+    kinds = out["decode_kind"].to_pylist()
+    oks = out["decode_ok"].to_pylist()
+    assert (w[0], h[0]) == (34, 12)           # real PNG dims
+    assert (w[1], h[1]) == (21, 9)            # real BMP dims
+    assert (w[2], h[2]) == (500, 2)           # frames × channels
+    assert kinds[:3] == ["png", "bmp", "wav"] and all(oks[:3])
+    assert kinds[3] == "malformed" and not oks[3]
+    assert kinds[4] == "fake" and oks[4]
+    # uniform 7-gray PNG: mean channels = 7/255, std 0
+    f0 = out["features"][0].as_py()
+    assert abs(f0[0] - 7 / 255) < 1e-6 and abs(f0[3]) < 1e-6
+    # on_unsupported="error" is the honest boundary for absent codecs
+    with pytest.raises(NotImplementedError):
+        DecodeFeatures(blob_col="blob", on_unsupported="error")._decode_one(
+            b"\xff\xd8\xff jpeg-ish"
+        )
+
+
+def test_multimodal_decode_query_deterministic():
+    from gush_ray.pipelines.queries_extra import q_multimodal_decode
+
+    a = q_multimodal_decode("/root/testdata/sf0.001")
+    b = q_multimodal_decode("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    real = a[a["decode_kind"].isin(["png", "bmp", "wav"])]
+    assert real["n"].sum() == 60                   # every real blob decoded
+    assert (a[a["decode_kind"] == "malformed"]["n"] > 0).all()
