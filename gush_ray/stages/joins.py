@@ -102,22 +102,33 @@ def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
 
     from gush_ray.stages.shuffle import partition_map
 
-    lnames = left.schema().names
-    rnames = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    lnames, rnames = lsch.names, rsch.names
     assert set(lnames) & set(rnames) == {key}, (
         "asof_join requires disjoint columns except the key"
     )
     all_cols = lnames + [c for c in rnames if c not in lnames]
+    col_type = dict(zip(lnames, lsch.types)) | dict(zip(rnames, rsch.types))
 
     def tag(side):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.reindex(columns=all_cols)  # NaN-fill the other side's
-            df["__side"] = side
-            return df
+        # Arrow-native schema alignment: the other side's columns are
+        # typed nulls (no pandas conversion in this hot tagging stage)
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                c: (b[c] if c in b.column_names
+                    else pa.nulls(n, type=col_type[c]))
+                for c in all_cols
+            }
+            cols["__side"] = pa.array(np.full(n, side, dtype=object),
+                                      type=pa.string())
+            return pa.table(cols)
         return f
 
-    l2 = left.map_batches(tag("l"), batch_format="pandas")
-    r2 = right.map_batches(tag("r"), batch_format="pandas")
+    l2 = left.map_batches(tag("l"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    r2 = right.map_batches(tag("r"), batch_format="pyarrow",
+                           zero_copy_batch=True)
     both = l2.union(r2)
 
     out_cols = lnames + [c for c in rnames if c != key]
@@ -180,37 +191,48 @@ def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,
     ``left`` is the big/probe side (rows of a hot key scattered over
     ``num_salts`` sub-buckets); ``right`` is the build side (its hot-key
     rows replicated once per salt). Non-hot keys use salt 0 on both sides.
+    Salting is Arrow-native: ``pc.is_in`` against a broadcast value set +
+    ``Table.take`` replication — no pandas conversion in the hot path.
     """
-    hot_ref = ray.put(set(hot_keys))
+    import pyarrow.compute as pc
 
-    def salt_left(batch: pd.DataFrame) -> pd.DataFrame:
-        hot = _get_cached(hot_ref)
-        n = len(batch)
-        batch = batch.copy()
-        salt = np.zeros(n, dtype=np.int64)
-        is_hot = batch[on].isin(hot).to_numpy()
+    if not hot_keys:
+        # no skew detected: degrade to a plain hash join (constant salt
+        # everywhere would only add a useless column through the shuffle)
+        return hash_join(left, right, on=on, num_partitions=num_partitions,
+                         join_type=join_type)
+    hot_ref = ray.put(pa.array(sorted(set(hot_keys))))
+
+    def _hot_mask(batch: pa.Table) -> np.ndarray:
+        vs = _get_cached(hot_ref)
+        return pc.fill_null(
+            pc.is_in(batch[on], value_set=vs), False
+        ).to_numpy(zero_copy_only=False)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        is_hot = _hot_mask(batch)
+        salt = np.zeros(batch.num_rows, dtype=np.int64)
         salt[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % num_salts
-        batch[SALT_COL] = salt
-        return batch
+        return batch.append_column(SALT_COL, pa.array(salt))
 
-    def salt_right(batch: pd.DataFrame) -> pd.DataFrame:
-        hot = _get_cached(hot_ref)
-        batch = batch.copy()
-        is_hot = batch[on].isin(hot).to_numpy()
-        cold = batch[~is_hot].assign(**{SALT_COL: np.int64(0)})
-        hot_rows = batch[is_hot]
-        if len(hot_rows):
-            rep = hot_rows.loc[hot_rows.index.repeat(num_salts)].copy()
-            rep[SALT_COL] = np.tile(
-                np.arange(num_salts, dtype=np.int64), len(hot_rows)
-            )
-            out = pd.concat([cold, rep], ignore_index=True)
-        else:
-            out = cold
-        return out
+    def salt_right(batch: pa.Table) -> pa.Table:
+        is_hot = _hot_mask(batch)
+        cold_idx = np.nonzero(~is_hot)[0]
+        hot_idx = np.nonzero(is_hot)[0]
+        idx = np.concatenate([cold_idx, np.repeat(hot_idx, num_salts)])
+        salt = np.concatenate([
+            np.zeros(len(cold_idx), dtype=np.int64),
+            np.tile(np.arange(num_salts, dtype=np.int64), len(hot_idx)),
+        ])
+        return batch.take(pa.array(idx)).append_column(
+            SALT_COL, pa.array(salt)
+        )
 
-    l2 = left.map_batches(salt_left, batch_format="pandas")
-    r2 = right.map_batches(salt_right, batch_format="pandas")
-    joined = l2.join(r2, join_type=join_type, num_partitions=num_partitions,
-                     on=(on, SALT_COL))
+    l2 = left.map_batches(salt_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    r2 = right.map_batches(salt_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = _strip_meta(l2).join(_strip_meta(r2), join_type=join_type,
+                                  num_partitions=num_partitions,
+                                  on=(on, SALT_COL))
     return joined.drop_columns([SALT_COL])

@@ -66,14 +66,28 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
 
 
 def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
-                       emb_col: str = "embedding", ndigits: int = 4):
+                       emb_col: str = "embedding", ndigits: int = 4,
+                       max_rows: int = 200_000):
     """Exact all-pairs cosine ≥ threshold via a broadcast matrix: each
     batch computes batch × ALL sims with one matmul and keeps (a < b)
     pairs. O(n²) flops but O(n·d) broadcast traffic — the exact baseline
     the LSH-bucketed near-dup approximates; at corpus scale use
-    :func:`~gush_ray.stages.dedup.embedding_near_dup_pairs` instead."""
+    :func:`~gush_ray.stages.dedup.embedding_near_dup_pairs` instead.
+
+    ``max_rows`` guards the small-by-contract assumption: the whole
+    table is broadcast AND the flop count is quadratic, so invoking this
+    on a corpus-scale dataset by accident must fail fast, not OOM.
+    """
     import pandas as pd
 
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is the small-input exact baseline "
+            f"(broadcasts all rows, O(n²) flops): got {n} rows > "
+            f"max_rows={max_rows}; use "
+            f"gush_ray.stages.dedup.embedding_near_dup_pairs at scale"
+        )
     full = ds.to_pandas()  # the broadcast side (small by contract)
     ids_all = full[id_col].to_numpy()
     mat_all = np.stack([np.asarray(v, dtype=np.float64)

@@ -315,3 +315,20 @@ def test_fingerprint_batch_vectorized_parity():
 
     for i, s in enumerate(docs["text"]):
         assert got["fingerprint"].iloc[i] == ref_fp(s), f"row {i}"
+
+
+def test_exact_cosine_pairs_guard():
+    """The O(n²) exact baseline must fail fast when invoked beyond its
+    small-by-contract input size instead of broadcasting a corpus."""
+    from gush_ray.stages.similarity import exact_cosine_pairs
+
+    emb = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [np.ones(4, dtype=np.float32).tolist()] * 50,
+    })
+    ds = rd.from_pandas(emb)
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_cosine_pairs(ds, threshold=0.5, max_rows=10)
+    # under the cap it still works
+    out = exact_cosine_pairs(ds, threshold=0.5, max_rows=100).to_pandas()
+    assert len(out) == 50 * 49 // 2
