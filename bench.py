@@ -197,11 +197,17 @@ def run_flagship_only() -> dict:
     return result
 
 
-def run_scaling() -> dict:
+def run_scaling(repeat: int = 1) -> dict:
     """North-rule two-cluster-size criterion, sandbox protocol: same job
     and input in fresh processes at N and 4N CPUs; efficiency =
     (t_lo/t_hi)/(hi/lo). The flagship streaming pipeline (the engine's
-    windowed-aggregate path) over a ~2M-row synthetic stream."""
+    windowed-aggregate path) over a ~2M-row synthetic stream.
+
+    ``repeat > 1`` measures the lo/hi pair that many times and reports
+    the MEDIAN efficiency (plus the full series) — single-shot numbers
+    on this shared VM vary ±20% (page cache, background IO), so the
+    median distinguishes a real regression from noise.
+    """
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -223,22 +229,30 @@ def run_scaling() -> dict:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = SCALE_LO, SCALE_HI
-    # best-of-2 per level: single-shot numbers on this shared VM vary
-    # ±20% (page cache, background IO); best-of measures capability
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    pairs = []
+    for _ in range(repeat):
+        # best-of-2 per level within each repeat: best-of measures
+        # capability; the median across repeats measures stability
+        r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
+        r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        pairs.append((eff, r_lo, r_hi))
+    pairs.sort(key=lambda p: p[0])
+    effs = [round(p[0], 3) for p in pairs]
+    med_eff, r_lo, r_hi = pairs[len(pairs) // 2]
     result = {
-        "metric": f"scaling efficiency (fresh ray.init, {lo} vs {hi} cpus)",
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
+        "metric": f"scaling efficiency (fresh ray.init, {lo} vs {hi} cpus"
+                  + (f", median of {repeat})" if repeat > 1 else ")"),
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
         f"rows_per_sec_{lo}": r_lo["flagship_rows_per_sec"],
         f"rows_per_sec_{hi}": r_hi["flagship_rows_per_sec"],
         "rows": r_lo["flagship_rows"],
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(med_eff, 3),
+        "efficiency_series": effs,
+        "repeat": repeat,
         "sf": SF_DIR,
         "scaling_urls": SCALING_URLS,
     }
@@ -274,13 +288,22 @@ def _record_scaling(result: dict) -> None:
         f"| {result[f'rows_per_sec_{hi}']} | — |",
         "",
     ]
+    if result.get("repeat", 1) > 1:
+        lines += [
+            f"median of {result['repeat']} repeats; efficiency series: "
+            f"{result['efficiency_series']}",
+            "",
+        ]
     with open(path, "a") as f:
         f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        rep = 1
+        if "--repeat" in sys.argv:
+            rep = int(sys.argv[sys.argv.index("--repeat") + 1])
+        print(json.dumps(run_scaling(repeat=rep)))
     elif "--flagship-only" in sys.argv:
         print(json.dumps(run_flagship_only()))
     else:

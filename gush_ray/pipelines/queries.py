@@ -516,6 +516,55 @@ QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ------------------------------------------- F10 symbolic set expression
+
+def q_change_set_expr(sf_dir: str):
+    """Symbolic SET-expression capture: the change stream carries the
+    update expression RENDERED, not evaluated — ``k=k+(<delta>)`` as a
+    string (graft of the reference's non-evaluating expression visitor,
+    parser/UpdateNodeVisitor.scala:65-109, pinned there by
+    FoundationParserTest.scala:101-110 — the one reference test family
+    with no graft analog until now). The delta itself stays numeric in
+    ``change_delta``; here the symbolic column is the output."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"], "k": k})
+
+    typed = ev.map_batches(extract, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["k"].shift()
+        keep = prev.notna()
+        out = df.loc[keep, ["event_id", "user_id"]].copy()
+        delta = (df["k"] - prev)[keep].astype("int64")
+        out["set_expr"] = "k=k+(" + delta.astype(str) + ")"
+        return out
+
+    return partition_map(typed, "user_id", per_part, 8)
+
+
+SQL_CHANGE_SET_EXPR = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id, user_id,
+       'k=k+(' || CAST(k - lag(k) OVER w AS VARCHAR) || ')' AS set_expr
+FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(k) OVER w IS NOT NULL
+"""
+
+
 # ------------------------------------------------- F12 typed extraction
 
 def q_typed_field_extract(sf_dir: str):
@@ -885,6 +934,7 @@ CORE_QUERIES = {
     "latest_row": (q_latest_row, SQL_LATEST_ROW),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
+    "change_set_expr": (q_change_set_expr, SQL_CHANGE_SET_EXPR),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "union_counts": (q_union_counts, SQL_UNION_COUNTS),

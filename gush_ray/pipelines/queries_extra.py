@@ -143,6 +143,28 @@ def q_lsh_ann_topk(sf_dir: str):
     return lsh_bucket_topk(emb, qvec, k=10, n_planes=6)
 
 
+def q_lsh_index_ann(sf_dir: str):
+    """ANN with a BUILD-ONCE index: signatures computed once and laid
+    out as bucket-partitioned parquet; the query reads only the probed
+    buckets (<20% of the index — asserted in tests). The reuse path of
+    lsh_ann_topk, which re-signs the corpus per query."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.similarity import build_lsh_index, lsh_index_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = build_lsh_index(emb, f"/tmp/gush_ray_lsh_index/{key}", n_planes=6)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return lsh_index_topk(idx, qvec, k=10, n_planes=6)
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = docs.map_batches(LangIdModel, batch_format="pandas",
@@ -289,6 +311,7 @@ EXTRA_QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "lsh_index_ann": (q_lsh_index_ann, None),
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),

@@ -120,6 +120,122 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
                           zero_copy_batch=True)
 
 
+def build_lsh_index(ds, index_dir: str, n_planes: int = 8, seed: int = 17,
+                    id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Build-once ANN index: each row's random-hyperplane signature is
+    computed ONCE and the table is written as parquet PARTITIONED BY
+    bucket (``bucket=N/`` hive dirs) — repeated queries then prune at
+    the read, scanning only the probed buckets' files instead of
+    re-signing the whole corpus per query (round-1 ``lsh_bucket_topk``
+    recomputed signatures for every row on every query).
+
+    Idempotent: written to a temp dir, renamed into place; an existing
+    index is reused.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from gush_ray.stages.dedup import _lsh_planes
+
+    if os.path.isdir(index_dir) and os.listdir(index_dir):
+        return index_dir
+    weights = 1 << np.arange(n_planes)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket",
+                                       pa.array([], type=pa.int64()))
+        mat = _to_matrix(batch[emb_col])
+        planes = _lsh_planes(n_planes, mat.shape[1], seed)
+        sig = (mat @ planes.T > 0).dot(weights).astype(np.int64)
+        return batch.append_column("bucket", pa.array(sig))
+
+    tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
+    ds.map_batches(sign, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        # concurrent builder won the rename: use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return index_dir
+
+
+def lsh_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                   n_planes: int = 8, seed: int = 17, n_probe_bits: int = 1,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Query a :func:`build_lsh_index` index: exact cosine top-k over
+    ONLY the probed buckets' partitions (query bucket ± single-bit
+    flips) — the read prunes to ~(1+n_planes)/2^n_planes of the corpus.
+    Same plane family as the index builder (dedup._lsh_planes), so
+    signatures agree by construction."""
+    import os
+
+    import ray.data as rd
+
+    from gush_ray.stages.dedup import _lsh_planes
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _lsh_planes(n_planes, len(q), seed)
+    q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))
+    probe = {q_sig}
+    if n_probe_bits >= 1:
+        probe |= {q_sig ^ (1 << b) for b in range(n_planes)}
+    dirs = [
+        os.path.join(index_dir, f"bucket={s}")
+        for s in sorted(probe)
+        if os.path.isdir(os.path.join(index_dir, f"bucket={s}"))
+    ]
+    # read_parquet wants files when given a list: expand the bucket dirs
+    paths = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        import pandas as pd
+
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    sub = rd.read_parquet(paths, columns=[id_col, emb_col])
+    return brute_force_topk(sub, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def lsh_index_scan_fraction(index_dir: str, query_vec: np.ndarray,
+                            n_planes: int = 8, seed: int = 17,
+                            n_probe_bits: int = 1) -> float:
+    """Bytes under the probed partitions / total index bytes — the
+    read-pruning evidence a query benchmark records."""
+    import os
+
+    from gush_ray.stages.dedup import _lsh_planes
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _lsh_planes(n_planes, len(q), seed)
+    q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))
+    probe = {q_sig}
+    if n_probe_bits >= 1:
+        probe |= {q_sig ^ (1 << b) for b in range(n_planes)}
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d) for f in fs
+        )
+
+    total = dir_bytes(index_dir)
+    probed = sum(
+        dir_bytes(os.path.join(index_dir, f"bucket={s}"))
+        for s in probe
+        if os.path.isdir(os.path.join(index_dir, f"bucket={s}"))
+    )
+    return probed / max(total, 1)
+
+
 def lsh_bucket_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 8,
                     seed: int = 17, id_col: str = "vec_id",
                     emb_col: str = "embedding", n_probe_bits: int = 1):

@@ -332,3 +332,40 @@ def test_exact_cosine_pairs_guard():
     # under the cap it still works
     out = exact_cosine_pairs(ds, threshold=0.5, max_rows=100).to_pandas()
     assert len(out) == 50 * 49 // 2
+
+
+def test_lsh_index_build_once_and_pruned_read(tmp_path):
+    """Build-once LSH index: bucket-partitioned layout, query reads <20%
+    of the index bytes, results agree with the per-query LSH scan."""
+    from gush_ray.stages.similarity import (
+        build_lsh_index, lsh_bucket_topk, lsh_index_scan_fraction,
+        lsh_index_topk,
+    )
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, idx, n_planes=6)
+    # layout: hive bucket dirs
+    import os
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(buckets) > 4
+
+    qtab = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    qvec = np.array(
+        qtab.filter(pc.equal(qtab["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    got = lsh_index_topk(idx, qvec, k=10, n_planes=6)
+    ref = lsh_bucket_topk(emb, qvec, k=10, n_planes=6)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+    frac = lsh_index_scan_fraction(idx, qvec, n_planes=6)
+    assert 0 < frac < 0.2, f"probed fraction {frac:.3f}"
+    # build is idempotent: second call reuses, results identical
+    build_lsh_index(emb, idx, n_planes=6)
+    again = lsh_index_topk(idx, qvec, k=10, n_planes=6)
+    pd.testing.assert_frame_equal(got, again)
