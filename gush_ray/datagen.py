@@ -281,3 +281,22 @@ def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
         "blob": pa.array(blobs, type=pa.binary()),
         "true_kind": pa.array(kinds, type=pa.string()),
     })
+
+
+def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
+    """Deterministic video fixture: real Y4M grayscale clips of varying
+    frame counts (plus one truncated clip) as opaque binary blobs."""
+    from gush_ray.stages.codecs import encode_y4m
+
+    rng = np.random.RandomState(seed)
+    blobs = []
+    for i in range(n):
+        nf = int(rng.randint(6, 30))
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        frames = rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8)
+        blobs.append(encode_y4m(frames, (25, 1)))
+    blobs.append(blobs[0][: len(blobs[0]) // 2])  # truncated clip
+    return pa.table({
+        "media_id": pa.array(range(len(blobs)), type=pa.int64()),
+        "blob": pa.array(blobs, type=pa.binary()),
+    })

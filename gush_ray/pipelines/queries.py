@@ -516,6 +516,40 @@ QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --------------------------------------------- F9 where-field rendering
+
+def q_where_fields(sf_dir: str):
+    """Multi-valued where-field concatenation: a change key spanning
+    SEVERAL columns is rendered as the concatenated column list and the
+    concatenated key value — graft of the reference's repeated-column
+    where-field join (parser/UpdateNodeVisitor.scala:31-63, pinned by
+    FoundationParserTest.scala:97's ``"a, b"``). Round 1 only had
+    single-column change keys; this is the composite-key case."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    agg = partial_aggregate(
+        ev, ["user_id", "event_type"], {"n_changes": (None, "count")}
+    )
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "where_fields": "user_id, event_type",
+            "where_key": df["user_id"].astype("int64").astype(str)
+            + ", " + df["event_type"],
+            "n_changes": df["n_changes"],
+        })
+        return out
+
+    return agg.map_batches(render, batch_format="pandas")
+
+
+SQL_WHERE_FIELDS = """
+SELECT 'user_id, event_type' AS where_fields,
+       CAST(user_id AS VARCHAR) || ', ' || event_type AS where_key,
+       count(*) AS n_changes
+FROM events GROUP BY 2
+"""
+
+
 # ------------------------------------------- F10 symbolic set expression
 
 def q_change_set_expr(sf_dir: str):
@@ -935,6 +969,7 @@ CORE_QUERIES = {
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "change_set_expr": (q_change_set_expr, SQL_CHANGE_SET_EXPR),
+    "where_fields": (q_where_fields, SQL_WHERE_FIELDS),
     "typed_field_extract": (q_typed_field_extract, SQL_TYPED_FIELD_EXTRACT),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "union_counts": (q_union_counts, SQL_UNION_COUNTS),

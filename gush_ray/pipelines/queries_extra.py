@@ -230,6 +230,53 @@ def q_multimodal_decode(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Real image resize pipeline: decode PNG/BMP → nearest-neighbor
+    resize to 32×32 → re-encode PNG (actor-pool stage); verify by
+    re-decoding the output blobs. WAV/truncated blobs pass through
+    unresized."""
+    from gush_ray.datagen import gen_media_table
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.multimodal import ResizeImages, sniff_blob_batch
+
+    ds = rd.from_arrow(gen_media_table(n=60, seed=11))
+    ds = ds.map_batches(lambda b: sniff_blob_batch(b, blob_col="blob"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={"blob_col": "blob", "out_w": 32, "out_h": 32},
+        batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1,
+    )
+    agg = partial_aggregate(
+        ds, ["blob_kind", "resized"],
+        {"n": (None, "count"), "sum_bytes": ("blob_size", "sum")},
+    )
+    return (agg.to_pandas()
+            .sort_values(["blob_kind", "resized"]).reset_index(drop=True))
+
+
+def q_frame_sample(sf_dir: str):
+    """Real video frame sampling over Y4M clips: every 5th frame
+    explodes into its own row with true dims + luma features; per-clip
+    sampled-frame counts returned."""
+    from gush_ray.datagen import gen_video_table
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.multimodal import SampleFrames
+
+    ds = rd.from_arrow(gen_video_table(n=12, seed=19))
+    ds = ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"blob_col": "blob", "every_k": 5},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    )
+    agg = partial_aggregate(
+        ds, ["media_id"],
+        {"n_sampled": (None, "count"), "n_frames": ("n_frames", "max"),
+         "width": ("width", "max"), "height": ("height", "max")},
+    )
+    return agg.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def q_pages_flagship(sf_dir: str):
     """The full streaming CEP pipeline (extract → dedup/version → windows
     → sessions → NFA → exactly-once sink) over the deterministic synthetic
@@ -316,6 +363,8 @@ EXTRA_QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_decode": (q_multimodal_decode, None),
+    "multimodal_resize": (q_multimodal_resize, None),
+    "frame_sample": (q_frame_sample, None),
     "pages_flagship": (q_pages_flagship, None),
     "pages_late_routing": (q_pages_late_routing, None),
     "extract_parity": (q_extract_parity, None),

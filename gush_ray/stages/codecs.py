@@ -243,3 +243,85 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if rate is None or samples is None:
         raise ValueError("truncated WAV")
     return samples.reshape(-1, ch), rate
+
+
+# ------------------------------------------------------------------- Y4M
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 grayscale frames → YUV4MPEG2 bytes (Cmono).
+
+    Y4M is the one real VIDEO container parseable with stdlib alone
+    (plain-text header + uncompressed planes), so frame-sampling can be
+    exercised on actual frames instead of a stub."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("encode_y4m expects (n_frames, h, w) grayscale")
+    n, h, w = arr.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    return header.encode("ascii") + b"".join(
+        b"FRAME\n" + arr[i].tobytes() for i in range(n)
+    )
+
+
+@_valueerror_on_truncation
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 bytes → ((n, h, w) uint8 luma frames, (fps_num, fps_den)).
+
+    Cmono returns the frames as-is; C420* variants return the luma plane
+    (chroma skipped) — enough for frame features/sampling."""
+    if not data.startswith(Y4M_MAGIC):
+        raise ValueError("not a Y4M stream")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    colorspace = "C420"
+    for tok in data[len(Y4M_MAGIC): nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = tok[1:].split(":")
+            fps = (int(num), int(den))
+        elif tok.startswith("C"):
+            colorspace = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("Cmono"):
+        frame_bytes = w * h
+    elif colorspace.startswith("C420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("C444"):
+        frame_bytes = 3 * w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        luma = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos)
+        frames.append(luma.reshape(h, w))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("Y4M stream with no frames")
+    return np.stack(frames), fps
+
+
+# ----------------------------------------------------------- transforms
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, (h, w[, ch]) uint8 → (out_h, out_w[, ch]).
+    Pure-numpy index mapping — the real kernel behind the resize stage."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]

@@ -18,7 +18,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from gush_ray.stages.codecs import decode_bmp, decode_png, decode_wav
+from gush_ray.stages.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    decode_y4m,
+    encode_png,
+    resize_nearest,
+)
 
 FEATURE_DIM = 8
 
@@ -33,6 +40,7 @@ _SNIFF_RULES = (
     ("png", b"\x89PNG", 0),
     ("riff", b"RIFF", 0),
     ("wav", b"WAVE", 8),
+    ("y4m", b"YUV4MPEG2", 0),
 )
 
 
@@ -190,6 +198,123 @@ class DecodeFeatures:
         out = out.append_column("decode_kind", pa.array(kinds, type=pa.string()))
         out = out.append_column("decode_ok", pa.array(oks))
         return out
+
+
+class ResizeImages:
+    """Actor-pool image-resize stage: decode (PNG/BMP), REAL
+    nearest-neighbor resize, re-encode as PNG. Non-image or malformed
+    blobs pass through unchanged with ``resized=False`` — a dead-letter
+    filter on that column mirrors the parse-error side output."""
+
+    def __init__(self, blob_col: str = "blob", out_w: int = 64,
+                 out_h: int = 64):
+        self.blob_col = blob_col
+        self.out_w = out_w
+        self.out_h = out_h
+        self.calls = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        blobs = batch[self.blob_col].combine_chunks()
+        out_blobs: list = []
+        resized = np.zeros(len(blobs), dtype=bool)
+        for i, v in enumerate(blobs):
+            data = (v.as_py() if v.is_valid else b"") or b""
+            try:
+                if data.startswith(b"\x89PNG"):
+                    px = decode_png(data)
+                elif data.startswith(b"BM"):
+                    px = decode_bmp(data)
+                else:
+                    out_blobs.append(data)
+                    continue
+                out_blobs.append(
+                    bytes(encode_png(
+                        resize_nearest(px, self.out_w, self.out_h)
+                    ))
+                )
+                resized[i] = True
+            except ValueError:
+                out_blobs.append(data)
+        out = batch.drop_columns([self.blob_col])
+        out = out.append_column(self.blob_col,
+                                pa.array(out_blobs, type=pa.binary()))
+        out = out.append_column("resized", pa.array(resized))
+        return out
+
+
+class SampleFrames:
+    """Actor-pool video frame-sampling stage over REAL frames (Y4M, the
+    one video container parseable with stdlib — compressed formats need
+    native codecs and raise/fake per ``on_unsupported``).
+
+    1→N transform: each video row explodes into one row per SAMPLED
+    frame (every ``every_k``-th), carrying the id columns plus
+    (frame_idx, width, height, features) — downstream image stages then
+    treat frames like any other image batch.
+    """
+
+    def __init__(self, blob_col: str = "blob", every_k: int = 5,
+                 id_cols: tuple[str, ...] = ("media_id",),
+                 on_unsupported: str = "fake"):
+        assert on_unsupported in ("fake", "error")
+        self.blob_col = blob_col
+        self.every_k = every_k
+        self.id_cols = id_cols
+        self.on_unsupported = on_unsupported
+        self.calls = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        blobs = batch[self.blob_col].combine_chunks()
+        ids = {c: batch[c].to_numpy(zero_copy_only=False)
+               for c in self.id_cols}
+        rows: dict = {c: [] for c in self.id_cols}
+        rows.update(frame_idx=[], n_frames=[], width=[], height=[],
+                    features=[])
+        for i, v in enumerate(blobs):
+            data = (v.as_py() if v.is_valid else b"") or b""
+            if data.startswith(b"YUV4MPEG2"):
+                try:
+                    frames, _fps = decode_y4m(data)
+                except ValueError:
+                    continue  # malformed: dropped (dead-letter analog)
+                for fi in range(0, len(frames), self.every_k):
+                    w, h, f = _image_features(frames[fi])
+                    for c in self.id_cols:
+                        rows[c].append(ids[c][i])
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["features"].append(f)
+            elif self.on_unsupported == "error":
+                raise NotImplementedError(
+                    "compressed video needs native codecs not present "
+                    "in this environment; plug a decoder into "
+                    "SampleFrames.__call__"
+                )
+            else:
+                w, h, f = _fake_decode(data)
+                for c in self.id_cols:
+                    rows[c].append(ids[c][i])
+                rows["frame_idx"].append(0)
+                rows["n_frames"].append(1)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["features"].append(f)
+        feats = (np.stack(rows["features"]).astype(np.float32)
+                 if rows["features"]
+                 else np.zeros((0, FEATURE_DIM), dtype=np.float32))
+        cols = {c: pa.array(rows[c]) for c in self.id_cols}
+        cols["frame_idx"] = pa.array(rows["frame_idx"], type=pa.int64())
+        cols["n_frames"] = pa.array(rows["n_frames"], type=pa.int64())
+        cols["width"] = pa.array(rows["width"], type=pa.int32())
+        cols["height"] = pa.array(rows["height"], type=pa.int32())
+        cols["features"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), type=pa.float32()), FEATURE_DIM
+        )
+        return pa.table(cols)
 
 
 class DecodeFeaturesStub:

@@ -130,3 +130,76 @@ def test_multimodal_decode_query_deterministic():
     real = a[a["decode_kind"].isin(["png", "bmp", "wav"])]
     assert real["n"].sum() == 60                   # every real blob decoded
     assert (a[a["decode_kind"] == "malformed"]["n"] > 0).all()
+
+
+def test_y4m_roundtrip_and_reject():
+    from gush_ray.stages.codecs import decode_y4m, encode_y4m
+
+    fr = np.random.RandomState(2).randint(0, 256, size=(6, 8, 10),
+                                          dtype=np.uint8)
+    back, fps = decode_y4m(encode_y4m(fr, (30, 1)))
+    assert fps == (30, 1)
+    assert (back == fr).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a video")
+    with pytest.raises(ValueError):  # truncated mid-frame
+        decode_y4m(encode_y4m(fr)[:-5])
+
+
+def test_resize_stage_real_pixels():
+    """Resize stage re-encodes real pixels: decoding the output blob
+    gives exactly the nearest-neighbor-resized image."""
+    from gush_ray.stages.codecs import resize_nearest
+    from gush_ray.stages.multimodal import ResizeImages
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    wav_blob = encode_wav(np.zeros(100, dtype=np.int16))
+    t = pa.table({
+        "media_id": [1, 2],
+        "blob": pa.array([encode_png(px), wav_blob], type=pa.binary()),
+    })
+    out = ResizeImages(blob_col="blob", out_w=7, out_h=5)(t)
+    assert out["resized"].to_pylist() == [True, False]
+    resized_px = decode_png(out["blob"][0].as_py())
+    assert resized_px.shape == (5, 7, 3)
+    assert (resized_px == resize_nearest(px, 7, 5)).all()
+    assert out["blob"][1].as_py() == wav_blob  # non-image passthrough
+
+
+def test_sample_frames_real_video():
+    from gush_ray.stages.codecs import encode_y4m
+    from gush_ray.stages.multimodal import FEATURE_DIM, SampleFrames
+
+    rng = np.random.RandomState(9)
+    clip = rng.randint(0, 256, size=(13, 6, 6), dtype=np.uint8)
+    t = pa.table({
+        "media_id": [7, 8],
+        "blob": pa.array([encode_y4m(clip), encode_y4m(clip)[:30]],
+                         type=pa.binary()),
+    })
+    out = SampleFrames(blob_col="blob", every_k=5)(t)
+    # 13 frames sampled every 5 → frames 0,5,10; truncated clip dropped
+    assert out["media_id"].to_pylist() == [7, 7, 7]
+    assert out["frame_idx"].to_pylist() == [0, 5, 10]
+    assert out["n_frames"].to_pylist() == [13, 13, 13]
+    assert out["width"].to_pylist() == [6, 6, 6]
+    assert out["features"].type.list_size == FEATURE_DIM
+    # frame features are REAL luma stats of that exact frame
+    f0 = out["features"][0].as_py()
+    assert abs(f0[0] - clip[0].mean() / 255.0) < 1e-6
+
+
+def test_multimodal_resize_and_frame_sample_queries():
+    from gush_ray.pipelines.queries_extra import (
+        q_frame_sample, q_multimodal_resize,
+    )
+
+    r = q_multimodal_resize("/root/testdata/sf0.001")
+    imgs = r[r["blob_kind"].isin(["png", "bmp"]) & r["resized"]]
+    assert imgs["n"].sum() == 40          # every intact image resized
+    assert not r[r["blob_kind"] == "wav"]["resized"].any()
+
+    fs = q_frame_sample("/root/testdata/sf0.001")
+    assert len(fs) == 12                  # truncated clip produced no rows
+    assert (fs["n_sampled"] == (fs["n_frames"] + 4) // 5).all()
