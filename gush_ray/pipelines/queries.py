@@ -394,6 +394,67 @@ FROM documents GROUP BY 1
 """
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish subword counting (GPT-2 pre-tokenizer regex) — RE2 on
+    both sides, so the DuckDB oracle runs the SAME pattern."""
+    from gush_ray.stages.text import bpe_token_count_batch
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    toks = docs.map_batches(bpe_token_count_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    agg = partial_aggregate(
+        toks, ["lang"],
+        {"total_bpe": ("n_bpe_tokens", "sum"), "n_docs": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_bpe"] = _round_ha(df["total_bpe"] / df["n_docs"], 4)
+    return df
+
+
+SQL_BPE_TOKEN_STATS = """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))
+         AS BIGINT) AS total_bpe,
+       count(*) AS n_docs,
+       round(CAST(sum(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))
+         AS DOUBLE) / count(*), 4) AS avg_bpe
+FROM documents GROUP BY 1
+"""
+
+
+def q_stopword_ratio(sf_dir: str):
+    """Stopword-ratio quality signal per source."""
+    from gush_ray.stages.text import stopword_ratio_batch
+
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+    scored = docs.map_batches(stopword_ratio_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partial_aggregate(
+        scored, ["source"],
+        {"sum_ratio": ("stopword_ratio", "sum"), "n_docs": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["avg_stopword_ratio"] = _round_ha(df["sum_ratio"] / df["n_docs"], 4)
+    return df[["source", "n_docs", "avg_stopword_ratio"]]
+
+
+SQL_STOPWORD_RATIO = """
+WITH q AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|a|in|is|that|it|for)\\b'))
+           / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')), 1.0) AS ratio
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(ratio) / count(*), 4) AS avg_stopword_ratio
+FROM q GROUP BY 1
+"""
+
+
 def q_quality_score(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["text", "source"])
     scored = docs.map_batches(quality_score_batch, batch_format="pyarrow",
@@ -989,6 +1050,8 @@ CORE_QUERIES = {
     "topk_docs": (q_topk_docs, SQL_TOPK_DOCS),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+    "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -16,12 +16,39 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = r"\S+"
 _PUNCT_RE = r"[.,!?;:]"
+# GPT-2-style pre-tokenizer (BPE-ish subword boundaries): contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs. Both
+# pyarrow and DuckDB use RE2, so the SAME pattern is oracle-pairable.
+_BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+           r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+# tiny English stopword alternation (\b word-bounded, RE2-compatible)
+_STOPWORD_RE = r"\b(the|and|of|to|a|in|is|that|it|for)\b"
 
 
 def token_count_batch(batch: pa.Table, col: str = "text",
                       out: str = "n_tokens") -> pa.Table:
     n = pc.count_substring_regex(batch[col], _TOKEN_RE)
     return batch.append_column(out, n.cast(pa.int64()))
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text",
+                          out: str = "n_bpe_tokens") -> pa.Table:
+    """Subword-ish token counting via the GPT-2 pre-tokenizer regex —
+    the 'BPE-ish regex' counter from the driver brief (whitespace
+    counting alone undercounts punctuation-heavy web text)."""
+    n = pc.count_substring_regex(batch[col], _BPE_RE)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def stopword_ratio_batch(batch: pa.Table, col: str = "text",
+                         out: str = "stopword_ratio") -> pa.Table:
+    """Stopword-hit ratio (quality-scoring family): stopword matches per
+    whitespace token, vectorized RE2 on lowercased text."""
+    low = pc.utf8_lower(batch[col])
+    hits = pc.count_substring_regex(low, _STOPWORD_RE).cast(pa.float64())
+    toks = pc.count_substring_regex(batch[col], _TOKEN_RE).cast(pa.float64())
+    ratio = pc.divide(hits, pc.max_element_wise(toks, pa.scalar(1.0)))
+    return batch.append_column(out, ratio)
 
 
 def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -51,34 +78,59 @@ _STOP = {
 class LangIdModel:
     """Actor-pool language-ID stage: stopword-hit scoring.
 
-    Callable-class ``map_batches`` stage — regex/profile setup happens once
-    per actor in ``__init__`` (never per batch).
+    Callable-class ``map_batches`` stage — regex/profile setup happens
+    once per actor in ``__init__`` (never per batch). Scoring is
+    vectorized over the WHOLE batch: all docs' tokens hashed in one
+    chunked pass, per-language membership via ``np.isin`` against the
+    hashed profile, per-doc sums via ``np.add.reduceat`` (the same
+    pattern as minhash/simhash; the per-doc Python scoring loop this
+    replaces was the stage's hot path — parity test pins behavior).
     """
 
     def __init__(self):
         import re
 
         self.token_re = re.compile(r"[\wéíáóúüßñàè]+", re.U)
-        self.profiles = {
-            lang: frozenset(words) for lang, words in _STOP.items()
-        }
+        # langs ascending; ties resolve to the LARGEST lang string
+        # (the original max((score, lang)) tie-break)
+        self.langs = sorted(_STOP)
+        self.profiles = [
+            np.sort(pd.util.hash_array(
+                np.asarray(_STOP[lang], dtype=object), categorize=False
+            ))
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from gush_ray.stages.dedup import hash_object_chunks
+
+        if len(batch) == 0:
+            batch = batch.copy()
+            batch["lang_pred"] = pd.Series(dtype="object")
+            return batch
         texts = batch["text"].fillna("")
-        toks = texts.str.lower().str.findall(self.token_re)
-
-        def best(ws: list[str]) -> str:
-            if not ws:
-                return "und"
-            scores = {
-                lang: sum(w in prof for w in ws)
-                for lang, prof in self.profiles.items()
-            }
-            lang, score = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            return lang if score > 0 else "und"
-
+        all_tokens: list = []
+        bounds = [0]
+        for t in texts:
+            toks = self.token_re.findall(t.lower())
+            if not toks:
+                toks = [""]  # sentinel keeps reduceat segments non-empty
+            all_tokens.extend(toks)
+            bounds.append(bounds[-1] + len(toks))
+        h = hash_object_chunks(np.asarray(all_tokens, dtype=object))
+        starts = np.asarray(bounds[:-1], dtype=np.int64)
+        scores = np.empty((len(batch), len(self.langs)), dtype=np.int64)
+        for j, prof in enumerate(self.profiles):
+            hits = np.isin(h, prof).astype(np.int64)
+            scores[:, j] = np.add.reduceat(hits, starts) if len(h) else 0
+        # argmax with largest-lang tie-break = first max over reversed cols
+        rev_idx = np.argmax(scores[:, ::-1], axis=1)
+        idx = scores.shape[1] - 1 - rev_idx
+        best_score = scores[np.arange(len(batch)), idx]
+        langs = np.asarray(self.langs, dtype=object)
+        pred = np.where(best_score > 0, langs[idx], "und")
         batch = batch.copy()
-        batch["lang_pred"] = toks.map(best)
+        batch["lang_pred"] = pred
         return batch
 
 

@@ -279,11 +279,14 @@ class PartitionState:
         )
         keys = per[p.key_col].to_numpy()
         if keys.dtype == object:
-            # normalize NaN keys to None (see window-accumulator note)
-            keys = np.array(
-                [None if (isinstance(k, float) and k != k) else k
-                 for k in keys], dtype=object,
-            )
+            # normalize NaN keys to None (see window-accumulator note) —
+            # vectorized detection first: the common all-present case must
+            # not pay a per-key Python pass (this runs once per session
+            # row per reduce batch, measurably hot on the flagship path)
+            na = pd.isna(keys)
+            if na.any():
+                keys = keys.copy()
+                keys[na] = None
         mins = per["min"].to_numpy().astype(np.int64)
         maxs = per["max"].to_numpy().astype(np.int64)
         sizes = per["size"].to_numpy().astype(np.int64)

@@ -369,3 +369,35 @@ def test_lsh_index_build_once_and_pruned_read(tmp_path):
     build_lsh_index(emb, idx, n_planes=6)
     again = lsh_index_topk(idx, qvec, k=10, n_planes=6)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_langid_vectorized_parity():
+    """Vectorized stopword scoring must reproduce the per-row reference
+    scoring exactly, including the largest-lang tie-break and 'und'."""
+    import re
+
+    from gush_ray.stages.text import _STOP, LangIdModel
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).head(300)
+    extra = pd.DataFrame({
+        "doc_id": [-1, -2, -3],
+        "text": ["", "zzz qqq xxx", "the der le el o"],  # und / und / tie
+    })
+    docs = pd.concat([docs, extra], ignore_index=True)
+    got = LangIdModel()(docs.copy())["lang_pred"]
+
+    token_re = re.compile(r"[\wéíáóúüßñàè]+", re.U)
+    profiles = {lang: frozenset(ws) for lang, ws in _STOP.items()}
+
+    def ref(t):
+        ws = token_re.findall((t or "").lower())
+        if not ws:
+            return "und"
+        scores = {lang: sum(w in prof for w in ws)
+                  for lang, prof in profiles.items()}
+        lang, score = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        return lang if score > 0 else "und"
+
+    for i, t in enumerate(docs["text"]):
+        assert got.iloc[i] == ref(t), f"row {i}: {got.iloc[i]} != {ref(t)}"
