@@ -858,6 +858,26 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- sketches
+
+def q_heavy_hitters(sf_dir: str):
+    """Bounded-memory top-k (Misra-Gries-style count bounds). Capacity
+    4096 ≥ the fixture's distinct users, so the sketch is EXACT here and
+    oracle-pairable; at corpus scale capacity is the memory knob and
+    n_upper-n the reported error bound."""
+    from gush_ray.stages.sketches import heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=10, capacity=4096)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, count(*) AS n, count(*) AS n_upper
+FROM events GROUP BY 1
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- C3 NFA
 
 def q_nfa_match(sf_dir: str):
@@ -985,6 +1005,46 @@ ASOF JOIN (SELECT user_id AS cu, ts AS cts, event_id
 """
 
 
+def q_interval_join(sf_dir: str):
+    """Range join: each purchase paired with every view of the same user
+    within ±30 minutes (either order) — the windowed event-correlation
+    join, oracle = DuckDB inequality join."""
+    from gush_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us")
+
+    def side(kind, idcol, tscol):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], kind))
+            return pa.table({
+                idcol: b["event_id"], "user_id": b["user_id"],
+                tscol: b["ts_us"],
+            })
+        return f
+
+    purchases = ev.map_batches(side("purchase", "purchase_id", "p_ts_us"),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    views = ev.map_batches(side("view", "view_id", "v_ts_us"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    HALF_H = 1_800_000_000
+    joined = interval_join(purchases, views, key="user_id",
+                           ts_col="p_ts_us", right_ts_col="v_ts_us",
+                           low_us=-HALF_H, high_us=HALF_H)
+    return joined.select_columns(["purchase_id", "user_id", "view_id"])
+
+
+SQL_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND epoch_us(v.ts) - epoch_us(p.ts) BETWEEN -1800000000 AND 1800000000
+"""
+
+
 def q_nfa_three_step(sf_dir: str):
     """3-step sequence signup→click→purchase within 24h per user
     (all-runs ≡ the triple self-join oracle)."""
@@ -1025,9 +1085,11 @@ CORE_QUERIES = {
     "embedding_pairs_exact": (q_embedding_pairs_exact,
                               SQL_EMBEDDING_PAIRS_EXACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "windowed_topk": (q_windowed_topk, SQL_WINDOWED_TOPK),
     "latest_row": (q_latest_row, SQL_LATEST_ROW),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "change_set_expr": (q_change_set_expr, SQL_CHANGE_SET_EXPR),
     "where_fields": (q_where_fields, SQL_WHERE_FIELDS),

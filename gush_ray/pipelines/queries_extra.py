@@ -165,6 +165,17 @@ def q_lsh_index_ann(sf_dir: str):
     return lsh_index_topk(idx, qvec, k=10, n_planes=6)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users: each batch ships 2^12
+    registers instead of its keyspace (rows-only — approximate by
+    design; accuracy vs the exact count is pinned by test to <5%)."""
+    from gush_ray.stages.sketches import approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    return pd.DataFrame({"n_approx": [int(round(est))]})
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = docs.map_batches(LangIdModel, batch_format="pandas",
@@ -360,6 +371,7 @@ EXTRA_QUERIES = {
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
     "lang_id": (q_lang_id, None),
+    "approx_distinct_users": (q_approx_distinct, None),
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_decode": (q_multimodal_decode, None),

@@ -150,6 +150,85 @@ def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
     return partition_map(both, key, per_part, num_partitions)
 
 
+def interval_join(left, right, key: str, ts_col: str, right_ts_col: str,
+                  low_us: int, high_us: int, num_partitions: int = 8):
+    """Range (interval) join: every (left, right) pair of the same key
+    with ``right_ts - left_ts`` in ``[low_us, high_us]`` — the windowed
+    event-correlation join (brief: "as-of join, range join" custom
+    operators; gush itself has no join, SURVEY.md §2.5).
+
+    Composition: co-partition both sides by hash(key) in ONE shuffle
+    (same tag+union trick as :func:`asof_join`), then per partition a
+    vectorized sorted-sweep: for each left row ``np.searchsorted`` finds
+    its right-window bounds and the pairs explode via ``np.repeat``.
+    Partitioning assumption (documented, same as asof): one key's rows
+    fit one partition's memory; cost is output-size-bound, not n².
+    """
+    from gush_ray.stages.shuffle import partition_map
+
+    lsch, rsch = left.schema(), right.schema()
+    lnames, rnames = lsch.names, rsch.names
+    assert set(lnames) & set(rnames) == {key}, (
+        "interval_join requires disjoint columns except the key"
+    )
+    all_cols = lnames + [c for c in rnames if c not in lnames]
+    col_type = dict(zip(lnames, lsch.types)) | dict(zip(rnames, rsch.types))
+
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                c: (b[c] if c in b.column_names
+                    else pa.nulls(n, type=col_type[c]))
+                for c in all_cols
+            }
+            cols["__side"] = pa.array(np.full(n, side, dtype=object),
+                                      type=pa.string())
+            return pa.table(cols)
+        return f
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(tag("r"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+    out_cols = lnames + [c for c in rnames if c != key]
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df.loc[df["__side"] == "l", lnames]
+        rdf = df.loc[df["__side"] == "r", rnames]
+        if not len(ldf) or not len(rdf):
+            return pd.DataFrame(columns=out_cols)
+        frames = []
+        # per key: sort right once, searchsorted the window bounds
+        rgroups = {k: g.sort_values(right_ts_col)
+                   for k, g in rdf.groupby(key, sort=False)}
+        for k, lg in ldf.groupby(key, sort=False):
+            rg = rgroups.get(k)
+            if rg is None:
+                continue
+            rts = rg[right_ts_col].to_numpy().astype(np.int64)
+            lts = lg[ts_col].to_numpy().astype(np.int64)
+            lo = np.searchsorted(rts, lts + low_us, side="left")
+            hi = np.searchsorted(rts, lts + high_us, side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            li = np.repeat(np.nonzero(keep)[0], cnt[keep])
+            ri = np.concatenate([
+                np.arange(a, b) for a, b in zip(lo[keep], hi[keep])
+            ])
+            lpart = lg.iloc[li].reset_index(drop=True)
+            rpart = rg.iloc[ri].reset_index(drop=True).drop(columns=[key])
+            frames.append(pd.concat([lpart, rpart], axis=1))
+        if not frames:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(frames, ignore_index=True)[out_cols]
+
+    return partition_map(both, key, per_part, num_partitions)
+
+
 def _strip_meta(ds):
     # parquet files carry pandas metadata dicts in their schema; the hash
     # join's schema-dedup can't hash them and logs a warning per block
