@@ -189,6 +189,45 @@ class Stream:
                         num_salts=num_salts)
         )
 
+    def join_asof(self, other: "Stream | object", key: str, ts_col: str,
+                  right_ts_col: str, **kw) -> "Stream":
+        from gush_ray.stages.joins import asof_join
+
+        ods = other.ds if isinstance(other, Stream) else other
+        return self._wrap(asof_join(self.ds, ods, key=key, ts_col=ts_col,
+                                    right_ts_col=right_ts_col, **kw))
+
+    def join_interval(self, other: "Stream | object", key: str, ts_col: str,
+                      right_ts_col: str, low_us: int, high_us: int,
+                      **kw) -> "Stream":
+        from gush_ray.stages.joins import interval_join
+
+        ods = other.ds if isinstance(other, Stream) else other
+        return self._wrap(interval_join(self.ds, ods, key=key,
+                                        ts_col=ts_col,
+                                        right_ts_col=right_ts_col,
+                                        low_us=low_us, high_us=high_us,
+                                        **kw))
+
+    def dedup_minhash(self, text_col: str = "text", id_col: str = "doc_id",
+                      **kw) -> "Stream":
+        from gush_ray.stages.dedup import minhash_lsh_pairs
+
+        return self._wrap(minhash_lsh_pairs(self.ds, text_col=text_col,
+                                            id_col=id_col, **kw))
+
+    def heavy_hitters(self, col: str, k: int = 10, capacity: int = 256):
+        """Terminal: bounded-memory top-k (pandas result, k rows)."""
+        from gush_ray.stages.sketches import heavy_hitters
+
+        return heavy_hitters(self.ds, col, k=k, capacity=capacity)
+
+    def approx_distinct(self, col: str, p: int = 12) -> float:
+        """Terminal: HyperLogLog approximate COUNT(DISTINCT col)."""
+        from gush_ray.stages.sketches import approx_distinct
+
+        return approx_distinct(self.ds, col, p=p)
+
     def union(self, other: "Stream") -> "Stream":
         return self._wrap(self.ds.union(other.ds))
 

@@ -92,3 +92,31 @@ def test_extract_text_stream():
     )
     ok = merged["text_want"].notna()
     assert (merged.loc[ok, "text_got"] == merged.loc[ok, "text_want"]).all()
+
+
+def test_stream_join_interval_and_sketches(sf_dir):
+    from gush_ray.api import Stream
+
+    ev = Stream.from_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"]).with_ts_us("ts")
+    p = (ev.filter_equals("event_type", "purchase")
+           .map_batches(lambda b: b.select(["event_id", "user_id", "ts_us"])
+                        .rename_columns(["purchase_id", "user_id",
+                                         "p_ts_us"])))
+    v = (ev.filter_equals("event_type", "view")
+           .map_batches(lambda b: b.select(["event_id", "user_id", "ts_us"])
+                        .rename_columns(["view_id", "user_id", "v_ts_us"])))
+    HALF_H = 1_800_000_000
+    joined = p.join_interval(v, key="user_id", ts_col="p_ts_us",
+                             right_ts_col="v_ts_us",
+                             low_us=-HALF_H, high_us=HALF_H).to_pandas()
+    assert {"purchase_id", "view_id", "user_id"} <= set(joined.columns)
+    assert len(joined) > 0
+    assert (joined["v_ts_us"] - joined["p_ts_us"]).abs().max() <= HALF_H
+
+    hh = ev.heavy_hitters("user_id", k=5, capacity=1024)
+    assert list(hh.columns) == ["user_id", "n", "n_upper"]
+    assert len(hh) == 5 and (hh["n"] == hh["n_upper"]).all()
+    est = ev.approx_distinct("user_id")
+    assert est > 0
