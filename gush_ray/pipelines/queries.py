@@ -838,6 +838,38 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact grouped quantiles (p50/p90, linear interpolation — the
+    same definition as DuckDB's quantile_cont): one shuffle by group
+    key, vectorized pandas quantile per partition. Exact quantiles
+    fundamentally need the group's values co-located; the partitioning
+    assumption (one group's rows fit a partition) is the same one the
+    asof/NFA stages document."""
+    from gush_ray.stages.shuffle import partition_map
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type")["value"]
+        out = pd.DataFrame({
+            "p50": g.quantile(0.5),
+            "p90": g.quantile(0.9),
+            "n": g.size(),
+        }).reset_index()
+        out["p50"] = _round_ha(out["p50"], 4)
+        out["p90"] = _round_ha(out["p90"], 4)
+        return out
+
+    return partition_map(ev, "event_type", per_part, 8)
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact grouped count-distinct via per-partition nunique."""
     from gush_ray.stages.shuffle import partition_map
@@ -1090,6 +1122,7 @@ CORE_QUERIES = {
     "latest_row": (q_latest_row, SQL_LATEST_ROW),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "change_delta": (q_change_delta, SQL_CHANGE_DELTA),
     "change_set_expr": (q_change_set_expr, SQL_CHANGE_SET_EXPR),
     "where_fields": (q_where_fields, SQL_WHERE_FIELDS),

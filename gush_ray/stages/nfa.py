@@ -135,6 +135,18 @@ class NFARunner:
             if pat.id_col is not None
             else np.arange(len(df))
         )
+        if (
+            not strict
+            and len(pat.steps) == 2
+            and pat.steps[0].quantifier != "+"
+            and pat.steps[1].quantifier != "+"
+        ):
+            # the dominant pattern shape (A then B within W, all-runs) is
+            # a per-key interval join — vectorizable; the event loop was
+            # ~half the streaming reduce phase (BENCH/BASELINE.md)
+            fast = self._two_step_fast(keys, ts, ids, masks)
+            if fast is not None:
+                return fast
         # strict contiguity must see EVERY event of a key (a non-matching
         # event kills partial runs); skip mode only touches matching rows
         idxs = np.arange(len(df)) if strict else np.nonzero(any_mask)[0]
@@ -220,6 +232,124 @@ class NFARunner:
         data["start_us"] = np.asarray(cols[j], dtype="int64")
         data["end_us"] = np.asarray(cols[j + 1], dtype="int64")
         return pd.DataFrame(data)
+
+    def _two_step_fast(self, keys, ts, ids, masks):
+        """Vectorized all-runs matching for 2-step skip patterns.
+
+        Semantics: a step-0 partial (an A event) emits one match per
+        later B event of the same key with ``B.ts > A.ts`` and
+        ``B.ts - A.ts <= within`` — exactly a per-key interval join,
+        computed with ONE ``np.searchsorted`` over composite
+        (key_code, rel_ts) int64 probes instead of the per-event loop.
+
+        Returns ``None`` (caller falls back to the exact loop) when the
+        vectorization preconditions fail: a key whose live-partial count
+        could hit ``max_partials`` (the cap's mid-batch drop semantics
+        are only defined by the loop), a time span too wide for the
+        42-bit rel-ts packing, or >2^21 distinct keys per batch.
+        """
+        pat = self.pattern
+        m0, m1 = masks
+        n = len(keys)
+        seg_start = np.nonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )[0]
+        n_seg = len(seg_start)
+        if n_seg >= (1 << 21):
+            return None
+        code = np.searchsorted(seg_start, np.arange(n), side="right") - 1
+        ins_per_seg = np.add.reduceat(m0.astype(np.int64), seg_start)
+
+        # gather old partials per distinct key + hot-key guard
+        old_code: list[int] = []
+        old_start: list[int] = []
+        old_id: list = []
+        seg_keys = keys[seg_start]
+        for k_idx in range(n_seg):
+            plist = self.partials.get(seg_keys[k_idx])
+            n_old = len(plist) if plist else 0
+            if n_old + int(ins_per_seg[k_idx]) > pat.max_partials:
+                return None  # cap semantics belong to the loop
+            if not plist:
+                continue
+            for p in plist:
+                if p.step_idx != 0:
+                    return None  # foreign state shape: loop handles it
+                old_code.append(k_idx)
+                old_start.append(p.start_us)
+                old_id.append(p.captured[0][0])
+
+        ins_rows = np.nonzero(m0)[0]
+        upd_rows = np.nonzero(m1)[0]
+        ins_code = np.concatenate([
+            np.asarray(old_code, dtype=np.int64),
+            code[ins_rows],
+        ])
+        ins_start = np.concatenate([
+            np.asarray(old_start, dtype=np.int64),
+            ts[ins_rows],
+        ])
+        try:
+            ins_id = np.concatenate([
+                np.asarray(old_id, dtype=np.int64),
+                np.asarray(ids[ins_rows], dtype=np.int64),
+            ])
+            upd_id = np.asarray(ids[upd_rows], dtype=np.int64)
+        except (ValueError, TypeError):
+            return None  # non-integer id column: loop emits it as-is
+
+        out = None
+        if len(upd_rows) and len(ins_code):
+            base = int(min(ins_start.min(), ts.min()))
+            span = int(ts.max()) - base
+            if span >= (1 << 41):
+                return None
+            order = np.lexsort((ins_start, ins_code))
+            ins_code = ins_code[order]
+            ins_start = ins_start[order]
+            ins_id = ins_id[order]
+            comp = (ins_code << np.int64(42)) | (ins_start - base)
+            u_code = code[upd_rows].astype(np.int64)
+            u_rel = ts[upd_rows] - base
+            lo = np.searchsorted(
+                comp,
+                (u_code << np.int64(42))
+                | np.maximum(u_rel - pat.within_us, 0),
+                side="left",
+            )
+            hi = np.searchsorted(
+                comp, (u_code << np.int64(42)) | u_rel, side="left"
+            )
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total:
+                offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                pair = np.arange(total) - offs + np.repeat(lo, cnt)
+                rep_u = np.repeat(upd_rows, cnt)
+                out = pd.DataFrame({
+                    pat.key: keys[rep_u],
+                    f"{pat.steps[0].name}_id": ins_id[pair],
+                    f"{pat.steps[1].name}_id": np.repeat(upd_id, cnt),
+                    "start_us": ins_start[pair],
+                    "end_us": ts[rep_u],
+                })
+
+        # state update: every A event of this batch becomes a live
+        # step-0 partial (identical to what the loop would keep)
+        if len(ins_rows):
+            ins_ts_batch = ts[ins_rows]
+            ins_ids_batch = ids[ins_rows]
+            ins_keys_batch = keys[ins_rows]
+            for i in range(len(ins_rows)):
+                k = ins_keys_batch[i]
+                t = int(ins_ts_batch[i])
+                plist = self.partials.get(k)
+                if plist is None:
+                    plist = self.partials[k] = []
+                plist.append(
+                    _Partial(0, t, ((ins_ids_batch[i], 1),), t)
+                )
+        return out if out is not None else _empty_matches(pat)
 
     def prune(self, watermark_us: int) -> None:
         """Drop partials whose within-window closed before the watermark."""

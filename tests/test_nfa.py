@@ -1,6 +1,8 @@
 """NFA matcher unit tests (semantics pinned before oracle comparison)."""
 
+import numpy as np
 import pandas as pd
+import pytest
 
 from gush_ray.stages.nfa import NFARunner, Pattern, Step
 
@@ -230,3 +232,78 @@ def test_kleene_hot_key_bounded():
     r.process_sorted(df.sort_values(["k", "ts"]))
     assert all(len(v) <= pat.max_partials for v in r.partials.values())
     assert len(out) > 0
+
+
+def _random_stream(seed, n=4000, n_keys=300, within=5_000):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "url": [f"k{v}" for v in rng.randint(0, n_keys, n)],
+        "ts_us": np.sort(rng.randint(0, 200_000, n)).astype("int64"),
+        "change_kind": rng.choice(["insert", "update", "other"], n,
+                                  p=[0.4, 0.4, 0.2]),
+        "event_id": np.arange(n, dtype="int64"),
+    })
+    return df.sort_values(["url", "ts_us"], kind="mergesort")
+
+
+def _two_step_pattern(within=5_000, cap=64):
+    return Pattern(
+        steps=(Step("a", "change_kind", "insert"),
+               Step("b", "change_kind", "update")),
+        within_us=within, key="url", ts_col="ts_us", id_col="event_id",
+        max_partials=cap,
+    )
+
+
+def _norm_matches(df):
+    cols = list(df.columns)
+    return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_two_step_fast_path_matches_loop(seed):
+    """The vectorized 2-step fast path must emit the identical match set
+    AND leave identical partial state as the event loop — across
+    multiple batches (cross-epoch partials included)."""
+    pat = _two_step_pattern()
+    fast, slow = NFARunner(pat), NFARunner(pat)
+    slow._two_step_fast = lambda *a, **kw: None  # force the loop
+    for epoch in range(3):
+        df = _random_stream(seed * 10 + epoch)
+        out_f = fast.process_sorted(df)
+        out_s = slow.process_sorted(df)
+        pd.testing.assert_frame_equal(_norm_matches(out_f),
+                                      _norm_matches(out_s))
+        assert len(out_f) > 0 or epoch == 99  # non-trivial
+        # identical live-partial state (the loop leaves empty lists for
+        # keys it visited; empty == absent)
+        fnon = {k for k, v in fast.partials.items() if v}
+        snon = {k for k, v in slow.partials.items() if v}
+        assert fnon == snon
+        for k in fnon:
+            pf = sorted((p.step_idx, p.start_us, p.captured)
+                        for p in fast.partials[k])
+            ps = sorted((p.step_idx, p.start_us, p.captured)
+                        for p in slow.partials[k])
+            assert pf == ps, k
+
+
+def test_two_step_fast_path_hot_key_falls_back_to_loop():
+    """A key that would exceed max_partials must take the loop (the cap's
+    drop semantics) — outputs equal the loop's on the whole batch."""
+    pat = _two_step_pattern(within=1_000_000, cap=8)
+    rng = np.random.RandomState(5)
+    n = 500
+    df = pd.DataFrame({
+        "url": ["hot"] * n,
+        "ts_us": np.arange(n, dtype="int64") * 10,
+        "change_kind": rng.choice(["insert", "update"], n),
+        "event_id": np.arange(n, dtype="int64"),
+    })
+    fast, slow = NFARunner(pat), NFARunner(pat)
+    slow._two_step_fast = lambda *a, **kw: None
+    out_f = fast.process_sorted(df)
+    out_s = slow.process_sorted(df)
+    pd.testing.assert_frame_equal(_norm_matches(out_f),
+                                  _norm_matches(out_s))
+    assert fast.truncated == slow.truncated > 0
