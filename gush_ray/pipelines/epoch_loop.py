@@ -95,15 +95,23 @@ def _shard_files(path: str) -> list[str]:
 
 
 def _dim_lookup(dim_holder, dim_key: str):
-    """Per-worker memoized fetch of the broadcast dimension snapshot,
-    pre-indexed by the join key so each batch is a pure hash probe
-    (re-building the join hash per task costs more than the probe)."""
+    """Per-worker memoized fetch of the broadcast dimension snapshot in
+    ARROW form: (key array, attr arrays) so each batch probe is a single
+    vectorized ``pc.index_in`` + ``take`` — no pandas conversion in the
+    map hot path (the previous ``DataFrame.reindex`` probe built pandas
+    indexes per shard)."""
     cache = _dim_lookup.__dict__.setdefault("cache", {})
     ref = dim_holder[0]
     key = ref.hex()
     if key not in cache:
         dim = ray.get(ref)  # local plasma read after first fetch
-        cache[key] = dim.set_index(dim_key)
+        tab = pa.Table.from_pandas(dim, preserve_index=False)
+        keys = tab[dim_key].combine_chunks()
+        attrs = {
+            c: tab[c].combine_chunks()
+            for c in tab.column_names if c != dim_key
+        }
+        cache[key] = (keys, attrs)
     return cache[key]
 
 
@@ -157,17 +165,17 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
     if dim_holder is not None:
         import pyarrow.compute as pc
 
-        dim = _dim_lookup(dim_holder, dim_key)  # indexed: site -> attrs
+        dim_keys, dim_attrs = _dim_lookup(dim_holder, dim_key)
         site = pc.struct_field(
             pc.extract_regex(batch[key_col], r"https?://(?P<site>[^/]+)/"),
             "site",
         )
-        probes = pd.Index(site.to_numpy(zero_copy_only=False))
-        joined = dim.reindex(probes)
-        for col in joined.columns:
-            batch = batch.append_column(
-                col, pa.Array.from_pandas(joined[col].reset_index(drop=True))
-            )
+        # vectorized hash probe: unmatched sites become null indices and
+        # take() yields typed nulls (the unmatched-dim-key case the
+        # streaming accumulators count via dropna=False)
+        idx = pc.index_in(site, value_set=dim_keys)
+        for col, arr in dim_attrs.items():
+            batch = batch.append_column(col, arr.take(idx))
 
     h = stable_hash(batch[key_col].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)

@@ -488,6 +488,53 @@ FROM q GROUP BY 1
 """
 
 
+# ------------------------------------------------- URL canonicalization
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (dedup-key normalization): messy URLs built
+    deterministically from documents rows, then lowercased, fragment /
+    utm-param / trailing-slash stripped, scheme+www canonicalized — the
+    oracle applies the IDENTICAL RE2 rule chain in SQL."""
+    from gush_ray.stages.text import normalize_urls_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "url": "HTTP://WWW.Example.COM/" + b["source"] + "/Page/"
+            + (b["doc_id"] % 7).astype(str)
+            + "/?utm_source=feed&id=" + b["doc_id"].astype(str) + "#frag",
+        })
+
+    messy = docs.map_batches(build, batch_format="pandas")
+    normed = messy.map_batches(normalize_urls_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return normed.select_columns(["doc_id", "url_norm"])
+
+
+SQL_URL_NORMALIZE = """
+WITH m AS (
+  SELECT doc_id,
+         lower('HTTP://WWW.Example.COM/' || source || '/Page/'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || '#frag') AS u
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(u,
+    '#.*$', '', 'g'),
+    '[?&]utm_[^&#]*', '', 'g'),
+    '\\?$', '', 'g'),
+    '^https?://www\\.', 'https://', 'g'),
+    '^http://', 'https://', 'g'),
+    '/+$', '', 'g') AS url_norm
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- exact dedup
 
 def q_exact_dedup_docs(sf_dir: str):
@@ -1149,5 +1196,6 @@ CORE_QUERIES = {
     "stopword_ratio": (q_stopword_ratio, SQL_STOPWORD_RATIO),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
 }

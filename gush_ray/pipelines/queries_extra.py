@@ -165,6 +165,26 @@ def q_lsh_index_ann(sf_dir: str):
     return lsh_index_topk(idx, qvec, k=10, n_planes=6)
 
 
+def q_content_chunks(sf_dir: str):
+    """Content-defined chunking + chunk-level exact dedup: documents
+    explode into rolling-hash-bounded chunks; duplicate chunks collapse
+    by hash (sub-document dedup, the CDC primitive). Rows-only —
+    boundaries are hash-defined, not SQL-expressible."""
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.chunking import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs)
+    agg = partial_aggregate(
+        chunks, ["chunk_hash"],
+        {"n_copies": (None, "count"), "keep_doc": ("doc_id", "min"),
+         "chunk_len": ("chunk_len", "max")},
+    )
+    df = agg.to_pandas()
+    return (df.sort_values(["chunk_hash"]).reset_index(drop=True)
+            .astype({"chunk_hash": "uint64"}))
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users: each batch ships 2^12
     registers instead of its keyspace (rows-only — approximate by
@@ -372,6 +392,7 @@ EXTRA_QUERIES = {
     "lsh_index_ann": (q_lsh_index_ann, None),
     "lang_id": (q_lang_id, None),
     "approx_distinct_users": (q_approx_distinct, None),
+    "content_chunks": (q_content_chunks, None),
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_decode": (q_multimodal_decode, None),

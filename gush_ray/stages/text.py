@@ -75,6 +75,29 @@ _STOP = {
 }
 
 
+# URL canonicalization rules, applied IN ORDER to the lowercased url.
+# RE2 on both pyarrow and DuckDB sides → the oracle runs the same rules.
+_URL_RULES: list[tuple[str, str]] = [
+    (r"#.*$", ""),                     # drop fragment
+    (r"[?&]utm_[^&#]*", ""),           # drop tracking params
+    (r"\?$", ""),                      # empty query leftover
+    (r"^https?://www\.", "https://"),  # www + scheme canonicalization
+    (r"^http://", "https://"),
+    (r"/+$", ""),                      # trailing slashes
+]
+
+
+def normalize_urls_batch(batch: pa.Table, col: str = "url",
+                         out: str = "url_norm") -> pa.Table:
+    """URL canonicalization for dedup keys: lowercase, strip fragments /
+    utm tracking params / trailing slashes, canonicalize scheme+www —
+    fully vectorized RE2 replacement chain."""
+    arr = pc.utf8_lower(batch[col])
+    for pat, rep in _URL_RULES:
+        arr = pc.replace_substring_regex(arr, pat, rep)
+    return batch.append_column(out, arr)
+
+
 class LangIdModel:
     """Actor-pool language-ID stage: stopword-hit scoring.
 
