@@ -1157,10 +1157,83 @@ JOIN events p ON s.user_id = p.user_id
 """
 
 
+def q_nfa_negation(sf_dir: str):
+    """Negation (notFollowedBy): click→purchase within 1h per user with
+    NO intervening error event — the NOT EXISTS oracle."""
+    from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    pat = Pattern(
+        steps=(Step("click", "event_type", "click"),
+               Step("err", "event_type", "error", negated=True),
+               Step("purchase", "event_type", "purchase")),
+        within_us=HOUR_US, key="user_id", ts_col="ts_us", id_col="event_id",
+    )
+    out = match_pattern_batch(ev, pat, num_partitions=8)
+    return out.select_columns(["user_id", "click_id", "purchase_id"])
+
+
+SQL_NFA_NEGATION = """
+SELECT a.user_id AS user_id, a.event_id AS click_id,
+       b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+WHERE NOT EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.user_id = a.user_id AND c.event_type = 'error'
+    AND c.ts > a.ts AND c.ts < b.ts
+)
+"""
+
+
+def q_nfa_gap(sf_dir: str):
+    """Per-step gap bounds: signup→click→purchase within 24h where each
+    consecutive hop is itself <= 2h (tighter than the run-wide window)."""
+    from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    ev = _ts_us(ev, "ts", "ts_us").drop_columns(["ts"])
+    pat = Pattern(
+        steps=(Step("signup", "event_type", "signup"),
+               Step("click", "event_type", "click",
+                    max_gap_us=6 * HOUR_US),
+               Step("purchase", "event_type", "purchase",
+                    max_gap_us=6 * HOUR_US)),
+        within_us=24 * HOUR_US, key="user_id", ts_col="ts_us",
+        id_col="event_id",
+    )
+    out = match_pattern_batch(ev, pat, num_partitions=8)
+    return out.select_columns(["user_id", "signup_id", "click_id",
+                               "purchase_id"])
+
+
+SQL_NFA_GAP = """
+SELECT s.user_id AS user_id, s.event_id AS signup_id,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM events s
+JOIN events c ON s.user_id = c.user_id
+ AND s.event_type = 'signup' AND c.event_type = 'click'
+ AND c.ts > s.ts
+ AND epoch_us(c.ts) - epoch_us(s.ts) <= 21600000000
+JOIN events p ON s.user_id = p.user_id
+ AND p.event_type = 'purchase' AND p.ts > c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+ AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+"""
+
+
 CORE_QUERIES = {
     "nfa_match": (q_nfa_match, SQL_NFA_MATCH),
     "nfa_strict_match": (q_nfa_strict_match, SQL_NFA_STRICT_MATCH),
     "nfa_three_step": (q_nfa_three_step, SQL_NFA_THREE_STEP),
+    "nfa_negation": (q_nfa_negation, SQL_NFA_NEGATION),
+    "nfa_gap": (q_nfa_gap, SQL_NFA_GAP),
     "embedding_pairs_exact": (q_embedding_pairs_exact,
                               SQL_EMBEDDING_PAIRS_EXACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),

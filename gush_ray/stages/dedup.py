@@ -429,18 +429,21 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # --------------------------------------------------------- exact n-gram J
 
-def _gram_hash_batch(b: pd.DataFrame, id_col: str, text_col: str,
-                     n: int, grams_col: str) -> pd.DataFrame:
+def _gram_hash_batch(t: pa.Table, id_col: str, text_col: str,
+                     n: int, out_id: str, grams_col: str) -> pa.Table:
     """doc → sorted unique uint64 word-n-gram hashes, PACKED AS BYTES:
     a binary column survives the Acero hash join as a payload field,
     whereas numpy-array cells become Ray's tensor extension type which
-    the join rejects."""
-    out_ids = b[id_col].to_numpy()
-    grams = []
-    for t in b[text_col].fillna(""):
-        h = _token_hashes(t, n)
-        grams.append(np.unique(h).tobytes())
-    return pd.DataFrame({id_col: out_ids, grams_col: grams})
+    the join rejects.  Arrow in/out with an EXPLICIT binary() type so an
+    empty batch keeps the same schema as a full one — a pandas object
+    column infers Arrow null on empty batches, which nondeterministically
+    (block-split-dependent) breaks the downstream hash-join finalize."""
+    grams = [
+        np.unique(_token_hashes(x if x is not None else "", n)).tobytes()
+        for x in t[text_col].to_pylist()
+    ]
+    return pa.table({out_id: t[id_col].combine_chunks(),
+                     grams_col: pa.array(grams, type=pa.binary())})
 
 
 def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
@@ -464,14 +467,12 @@ def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
     # filter must run once, not once per join side
     sub = broadcast_semi_filter(corpus_ds, cand_ids, on=id_col).materialize()
     grams_a = sub.map_batches(
-        lambda b: _gram_hash_batch(b, id_col, text_col, n, "grams_a")
-        .rename(columns={id_col: "doc_a"}),
-        batch_format="pandas",
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_a", "grams_a"),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     grams_b = sub.map_batches(
-        lambda b: _gram_hash_batch(b, id_col, text_col, n, "grams_b")
-        .rename(columns={id_col: "doc_b"}),
-        batch_format="pandas",
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_b", "grams_b"),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     j1 = hash_join(pairs_ds, grams_a, on=("doc_a",),
                    num_partitions=num_partitions)

@@ -34,13 +34,27 @@ class Step:
 
     ``quantifier``: "1" (exactly one event, default) or "+" (one or
     more: once entered, further events matching this step extend the run;
-    all-runs semantics branches on every extension)."""
+    all-runs semantics branches on every extension).
+
+    ``negated``: a NOT-step (Flink CEP ``notFollowedBy``): the run is
+    KILLED if an event matching this step occurs strictly between the
+    surrounding positive steps' matched events (SQL oracle: NOT EXISTS c
+    WITH c.ts > prev.ts AND c.ts < next.ts). Only valid between two
+    positive steps, and only with contiguity="skip" (strict contiguity
+    already kills on any non-advancing event).
+
+    ``max_gap_us``: per-step bound on the gap to the PREVIOUS matched
+    event of the run (tighter than the pattern-wide ``within_us``, which
+    bounds against the run's start); on a "+" step it also bounds the gap
+    between consecutive repetitions."""
 
     name: str
     column: str | None = None
     value: object | None = None
     predicate: Callable[[pd.DataFrame], np.ndarray] | None = None
     quantifier: str = "1"
+    negated: bool = False
+    max_gap_us: int | None = None
 
     def mask(self, df: pd.DataFrame) -> np.ndarray:
         if self.predicate is not None:
@@ -66,6 +80,11 @@ class Pattern:
     # hit the OLDEST-started runs are dropped deterministically; matches
     # already emitted are unaffected.
     max_partials: int = 64
+    # capture EVERY matched event id of a "+" step (emitted as a
+    # comma-joined ``{name}_ids`` string column next to the first-id +
+    # count), not just (first, count). Each all-runs branch reports the
+    # exact id subsequence it matched.
+    capture_all: bool = False
 
 
 @dataclass
@@ -74,25 +93,40 @@ class _Partial:
     start_us: int
     captured: tuple
     last_us: int = 0  # event time of the most recent matched event
+    # set when a negated step matched at this event time: the run may
+    # still advance AT that timestamp (the oracle's c.ts < b.ts is
+    # strict) but is dead for any strictly later event
+    dead_us: int | None = None
+
+
+def _pos_steps(pattern: Pattern) -> tuple[Step, ...]:
+    return tuple(s for s in pattern.steps if not s.negated)
 
 
 def _empty_matches(pattern: Pattern) -> pd.DataFrame:
     cols: dict = {pattern.key: pd.Series(dtype="object")}
-    for s in pattern.steps:
+    for s in _pos_steps(pattern):
         cols[f"{s.name}_id"] = pd.Series(dtype="int64")
         if s.quantifier == "+":
             cols[f"{s.name}_n"] = pd.Series(dtype="int64")
+            if pattern.capture_all:
+                cols[f"{s.name}_ids"] = pd.Series(dtype="object")
     cols["start_us"] = pd.Series(dtype="int64")
     cols["end_us"] = pd.Series(dtype="int64")
     return pd.DataFrame(cols)
 
 
-def _emit_row(pat: Pattern, k, captured, start_us: int, end_us: int) -> tuple:
+def _emit_row(pat: Pattern, pos: tuple[Step, ...], k, captured,
+              start_us: int, end_us: int) -> tuple:
     vals: list = [k]
-    for s, (first_id, cnt) in zip(pat.steps, captured):
-        vals.append(first_id)
+    for s, e in zip(pos, captured):
+        vals.append(e[0])
         if s.quantifier == "+":
-            vals.append(cnt)
+            if pat.capture_all:
+                vals.append(len(e))
+                vals.append(",".join(str(x) for x in e))
+            else:
+                vals.append(e[1])
     vals.append(start_us)
     vals.append(end_us)
     return tuple(vals)
@@ -109,6 +143,31 @@ class NFARunner:
 
     def __init__(self, pattern: Pattern):
         self.pattern = pattern
+        steps = pattern.steps
+        if steps and (steps[0].negated or steps[-1].negated):
+            raise ValueError(
+                "negated steps must sit BETWEEN two positive steps (a "
+                "trailing not-step needs window-close semantics; anchor "
+                "the pattern with a positive step instead)"
+            )
+        if any(s.negated for s in steps):
+            if pattern.contiguity == "strict":
+                raise ValueError(
+                    "negated steps require contiguity='skip' (strict "
+                    "already kills runs on any non-advancing event)"
+                )
+            if any(s.negated and s.quantifier != "1" for s in steps):
+                raise ValueError("a negated step cannot carry a quantifier")
+        self.pos = _pos_steps(pattern)
+        # pos-step index i -> negated Steps between pos i and pos i+1:
+        # an event matching one of them KILLS runs waiting at step i
+        self.neg_after: dict[int, list[Step]] = {}
+        pi = -1
+        for s in steps:
+            if s.negated:
+                self.neg_after.setdefault(pi, []).append(s)
+            else:
+                pi += 1
         self.partials: dict[object, list[_Partial]] = {}
         # cumulative count of partial runs dropped by the max_partials cap
         # — surfaced in process metrics so oracle divergence on hot keys is
@@ -120,11 +179,18 @@ class NFARunner:
         """Feed events (already sorted by (key, ts) within the partition);
         returns completed matches as a DataFrame."""
         pat = self.pattern
+        pos = self.pos
         if len(df) == 0:
             return _empty_matches(pat)
         strict = pat.contiguity == "strict"
-        masks = [s.mask(df) for s in pat.steps]
-        any_mask = np.logical_or.reduce(masks)
+        cap_all = pat.capture_all
+        masks = [s.mask(df) for s in pos]
+        # per waiting-position combined kill mask (negated steps)
+        kill = {
+            i: np.logical_or.reduce([s.mask(df) for s in ss])
+            for i, ss in self.neg_after.items()
+        }
+        any_mask = np.logical_or.reduce(masks + list(kill.values()))
         if not strict and not any_mask.any():
             return _empty_matches(pat)
 
@@ -137,9 +203,11 @@ class NFARunner:
         )
         if (
             not strict
-            and len(pat.steps) == 2
-            and pat.steps[0].quantifier != "+"
-            and pat.steps[1].quantifier != "+"
+            and not kill
+            and not cap_all
+            and len(pos) == 2
+            and pos[0].quantifier != "+"
+            and pos[1].quantifier != "+"
         ):
             # the dominant pattern shape (A then B within W, all-runs) is
             # a per-key interval join — vectorizable; the event loop was
@@ -151,8 +219,9 @@ class NFARunner:
         # event kills partial runs); skip mode only touches matching rows
         idxs = np.arange(len(df)) if strict else np.nonzero(any_mask)[0]
 
-        n_steps = len(pat.steps)
+        n_steps = len(pos)
         last = n_steps - 1
+        gaps = [s.max_gap_us for s in pos]
         out_rows: list[tuple] = []
         for i in idxs:
             k = keys[i]
@@ -167,40 +236,63 @@ class NFARunner:
                 # strictly increasing event time step-to-step (matches the
                 # SQL oracles' b.ts > a.ts; equal-ts events never chain)
                 in_time = (t - p.start_us <= pat.within_us
-                           and t > p.last_us)
+                           and t > p.last_us
+                           and (p.dead_us is None or t <= p.dead_us))
                 nxt = p.step_idx + 1
-                if nxt < n_steps and masks[nxt][i] and in_time:
+                if (nxt < n_steps and masks[nxt][i] and in_time
+                        and (gaps[nxt] is None
+                             or t - p.last_us <= gaps[nxt])):
+                    entry = (ids[i],) if cap_all else (ids[i], 1)
                     cand = _Partial(
-                        nxt, p.start_us, p.captured + ((ids[i], 1),), t
+                        nxt, p.start_us, p.captured + (entry,), t
                     )
                     if nxt == last:
                         out_rows.append(
-                            _emit_row(pat, k, cand.captured, p.start_us, t)
+                            _emit_row(pat, pos, k, cand.captured,
+                                      p.start_us, t)
                         )
-                    if nxt < last or pat.steps[nxt].quantifier == "+":
+                    if nxt < last or pos[nxt].quantifier == "+":
                         new_partials.append(cand)
                 # Kleene +: extend the current step with another match
+                si = p.step_idx
                 if (
-                    pat.steps[p.step_idx].quantifier == "+"
-                    and masks[p.step_idx][i]
+                    pos[si].quantifier == "+"
+                    and masks[si][i]
                     and in_time
+                    and (gaps[si] is None or t - p.last_us <= gaps[si])
                 ):
-                    first_id, cnt = p.captured[-1]
+                    e = p.captured[-1]
+                    new_e = e + (ids[i],) if cap_all else (e[0], e[1] + 1)
                     cand = _Partial(
-                        p.step_idx, p.start_us,
-                        p.captured[:-1] + ((first_id, cnt + 1),), t
+                        si, p.start_us, p.captured[:-1] + (new_e,), t
                     )
-                    if p.step_idx == last:
+                    if si == last:
                         out_rows.append(
-                            _emit_row(pat, k, cand.captured, p.start_us, t)
+                            _emit_row(pat, pos, k, cand.captured,
+                                      p.start_us, t)
                         )
                     new_partials.append(cand)
+            # negation kills: an event matching a not-step between pos j
+            # and j+1 marks runs waiting at j dead-after-t. Strict
+            # inequalities mirror the oracle's c.ts > prev.ts AND
+            # c.ts < next.ts: a kill event at the SAME ts as the
+            # advancing event does not block it (hence dead_us marking
+            # instead of removal — expiry reaps dead runs), and a kill
+            # at the previous matched event's ts is a no-op.
+            if kill:
+                for p in plist:
+                    km = kill.get(p.step_idx)
+                    if (km is not None and km[i] and t > p.last_us
+                            and p.dead_us is None):
+                        p.dead_us = t
             # start a new run
             if masks[0][i]:
-                cand = _Partial(0, t, ((ids[i], 1),), t)
+                entry = (ids[i],) if cap_all else (ids[i], 1)
+                cand = _Partial(0, t, (entry,), t)
                 if n_steps == 1:
-                    out_rows.append(_emit_row(pat, k, cand.captured, t, t))
-                if n_steps > 1 or pat.steps[0].quantifier == "+":
+                    out_rows.append(
+                        _emit_row(pat, pos, k, cand.captured, t, t))
+                if n_steps > 1 or pos[0].quantifier == "+":
                     new_partials.append(cand)
             if strict:
                 self.partials[k] = new_partials
@@ -223,12 +315,16 @@ class NFARunner:
         cols = list(zip(*out_rows))
         data = {pat.key: np.asarray(cols[0])}
         j = 1
-        for s in pat.steps:
+        for s in pos:
             data[f"{s.name}_id"] = np.asarray(cols[j], dtype="int64")
             j += 1
             if s.quantifier == "+":
                 data[f"{s.name}_n"] = np.asarray(cols[j], dtype="int64")
                 j += 1
+                if cap_all:
+                    data[f"{s.name}_ids"] = np.asarray(cols[j],
+                                                       dtype="object")
+                    j += 1
         data["start_us"] = np.asarray(cols[j], dtype="int64")
         data["end_us"] = np.asarray(cols[j + 1], dtype="int64")
         return pd.DataFrame(data)
@@ -249,6 +345,13 @@ class NFARunner:
         42-bit rel-ts packing, or >2^21 distinct keys per batch.
         """
         pat = self.pattern
+        pos = self.pos
+        # a per-step max_gap on the second step folds into the window:
+        # for a 2-step run last_us == start_us, so both bounds are
+        # relative to the A event
+        within = pat.within_us
+        if pos[1].max_gap_us is not None:
+            within = min(within, pos[1].max_gap_us)
         m0, m1 = masks
         n = len(keys)
         seg_start = np.nonzero(
@@ -314,7 +417,7 @@ class NFARunner:
             lo = np.searchsorted(
                 comp,
                 (u_code << np.int64(42))
-                | np.maximum(u_rel - pat.within_us, 0),
+                | np.maximum(u_rel - within, 0),
                 side="left",
             )
             hi = np.searchsorted(
@@ -328,8 +431,8 @@ class NFARunner:
                 rep_u = np.repeat(upd_rows, cnt)
                 out = pd.DataFrame({
                     pat.key: keys[rep_u],
-                    f"{pat.steps[0].name}_id": ins_id[pair],
-                    f"{pat.steps[1].name}_id": np.repeat(upd_id, cnt),
+                    f"{pos[0].name}_id": ins_id[pair],
+                    f"{pos[1].name}_id": np.repeat(upd_id, cnt),
                     "start_us": ins_start[pair],
                     "end_us": ts[rep_u],
                 })

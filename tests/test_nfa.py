@@ -307,3 +307,210 @@ def test_two_step_fast_path_hot_key_falls_back_to_loop():
     pd.testing.assert_frame_equal(_norm_matches(out_f),
                                   _norm_matches(out_s))
     assert fast.truncated == slow.truncated > 0
+
+
+# ------------------------------------------------- negation (notFollowedBy)
+
+def negpat(within=100):
+    return Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("c", "etype", "C", negated=True),
+               Step("b", "etype", "B")),
+        within_us=within, key="k", ts_col="ts", id_col="eid",
+    )
+
+
+def test_negation_kills_run():
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 30],
+         "etype": ["A", "C", "B"], "eid": [1, 2, 3]}
+    )
+    assert len(run(df, negpat())) == 0
+
+
+def test_negation_without_blocker_matches():
+    df = pd.DataFrame(
+        {"k": ["u"] * 2, "ts": [10, 30], "etype": ["A", "B"],
+         "eid": [1, 2]}
+    )
+    out = run(df, negpat())
+    assert set(zip(out.a_id, out.b_id)) == {(1, 2)}
+
+
+def test_negation_strictly_between():
+    # C at the same ts as B does not kill (oracle: c.ts < b.ts strict);
+    # C at the same ts as A does not kill (c.ts > a.ts strict)
+    df = pd.DataFrame(
+        {"k": ["u"] * 4, "ts": [10, 10, 30, 30],
+         "etype": ["A", "C", "C", "B"], "eid": [1, 2, 3, 4]}
+    )
+    out = run(df, negpat())
+    assert set(zip(out.a_id, out.b_id)) == {(1, 4)}
+
+
+def test_negation_kills_only_earlier_runs():
+    # A1 C A2 B: (A1,B) killed, (A2,B) survives
+    df = pd.DataFrame(
+        {"k": ["u"] * 4, "ts": [10, 20, 25, 30],
+         "etype": ["A", "C", "A", "B"], "eid": [1, 2, 3, 4]}
+    )
+    out = run(df, negpat())
+    assert set(zip(out.a_id, out.b_id)) == {(3, 4)}
+
+
+def test_negation_cross_batch_state():
+    pat = negpat()
+    r = NFARunner(pat)
+    r.process_sorted(pd.DataFrame(
+        {"k": ["u"], "ts": [10], "etype": ["A"], "eid": [1]}))
+    r.process_sorted(pd.DataFrame(
+        {"k": ["u"], "ts": [20], "etype": ["C"], "eid": [2]}))
+    out = r.process_sorted(pd.DataFrame(
+        {"k": ["u"], "ts": [30], "etype": ["B"], "eid": [3]}))
+    assert len(out) == 0
+
+
+def test_negation_matches_brute_force():
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": rng.integers(0, 1000, n),
+        "etype": rng.choice(["A", "B", "C", "X"], n),
+        "eid": np.arange(n),
+    }).drop_duplicates(["k", "ts"])  # unique (key, ts) precondition
+    out = run(df, negpat(within=200))
+    got = set(zip(out.a_id, out.b_id))
+    want = set()
+    for _, g in df.groupby("k"):
+        a = g[g.etype == "A"]
+        b = g[g.etype == "B"]
+        c = g[g.etype == "C"]
+        for _, ra in a.iterrows():
+            for _, rb in b.iterrows():
+                if not (0 < rb.ts - ra.ts <= 200):
+                    continue
+                if ((c.ts > ra.ts) & (c.ts < rb.ts)).any():
+                    continue
+                want.add((ra.eid, rb.eid))
+    assert got == want
+
+
+def test_negated_step_validation():
+    with pytest.raises(ValueError):
+        NFARunner(Pattern(
+            steps=(Step("c", "etype", "C", negated=True),
+                   Step("b", "etype", "B")),
+            within_us=10, key="k", ts_col="ts"))
+    with pytest.raises(ValueError):
+        NFARunner(Pattern(
+            steps=(Step("a", "etype", "A"),
+                   Step("c", "etype", "C", negated=True)),
+            within_us=10, key="k", ts_col="ts"))
+    with pytest.raises(ValueError):
+        NFARunner(Pattern(
+            steps=(Step("a", "etype", "A"),
+                   Step("c", "etype", "C", negated=True),
+                   Step("b", "etype", "B")),
+            within_us=10, key="k", ts_col="ts", contiguity="strict"))
+
+
+# ------------------------------------------------- per-step max gap
+
+def test_max_gap_bounds_consecutive_hop():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", max_gap_us=15)),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+    )
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 100],
+         "etype": ["A", "B", "B"], "eid": [1, 2, 3]}
+    )
+    out = run(df, pat)
+    # B@20 is 10 after A (<=15, match); B@100 is 90 after A (> gap)
+    assert set(zip(out.a_id, out.b_id)) == {(1, 2)}
+
+
+def test_max_gap_two_step_fast_path_parity():
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "ts": rng.integers(0, 5000, n),
+        "etype": rng.choice(["A", "B", "X"], n),
+        "eid": np.arange(n),
+    }).drop_duplicates(["k", "ts"])
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", max_gap_us=40)),
+        within_us=100, key="k", ts_col="ts", id_col="eid",
+    )
+    out = run(df, pat)
+    got = set(zip(out.a_id, out.b_id))
+    want = set()
+    for _, g in df.groupby("k"):
+        a = g[g.etype == "A"]
+        b = g[g.etype == "B"]
+        for _, ra in a.iterrows():
+            for _, rb in b.iterrows():
+                if 0 < rb.ts - ra.ts <= 40:
+                    want.add((ra.eid, rb.eid))
+    assert got == want
+
+
+def test_max_gap_on_kleene_extension():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", quantifier="+", max_gap_us=15)),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+    )
+    # B@50 is 30 after B@20: extension blocked by gap, but B@50 still
+    # pairs directly with A (gap 40 > 15? no — blocked there too)
+    df = pd.DataFrame(
+        {"k": ["u"] * 3, "ts": [10, 20, 50],
+         "etype": ["A", "B", "B"], "eid": [1, 2, 3]}
+    )
+    out = run(df, pat)
+    assert set(zip(out.a_id, out.b_id, out.b_n)) == {(1, 2, 1)}
+
+
+# ------------------------------------------------- capture_all ids
+
+def test_capture_all_subsequences():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", quantifier="+")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+        capture_all=True,
+    )
+    df = pd.DataFrame(
+        {"k": ["u"] * 4, "ts": [10, 20, 30, 40],
+         "etype": ["A", "B", "B", "B"], "eid": [1, 2, 3, 4]}
+    )
+    out = run(df, pat)
+    got = set(out.b_ids)
+    # all-runs branches = every non-empty subsequence of (2,3,4)
+    want = {"2", "3", "4", "2,3", "2,4", "3,4", "2,3,4"}
+    assert got == want
+    # count column consistent with the id list
+    for _, r in out.iterrows():
+        assert r.b_n == len(r.b_ids.split(","))
+        assert r.b_id == int(r.b_ids.split(",")[0])
+
+
+def test_capture_all_state_survives_batches():
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("b", "etype", "B", quantifier="+")),
+        within_us=1000, key="k", ts_col="ts", id_col="eid",
+        capture_all=True,
+    )
+    r = NFARunner(pat)
+    out1 = r.process_sorted(pd.DataFrame(
+        {"k": ["u", "u"], "ts": [10, 20], "etype": ["A", "B"],
+         "eid": [1, 2]}))
+    out2 = r.process_sorted(pd.DataFrame(
+        {"k": ["u"], "ts": [30], "etype": ["B"], "eid": [3]}))
+    assert set(out1.b_ids) == {"2"}
+    assert set(out2.b_ids) == {"3", "2,3"}
