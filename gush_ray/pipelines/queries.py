@@ -1193,7 +1193,7 @@ WHERE NOT EXISTS (
 
 def q_nfa_gap(sf_dir: str):
     """Per-step gap bounds: signup→click→purchase within 24h where each
-    consecutive hop is itself <= 2h (tighter than the run-wide window)."""
+    consecutive hop is itself <= 6h (tighter than the run-wide window)."""
     from gush_ray.stages.nfa import Pattern, Step, match_pattern_batch
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
@@ -1225,6 +1225,108 @@ JOIN events p ON s.user_id = p.user_id
  AND p.event_type = 'purchase' AND p.ts > c.ts
  AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
  AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+"""
+
+
+# ------------------------------------------------- corpus cleaning ops
+
+def q_line_dedup(sf_dir: str):
+    """C4/CCNet-style cross-corpus line dedup: a line (10-word chunk)
+    appearing in several documents survives only at its first
+    occurrence; documents are reassembled from surviving lines."""
+    from gush_ray.stages.corpus import line_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(docs, words_per_line=10, num_partitions=8)
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+nums AS (SELECT doc_id, ws,
+                unnest(generate_series(0, (len(ws)-1)//10)) AS line_no
+         FROM d),
+lines AS (SELECT doc_id, line_no,
+                 array_to_string(ws[line_no*10+1 : line_no*10+10], ' ')
+                   AS line
+          FROM nums),
+keep AS (SELECT doc_id, line_no, line FROM lines
+         QUALIFY row_number()
+           OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text,
+       count(*) AS n_lines
+FROM keep GROUP BY doc_id
+"""
+
+
+def q_repeat_scrub(sf_dir: str):
+    """Within-document repetition removal (3-word lines): duplicate
+    lines inside a document are dropped, first occurrence kept, order
+    preserved. Shuffle-free — documents never span batches."""
+    from gush_ray.stages.corpus import scrub_repeated_lines_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: scrub_repeated_lines_batch(b, words_per_line=3),
+        batch_format="pandas",
+    )
+
+
+SQL_REPEAT_SCRUB = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+nums AS (SELECT doc_id, ws,
+                unnest(generate_series(0, (len(ws)-1)//3)) AS line_no
+         FROM d),
+lines AS (SELECT doc_id, line_no,
+                 array_to_string(ws[line_no*3+1 : line_no*3+3], ' ')
+                   AS line
+          FROM nums),
+keep AS (SELECT doc_id, line_no, line FROM lines
+         QUALIFY row_number()
+           OVER (PARTITION BY doc_id, line ORDER BY line_no) = 1)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text,
+       count(*) AS n_lines
+FROM keep GROUP BY doc_id
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic quota sample: the 20 docs with smallest md5(id)
+    per language (reproducible training-mixture construction)."""
+    from gush_ray.stages.corpus import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(docs, "lang", k=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the stringly-JSON props column: emails / IPs /
+    phone runs / digit runs → typed placeholders (vectorized RE2 on
+    both sides, so replacement semantics match exactly)."""
+    from gush_ray.stages.text import redact_batch
+
+    ev = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = ev.map_batches(
+        lambda b: redact_batch(b, "props", "clean"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.select_columns(["event_id", "clean"])
+
+
+SQL_PII_REDACT = """
+SELECT event_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(props,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+    '\\+?\\d[\\d() .-]{7,}\\d', '<PHONE>', 'g'),
+    '\\d+', '<NUM>', 'g') AS clean
+FROM events
 """
 
 
@@ -1271,4 +1373,8 @@ CORE_QUERIES = {
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "repeat_scrub": (q_repeat_scrub, SQL_REPEAT_SCRUB),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
 }

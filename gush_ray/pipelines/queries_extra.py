@@ -382,6 +382,24 @@ def q_extract_parity(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy context-window packing: documents assigned to <=512-token
+    bins in deterministic per-partition order (no SQL analog — the
+    packing state is sequential; invariants pinned by unit tests)."""
+    from gush_ray.stages.corpus import pack_sequences
+    from gush_ray.pipelines.queries import _read
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_tokens"] = (b["text"].fillna("").str.count(" ") + 1).astype("int64")
+        return b[["doc_id", "n_tokens"]]
+
+    with_counts = docs.map_batches(add_tokens, batch_format="pandas")
+    return pack_sequences(with_counts, "n_tokens", budget=512)
+
+
 EXTRA_QUERIES = {
     "minhash_dedup": (q_minhash_dedup, None),
     "minhash_clusters": (q_minhash_clusters, None),
@@ -401,4 +419,5 @@ EXTRA_QUERIES = {
     "pages_flagship": (q_pages_flagship, None),
     "pages_late_routing": (q_pages_late_routing, None),
     "extract_parity": (q_extract_parity, None),
+    "pack_sequences": (q_pack_sequences, None),
 }

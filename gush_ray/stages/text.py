@@ -192,3 +192,30 @@ def fingerprint_batch(batch: pd.DataFrame, col: str = "text",
     fps[null_mask] = 0
     batch[out] = fps.astype("uint64")
     return batch
+
+
+# ---------------------------------------------------------------- redaction
+
+# (pattern, replacement) — applied in order. RE2 syntax (pyarrow uses
+# RE2, same engine as the DuckDB oracle's regexp_replace, so the
+# semantics match exactly; no lookarounds).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+    (r"\d+", "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str, out: str,
+                 patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+                 ) -> pa.Table:
+    """PII scrub: replace emails / IPs / phone-ish runs / digit runs
+    with typed placeholder tokens. Fully vectorized
+    (pc.replace_substring_regex per pattern); order matters — specific
+    patterns run before the generic digit-run fallback."""
+    vals = batch[col].combine_chunks()
+    for pat, repl in patterns:
+        vals = pc.replace_substring_regex(vals, pattern=pat,
+                                          replacement=repl)
+    return batch.append_column(out, vals)
