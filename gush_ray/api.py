@@ -216,6 +216,45 @@ class Stream:
         return self._wrap(minhash_lsh_pairs(self.ds, text_col=text_col,
                                             id_col=id_col, **kw))
 
+    def dedup_lines(self, id_col: str = "doc_id", text_col: str = "text",
+                    **kw) -> "Stream":
+        """Cross-corpus line dedup (C4/CCNet): keep each line at its
+        first occurrence, reassemble documents."""
+        from gush_ray.stages.corpus import line_dedup
+
+        return self._wrap(line_dedup(self.ds, id_col=id_col,
+                                     text_col=text_col, **kw))
+
+    def scrub_repeats(self, id_col: str = "doc_id", text_col: str = "text",
+                      **kw) -> "Stream":
+        """Within-document repeated-line removal (shuffle-free)."""
+        from gush_ray.stages.corpus import scrub_repeated_lines_batch
+
+        return self._wrap(self.ds.map_batches(
+            lambda b: scrub_repeated_lines_batch(b, id_col, text_col, **kw),
+            batch_format="pandas"))
+
+    def sample_stratified(self, group_col: str, k: int,
+                          id_col: str = "doc_id", **kw) -> "Stream":
+        """Deterministic per-group quota sample (smallest md5(id))."""
+        from gush_ray.stages.corpus import stratified_sample
+
+        return self._wrap(stratified_sample(self.ds, group_col, k,
+                                            id_col=id_col, **kw))
+
+    def pack(self, count_col: str, budget: int, **kw) -> "Stream":
+        """Greedy context-window packing into <=budget-token bins."""
+        from gush_ray.stages.corpus import pack_sequences
+
+        return self._wrap(pack_sequences(self.ds, count_col, budget, **kw))
+
+    def redact(self, col: str, out: str = None, **kw) -> "Stream":
+        """PII scrub: emails/IPs/phones/digit runs → placeholders."""
+        from gush_ray.stages.text import redact_batch
+
+        out = out or col
+        return self.map_batches(lambda b: redact_batch(b, col, out, **kw))
+
     def heavy_hitters(self, col: str, k: int = 10, capacity: int = 256):
         """Terminal: bounded-memory top-k (pandas result, k rows)."""
         from gush_ray.stages.sketches import heavy_hitters

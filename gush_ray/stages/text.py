@@ -218,4 +218,6 @@ def redact_batch(batch: pa.Table, col: str, out: str,
     for pat, repl in patterns:
         vals = pc.replace_substring_regex(vals, pattern=pat,
                                           replacement=repl)
+    if out in batch.column_names:
+        return batch.set_column(batch.column_names.index(out), out, vals)
     return batch.append_column(out, vals)

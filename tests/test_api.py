@@ -120,3 +120,44 @@ def test_stream_join_interval_and_sketches(sf_dir):
     assert len(hh) == 5 and (hh["n"] == hh["n_upper"]).all()
     est = ev.approx_distinct("user_id")
     assert est > 0
+
+
+def test_stream_corpus_ops():
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "a b c x y z", "x y z x y z"],
+    })
+    deduped = Stream.from_arrow(docs).dedup_lines(
+        words_per_line=3, num_partitions=2).to_pandas()
+    assert set(deduped.doc_id) <= {1, 2, 3}
+    scrubbed = Stream.from_arrow(docs).scrub_repeats(
+        words_per_line=3).to_pandas().sort_values("doc_id")
+    assert scrubbed.loc[scrubbed.doc_id == 3, "text"].iloc[0] == "x y z"
+    sampled = Stream.from_arrow(
+        pa.table({"doc_id": list(range(50)),
+                  "lang": ["en", "de"] * 25})
+    ).sample_stratified("lang", k=3).to_pandas()
+    assert sampled.groupby("lang").size().tolist() == [3, 3]
+    packed = Stream.from_arrow(
+        pa.table({"doc_id": [1, 2], "n_tokens": [100, 100]})
+    ).pack("n_tokens", budget=512, num_partitions=1).to_pandas()
+    assert packed.bin_id.nunique() == 1
+    red = Stream.from_arrow(
+        pa.table({"s": ["id 123 ok"]})
+    ).redact("s").to_pandas()
+    assert red.s.iloc[0] == "id <NUM> ok"
+
+
+def test_stream_nfa_negation():
+    ev = pa.table({
+        "k": ["u"] * 3, "ts": [10, 20, 30],
+        "etype": ["A", "C", "B"], "eid": [1, 2, 3],
+    })
+    pat = Pattern(
+        steps=(Step("a", "etype", "A"),
+               Step("c", "etype", "C", negated=True),
+               Step("b", "etype", "B")),
+        within_us=100, key="k", ts_col="ts", id_col="eid",
+    )
+    out = Stream.from_arrow(ev).match_pattern(pat).to_pandas()
+    assert len(out) == 0
