@@ -35,21 +35,25 @@ def entry() -> Any:
     return entry_pipeline()
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _all_query_entries() -> dict[str, tuple]:
     from gush_ray.pipelines.queries import CORE_QUERIES
-
+    from gush_ray.pipelines.queries_analytic import ANALYTIC_QUERIES
     from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
 
-    out = {name: fn for name, (fn, _sql) in CORE_QUERIES.items()}
-    out.update({n: fn for n, (fn, _sql) in EXTRA_QUERIES.items()})
+    out: dict[str, tuple] = {}
+    out.update(CORE_QUERIES)
+    out.update(ANALYTIC_QUERIES)
+    out.update(EXTRA_QUERIES)
     return out
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {name: fn for name, (fn, _sql) in _all_query_entries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from gush_ray.pipelines.queries import CORE_QUERIES
-
-    from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
-
-    out = {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
-    out.update({n: sql for n, (_fn, sql) in EXTRA_QUERIES.items() if sql})
-    return out
+    return {
+        name: sql
+        for name, (_fn, sql) in _all_query_entries().items()
+        if sql
+    }

@@ -459,8 +459,15 @@ def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
     from gush_ray.stages.joins import broadcast_semi_filter, hash_join
 
     # pairs are consumed twice (id set + join): pin them so the upstream
-    # LSH pipeline doesn't re-execute; they are small by construction
-    pairs_ds = pairs_ds.materialize()
+    # LSH pipeline doesn't re-execute; they are small by construction.
+    # The repartition is load-bearing (same hazard as in
+    # duplicate_clusters_distributed): the pairs come out of
+    # groupby().map_groups, which emits schema-LESS empty blocks for
+    # empty partitions, and the Acero hash join's aggregator rejects a
+    # schemaless side — nondeterministically, only when a partition
+    # happens to land empty. Repartition folds empties into schemaed
+    # blocks before the join sees them.
+    pairs_ds = pairs_ds.repartition(num_partitions).materialize()
     pdf_ids = pairs_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
     cand_ids = set(pdf_ids["doc_a"]) | set(pdf_ids["doc_b"])
     # pin the filtered corpus too: the full-corpus scan behind the semi

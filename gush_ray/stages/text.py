@@ -194,6 +194,54 @@ def fingerprint_batch(batch: pd.DataFrame, col: str = "text",
     return batch
 
 
+# Gopher-style quality rules (public heuristics from Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1, simplified to the
+# rules expressible identically in pandas-re and DuckDB-RE2): word-count
+# bounds, mean-word-length bounds, minimum stopword hits. Token = \S+
+# run; ASCII whitespace assumed (python \s is unicode-aware, RE2's is
+# ASCII — identical on the ASCII corpus, documented divergence outside).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_STOP = 2
+
+
+def gopher_rules_batch(batch: pd.DataFrame, col: str = "text"
+                       ) -> pd.DataFrame:
+    """Per-doc Gopher quality signals + pass flag, fully vectorized:
+
+    - ``n_words``: whitespace tokens (\\S+ runs)
+    - ``mean_word_len``: non-whitespace chars / words (0 for empty docs)
+    - ``n_stop``: tokens exactly equal to a :data:`GOPHER_STOPWORDS`
+      entry (case-folded) — one non-consuming-lookaround regex count per
+      stopword, equivalent to token-equality filtering
+    - ``gopher_pass``: all rule bounds hold
+    """
+    t = batch[col].fillna("")
+    n_words = t.str.count(_TOKEN_RE).astype("int64")
+    n_nonspace = (t.str.len() - t.str.count(r"\s")).astype("int64")
+    mean_wl = np.where(n_words > 0, n_nonspace / n_words.clip(lower=1), 0.0)
+    low = t.str.lower()
+    n_stop = sum(
+        low.str.count(rf"(?:^|(?<=\s)){w}(?=\s|$)") for w in GOPHER_STOPWORDS
+    ).astype("int64")
+    out = batch.copy()
+    out["n_words"] = n_words
+    out["mean_word_len"] = mean_wl
+    out["n_stop"] = n_stop
+    out["gopher_pass"] = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WL)
+        & (mean_wl <= GOPHER_MAX_MEAN_WL)
+        & (n_stop >= GOPHER_MIN_STOP)
+    )
+    return out
+
+
 # ---------------------------------------------------------------- redaction
 
 # (pattern, replacement) — applied in order. RE2 syntax (pyarrow uses

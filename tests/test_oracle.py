@@ -9,6 +9,9 @@ import pandas as pd
 import pytest
 
 from gush_ray.pipelines.queries import CORE_QUERIES
+from gush_ray.pipelines.queries_analytic import ANALYTIC_QUERIES
+
+PAIRED_QUERIES = {**CORE_QUERIES, **ANALYTIC_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,9 +46,9 @@ def normalize(df) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("name", list(CORE_QUERIES))
+@pytest.mark.parametrize("name", list(PAIRED_QUERIES))
 def test_query_matches_oracle(name):
-    fn, sql = CORE_QUERIES[name]
+    fn, sql = PAIRED_QUERIES[name]
     got = normalize(fn(SF_DIR))
     want = normalize(run_oracle(sql))
     assert list(got.columns) == list(want.columns), (
