@@ -68,6 +68,20 @@ class Stream:
                    cfg: EngineConfig | None = None) -> "Stream":
         return cls(rd.from_arrow(table), cfg)
 
+    @classmethod
+    def from_jsonl(cls, path: str, columns=None,
+                   cfg: EngineConfig | None = None, **kw) -> "Stream":
+        from gush_ray.sources.formats import read_jsonl
+
+        return cls(read_jsonl(path, columns=columns, **kw), cfg)
+
+    @classmethod
+    def from_csv(cls, path: str, columns=None,
+                 cfg: EngineConfig | None = None, **kw) -> "Stream":
+        from gush_ray.sources.formats import read_csv
+
+        return cls(read_csv(path, columns=columns, **kw), cfg)
+
     # ------------------------------------------------------- transforms
 
     def _wrap(self, ds) -> "Stream":
@@ -270,10 +284,93 @@ class Stream:
     def union(self, other: "Stream") -> "Stream":
         return self._wrap(self.ds.union(other.ds))
 
+    # ----------------------------------------------- analytic (OVER) ops
+
+    def running(self, key: str, order_cols, cum_specs,
+                row_number_col: str | None = "rn", **kw) -> "Stream":
+        """Per-key running SUM/MIN/MAX/COUNT in ``order_cols`` order."""
+        from gush_ray.stages.analytic import running_aggregate
+
+        return self._wrap(running_aggregate(self.ds, key, order_cols,
+                                            cum_specs, row_number_col, **kw))
+
+    def lag(self, key: str, order_cols, lag_specs=None, delta_specs=None,
+            **kw) -> "Stream":
+        """Per-key LAG columns / current-minus-previous deltas."""
+        from gush_ray.stages.analytic import lag_columns
+
+        return self._wrap(lag_columns(self.ds, key, order_cols,
+                                      lag_specs or {}, delta_specs, **kw))
+
+    def rank(self, key: str, order_col: str, ascending: bool = True,
+             **kw) -> "Stream":
+        """Per-key RANK (+ DENSE_RANK) over ``order_col``."""
+        from gush_ray.stages.analytic import rank_per_key
+
+        return self._wrap(rank_per_key(self.ds, key, order_col,
+                                       ascending, **kw))
+
+    def ntile(self, key: str, order_cols, n: int, **kw) -> "Stream":
+        """Per-key NTILE(n) bucketing (ANSI remainder semantics)."""
+        from gush_ray.stages.analytic import ntile_per_key
+
+        return self._wrap(ntile_per_key(self.ds, key, order_cols, n, **kw))
+
+    def rollup(self, keys: list[str], specs: Spec, **kw) -> "Stream":
+        """GROUP BY ROLLUP over ``keys`` (coarser levels from partials)."""
+        from gush_ray.stages.analytic import rollup_aggregate
+
+        return self._wrap(rollup_aggregate(self.ds, keys, specs, **kw))
+
+    def pivot(self, key: str, pivot_col: str, pivot_values: list,
+              **kw) -> "Stream":
+        """Crosstab: one count column per closed pivot value."""
+        from gush_ray.stages.analytic import pivot_counts
+
+        return self._wrap(pivot_counts(self.ds, key, pivot_col,
+                                       pivot_values, **kw))
+
+    def gopher_filter(self, col: str = "text",
+                      keep_only: bool = True) -> "Stream":
+        """Gopher-rule quality gate: annotate (and by default keep only
+        passing) documents."""
+        from gush_ray.stages.text import gopher_rules_batch
+
+        s = self.map_batches(lambda b: gopher_rules_batch(b, col),
+                             batch_format="pandas")
+        if keep_only:
+            s = s.map_batches(lambda b: b[b["gopher_pass"]],
+                              batch_format="pandas")
+        return s
+
+    def bloom_semi(self, bloom, col: str, keep: bool = True) -> "Stream":
+        """Semi/anti filter against a broadcast BloomFilter (the scale
+        path of an exact broadcast semi join; one-sided error)."""
+        from gush_ray.stages.sketches import bloom_semi_filter
+
+        return self._wrap(bloom_semi_filter(self.ds, bloom, col, keep))
+
+    def approx_quantiles(self, col: str, qs: list[float],
+                         **kw) -> dict[float, float]:
+        """Terminal: mergeable approximate quantiles (bounded memory)."""
+        from gush_ray.stages.sketches import approx_quantiles
+
+        return approx_quantiles(self.ds, col, qs, **kw)
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:
         self.ds.write_parquet(path, **kw)
+
+    def sink_jsonl(self, path: str) -> None:
+        from gush_ray.sources.formats import write_jsonl
+
+        write_jsonl(self.ds, path)
+
+    def sink_csv(self, path: str) -> None:
+        from gush_ray.sources.formats import write_csv
+
+        write_csv(self.ds, path)
 
     def to_pandas(self):
         return self.ds.to_pandas()

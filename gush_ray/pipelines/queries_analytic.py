@@ -264,6 +264,251 @@ HAVING COUNT(DISTINCT doc_id) >= 5
 """
 
 
+# --------------------------------------------------------------------- cube
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(lang, source): every grouping subset (4 levels),
+    each re-aggregated from the finest level's partials."""
+    from gush_ray.stages.analytic import cube_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return cube_aggregate(
+        docs, ["lang", "source"],
+        {"n": (None, "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT lang, source, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+# ---------------------------------------------------------------- semi join
+
+def q_semi_join(sf_dir: str):
+    """Semi join (IN-subquery): events of users who ever purchased —
+    the key set is collected once (bounded: distinct purchasers) and
+    broadcast; the big side streams through a vectorized is_in filter."""
+    from gush_ray.stages.joins import broadcast_semi_filter
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    buyers = (
+        ev.filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id"]).unique("user_id")
+    )
+    kept = broadcast_semi_filter(ev, buyers, on="user_id")
+    return partial_aggregate(kept, ["event_type"], {"n": (None, "count")})
+
+
+SQL_SEMI_JOIN = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------- left outer join
+
+def q_left_outer_join_agg(sf_dir: str):
+    """LEFT OUTER hash join with unmatched-row accounting: events ⟕ a
+    derived vip dimension (user_id % 3 == 0); per event_type, total rows
+    and matched rows — the outer join's null-extension is the signal."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type"])
+    # distinct users via the combiner aggregate (stays distributed),
+    # then the vip predicate + constant column, Arrow-native
+    distinct = partial_aggregate(
+        _read(sf_dir, "events", columns=["user_id"]),
+        ["user_id"], {"n_ev": (None, "count")},
+    )
+
+    def mk_dim(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(pc.mod(b["user_id"], 3), 0))
+        return pa.table({
+            "user_id": f["user_id"],
+            "vip": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+        })
+
+    dim = distinct.map_batches(mk_dim, batch_format="pyarrow")
+    joined = hash_join(ev, dim, on=("user_id",), join_type="left_outer")
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "matched": pc.is_valid(b["vip"]).cast(pa.int64()),
+        })
+
+    flagged = joined.map_batches(flag, batch_format="pyarrow")
+    return partial_aggregate(
+        flagged, ["event_type"],
+        {"n": (None, "count"), "n_matched": ("matched", "sum")},
+    )
+
+
+SQL_LEFT_OUTER_JOIN_AGG = """
+WITH dim AS (
+  SELECT DISTINCT user_id, 1 AS vip FROM events WHERE user_id % 3 = 0
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN dim.vip IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM events e LEFT JOIN dim ON e.user_id = dim.user_id
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------------- source formats
+
+def _fixture_path(sf_dir: str, name: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/gush_ray_sources/{key}/{name}"
+
+
+def q_jsonl_source_agg(sf_dir: str):
+    """JSONL source roundtrip: events → deterministic JSONL file →
+    ``sources.read_jsonl`` → grouped aggregate. The oracle aggregates
+    the ORIGINAL parquet — matching proves the JSON encode/parse
+    roundtrip is value-exact (ints and IEEE doubles)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gush_ray.sources.formats import read_jsonl, roundtrip_table_jsonl
+
+    path = _fixture_path(sf_dir, "events.jsonl")
+    if not os.path.exists(path):
+        tab = pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type",
+                                     "value"])
+        roundtrip_table_jsonl(tab.sort_by("event_id"), path)
+    ds = read_jsonl(path, columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cents", pa.array(np.floor(v * 100).astype(np.int64))
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_aggregate(
+        ds, ["event_type"],
+        {"n": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
+SQL_JSONL_SOURCE_AGG = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_csv_source_agg(sf_dir: str):
+    """CSV source roundtrip: documents metadata → deterministic CSV →
+    ``sources.read_csv`` → grouped aggregate; oracle over the original
+    parquet proves the CSV encode/parse roundtrip."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gush_ray.sources.formats import read_csv, roundtrip_table_csv
+
+    path = _fixture_path(sf_dir, "documents.csv")
+    if not os.path.exists(path):
+        tab = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+        roundtrip_table_csv(tab.sort_by("doc_id"), path)
+    ds = read_csv(path, columns=["lang", "n_chars"])
+    return partial_aggregate(
+        ds, ["lang"],
+        {"n": (None, "count"), "sum_chars": ("n_chars", "sum"),
+         "max_chars": ("n_chars", "max")},
+    )
+
+
+SQL_CSV_SOURCE_AGG = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------------ TF-IDF
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per document ranked by (tf DESC, df ASC, token ASC) —
+    an integer-deterministic keyword-extraction order (a float tfidf
+    ORDER BY would be 1-ulp-fragile across engines); the tfidf score
+    ``tf * ln(N/df)`` is emitted rounded to 4 (ln outputs are irrational,
+    so a 4-decimal round can't straddle an ulp)."""
+    from gush_ray.stages.joins import hash_join
+    from gush_ray.stages.shuffle import partition_map
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        e = pd.DataFrame({"doc_id": b["doc_id"], "token": toks}).explode(
+            "token"
+        )
+        e = e.dropna(subset=["token"])
+        g = e.groupby(["token", "doc_id"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    pairs = docs.map_batches(explode, batch_format="pandas").materialize()
+    df_tab = partial_aggregate(pairs, ["token"], {"df": (None, "count")})
+    scored = hash_join(pairs, df_tab, on=("token",))
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True], kind="mergesort",
+        )
+        out = part.groupby("doc_id", sort=False).head(3).copy()
+        out["tfidf"] = _round_ha(
+            out["tf"].to_numpy() * np.log(n_docs / out["df"].to_numpy()), 4
+        )
+        return out[["doc_id", "token", "tf", "df", "tfidf"]]
+
+    return partition_map(scored, "doc_id", topk, num_partitions=8)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+             AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
+"""
+
+
 ANALYTIC_QUERIES = {
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -273,4 +518,10 @@ ANALYTIC_QUERIES = {
     "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "token_df": (q_token_df, SQL_TOKEN_DF),
+    "jsonl_source_agg": (q_jsonl_source_agg, SQL_JSONL_SOURCE_AGG),
+    "csv_source_agg": (q_csv_source_agg, SQL_CSV_SOURCE_AGG),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "left_outer_join_agg": (q_left_outer_join_agg, SQL_LEFT_OUTER_JOIN_AGG),
 }

@@ -400,7 +400,60 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(with_counts, "n_tokens", budget=512)
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-filter semi join (scale path of the exact broadcast semi
+    filter): build a Bloom over a deterministic key subset (doc_id % 3
+    == 0), filter the corpus through it, and report per-lang kept
+    counts alongside the exact ground truth — n_false_pos quantifies
+    the filter's one-sided error (rows-only: fpp is probabilistic by
+    design; the bound is pinned by test)."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.sketches import bloom_semi_filter, build_bloom
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    keys = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.mod(b["doc_id"], 3), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bloom = build_bloom(keys, "doc_id", m_bits=1 << 16, k=5)
+    kept = bloom_semi_filter(docs, bloom, "doc_id")
+
+    def truth(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_member", pc.equal(pc.mod(b["doc_id"], 3), 0)
+        )
+
+    from gush_ray.stages.agg import partial_aggregate
+
+    flagged = kept.map_batches(truth, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = partial_aggregate(
+        flagged, ["lang"],
+        {"n_kept": (None, "count"), "n_true": ("is_member", "sum")},
+    )
+    df = agg.to_pandas()
+    df["n_true"] = df["n_true"].astype("int64")
+    df["n_false_pos"] = df["n_kept"] - df["n_true"]
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable approximate quantiles (bounded memory at every level)
+    over the event values — rows-only: approximate by design; rank
+    error vs the exact quantiles is pinned by test."""
+    from gush_ray.stages.sketches import approx_quantiles
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ev, "value", qs)
+    return pd.DataFrame({"q": qs,
+                         "value": [round(est[q], 2) for q in qs]})
+
+
 EXTRA_QUERIES = {
+    "bloom_semi": (q_bloom_semi, None),
+    "approx_quantiles": (q_approx_quantiles, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_dedup": (q_simhash_dedup, None),

@@ -212,6 +212,63 @@ def rollup_aggregate(ds, keys: list[str], specs: Spec,
     return out
 
 
+def cube_aggregate(ds, keys: list[str], specs: Spec,
+                   num_partitions: int = 8):
+    """``GROUP BY CUBE(keys)``: aggregates at EVERY subset of ``keys``
+    (2^k levels), absent keys as typed nulls. Each level is
+    re-aggregated from the finest level's partials — one input scan
+    regardless of k. Practical for the usual 2-3 cube dimensions; the
+    2^k blowup is inherent to CUBE itself.
+    """
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    from gush_ray.stages.agg import _MERGE_OPS
+
+    finest = partial_aggregate(ds, keys, specs, num_partitions).materialize()
+    sample = finest.take_batch(1, batch_format="pyarrow")
+    col_type = {f.name: f.type for f in sample.schema}
+    out_names = [*keys, *specs.keys()]
+    merge_specs: Spec = {
+        out: (out, _MERGE_OPS[op]) for out, (_, op) in specs.items()
+    }
+
+    def normalize(nulled: tuple):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                c: (pa.nulls(b.num_rows, type=col_type[c]) if c in nulled
+                    else b[c])
+                for c in out_names
+            })
+        return f
+
+    levels = [finest.map_batches(normalize(()), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, r):
+            nulled = tuple(c for c in keys if c not in kept)
+            if kept:
+                lv = partial_aggregate(finest, list(kept), merge_specs,
+                                       num_partitions)
+            else:
+                def add_g(b: pd.DataFrame) -> pd.DataFrame:
+                    b = b.copy()
+                    b["__g"] = 0
+                    return b
+
+                lv = partial_aggregate(
+                    finest.map_batches(add_g, batch_format="pandas"),
+                    ["__g"], merge_specs, num_partitions=1,
+                )
+            levels.append(lv.map_batches(normalize(nulled),
+                                         batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def pivot_counts(ds, key: str, pivot_col: str, pivot_values: list,
                  prefix: str = "n_", total_col: str | None = "n_total",
                  num_partitions: int = 32):

@@ -130,6 +130,170 @@ class HyperLogLog:
         return h
 
 
+# ------------------------------------------------------------ Bloom filter
+
+class BloomFilter:
+    """Vectorized Bloom filter: k double-hashed probes into an m-bit
+    array. Deterministic (pd.util.hash_array with fixed keys) so the
+    same values always map to the same bits across processes."""
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 5):
+        assert m_bits % 8 == 0 and m_bits > 0 and k > 0
+        self.m = m_bits
+        self.k = k
+        self.bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+
+    def _probes(self, values: np.ndarray):
+        arr = np.asarray(values)
+        h1 = pd.util.hash_array(arr, categorize=False)
+        # independent second hash (different 16-byte key), forced odd so
+        # the double-hash stride covers the table
+        h2 = pd.util.hash_array(arr, hash_key="GushBloomSecond!",
+                                categorize=False) | np.uint64(1)
+        for i in range(self.k):
+            yield (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+
+    def add(self, values) -> None:
+        for idx in self._probes(values):
+            byte = (idx >> np.uint64(3)).astype(np.int64)
+            bit = np.left_shift(
+                np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)
+            )
+            np.bitwise_or.at(self.bits, byte, bit)
+
+    def contains(self, values) -> np.ndarray:
+        arr = np.asarray(values)
+        out = np.ones(len(arr), dtype=bool)
+        for idx in self._probes(arr):
+            byte = (idx >> np.uint64(3)).astype(np.int64)
+            shift = (idx & np.uint64(7)).astype(np.uint8)
+            out &= ((self.bits[byte] >> shift) & np.uint8(1)).astype(bool)
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def build_bloom(ds, col: str, m_bits: int = 1 << 23, k: int = 5
+                ) -> BloomFilter:
+    """Distributed Bloom build: each batch ships m/8 bytes of set bits
+    (never its values); the driver ORs one blob per block. m is the
+    fixed memory knob — at 10^9 keys use m ≈ 10 bits/key for ~1% fpp."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter(m_bits, k)
+        if len(b):
+            f.add(b[col].to_numpy())
+        return pd.DataFrame({"bits": [f.bits.tobytes()]})
+
+    merged = BloomFilter(m_bits, k)
+    for blob in ds.map_batches(sketch,
+                               batch_format="pandas").to_pandas()["bits"]:
+        np.bitwise_or(merged.bits, np.frombuffer(blob, dtype=np.uint8),
+                      out=merged.bits)
+    return merged
+
+
+def bloom_semi_filter(ds, bloom: BloomFilter, col: str, keep: bool = True):
+    """Semi/anti filter against a broadcast Bloom filter — the scale path
+    of joins.broadcast_semi_filter when the key set is too large for an
+    exact Arrow value_set. One-sided error: semi keeps all true members
+    plus ~fpp false positives (feed a cheap exact verify downstream);
+    anti (keep=False) may drop ~fpp true negatives — use only where that
+    is acceptable and documented."""
+    import pyarrow as pa
+
+    import ray
+
+    from gush_ray.stages.joins import _get_cached
+
+    ref = ray.put(bloom)
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        blm = _get_cached(ref)
+        mask = blm.contains(batch[col].to_numpy(zero_copy_only=False))
+        if not keep:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- approximate quantiles
+
+def _compact(vals: np.ndarray, wts: np.ndarray, cap: int):
+    """Weighted-sample compaction: keep ``cap`` evenly-weight-spaced
+    order statistics, preserving total weight (GK-style summary)."""
+    if len(vals) <= cap:
+        return vals, wts
+    order = np.argsort(vals, kind="mergesort")
+    v, w = vals[order], wts[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = (np.arange(cap, dtype=np.float64) + 0.5) * total / cap
+    idx = np.minimum(np.searchsorted(cw, targets), len(v) - 1)
+    return v[idx], np.full(cap, total / cap)
+
+
+def approx_quantiles(ds, col: str, qs: list[float],
+                     cap: int = 2048, fanin: int = 16) -> dict[float, float]:
+    """Approximate quantiles with bounded memory at every level:
+    per-batch weighted summaries of ``cap`` order statistics → a
+    ``fanin``-way intermediate combine → one driver merge of ≤ fanin
+    summaries. Rank error ≈ 1/cap per merge level (2 levels here);
+    deterministic for a fixed block layout. The exact counterpart
+    (full sort) is the oracle at test scale."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].dropna().to_numpy(dtype=np.float64)
+        if not len(x):
+            return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                                 "vals": pd.Series(dtype="object"),
+                                 "wts": pd.Series(dtype="object")})
+        x.sort(kind="mergesort")
+        v, w = _compact(x, np.ones(len(x)), cap)
+        part = int(pd.util.hash_array(v[:1], categorize=False)[0]
+                   % fanin)
+        return pd.DataFrame({"part": [part], "vals": [v.tobytes()],
+                             "wts": [w.tobytes()]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        v = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                            for b in df["vals"]])
+        w = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                            for b in df["wts"]])
+        v, w = _compact(v, w, cap)
+        return pd.DataFrame({"part": [int(df["part"].iloc[0])],
+                             "vals": [v.tobytes()], "wts": [w.tobytes()]})
+
+    from gush_ray.stages.shuffle import partition_map
+
+    partials = ds.map_batches(sketch, batch_format="pandas")
+    reduced = partition_map(partials, "part", combine,
+                            num_partitions=fanin).to_pandas()
+    if not len(reduced):
+        return {q: float("nan") for q in qs}
+    v = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                        for b in reduced["vals"]])
+    w = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                        for b in reduced["wts"]])
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = {}
+    for q in qs:
+        i = int(np.searchsorted(cw, q * total))
+        out[q] = float(v[min(i, len(v) - 1)])
+    return out
+
+
 def approx_distinct(ds, col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): per-batch HLL registers, merged
     by elementwise max — each batch ships 2^p bytes regardless of batch

@@ -1,0 +1,113 @@
+"""Tests for source-format roundtrips (JSONL/CSV) and the Bloom /
+approximate-quantile sketches."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gush_ray.sources.formats import (
+    read_csv,
+    read_jsonl,
+    roundtrip_table_csv,
+    roundtrip_table_jsonl,
+)
+from gush_ray.stages.sketches import (
+    BloomFilter,
+    approx_quantiles,
+    bloom_semi_filter,
+    build_bloom,
+)
+
+
+def _table(n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array([f"g{int(i)}" for i in rng.randint(0, 5, n)]),
+        "val": pa.array(rng.uniform(0, 100, n)),
+    })
+
+
+def test_jsonl_roundtrip_value_exact(ray_session, tmp_path):
+    tab = _table()
+    path = roundtrip_table_jsonl(tab, str(tmp_path / "t" / "x.jsonl"))
+    back = read_jsonl(path).to_pandas().sort_values("id").reset_index(
+        drop=True)
+    ref = tab.to_pandas()
+    assert (back["id"].to_numpy() == ref["id"].to_numpy()).all()
+    assert (back["grp"].to_numpy() == ref["grp"].to_numpy()).all()
+    # IEEE doubles must roundtrip BIT-exact through json repr
+    assert (back["val"].to_numpy() == ref["val"].to_numpy()).all()
+
+
+def test_csv_roundtrip_and_projection(ray_session, tmp_path):
+    tab = _table()
+    path = roundtrip_table_csv(tab, str(tmp_path / "t" / "x.csv"))
+    back = read_csv(path, columns=["id", "grp"]).to_pandas()
+    assert sorted(back.columns) == ["grp", "id"]
+    back = back.sort_values("id").reset_index(drop=True)
+    assert (back["grp"].to_numpy() == tab["grp"].to_numpy(
+        zero_copy_only=False)).all()
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    rng = np.random.RandomState(7)
+    members = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+    f = BloomFilter(m_bits=1 << 16, k=5)  # ~13 bits/key -> fpp well <1%
+    f.add(members)
+    assert f.contains(members).all()  # Bloom guarantee: no false negatives
+    non = (rng.choice(10**9, 20000, replace=False).astype(np.int64)
+           + 10**10)
+    fpp = f.contains(non).mean()
+    assert fpp < 0.02, fpp
+
+
+def test_bloom_merge_equals_single_build():
+    a, b = BloomFilter(1 << 12, 3), BloomFilter(1 << 12, 3)
+    one = BloomFilter(1 << 12, 3)
+    x = np.arange(100, dtype=np.int64)
+    y = np.arange(100, 200, dtype=np.int64)
+    a.add(x)
+    b.add(y)
+    one.add(np.concatenate([x, y]))
+    assert (a.merge(b).bits == one.bits).all()
+
+
+def test_bloom_semi_filter_superset_of_exact(ray_session):
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    keys = df["k"][df["k"] % 7 == 0].to_numpy()
+    bloom = BloomFilter(1 << 16, 5)
+    bloom.add(keys)
+    kept = bloom_semi_filter(rd.from_pandas(df), bloom, "k").to_pandas()
+    assert set(keys).issubset(set(kept["k"]))  # one-sided error only
+
+
+def test_build_bloom_distributed_matches_local(ray_session):
+    df = pd.DataFrame({"k": np.arange(3000, dtype=np.int64)})
+    dist = build_bloom(rd.from_pandas(df).repartition(6), "k",
+                       m_bits=1 << 14, k=4)
+    local = BloomFilter(1 << 14, 4)
+    local.add(df["k"].to_numpy())
+    assert (dist.bits == local.bits).all()
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    rng = np.random.RandomState(11)
+    x = rng.lognormal(0, 1, 50_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": x})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "v", qs, cap=2048)
+    xs = np.sort(x)
+    for q in qs:
+        # rank of the estimate must be within 1% of the target rank
+        rank = np.searchsorted(xs, est[q]) / len(xs)
+        assert abs(rank - q) < 0.01, (q, rank, est[q])
+
+
+def test_approx_quantiles_empty(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype="float64")}))
+    est = approx_quantiles(ds, "v", [0.5])
+    assert np.isnan(est[0.5])
