@@ -331,7 +331,9 @@ def q_left_outer_join_agg(sf_dir: str):
     )
 
     def mk_dim(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.equal(pc.mod(b["user_id"], 3), 0))
+        # pyarrow.compute has no mod kernel — numpy on the zero-copy view
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(uid % 3 == 0))
         return pa.table({
             "user_id": f["user_id"],
             "vip": pa.array(np.ones(f.num_rows, dtype=np.int64)),
@@ -471,7 +473,9 @@ def q_tfidf_top_terms(sf_dir: str):
 
     pairs = docs.map_batches(explode, batch_format="pandas").materialize()
     df_tab = partial_aggregate(pairs, ["token"], {"df": (None, "count")})
-    scored = hash_join(pairs, df_tab, on=("token",))
+    # num_partitions sized for small sessions: the join spawns one
+    # aggregator actor per partition and 32 starves a 4-cpu test session
+    scored = hash_join(pairs, df_tab, on=("token",), num_partitions=8)
 
     def topk(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values(
@@ -509,6 +513,177 @@ SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
 """
 
 
+# -------------------------------------------------- RANGE moving window
+
+def _with_cents(ds):
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cents", pa.array(np.floor(v * 100).astype(np.int64))
+        )
+
+    return ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_moving_window(sf_dir: str):
+    """Per-user 10-minute RANGE moving window (count + money sum): the
+    time-decayed activity signal. ANSI RANGE semantics incl. equal-ts
+    peers; integer cents keep the frame sums exact on both sides."""
+    from gush_ray.stages.analytic import moving_aggregate
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    ev = _with_cents(_ts_us(ev, "ts", "ts_us"))
+    out = moving_aggregate(ev, "user_id", "ts_us", 600_000_000,
+                           {"win_cents": "cents"}, count_col="n_win")
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "n_win", "win_cents"]],
+        batch_format="pandas",
+    )
+
+
+SQL_MOVING_WINDOW = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_win,
+       CAST(SUM(cents) OVER w AS BIGINT) AS win_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------- ratio to report
+
+def q_value_share(sf_dir: str):
+    """Each event's integer basis-point share of its event_type's money
+    total (``RATIO_TO_REPORT``-style). Integer floor-division end to end
+    — exact, summation-order-free."""
+    from gush_ray.stages.analytic import group_share
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ev = _with_cents(ev)
+    out = group_share(ev, ["event_type"], "cents", out_col="share_bp")
+    return out.map_batches(
+        lambda b: b[["event_id", "event_type", "cents", "share_bp"]],
+        batch_format="pandas",
+    )
+
+
+SQL_VALUE_SHARE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents,
+       CAST((cents * 10000) // SUM(cents) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_bp
+FROM e
+"""
+
+
+# ----------------------------------------------------- per-group z-score
+
+def q_zscore(sf_dir: str):
+    """Per-event_type z-score of the event's money value (anomaly
+    signal). mean/var derive from exact integer sums, so the float
+    expression evaluates over identical operands in both engines; z is
+    rounded to 6 digits on both sides."""
+    from gush_ray.stages.analytic import group_zscore
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ev = _with_cents(ev)
+    out = group_zscore(ev, "event_type", "cents", z_col="z")
+    return out.map_batches(
+        lambda b: b[["event_id", "event_type", "z"]],
+        batch_format="pandas",
+    )
+
+
+SQL_ZSCORE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type, SUM(cents) AS sc, SUM(cents * cents) AS sq,
+         COUNT(*) AS n
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.cents - sc / CAST(n AS DOUBLE))
+             / sqrt(sq / CAST(n AS DOUBLE)
+                    - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE))),
+             6) AS z
+FROM e JOIN s USING (event_type)
+"""
+
+
+# ----------------------------------------------------- value histogram
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width ($20) histogram of event values per event_type —
+    the distribution profile a quality dashboard reads. Pure integer
+    bucketing; the count shuffle moves one partial per (type, bin)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    ev = _with_cents(ev)
+
+    def binify(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "bin": pa.array((c // 2000).astype(np.int64)),
+        })
+
+    binned = ev.map_batches(binify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return partial_aggregate(binned, ["event_type", "bin"],
+                             {"n": (None, "count")})
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(CAST(FLOOR(value * 100) AS BIGINT) // 2000 AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, bin
+"""
+
+
+# ------------------------------------- blocked edit-distance pair join
+
+def q_editdist_pairs(sf_dir: str):
+    """Blocked string-similarity self-join over the corpus: documents
+    sharing a 16-char prefix whose 40-char heads are within 4 edits —
+    the OCR-noise / near-identical-title dedup primitive. Block + verify
+    are both declared semantics, so the DuckDB oracle (substr equality +
+    levenshtein) pairs bit-exactly."""
+    from gush_ray.stages.strings import prefix_blocked_editdist_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return prefix_blocked_editdist_pairs(
+        docs, "doc_id", "text", block_len=16, cmp_len=40, max_dist=4,
+    )
+
+
+SQL_EDITDIST_PAIRS = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 40) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 4
+"""
+
+
 ANALYTIC_QUERIES = {
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -524,4 +699,9 @@ ANALYTIC_QUERIES = {
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "left_outer_join_agg": (q_left_outer_join_agg, SQL_LEFT_OUTER_JOIN_AGG),
+    "moving_window": (q_moving_window, SQL_MOVING_WINDOW),
+    "value_share": (q_value_share, SQL_VALUE_SHARE),
+    "zscore": (q_zscore, SQL_ZSCORE),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "editdist_pairs": (q_editdist_pairs, SQL_EDITDIST_PAIRS),
 }

@@ -412,17 +412,19 @@ def q_bloom_semi(sf_dir: str):
     from gush_ray.stages.sketches import bloom_semi_filter, build_bloom
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    keys = docs.map_batches(
-        lambda b: b.filter(pc.equal(pc.mod(b["doc_id"], 3), 0)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    def pick_keys(b: pa.Table) -> pa.Table:
+        # pyarrow.compute has no mod kernel — numpy on the zero-copy view
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    keys = docs.map_batches(pick_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
     bloom = build_bloom(keys, "doc_id", m_bits=1 << 16, k=5)
     kept = bloom_semi_filter(docs, bloom, "doc_id")
 
     def truth(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "is_member", pc.equal(pc.mod(b["doc_id"], 3), 0)
-        )
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("is_member", pa.array(ids % 3 == 0))
 
     from gush_ray.stages.agg import partial_aggregate
 

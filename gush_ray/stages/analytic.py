@@ -143,6 +143,114 @@ def ntile_per_key(ds, key: str, order_cols: Sequence[str], n: int,
     return partition_map(ds, key, per_part, num_partitions)
 
 
+def moving_aggregate(ds, key: str, ts_col: str, range_span: int,
+                     sum_specs: dict[str, str],
+                     count_col: str | None = "n_win",
+                     num_partitions: int = 32):
+    """Per-key time-RANGE moving window: ``SUM(x) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN range_span PRECEDING AND CURRENT ROW)``.
+
+    ANSI RANGE semantics: the frame is every row of the key whose ts lies
+    in ``[cur_ts - range_span, cur_ts]`` — including PEERS of the current
+    row (equal ts) that sort after it.
+
+    Fully vectorized across keys: rows sort by (key, ts); each key's
+    contiguous segment gets a disjoint offset added to ts so one global
+    ``np.searchsorted`` yields every row's frame bounds at once (frames
+    cannot cross key boundaries because the offsets separate segments by
+    more than the global ts span); frame sums are prefix-sum differences.
+    O(P) Python work per partition, one hash shuffle total.
+
+    ``sum_specs``: {out_col: src_col} (int64 sources recommended — exact).
+    """
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        out = df.copy()
+        n = len(df)
+        if n == 0:
+            for out_col in sum_specs:
+                out[out_col] = np.array([], dtype=np.int64)
+            if count_col is not None:
+                out[count_col] = np.array([], dtype=np.int64)
+            return out
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        keys_arr = df[key].to_numpy()
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = keys_arr[1:] != keys_arr[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        # separate segments by more than span+ts-range so a frame's lower
+        # bound can never reach into the previous key's segment
+        stride = np.int64(ts.max() - ts.min() + range_span + 2)
+        adj = ts - ts.min() + seg_id * stride
+        lo = np.searchsorted(adj, adj - range_span, side="left")
+        hi = np.searchsorted(adj, adj, side="right")  # peers included
+        if count_col is not None:
+            out[count_col] = (hi - lo).astype(np.int64)
+        for out_col, src in sum_specs.items():
+            v = df[src].to_numpy()
+            csum = np.concatenate([[0], np.cumsum(v)])
+            out[out_col] = csum[hi] - csum[lo]
+        return out
+
+    return partition_map(ds, key, per_part, num_partitions)
+
+
+def group_share(ds, keys: list[str], value_col: str,
+                out_col: str = "share_bp", scale: int = 10_000,
+                num_partitions: int = 32):
+    """Each row's integer share of its group total:
+    ``floor(value * scale / SUM(value) OVER (PARTITION BY keys))`` —
+    basis points by default. Integer throughout (exact, order-free), so
+    results hash bit-identically against any engine. One hash shuffle.
+    Precondition: non-negative int64 values (floor-div of negatives
+    differs between engines).
+    """
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        totals = df.groupby(keys, sort=False, dropna=False)[value_col] \
+                   .transform("sum").to_numpy().astype(np.int64)
+        out[out_col] = np.where(totals > 0, (v * scale) // np.maximum(totals, 1), 0)
+        return out
+
+    # hash-partition by the first key: all keys of a group agree on it,
+    # so every group lands whole in one partition
+    return partition_map(ds, keys[0], per_part, num_partitions)
+
+
+def group_zscore(ds, key: str, value_col: str, z_col: str = "z",
+                 ndigits: int = 6, num_partitions: int = 32):
+    """Per-group z-score over an int64 value column.
+
+    mean/var derive from EXACT integer sums (sum, sum of squares, n), so
+    the float expression ``(v - s/n) / sqrt(sq/n - (s/n)*(s/n))`` is
+    evaluated over identical operands in any engine; the result is
+    rounded to ``ndigits`` on both sides of an oracle compare. Groups
+    with zero variance emit z=0.
+    """
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        g = df.groupby(key, sort=False, dropna=False)[value_col]
+        s = g.transform("sum").to_numpy().astype(np.int64)
+        n = g.transform("size").to_numpy().astype(np.int64)
+        sq = (df.assign(__sq=v * v)
+              .groupby(key, sort=False, dropna=False)["__sq"]
+              .transform("sum").to_numpy().astype(np.int64))
+        mean = s / n
+        var = sq / n - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+        z = np.where(sd > 0, (v - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        out[z_col] = np.round(z, ndigits)
+        return out
+
+    return partition_map(ds, key, per_part, num_partitions)
+
+
 def rollup_aggregate(ds, keys: list[str], specs: Spec,
                      num_partitions: int = 8):
     """``GROUP BY ROLLUP(keys)``: aggregates at every prefix level of

@@ -238,11 +238,29 @@ def _strip_meta(ds):
     )
 
 
-def hash_join(left, right, on: str | tuple, num_partitions: int = 32,
+def _default_join_partitions() -> int:
+    """Size the join's aggregator-actor pool to the session.
+
+    ``Dataset.join`` spawns one aggregator actor per partition and
+    BLOCKS until all are placed — a fixed 32 deadlocks a 4-CPU test
+    session outright (observed: ray::Hash workers parked forever). Cap
+    at the cluster's CPU count locally; at real cluster scale this
+    returns a wide fan-out again.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(32, cpus))
+
+
+def hash_join(left, right, on: str | tuple, num_partitions: int | None = None,
               join_type: str = "inner", **kw):
     """Hash-shuffle join on the shared partitioning key."""
     if isinstance(on, str):
         on = (on,)
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
     return _strip_meta(left).join(_strip_meta(right), join_type=join_type,
                                   num_partitions=num_partitions, on=on, **kw)
 
@@ -264,7 +282,7 @@ def find_hot_keys(ds, key: str, threshold: int, sample_frac: float | None = None
 
 
 def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,
-                num_partitions: int = 32, join_type: str = "inner"):
+                num_partitions: int | None = None, join_type: str = "inner"):
     """J2: skew-split hash join.
 
     ``left`` is the big/probe side (rows of a hot key scattered over
@@ -275,6 +293,8 @@ def salted_join(left, right, on: str, hot_keys: list, num_salts: int = 8,
     """
     import pyarrow.compute as pc
 
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
     if not hot_keys:
         # no skew detected: degrade to a plain hash join (constant salt
         # everywhere would only add a useless column through the shuffle)

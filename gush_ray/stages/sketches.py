@@ -143,13 +143,22 @@ class BloomFilter:
         self.k = k
         self.bits = np.zeros(m_bits >> 3, dtype=np.uint8)
 
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — an independent second hash derived
+        from the first (pd.util.hash_array IGNORES hash_key for numeric
+        dtypes, so 'hash twice with different keys' silently yields
+        correlated probes and ~20x the theoretical fpp; measured)."""
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
     def _probes(self, values: np.ndarray):
         arr = np.asarray(values)
         h1 = pd.util.hash_array(arr, categorize=False)
-        # independent second hash (different 16-byte key), forced odd so
-        # the double-hash stride covers the table
-        h2 = pd.util.hash_array(arr, hash_key="GushBloomSecond!",
-                                categorize=False) | np.uint64(1)
+        # Kirsch-Mitzenmacher double hashing; stride forced odd so it
+        # covers the table
+        h2 = self._mix64(h1) | np.uint64(1)
         for i in range(self.k):
             yield (h1 + np.uint64(i) * h2) % np.uint64(self.m)
 

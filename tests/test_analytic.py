@@ -149,3 +149,143 @@ def test_gopher_rules_brute_force_parity():
         expect = (50 <= n_words <= 100_000 and 3 <= mwl <= 10
                   and n_stop >= 2)
         assert bool(out["gopher_pass"].iloc[i]) == expect
+
+
+# ---------------------------------------------- round-2 additions
+
+
+def test_moving_aggregate_brute_force_parity(ray_session):
+    from gush_ray.stages.analytic import moving_aggregate
+
+    rng = np.random.RandomState(11)
+    n = 200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.randint(0, 4, n).astype(np.int64),
+        # coarse ts with deliberate DUPLICATES (peer rows)
+        "ts": rng.randint(0, 50, n).astype(np.int64) * 10,
+        "v": rng.randint(0, 100, n).astype(np.int64),
+    })
+    span = 100
+    out = moving_aggregate(
+        rd.from_pandas(df), "k", "ts", span, {"ws": "v"}, count_col="nw",
+        num_partitions=4,
+    ).to_pandas().sort_values(["k", "ts", "id"]).reset_index(drop=True)
+
+    # brute force: for each row, every SAME-KEY row with ts in
+    # [t-span, t] (peers included — ANSI RANGE CURRENT ROW)
+    ref = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    for i in range(len(ref)):
+        m = (ref["k"] == ref.loc[i, "k"]) & \
+            (ref["ts"] >= ref.loc[i, "ts"] - span) & \
+            (ref["ts"] <= ref.loc[i, "ts"])
+        assert out.loc[i, "nw"] == int(m.sum())
+        assert out.loc[i, "ws"] == int(ref.loc[m, "v"].sum())
+
+
+def test_moving_aggregate_frames_do_not_cross_keys(ray_session):
+    from gush_ray.stages.analytic import moving_aggregate
+
+    # two keys whose raw ts ranges interleave: with a huge span, each
+    # row's frame must still only see its own key
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": np.array([0, 1, 0, 1, 0, 1], dtype=np.int64),
+        "ts": np.array([0, 1, 2, 3, 4, 5], dtype=np.int64),
+        "v": np.ones(6, dtype=np.int64),
+    })
+    out = moving_aggregate(
+        rd.from_pandas(df), "k", "ts", 1_000_000, {"ws": "v"},
+        count_col="nw", num_partitions=2,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["nw"].tolist() == [1, 1, 2, 2, 3, 3]
+
+
+def test_group_share_exact_and_sums_to_scale(ray_session):
+    from gush_ray.stages.analytic import group_share
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "id": np.arange(50, dtype=np.int64),
+        "g": rng.randint(0, 3, 50).astype(np.int64),
+        "v": rng.randint(1, 500, 50).astype(np.int64),
+    })
+    out = group_share(
+        rd.from_pandas(df), ["g"], "v", num_partitions=4,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    ref = df.sort_values("id").reset_index(drop=True)
+    totals = ref.groupby("g")["v"].transform("sum")
+    assert (out["share_bp"].to_numpy()
+            == (ref["v"].to_numpy() * 10_000) // totals.to_numpy()).all()
+    # floor-division share never exceeds the scale in total
+    assert (out.groupby("g")["share_bp"].sum() <= 10_000).all()
+
+
+def test_group_zscore_zero_variance_group(ray_session):
+    from gush_ray.stages.analytic import group_zscore
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "g": np.array([0, 0, 0, 1, 1, 1], dtype=np.int64),
+        "v": np.array([5, 5, 5, 1, 2, 3], dtype=np.int64),
+    })
+    out = group_zscore(
+        rd.from_pandas(df), "g", "v", num_partitions=2,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (out.loc[out["g"] == 0, "z"] == 0).all()
+    zs = out.loc[out["g"] == 1, "z"].to_numpy()
+    assert zs[0] < 0 and abs(zs[1]) < 1e-9 and zs[2] > 0
+
+
+def test_levenshtein_batch_vs_reference_dp():
+    from gush_ray.stages.strings import levenshtein_batch
+
+    def ref_lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for j in range(1, la + 1):
+            cur = [j] + [0] * lb
+            for k in range(1, lb + 1):
+                cur[k] = min(prev[k] + 1, cur[k - 1] + 1,
+                             prev[k - 1] + (a[j - 1] != b[k - 1]))
+            prev = cur
+        return prev[lb]
+
+    rng = np.random.RandomState(7)
+    alphabet = list("abcdef ")
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("kitten", "sitting"), ("flaw", "lawn"), ("résumé", "resume")]
+    for _ in range(60):
+        la, lb = rng.randint(0, 12, 2)
+        a = "".join(rng.choice(alphabet, la))
+        b = "".join(rng.choice(alphabet, lb))
+        cases.append((a, b))
+    got = levenshtein_batch([c[0] for c in cases], [c[1] for c in cases])
+    want = np.array([ref_lev(a, b) for a, b in cases], dtype=np.int64)
+    assert (got == want).all(), list(zip(cases, got, want))
+
+
+def test_prefix_blocked_editdist_pairs(ray_session):
+    from gush_ray.stages.strings import prefix_blocked_editdist_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps",
+            "the quick brown fox jumped",   # 16-char block matches 0
+            "the quick brown dog sits",     # block matches, dist > 4 from 0? no: within
+            "completely different text",
+            "the quick brawn fox jumps",    # block differs at char 11
+        ],
+    })
+    out = prefix_blocked_editdist_pairs(
+        rd.from_pandas(docs), "doc_id", "text",
+        block_len=16, cmp_len=40, max_dist=4, num_partitions=2,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+    # doc 4's 16-char prefix differs -> never a candidate
+    assert not any(4 in p for p in pairs)
+    # every reported dist honors the bound
+    assert (out["dist"] <= 4).all()

@@ -55,12 +55,15 @@ def test_csv_roundtrip_and_projection(ray_session, tmp_path):
 
 def test_bloom_no_false_negatives_and_bounded_fp():
     rng = np.random.RandomState(7)
-    members = rng.choice(10**9, 5000, replace=False).astype(np.int64)
+    # choice(1e9, replace=False) would materialize a 1e9 permutation —
+    # distinct draws via unique randint instead
+    members = np.unique(rng.randint(0, 10**9, 6000).astype(np.int64))[:5000]
     f = BloomFilter(m_bits=1 << 16, k=5)  # ~13 bits/key -> fpp well <1%
     f.add(members)
     assert f.contains(members).all()  # Bloom guarantee: no false negatives
-    non = (rng.choice(10**9, 20000, replace=False).astype(np.int64)
-           + 10**10)
+    non = np.unique(
+        rng.randint(0, 10**9, 21000).astype(np.int64)
+    )[:20000] + 10**10
     fpp = f.contains(non).mean()
     assert fpp < 0.02, fpp
 
