@@ -316,6 +316,34 @@ class Stream:
 
         return self._wrap(ntile_per_key(self.ds, key, order_cols, n, **kw))
 
+    def moving_window(self, key: str, ts_col: str, range_span: int,
+                      sum_specs: dict[str, str], **kw) -> "Stream":
+        """Per-key time-RANGE moving SUM/COUNT (ANSI peer semantics)."""
+        from gush_ray.stages.analytic import moving_aggregate
+
+        return self._wrap(moving_aggregate(self.ds, key, ts_col, range_span,
+                                           sum_specs, **kw))
+
+    def share_of(self, keys: list[str], value_col: str, **kw) -> "Stream":
+        """Integer ratio-to-report: each row's share of its group total."""
+        from gush_ray.stages.analytic import group_share
+
+        return self._wrap(group_share(self.ds, keys, value_col, **kw))
+
+    def zscore(self, key: str, value_col: str, **kw) -> "Stream":
+        """Per-group z-score from exact integer sums."""
+        from gush_ray.stages.analytic import group_zscore
+
+        return self._wrap(group_zscore(self.ds, key, value_col, **kw))
+
+    def similar_pairs_editdist(self, id_col: str, text_col: str,
+                               **kw) -> "Stream":
+        """Blocked edit-distance similarity self-join (id_a, id_b, dist)."""
+        from gush_ray.stages.strings import prefix_blocked_editdist_pairs
+
+        return self._wrap(prefix_blocked_editdist_pairs(
+            self.ds, id_col, text_col, **kw))
+
     def rollup(self, keys: list[str], specs: Spec, **kw) -> "Stream":
         """GROUP BY ROLLUP over ``keys`` (coarser levels from partials)."""
         from gush_ray.stages.analytic import rollup_aggregate

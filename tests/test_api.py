@@ -161,3 +161,37 @@ def test_stream_nfa_negation():
     )
     out = Stream.from_arrow(ev).match_pattern(pat).to_pandas()
     assert len(out) == 0
+
+
+def test_stream_round2_analytics():
+    ev = pa.table({
+        "id": [1, 2, 3, 4],
+        "k": [0, 0, 1, 1],
+        "ts": [0, 50, 0, 500],
+        "v": [10, 30, 7, 7],
+    })
+    mw = Stream.from_arrow(ev).moving_window(
+        "k", "ts", 100, {"ws": "v"}, num_partitions=2,
+    ).to_pandas().sort_values("id")
+    assert mw.ws.tolist() == [10, 40, 7, 7]
+    sh = Stream.from_arrow(ev).share_of(
+        ["k"], "v", num_partitions=2,
+    ).to_pandas().sort_values("id")
+    assert sh.share_bp.tolist() == [2500, 7500, 5000, 5000]
+    zs = Stream.from_arrow(ev).zscore(
+        "k", "v", num_partitions=2,
+    ).to_pandas().sort_values("id")
+    assert (zs.loc[zs.k == 1, "z"] == 0).all()
+
+
+def test_stream_editdist_pairs():
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["abcdefghijklmnop done", "abcdefghijklmnop dont",
+                 "something unrelated here"],
+    })
+    out = Stream.from_arrow(docs).similar_pairs_editdist(
+        "doc_id", "text", block_len=16, cmp_len=30, max_dist=3,
+        num_partitions=2,
+    ).to_pandas()
+    assert [(a, b) for a, b in zip(out.id_a, out.id_b)] == [(1, 2)]
