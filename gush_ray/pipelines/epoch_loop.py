@@ -49,6 +49,7 @@ restore+snapshot round-trip.
 
 from __future__ import annotations
 
+import gc
 import glob
 import os
 import time
@@ -218,6 +219,7 @@ def _reduce_partition(
     snapshot, outputs and the new snapshot are written atomically to
     deterministic names.
     """
+    t0 = time.perf_counter()
     ps = PartitionState(pid, params)
     if snapshot_in is not None:
         # a missing snapshot for epoch>0 means lost state — proceeding
@@ -229,22 +231,44 @@ def _reduce_partition(
             )
         with open(snapshot_in, "rb") as f:
             ps.restore_bytes(f.read())
-    for key, t in zip(frag_keys, tables):
-        if t is not None and t.num_rows:
-            ps.ingest(epoch, key, t)
-    metrics = ps.process_epoch_to(epoch, out_dir)
-    closes = ps.advance_watermark(watermark_us)
-    ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
-                               closes["windows"])
-    ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
-                               closes["sessions"])
-    os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
-    tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(ps.snapshot_bytes())
-    os.replace(tmp, snapshot_out)
+    # the restored per-key dicts hold millions of small objects; without
+    # freezing them, every gen-2 GC pass during the allocation-heavy
+    # pandas/Arrow phases re-traverses all of it (measured 4x slowdown of
+    # the whole reduce at 150k keys/partition). State objects live until
+    # the task exits anyway, so move them to the permanent generation.
+    gc.collect()
+    gc.freeze()
+    try:
+        t_restore = time.perf_counter()
+        for key, t in zip(frag_keys, tables):
+            if t is not None and t.num_rows:
+                ps.ingest(epoch, key, t)
+        t_ingest = time.perf_counter()
+        metrics = ps.process_epoch_to(epoch, out_dir)
+        t_process = time.perf_counter()
+        closes = ps.advance_watermark(watermark_us)
+        ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
+                                   closes["windows"])
+        ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
+                                   closes["sessions"])
+        os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
+        tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(ps.snapshot_bytes())
+        os.replace(tmp, snapshot_out)
+        t_snap = time.perf_counter()
+    finally:
+        # Ray reuses worker processes across tasks: unfreeze so this
+        # task's state objects are collectable once the task returns
+        gc.unfreeze()
     metrics = dict(metrics)
     metrics["watermark_us"] = closes["watermark_us"]
+    # phase timings ride back in the metrics dict (manifest-visible),
+    # so a profiled run needs no worker-side env plumbing
+    metrics["t_restore_s"] = round(t_restore - t0, 3)
+    metrics["t_ingest_s"] = round(t_ingest - t_restore, 3)
+    metrics["t_process_s"] = round(t_process - t_ingest, 3)
+    metrics["t_sink_snap_s"] = round(t_snap - t_process, 3)
     return metrics
 
 
@@ -686,6 +710,13 @@ class StreamingJob:
         reduce_sec = round(time.perf_counter() - t0, 3)
         if prof:
             print(f"[prof] epoch {epoch} reduce+sink: {reduce_sec}s")
+            ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
+                  for k in ("t_restore_s", "t_ingest_s", "t_process_s",
+                            "t_sink_snap_s", "p_pandas", "p_sort",
+                            "p_dedup", "p_win", "p_sess", "p_nfa",
+                            "p_arrow")}
+            print(f"[prof] epoch {epoch} reduce phase sums over "
+                  f"{self.P} parts: {ph}")
 
         parts = []
         for pid in range(self.P):

@@ -32,6 +32,7 @@ store (e.g. LSM on local disk) would slot in without touching the engine.
 from __future__ import annotations
 
 import pickle
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -145,11 +146,17 @@ class PartitionState:
 
     def _process_impl(self, table: pa.Table) -> dict:
         p = self.p
+        tt = {}
+        t0 = time.perf_counter()
         df = table.to_pandas()
         n_in = len(df)
+        tt["p_pandas"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         df = df.sort_values([p.key_col, p.ts_col], kind="mergesort")
         df = df.drop_duplicates([p.key_col, p.ts_col], keep="first")
         n_replay = n_in - len(df)
+        tt["p_sort"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         ts = df[p.ts_col].to_numpy()
         if len(ts):
@@ -180,6 +187,8 @@ class PartitionState:
             dict(zip(tail[p.key_col], tail[p.ts_col].astype("int64")))
         )
         self.version.update(dict(zip(tail[p.key_col], tail["version"])))
+        tt["p_dedup"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # W1/W2/W3 window accumulators on the deduped change rows
         if len(df):
@@ -229,14 +238,21 @@ class PartitionState:
                 slot[0] += int(cnt)
                 slot[1] += float(s)
 
+        tt["p_win"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+
         # W4 sessions: within-batch gap split, then merge with open state
         closed_sessions = self._update_sessions(df)
+        tt["p_sess"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # C3 NFA over the change rows
         if self.nfa is not None:
             matches = self.nfa.process_sorted(df)  # stable schema even empty
         else:
             matches = pd.DataFrame()
+        tt["p_nfa"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         out = {
             "changes": pa.Table.from_pandas(df, preserve_index=False),
@@ -257,6 +273,8 @@ class PartitionState:
                 "max_ts_us": self.max_ts_us,
             },
         }
+        tt["p_arrow"] = time.perf_counter() - t0
+        out["metrics"].update({k: round(v, 3) for k, v in tt.items()})
         return out
 
     def _update_sessions(self, df: pd.DataFrame) -> pa.Table:

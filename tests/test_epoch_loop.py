@@ -167,7 +167,13 @@ def test_reduce_task_retry_idempotent(pages_dir, tmp_path):
     f1 = open(f"{out}/changes/epoch=00000/part-00000.parquet", "rb").read()
     m2 = run_reduce(str(tmp_path / "s2.pkl"))  # the "retry"
     f2 = open(f"{out}/changes/epoch=00000/part-00000.parquet", "rb").read()
-    assert m1 == m2
+    # phase timings (t_*/p_*) are diagnostics and differ per run; only the
+    # semantic metrics must be replay-identical
+    def sem(m):
+        return {k: v for k, v in m.items()
+                if not k.startswith(("t_", "p_"))}
+
+    assert sem(m1) == sem(m2)
     assert f1 == f2
     assert (open(str(tmp_path / "s1.pkl"), "rb").read()
             == open(str(tmp_path / "s2.pkl"), "rb").read())
