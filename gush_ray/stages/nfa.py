@@ -470,10 +470,30 @@ class NFARunner:
             del self.partials[k]
 
     def state(self) -> dict:
-        return {"partials": self.partials, "truncated": self.truncated}
+        # partials serialize as plain tuples: pickling dataclass
+        # instances goes through per-object reduce + __dict__ and was a
+        # measurable share of snapshot/restore time at millions of live
+        # runs (one open run per url under the flagship insert→update
+        # pattern)
+        return {
+            "partials": {
+                k: [(p.step_idx, p.start_us, p.captured, p.last_us,
+                     p.dead_us) for p in plist]
+                for k, plist in self.partials.items()
+            },
+            "truncated": self.truncated,
+        }
 
     def restore(self, st: dict) -> None:
-        self.partials = st["partials"]
+        parts = st["partials"]
+        probe = next((pl[0] for pl in parts.values() if pl), None)
+        if isinstance(probe, _Partial):
+            self.partials = parts  # pre-tuple-format snapshot
+        else:
+            self.partials = {
+                k: [_Partial(*t) for t in pl]
+                for k, pl in parts.items()
+            }
         self.truncated = st.get("truncated", 0)
 
 

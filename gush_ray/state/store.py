@@ -144,14 +144,40 @@ class PartitionState:
         self._epoch_cache[epoch] = out
         return out
 
+    def _state_columns(self, table: pa.Table) -> list[str]:
+        """Columns the state logic actually reads. Payload columns (the
+        fat extracted ``text``) stay in Arrow and are re-attached to the
+        output via ``take`` — converting them through pandas was ~40% of
+        the reduce phase at 2.4M urls (p_pandas + p_arrow in the profile).
+        A pattern step with a custom ``predicate`` may touch any column,
+        so that (rare) case falls back to converting everything."""
+        p = self.p
+        need = {p.key_col, p.ts_col, *p.window_group_cols}
+        if p.value_col:
+            need.add(p.value_col)
+        if p.pattern is not None:
+            for s in p.pattern.steps:
+                if s.predicate is not None:
+                    return list(table.column_names)
+                if s.column is not None:
+                    need.add(s.column)
+            idc = p.pattern.id_col
+            # 'version' is computed below; any other id col is an input
+            if idc is not None and idc != "version":
+                need.add(idc)
+        return [c for c in table.column_names if c in need]
+
     def _process_impl(self, table: pa.Table) -> dict:
         p = self.p
         tt = {}
         t0 = time.perf_counter()
-        df = table.to_pandas()
+        df = table.select(self._state_columns(table)).to_pandas()
         n_in = len(df)
         tt["p_pandas"] = time.perf_counter() - t0
         t0 = time.perf_counter()
+        # the RangeIndex from to_pandas tracks original row positions
+        # through sort/filter, so output tables are built by taking those
+        # positions from the UNCONVERTED Arrow table
         df = df.sort_values([p.key_col, p.ts_col], kind="mergesort")
         df = df.drop_duplicates([p.key_col, p.ts_col], keep="first")
         n_replay = n_in - len(df)
@@ -167,13 +193,25 @@ class PartitionState:
         late = df[late_mask]
         df = df[~late_mask]
 
-        # V1 row-version dedup: drop stale (ts <= last seen for the url)
-        prev_last = df[p.key_col].map(self.last_ts)
-        keep = df[p.ts_col].to_numpy() > prev_last.fillna(NEG_INF).to_numpy()
+        # V1 row-version dedup: drop stale (ts <= last seen for the url).
+        # dict.get per batch row, NOT Series.map(dict): pandas converts
+        # the mapping dict to an Index first, which is O(state) per batch
+        # — at millions of keys per partition that dominates the reduce
+        # and grows with stream length; .get keeps it O(batch)
+        lt_get = self.last_ts.get
+        prev_last = np.fromiter(
+            (lt_get(k, NEG_INF) for k in df[p.key_col]),
+            dtype=np.int64, count=len(df),
+        )
+        keep = df[p.ts_col].to_numpy() > prev_last
         n_stale = int((~keep).sum())
         df = df[keep]
 
-        prev_ver = df[p.key_col].map(self.version).fillna(-1).to_numpy()
+        ver_get = self.version.get
+        prev_ver = np.fromiter(
+            (ver_get(k, -1) for k in df[p.key_col]),
+            dtype=np.int64, count=len(df),
+        )
         occ = df.groupby(p.key_col, sort=False).cumcount().to_numpy()
         version = (prev_ver + 1 + occ).astype(np.int64)
         df = df.assign(
@@ -181,12 +219,19 @@ class PartitionState:
             change_kind=np.where(version == 0, "insert", "update"),
         )
 
-        # update the dedup map with each url's final row of this batch
+        # update the dedup map with each url's final row of this batch.
+        # .tolist() matters: zipping the Series directly stores np.int64
+        # OBJECTS as dict values — each pickles via object reduce, making
+        # snapshot/restore of millions of keys several times slower than
+        # plain Python ints (measured on the 2.4M-url flagship corpus)
         tail = df.drop_duplicates(p.key_col, keep="last")
         self.last_ts.update(
-            dict(zip(tail[p.key_col], tail[p.ts_col].astype("int64")))
+            zip(tail[p.key_col].tolist(),
+                tail[p.ts_col].astype("int64").tolist())
         )
-        self.version.update(dict(zip(tail[p.key_col], tail["version"])))
+        self.version.update(
+            zip(tail[p.key_col].tolist(), tail["version"].tolist())
+        )
         tt["p_dedup"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
@@ -254,9 +299,22 @@ class PartitionState:
         tt["p_nfa"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
+        # output tables: take the surviving row positions from the
+        # original Arrow table (zero pandas conversion for payload
+        # columns), then append the computed change columns
+        changes_t = table.take(
+            pa.array(df.index.to_numpy(), type=pa.int64())
+        )
+        changes_t = changes_t.append_column(
+            "version", pa.array(df["version"].to_numpy(), type=pa.int64())
+        )
+        changes_t = changes_t.append_column(
+            "change_kind", pa.array(df["change_kind"], type=pa.string())
+        )
+        late_t = table.take(pa.array(late.index.to_numpy(), type=pa.int64()))
         out = {
-            "changes": pa.Table.from_pandas(df, preserve_index=False),
-            "late": pa.Table.from_pandas(late, preserve_index=False),
+            "changes": changes_t,
+            "late": late_t,
             "matches": pa.Table.from_pandas(matches, preserve_index=False),
             "sessions_closed": closed_sessions,
             "metrics": {
