@@ -224,7 +224,14 @@ def interval_join(left, right, key: str, ts_col: str, right_ts_col: str,
             frames.append(pd.concat([lpart, rpart], axis=1))
         if not frames:
             return pd.DataFrame(columns=out_cols)
-        return pd.concat(frames, ignore_index=True)[out_cols]
+        out = pd.concat(frames, ignore_index=True)[out_cols]
+        # the tagged union pads each side's columns with nulls, so pandas
+        # widens integer columns to float64 in the partition frame; the
+        # matched output has no nulls — restore the declared Arrow dtype
+        for c in out_cols:
+            if pa.types.is_integer(col_type[c]) and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("int64")
+        return out
 
     return partition_map(both, key, per_part, num_partitions)
 

@@ -56,6 +56,12 @@ def test_query_matches_oracle(name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     for c in got.columns:
+        # the driver's value-hash is dtype-sensitive: int64 41 and
+        # float64 41.0 hash differently even though == says equal
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}: column {c} dtype {got[c].dtype} != {want[c].dtype}"
+        )
+    for c in got.columns:
         if pd.api.types.is_float_dtype(want[c]):
             assert np.allclose(
                 got[c].to_numpy(), want[c].to_numpy(), rtol=0, atol=1e-9,
