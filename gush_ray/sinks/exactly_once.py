@@ -56,7 +56,11 @@ class ExactlyOnceSink:
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"part-{partition_id:05d}.parquet")
         tmp = final + f".inprogress-{os.getpid()}"
-        pq.write_table(table, tmp)
+        # zstd-1 over default snappy: ~2-3x smaller on web text for a few
+        # ms/MB of parallel CPU — disk bandwidth is the shared resource
+        # all partitions contend for at high CPU counts (the 4→16 cpu
+        # scaling leg concentrates the same bytes into 1/3 the wall time)
+        pq.write_table(table, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, final)  # atomic on POSIX: replay overwrites
         # durability note: data files are made durable by the single
         # os.sync() in commit_epoch — the manifest is the commit point,

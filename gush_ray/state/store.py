@@ -299,19 +299,30 @@ class PartitionState:
         tt["p_nfa"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
-        # output tables: take the surviving row positions from the
-        # original Arrow table (zero pandas conversion for payload
-        # columns), then append the computed change columns
-        changes_t = table.take(
-            pa.array(df.index.to_numpy(), type=pa.int64())
+        # output tables: FILTER the original Arrow table by survival mask
+        # (sequential scan — a scattered take() of the sort permutation
+        # over a ~250-chunk string-heavy table measured 2-10x slower),
+        # then scatter the computed change columns back to original row
+        # order. Output order is per-partition arbitrary by contract; the
+        # sink streams are order-insensitive sets.
+        keep_pos = df.index.to_numpy()
+        ver_scatter = np.empty(n_in, dtype=np.int64)
+        ver_scatter[keep_pos] = df["version"].to_numpy()
+        keep_mask = np.zeros(n_in, dtype=bool)
+        keep_mask[keep_pos] = True
+        changes_t = table.filter(pa.array(keep_mask))
+        ver_out = ver_scatter[keep_mask]
+        changes_t = changes_t.append_column(
+            "version", pa.array(ver_out, type=pa.int64())
         )
         changes_t = changes_t.append_column(
-            "version", pa.array(df["version"].to_numpy(), type=pa.int64())
+            "change_kind",
+            pa.array(np.where(ver_out == 0, "insert", "update"),
+                     type=pa.string()),
         )
-        changes_t = changes_t.append_column(
-            "change_kind", pa.array(df["change_kind"], type=pa.string())
-        )
-        late_t = table.take(pa.array(late.index.to_numpy(), type=pa.int64()))
+        late_mask_full = np.zeros(n_in, dtype=bool)
+        late_mask_full[late.index.to_numpy()] = True
+        late_t = table.filter(pa.array(late_mask_full))
         out = {
             "changes": changes_t,
             "late": late_t,
@@ -461,8 +472,10 @@ class PartitionState:
             e: v for e, v in self._epoch_cache.items() if e > epoch
         }
 
+    _SNAP_MAGIC = b"GZS1"  # zstd-compressed snapshot frame
+
     def snapshot_bytes(self) -> bytes:
-        return pickle.dumps(
+        raw = pickle.dumps(
             {
                 "last_ts": self.last_ts,
                 "version": self.version,
@@ -473,8 +486,23 @@ class PartitionState:
                 "max_ts_us": self.max_ts_us,
             }
         )
+        # zstd-1 the pickle: snapshots are the second-largest write of
+        # every epoch (url-keyed dicts compress ~3x) and all partitions
+        # flush them concurrently
+        comp = pa.Codec("zstd", compression_level=1).compress(raw)
+        import struct
+
+        return (self._SNAP_MAGIC + struct.pack("<Q", len(raw))
+                + comp.to_pybytes())
 
     def restore_bytes(self, blob: bytes) -> None:
+        if blob[:4] == self._SNAP_MAGIC:
+            import struct
+
+            (rawlen,) = struct.unpack("<Q", blob[4:12])
+            blob = pa.Codec("zstd").decompress(
+                blob[12:], decompressed_size=rawlen
+            )
         st = pickle.loads(blob)
         self.last_ts = st["last_ts"]
         self.version = st["version"]
