@@ -165,6 +165,14 @@ def run_bench() -> dict:
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows": flag["rows"],
     }
+    # attach the most recent `--scaling` measurement (the north-rule
+    # two-cluster-size criterion runs as its own multi-process job; the
+    # full history with host-ceiling context is in BENCH/BASELINE.md)
+    try:
+        with open(_scaling_latest_path()) as f:
+            result["scaling"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     ray.shutdown()
     return result
 
@@ -294,7 +302,15 @@ def run_scaling(repeat: int = 1) -> dict:
         "scaling_urls": SCALING_URLS,
     }
     _record_scaling(result)
+    with open(_scaling_latest_path(), "w") as f:
+        json.dump(result, f)
     return result
+
+
+def _scaling_latest_path() -> str:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "scaling_latest.json")
 
 
 def _record_scaling(result: dict) -> None:

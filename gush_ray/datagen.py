@@ -204,9 +204,14 @@ def write_pages_dir(
         per = -(-sub.num_rows // n_files)
         for k in range(n_files):
             shard = sub.slice(k * per, per)
+            # zstd-1: 26% fewer bytes than snappy at equal read speed
+            # (measured on this corpus) — the stream read is the largest
+            # single IO of the flagship job and disk bandwidth is the
+            # shared non-scaling resource at high CPU counts
             pq.write_table(
                 shard, os.path.join(d, f"part-{k:04d}.parquet"),
-                row_group_size=4096,
+                row_group_size=4096, compression="zstd",
+                compression_level=1,
             )
         paths.append(d)
     return paths
@@ -230,7 +235,7 @@ def gen_dim_sites(n_sites: int, seed: int = 7) -> pa.Table:
 def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
                  seed: int = 7, n_epochs: int = 4, **kw) -> str:
     """Idempotently materialize a pages dir for tests/queries; returns dir."""
-    key = f"u{n_urls}_s{seed}_e{n_epochs}_v2"
+    key = f"u{n_urls}_s{seed}_e{n_epochs}_v3"
     if kw:  # non-default generator params must not hit the default cache
         import hashlib
 

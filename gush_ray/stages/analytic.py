@@ -182,10 +182,23 @@ def moving_aggregate(ds, key: str, ts_col: str, range_span: int,
         seg_id = np.cumsum(seg_start) - 1
         # separate segments by more than span+ts-range so a frame's lower
         # bound can never reach into the previous key's segment
+        n_seg = int(seg_id[-1]) + 1
         stride = np.int64(ts.max() - ts.min() + range_span + 2)
-        adj = ts - ts.min() + seg_id * stride
-        lo = np.searchsorted(adj, adj - range_span, side="left")
-        hi = np.searchsorted(adj, adj, side="right")  # peers included
+        if float(stride) * n_seg < 2.0**62:
+            adj = ts - ts.min() + seg_id * stride
+            lo = np.searchsorted(adj, adj - range_span, side="left")
+            hi = np.searchsorted(adj, adj, side="right")  # peers included
+        else:
+            # many segments x a wide ts range would overflow the offset
+            # trick; fall back to one searchsorted per key segment
+            bounds = np.append(np.flatnonzero(seg_start), n)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                seg = ts[a:b]
+                lo[a:b] = a + np.searchsorted(seg, seg - range_span,
+                                              side="left")
+                hi[a:b] = a + np.searchsorted(seg, seg, side="right")
         if count_col is not None:
             out[count_col] = (hi - lo).astype(np.int64)
         for out_col, src in sum_specs.items():

@@ -201,6 +201,31 @@ def test_moving_aggregate_frames_do_not_cross_keys(ray_session):
     assert out["nw"].tolist() == [1, 1, 2, 2, 3, 3]
 
 
+def test_moving_aggregate_overflow_fallback_parity(ray_session):
+    """A span near 2^61 forces the per-segment fallback (the segment
+    offset trick would overflow int64); results must match the strided
+    path's semantics — with an effectively-infinite span every row sees
+    all earlier-or-peer rows of its key."""
+    from gush_ray.stages.analytic import moving_aggregate
+
+    rng = np.random.RandomState(5)
+    n = 60
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.randint(0, 5, n).astype(np.int64),
+        "ts": rng.randint(0, 40, n).astype(np.int64),
+        "v": np.ones(n, dtype=np.int64),
+    })
+    out = moving_aggregate(
+        rd.from_pandas(df), "k", "ts", 2**61, {"ws": "v"}, count_col="nw",
+        num_partitions=2,
+    ).to_pandas().sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    for i in range(len(ref)):
+        m = (ref["k"] == ref.loc[i, "k"]) & (ref["ts"] <= ref.loc[i, "ts"])
+        assert out.loc[i, "nw"] == int(m.sum())
+
+
 def test_group_share_exact_and_sums_to_scale(ray_session):
     from gush_ray.stages.analytic import group_share
 
