@@ -217,6 +217,77 @@ def write_pages_dir(
     return paths
 
 
+def gen_clicks(
+    n_urls: int = 2_000,
+    seed: int = 7,
+    clicks_per_epoch: int = 1_500,
+    n_epochs: int = 4,
+    span_us: int = 4 * 3600 * 1_000_000,
+) -> tuple[pa.Table, np.ndarray]:
+    """Second event stream over the SAME url universe as
+    :func:`gen_pages` (same ``n_urls``/``seed`` → identical urls):
+    (url, ts, click_id) rows for the stream-stream join fixtures.
+
+    Epoch = the event-time slice the ts falls in (``span_us/n_epochs``
+    each, same boundaries as gen_pages), with NO late rows — each
+    epoch's ts range therefore sits entirely at-or-above the previous
+    epochs' maxima, so a correctly-bounded watermark never classifies a
+    click late (the join equivalence tests rely on this).
+    """
+    rng = np.random.RandomState(seed)
+    n_sites = max(4, n_urls // 20)
+    site_of_url = rng.randint(0, n_sites, size=n_urls)  # gen_pages' draw
+    urls = np.array(
+        [
+            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
+            for i in range(n_urls)
+        ]
+    )
+    crng = np.random.RandomState(seed + 4099)
+    n = clicks_per_epoch * n_epochs
+    url_idx = crng.randint(0, n_urls, size=n)
+    ts_us = START_US + np.sort(crng.randint(0, span_us, size=n))
+    epoch_len = span_us // n_epochs + 1
+    epoch = np.minimum(
+        ((ts_us - START_US) // epoch_len).astype(np.int64), n_epochs - 1
+    )
+    table = pa.table(
+        {
+            "url": pa.array(urls[url_idx], type=pa.string()),
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "click_id": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    return table, epoch
+
+
+def write_clicks_dir(out_dir: str, *, n_urls: int = 2_000, seed: int = 7,
+                     clicks_per_epoch: int = 1_500, n_epochs: int = 4,
+                     rows_per_file: int = 8_000, **kw) -> list[str]:
+    """Epoch-dir layout for the clicks stream (same ``epoch=NNNN``
+    contract as :func:`write_pages_dir`, so both streams align)."""
+    os.makedirs(out_dir, exist_ok=True)
+    table, epoch = gen_clicks(n_urls=n_urls, seed=seed,
+                              clicks_per_epoch=clicks_per_epoch,
+                              n_epochs=n_epochs, **kw)
+    paths = []
+    for e in range(n_epochs):
+        sub = table.filter(pa.array(epoch == e))
+        d = os.path.join(out_dir, f"epoch={e:04d}")
+        os.makedirs(d, exist_ok=True)
+        n_files = max(1, -(-sub.num_rows // rows_per_file))
+        per = -(-sub.num_rows // n_files)
+        for k in range(n_files):
+            pq.write_table(
+                sub.slice(k * per, per),
+                os.path.join(d, f"part-{k:04d}.parquet"),
+                row_group_size=4096, compression="zstd",
+                compression_level=1,
+            )
+        paths.append(d)
+    return paths
+
+
 def gen_dim_sites(n_sites: int, seed: int = 7) -> pa.Table:
     """Dimension snapshot keyed by site domain (FIXTURES.md §2)."""
     rng = np.random.RandomState(seed + 1)

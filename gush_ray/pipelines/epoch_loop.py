@@ -208,6 +208,7 @@ def _reduce_partition(
     out_dir: str,
     params: StateParams,
     frag_keys: list[int],
+    rfrag_keys: list[int],
     watermark_us: int,
     *tables,
 ) -> dict:
@@ -240,9 +241,13 @@ def _reduce_partition(
     gc.freeze()
     try:
         t_restore = time.perf_counter()
-        for key, t in zip(frag_keys, tables):
+        n_left = len(frag_keys)
+        for key, t in zip(frag_keys, tables[:n_left]):
             if t is not None and t.num_rows:
                 ps.ingest(epoch, key, t)
+        for key, t in zip(rfrag_keys, tables[n_left:]):
+            if t is not None and t.num_rows:
+                ps.ingest_right(epoch, key, t)
         t_ingest = time.perf_counter()
         metrics = ps.process_epoch_to(epoch, out_dir)
         t_process = time.perf_counter()
@@ -310,8 +315,19 @@ class StreamingJob:
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
+        right_dir: str | None = None,
+        join_spec=None,
+        right_raw_ts_col: str = "ts",
     ):
         assert mode in ("tasks", "actors")
+        if (right_dir is None) != (join_spec is None):
+            raise ValueError(
+                "stream-stream join needs BOTH right_dir and join_spec"
+            )
+        if join_spec is not None and mode != "tasks":
+            raise ValueError(
+                "stream-stream join is implemented for mode='tasks'"
+            )
         self.key_col = key_col
         self.raw_ts_col = raw_ts_col
         self.pages_dir = pages_dir
@@ -336,14 +352,21 @@ class StreamingJob:
             session_gap_us=session_gap_us,
             pattern=pattern,
             allowed_lateness_us=self.cfg.allowed_lateness_us,
+            join_spec=join_spec,
         )
+        self.right_dir = right_dir
+        self.right_raw_ts_col = right_raw_ts_col
         self.dim_df = dim_df
         self.dim_key = dim_key
         self._dim_holder = None
         self.ckpt_dir = os.path.join(out_dir, "_state")
         self._actors = None
-        # running per-partition event-time maxima (watermark inputs)
+        # running per-partition event-time maxima (watermark inputs);
+        # with a stream-stream join BOTH streams bound the watermark
+        # (wm = min over partitions of min(left max, right max) — a
+        # stream running ahead must not mark the other's rows late)
         self._part_max_ts = [NEG_INF] * self.P
+        self._part_max_ts_r = [NEG_INF] * self.P
         self._commit_thread = None
         self._commit_queue = None
         self._commit_error: BaseException | None = None
@@ -485,6 +508,7 @@ class StreamingJob:
             for p in man["partitions"]:
                 pid = p["partition_id"]
                 self._part_max_ts[pid] = p.get("max_ts_us", NEG_INF)
+                self._part_max_ts_r[pid] = p.get("max_ts_us_r", NEG_INF)
             if self.mode == "actors":
                 ray.get(
                     [
@@ -622,7 +646,10 @@ class StreamingJob:
     # ------------------------------------------------------- one epoch
 
     def _submit_map(self, epoch: int, path: str):
-        """Launch the stateless map tasks for an epoch (non-blocking)."""
+        """Launch the stateless map tasks for an epoch (non-blocking).
+        With a stream-stream join the RIGHT stream's aligned epoch slice
+        (same ``epoch=N`` name under ``right_dir``) maps through the same
+        keyed exchange to the same partitions."""
         shards = _shard_files(path)
         if self.dim_df is not None and self._dim_holder is None:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
@@ -633,15 +660,32 @@ class StreamingJob:
             )
             for i, s in enumerate(shards)
         ]
-        return epoch, path, shards, refsets
+        rrefsets = []
+        if self.right_dir is not None:
+            rpath = os.path.join(self.right_dir, os.path.basename(path))
+            if not os.path.exists(rpath):
+                raise FileNotFoundError(
+                    f"stream-stream join: right stream has no epoch slice "
+                    f"{os.path.basename(path)!r} under {self.right_dir!r} "
+                    f"(epoch streams must be aligned)"
+                )
+            rrefsets = [
+                _map_shard.options(num_returns=1 + self.P).remote(
+                    s, self.cfg, self.P, None, self.dim_key,
+                    None, self.key_col, self.right_raw_ts_col,
+                )
+                for s in _shard_files(rpath)
+            ]
+        return epoch, path, shards, refsets, rrefsets
 
     def _run_epoch(self, epoch: int, submitted) -> int:
         prof = os.environ.get("GUSH_PROFILE")
         t0 = time.perf_counter()
 
-        map_epoch, input_path, shards, refsets = submitted
+        map_epoch, input_path, shards, refsets, rrefsets = submitted
         assert map_epoch == epoch
         metas = ray.get([rs[0] for rs in refsets])
+        rmetas = ray.get([rs[0] for rs in rrefsets]) if rrefsets else []
         map_sec = round(time.perf_counter() - t0, 3)
         if prof:
             print(f"[prof] epoch {epoch} map: {map_sec}s "
@@ -656,7 +700,16 @@ class StreamingJob:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts[pid]:
                     self._part_max_ts[pid] = m["max_ts"][pid]
-        seen = [t for t in self._part_max_ts if t > NEG_INF]
+        for m in rmetas:
+            for pid in range(self.P):
+                if m["max_ts"][pid] > self._part_max_ts_r[pid]:
+                    self._part_max_ts_r[pid] = m["max_ts"][pid]
+        maxima = list(self._part_max_ts)
+        if self.right_dir is not None:
+            # both streams bound the watermark (min of the two per
+            # partition, idle partitions excluded as above)
+            maxima += self._part_max_ts_r
+        seen = [t for t in maxima if t > NEG_INF]
         watermark = min(seen) if seen else NEG_INF
 
         if self.mode == "tasks":
@@ -673,8 +726,10 @@ class StreamingJob:
                         # fragment identity = shard index (exact; content
                         # sums could collide and drop a distinct shard)
                         list(range(len(metas))),
+                        list(range(len(rmetas))),
                         watermark,
                         *[rs[1 + pid] for rs in refsets],
+                        *[rs[1 + pid] for rs in rrefsets],
                     )
                     for pid in range(self.P)
                 ]
@@ -723,6 +778,8 @@ class StreamingJob:
             row = {"partition_id": pid,
                    "max_ts_us": int(self._part_max_ts[pid]),
                    "snapshot": self._snapshot_path(epoch, pid)}
+            if self.right_dir is not None:
+                row["max_ts_us_r"] = int(self._part_max_ts_r[pid])
             row.update(
                 {k: int(v) if isinstance(v, np.integer) else v
                  for k, v in metrics[pid].items()}

@@ -327,6 +327,41 @@ def q_pages_flagship(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_stream_join(sf_dir: str):
+    """Stream-stream windowed join (changes × clicks within ±30 min,
+    buffered per-partition state, watermark-pruned, exactly-once): pair
+    counts per change version. Streaming == batch interval join is
+    pinned by tests/test_stream_join.py; the batch operator is itself
+    DuckDB-oracle-paired (`interval_join`)."""
+    from gush_ray.datagen import write_clicks_dir
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.join_state import JoinSpec
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    clicks_dir = "/tmp/gush_ray_clicks/u2000_s7_e4_v1"
+    if not os.path.exists(os.path.join(clicks_dir, "_COMPLETE")):
+        write_clicks_dir(clicks_dir, n_urls=2_000, seed=7,
+                         clicks_per_epoch=1_500, n_epochs=4)
+        with open(os.path.join(clicks_dir, "_COMPLETE"), "w") as f:
+            f.write("ok")
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    HALF_H = 30 * 60 * 1_000_000
+    job = StreamingJob(
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        right_dir=clicks_dir,
+        join_spec=JoinSpec(-HALF_H, HALF_H, left_cols=("version",),
+                           right_cols=("click_id",)),
+    )
+    job.run()
+    joined = job.read_output("joined")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = joined.groupby("version", as_index=False).size().rename(
+        columns={"size": "n_pairs"}
+    )
+    return out.sort_values("version").reset_index(drop=True)
+
+
 def q_pages_late_routing(sf_dir: str):
     """Watermark late-data routing (W5): per-lang late-row counts from the
     streaming job's late side-output."""
@@ -473,6 +508,7 @@ EXTRA_QUERIES = {
     "frame_sample": (q_frame_sample, None),
     "pages_flagship": (q_pages_flagship, None),
     "pages_late_routing": (q_pages_late_routing, None),
+    "stream_join": (q_stream_join, None),
     "extract_parity": (q_extract_parity, None),
     "pack_sequences": (q_pack_sequences, None),
 }

@@ -150,6 +150,55 @@ def asof_join(left, right, key: str, ts_col: str, right_ts_col: str,
     return partition_map(both, key, per_part, num_partitions)
 
 
+def interval_pair_indices(ldf: pd.DataFrame, rdf: pd.DataFrame, key: str,
+                          lts_col: str, rts_col: str,
+                          low_us: int, high_us: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Positional index pairs (li, ri) into ``ldf``/``rdf`` for every
+    same-key pair with ``r.ts - l.ts`` in ``[low_us, high_us]``.
+
+    The shared kernel of the batch :func:`interval_join` and the
+    streaming stream-stream join state: per key the right side is sorted
+    once and ``np.searchsorted`` yields each left row's window bounds;
+    pairs explode via ``np.repeat`` — cost is output-size-bound, not n².
+    """
+    if not len(ldf) or not len(rdf):
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    l_idx_parts: list[np.ndarray] = []
+    r_idx_parts: list[np.ndarray] = []
+    rpos = {k: g for k, g in
+            pd.Series(np.arange(len(rdf)), index=rdf[key].to_numpy())
+            .groupby(level=0, sort=False)}
+    rts_all = rdf[rts_col].to_numpy().astype(np.int64)
+    lkeys = ldf[key].to_numpy()
+    lts_all = ldf[lts_col].to_numpy().astype(np.int64)
+    lpos = pd.Series(np.arange(len(ldf)), index=lkeys)
+    for k, lg in lpos.groupby(level=0, sort=False):
+        rg = rpos.get(k)
+        if rg is None:
+            continue
+        ri_cand = rg.to_numpy()
+        rts = rts_all[ri_cand]
+        order = np.argsort(rts, kind="mergesort")
+        ri_cand = ri_cand[order]
+        rts = rts[order]
+        li_cand = lg.to_numpy()
+        lts = lts_all[li_cand]
+        lo = np.searchsorted(rts, lts + low_us, side="left")
+        hi = np.searchsorted(rts, lts + high_us, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            continue
+        l_idx_parts.append(np.repeat(li_cand[keep], cnt[keep]))
+        r_idx_parts.append(ri_cand[np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo[keep], hi[keep])]
+        )])
+    if not l_idx_parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(l_idx_parts), np.concatenate(r_idx_parts)
+
+
 def interval_join(left, right, key: str, ts_col: str, right_ts_col: str,
                   low_us: int, high_us: int, num_partitions: int = 8):
     """Range (interval) join: every (left, right) pair of the same key
@@ -195,36 +244,15 @@ def interval_join(left, right, key: str, ts_col: str, right_ts_col: str,
     out_cols = lnames + [c for c in rnames if c != key]
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df.loc[df["__side"] == "l", lnames]
-        rdf = df.loc[df["__side"] == "r", rnames]
-        if not len(ldf) or not len(rdf):
+        ldf = df.loc[df["__side"] == "l", lnames].reset_index(drop=True)
+        rdf = df.loc[df["__side"] == "r", rnames].reset_index(drop=True)
+        li, ri = interval_pair_indices(ldf, rdf, key, ts_col, right_ts_col,
+                                       low_us, high_us)
+        if not len(li):
             return pd.DataFrame(columns=out_cols)
-        frames = []
-        # per key: sort right once, searchsorted the window bounds
-        rgroups = {k: g.sort_values(right_ts_col)
-                   for k, g in rdf.groupby(key, sort=False)}
-        for k, lg in ldf.groupby(key, sort=False):
-            rg = rgroups.get(k)
-            if rg is None:
-                continue
-            rts = rg[right_ts_col].to_numpy().astype(np.int64)
-            lts = lg[ts_col].to_numpy().astype(np.int64)
-            lo = np.searchsorted(rts, lts + low_us, side="left")
-            hi = np.searchsorted(rts, lts + high_us, side="right")
-            cnt = hi - lo
-            keep = cnt > 0
-            if not keep.any():
-                continue
-            li = np.repeat(np.nonzero(keep)[0], cnt[keep])
-            ri = np.concatenate([
-                np.arange(a, b) for a, b in zip(lo[keep], hi[keep])
-            ])
-            lpart = lg.iloc[li].reset_index(drop=True)
-            rpart = rg.iloc[ri].reset_index(drop=True).drop(columns=[key])
-            frames.append(pd.concat([lpart, rpart], axis=1))
-        if not frames:
-            return pd.DataFrame(columns=out_cols)
-        out = pd.concat(frames, ignore_index=True)[out_cols]
+        lpart = ldf.iloc[li].reset_index(drop=True)
+        rpart = rdf.iloc[ri].reset_index(drop=True).drop(columns=[key])
+        out = pd.concat([lpart, rpart], axis=1)[out_cols]
         # the tagged union pads each side's columns with nulls, so pandas
         # widens integer columns to float64 in the partition frame; the
         # matched output has no nulls — restore the declared Arrow dtype

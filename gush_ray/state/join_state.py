@@ -1,0 +1,167 @@
+"""Stream-stream windowed (interval) join state — the second half of the
+north-star "stateful join" family: where the broadcast dimension join
+(epoch_loop._map_shard) joins the change stream against a SNAPSHOT, this
+joins it against a second live event stream, with per-key buffers held in
+partition state and pruned by the shared watermark.
+
+Semantics (Flink/structured-streaming interval join): emit (l, r) for
+every same-key pair with ``r.ts - l.ts`` in ``[low_us, high_us]``, each
+pair exactly once — at the epoch where the LATER of the two rows
+arrives. Per epoch the incremental join is::
+
+    pairs = newL x (bufR + newR)  +  bufL x newR
+
+(buffers are updated AFTER the join, so in-epoch pairs are counted once
+by the first term). A buffered left row is dropped once no future right
+row can match it (``l.ts + high < wm`` — future rows have ts >= wm);
+symmetrically right rows drop at ``r.ts - low < wm``. Buffer size is
+therefore bounded by the stream rate x window span per partition, never
+by stream length — the 100-TB shape.
+
+Exactly-once: the state is snapshotted with the partition snapshot and
+the join output is written through the same idempotent sink slots as the
+other streams, so crash/replay re-emits byte-identical pairs.
+
+Reference anchor: gush has no join at all (SURVEY.md §2.5); this is the
+graft-required "custom operator" composition (brief: as-of/range joins)
+in its streaming form, sharing the searchsorted pair kernel with the
+batch operator (stages/joins.interval_pair_indices).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from gush_ray.stages.joins import interval_pair_indices
+
+
+@dataclass
+class JoinSpec:
+    """Configuration of the streaming interval join.
+
+    ``low_us``/``high_us``: inclusive bounds on ``r.ts - l.ts``.
+    ``left_cols``/``right_cols``: payload columns carried into the output
+    next to the key and both timestamps (left payload from the CHANGE
+    rows — i.e. post V1 dedup/versioning; right payload from the second
+    stream as mapped).
+    """
+
+    low_us: int
+    high_us: int
+    left_cols: tuple[str, ...] = ("version",)
+    right_cols: tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.low_us > self.high_us:
+            raise ValueError(
+                f"low_us {self.low_us} > high_us {self.high_us}"
+            )
+
+
+class StreamJoinState:
+    """Per-partition buffers + incremental pair emission (plain Python,
+    unit-testable without Ray — same discipline as PartitionState)."""
+
+    def __init__(self, key_col: str, ts_col: str, spec: JoinSpec):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.spec = spec
+        self._l_cols = [key_col, ts_col, *spec.left_cols]
+        self._r_cols = [key_col, ts_col, *spec.right_cols]
+        self.bufL = pd.DataFrame(columns=self._l_cols)
+        self.bufR = pd.DataFrame(columns=self._r_cols)
+        self.pairs_emitted = 0
+
+    # ---------------------------------------------------------- process
+
+    def out_columns(self) -> list[str]:
+        return [self.key_col, "l_ts_us", "r_ts_us",
+                *self.spec.left_cols, *self.spec.right_cols]
+
+    def process_epoch(self, new_l: pd.DataFrame,
+                      new_r: pd.DataFrame) -> pd.DataFrame:
+        """Join this epoch's arrivals against the buffers, then absorb
+        them. Deterministic given (state, inputs); the caller is
+        responsible for replay idempotence (epoch cache / snapshot)."""
+        s = self.spec
+        new_l = new_l.reset_index(drop=True)
+        new_r = new_r.reset_index(drop=True)
+        all_r = pd.concat([self.bufR, new_r], ignore_index=True) \
+            if len(self.bufR) else new_r
+        out_frames = []
+        li, ri = interval_pair_indices(
+            new_l, all_r, self.key_col, self.ts_col, self.ts_col,
+            s.low_us, s.high_us,
+        )
+        if len(li):
+            out_frames.append(self._assemble(new_l, all_r, li, ri))
+        li, ri = interval_pair_indices(
+            self.bufL, new_r, self.key_col, self.ts_col, self.ts_col,
+            s.low_us, s.high_us,
+        )
+        if len(li):
+            out_frames.append(self._assemble(self.bufL, new_r, li, ri))
+
+        self.bufL = pd.concat([self.bufL, new_l[self._l_cols]],
+                              ignore_index=True) if len(new_l) else self.bufL
+        self.bufR = all_r
+        if out_frames:
+            out = pd.concat(out_frames, ignore_index=True)
+        else:
+            out = pd.DataFrame(columns=self.out_columns())
+        # deterministic output order regardless of buffer layout history
+        out = out.sort_values(
+            [self.key_col, "l_ts_us", "r_ts_us"], kind="mergesort"
+        ).reset_index(drop=True)
+        self.pairs_emitted += len(out)
+        return out
+
+    def _assemble(self, ldf: pd.DataFrame, rdf: pd.DataFrame,
+                  li: np.ndarray, ri: np.ndarray) -> pd.DataFrame:
+        cols = {
+            self.key_col: ldf[self.key_col].to_numpy()[li],
+            "l_ts_us": ldf[self.ts_col].to_numpy()[li].astype(np.int64),
+            "r_ts_us": rdf[self.ts_col].to_numpy()[ri].astype(np.int64),
+        }
+        for c in self.spec.left_cols:
+            cols[c] = ldf[c].to_numpy()[li]
+        for c in self.spec.right_cols:
+            cols[c] = rdf[c].to_numpy()[ri]
+        return pd.DataFrame(cols)
+
+    # ------------------------------------------------------------ prune
+
+    def prune(self, watermark_us: int) -> None:
+        """Drop buffer rows no future arrival (ts >= wm) can pair with."""
+        s = self.spec
+        if len(self.bufL):
+            keep = self.bufL[self.ts_col].to_numpy().astype(np.int64) \
+                + s.high_us >= watermark_us
+            if not keep.all():
+                self.bufL = self.bufL[keep].reset_index(drop=True)
+        if len(self.bufR):
+            keep = self.bufR[self.ts_col].to_numpy().astype(np.int64) \
+                - s.low_us >= watermark_us
+            if not keep.all():
+                self.bufR = self.bufR[keep].reset_index(drop=True)
+
+    # --------------------------------------------------------- snapshot
+
+    def state(self) -> dict:
+        return {
+            "bufL": {c: self.bufL[c].to_numpy() for c in self._l_cols},
+            "bufR": {c: self.bufR[c].to_numpy() for c in self._r_cols},
+            "n_l": len(self.bufL),
+            "n_r": len(self.bufR),
+            "pairs_emitted": self.pairs_emitted,
+        }
+
+    def restore(self, st: dict) -> None:
+        self.bufL = pd.DataFrame(st["bufL"]) if st["n_l"] else \
+            pd.DataFrame(columns=self._l_cols)
+        self.bufR = pd.DataFrame(st["bufR"]) if st["n_r"] else \
+            pd.DataFrame(columns=self._r_cols)
+        self.pairs_emitted = st.get("pairs_emitted", 0)

@@ -60,6 +60,9 @@ class StateParams:
     value_col: str | None = None        # optional numeric col summed per window
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
+    # stream-stream interval join against a second keyed event stream
+    # (state/join_state.JoinSpec); left side = the emitted change rows
+    join_spec: "object | None" = None
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -80,6 +83,14 @@ class PartitionState:
         self.win: dict = {}        # (group..., window_id) -> [n, sum]
         self.sessions: dict = {}   # key -> [start, last, n]
         self.nfa = NFARunner(params.pattern) if params.pattern else None
+        if params.join_spec is not None:
+            from gush_ray.state.join_state import StreamJoinState
+
+            self.joiner = StreamJoinState(
+                params.key_col, params.ts_col, params.join_spec
+            )
+        else:
+            self.joiner = None
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
         self._epoch_cache: dict[int, dict] = {}
@@ -87,6 +98,10 @@ class PartitionState:
         # re-sent fragments (task retries) idempotent
         self._frag_buf: dict[int, list] = {}
         self._frag_seen: dict[int, set] = {}
+        # right-stream fragments of the stream-stream join (separate key
+        # space from the left stream's shard indices)
+        self._rfrag_buf: dict[int, list] = {}
+        self._rfrag_seen: dict[int, set] = {}
 
     # -------------------------------------------- direct-exchange ingest
 
@@ -98,6 +113,16 @@ class PartitionState:
             return
         seen.add(frag_key)
         self._frag_buf.setdefault(epoch, []).append(table)
+
+    def ingest_right(self, epoch: int, frag_key: int,
+                     table: pa.Table) -> None:
+        """Buffer one fragment of the join's RIGHT stream (idempotent,
+        same retry contract as :meth:`ingest`)."""
+        seen = self._rfrag_seen.setdefault(epoch, set())
+        if frag_key in seen:
+            return
+        seen.add(frag_key)
+        self._rfrag_buf.setdefault(epoch, []).append(table)
 
     def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
         """Sort + process everything ingested for ``epoch`` and write this
@@ -113,11 +138,13 @@ class PartitionState:
 
         frags = self._frag_buf.pop(epoch, [])
         self._frag_seen.pop(epoch, None)
+        changes_t = None
         if frags:
             table = pa.concat_tables(frags, promote_options="default")
             out = self._process_impl(table)
+            changes_t = out["changes"]
             ExactlyOnceSink.write_part(
-                base_dir, "changes", epoch, self.pid, out["changes"]
+                base_dir, "changes", epoch, self.pid, changes_t
             )
             if out["matches"].num_columns:
                 ExactlyOnceSink.write_part(
@@ -132,8 +159,51 @@ class PartitionState:
             metrics = out["metrics"]
         else:
             metrics = {"rows_in": 0, "max_ts_us": self.max_ts_us}
+        if self.joiner is not None:
+            metrics = dict(metrics)
+            metrics.update(self._process_join(epoch, base_dir, changes_t))
         self._epoch_cache[epoch] = {"metrics": metrics}
         return metrics
+
+    def _process_join(self, epoch: int, base_dir: str,
+                      changes_t: "pa.Table | None") -> dict:
+        """Stream-stream interval join step: this epoch's change rows x
+        the right stream, through the buffered incremental join. Late
+        right rows (ts below the watermark) are dropped and counted —
+        their left counterparts were already routed to the late stream."""
+        from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+        p = self.p
+        rfrags = self._rfrag_buf.pop(epoch, [])
+        self._rfrag_seen.pop(epoch, None)
+        l_cols = [p.key_col, p.ts_col, *self.joiner.spec.left_cols]
+        if changes_t is not None and changes_t.num_rows:
+            new_l = changes_t.select(l_cols).to_pandas()
+        else:
+            new_l = pd.DataFrame(columns=l_cols)
+        r_cols = [p.key_col, p.ts_col, *self.joiner.spec.right_cols]
+        n_r_late = 0
+        if rfrags:
+            rtab = pa.concat_tables(rfrags, promote_options="default")
+            new_r = rtab.select(r_cols).to_pandas()
+            on_time = new_r[p.ts_col].to_numpy() >= self.watermark_us
+            n_r_late = int((~on_time).sum())
+            if n_r_late:
+                new_r = new_r[on_time].reset_index(drop=True)
+        else:
+            new_r = pd.DataFrame(columns=r_cols)
+        joined = self.joiner.process_epoch(new_l, new_r)
+        ExactlyOnceSink.write_part(
+            base_dir, "joined", epoch, self.pid,
+            pa.Table.from_pandas(joined, preserve_index=False),
+        )
+        return {
+            "joined_rows": int(len(joined)),
+            "right_rows_in": int(len(new_r) + n_r_late),
+            "right_late": n_r_late,
+            "join_buf_l": int(len(self.joiner.bufL)),
+            "join_buf_r": int(len(self.joiner.bufR)),
+        }
 
     # ------------------------------------------------------------ ingest
 
@@ -456,6 +526,8 @@ class PartitionState:
 
         if self.nfa is not None and wm > NEG_INF:
             self.nfa.prune(wm)
+        if self.joiner is not None and wm > NEG_INF:
+            self.joiner.prune(wm)
 
         return {
             "windows": _windows_table(
@@ -482,6 +554,7 @@ class PartitionState:
                 "win": self.win,
                 "sessions": self.sessions,
                 "nfa": self.nfa.state() if self.nfa else None,
+                "join": self.joiner.state() if self.joiner else None,
                 "watermark_us": self.watermark_us,
                 "max_ts_us": self.max_ts_us,
             }
@@ -510,6 +583,8 @@ class PartitionState:
         self.sessions = st["sessions"]
         if self.nfa is not None and st["nfa"] is not None:
             self.nfa.restore(st["nfa"])
+        if self.joiner is not None and st.get("join") is not None:
+            self.joiner.restore(st["join"])
         self.watermark_us = st["watermark_us"]
         self.max_ts_us = st["max_ts_us"]
         # a restore is a rollback: caches for epochs processed AFTER the

@@ -1,0 +1,189 @@
+"""Stream-stream windowed (interval) join: unit semantics of the
+buffered incremental join, and e2e equivalence of the streaming job's
+``joined`` output with a batch interval join over the same inputs
+(which is itself oracle-paired via `interval_join` in test_oracle.py —
+so streaming == batch == SQL transitively)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gush_ray.state.join_state import JoinSpec, StreamJoinState
+
+
+def brute_pairs(ldf, rdf, key, lts, rts, low, high):
+    """Independent O(n²) oracle: pandas merge on key + bound filter."""
+    m = ldf.merge(rdf, on=key, suffixes=("_l", "_r"))
+    lcol = f"{lts}_l" if f"{lts}_l" in m.columns else lts
+    rcol = f"{rts}_r" if f"{rts}_r" in m.columns else rts
+    d = m[rcol].to_numpy().astype(np.int64) - \
+        m[lcol].to_numpy().astype(np.int64)
+    return m[(d >= low) & (d <= high)]
+
+
+def _mk(rng, n, n_keys, ts_hi):
+    return pd.DataFrame({
+        "k": rng.randint(0, n_keys, n).astype(str),
+        "ts_us": np.sort(rng.randint(0, ts_hi, n)).astype(np.int64),
+        "pay": rng.randint(0, 1000, n).astype(np.int64),
+    })
+
+
+def test_incremental_join_equals_batch_with_pruning():
+    rng = np.random.RandomState(3)
+    LOW, HIGH = -50, 80
+    ldf = _mk(rng, 300, 12, 1000)
+    rdf = _mk(rng, 300, 12, 1000)
+    spec = JoinSpec(LOW, HIGH, left_cols=("pay",), right_cols=("pay",))
+
+    # epochs split by event time; wm before epoch e = min ts of epoch e
+    bounds = [0, 300, 650, 10**9]
+    st = StreamJoinState("k", "ts_us", spec)
+    got = []
+    for e in range(3):
+        lo, hi = bounds[e], bounds[e + 1]
+        new_l = ldf[(ldf.ts_us >= lo) & (ldf.ts_us < hi)]
+        new_r = rdf[(rdf.ts_us >= lo) & (rdf.ts_us < hi)]
+        got.append(st.process_epoch(new_l, new_r))
+        st.prune(lo)  # every future arrival has ts >= this epoch's start
+    got = pd.concat(got, ignore_index=True)
+
+    want = brute_pairs(ldf, rdf, "k", "ts_us", "ts_us", LOW, HIGH)
+    assert len(got) == len(want)
+    gs = sorted(zip(got["k"], got["l_ts_us"], got["r_ts_us"]))
+    ws = sorted(zip(want["k"],
+                    want["ts_us_l"].astype(np.int64),
+                    want["ts_us_r"].astype(np.int64)))
+    assert gs == ws  # exactly-once: multiset equality, no dup/no loss
+
+
+def test_join_state_snapshot_restore_continues_identically():
+    rng = np.random.RandomState(9)
+    spec = JoinSpec(-30, 30, left_cols=(), right_cols=())
+    ldf, rdf = _mk(rng, 200, 8, 600), _mk(rng, 200, 8, 600)
+    half = 300
+
+    cont = StreamJoinState("k", "ts_us", spec)
+    p1 = cont.process_epoch(ldf[ldf.ts_us < half], rdf[rdf.ts_us < half])
+    snap = cont.state()
+    p2_cont = cont.process_epoch(ldf[ldf.ts_us >= half],
+                                 rdf[rdf.ts_us >= half])
+
+    res = StreamJoinState("k", "ts_us", spec)
+    res.restore(snap)
+    p2_res = res.process_epoch(ldf[ldf.ts_us >= half],
+                               rdf[rdf.ts_us >= half])
+    pd.testing.assert_frame_equal(p2_cont, p2_res)
+    assert len(p1) + len(p2_cont) == len(
+        brute_pairs(ldf, rdf, "k", "ts_us", "ts_us", -30, 30)
+    )
+
+
+def test_prune_drops_only_unmatchable_rows():
+    spec = JoinSpec(-10, 20, left_cols=(), right_cols=())
+    st = StreamJoinState("k", "ts_us", spec)
+    st.process_epoch(
+        pd.DataFrame({"k": ["a", "a"], "ts_us": [100, 500]}),
+        pd.DataFrame({"k": ["a"], "ts_us": [100]}),
+    )
+    st.prune(400)
+    # left@100: 100+20 < 400 -> gone; left@500 stays
+    assert st.bufL["ts_us"].tolist() == [500]
+    # right@100: 100-(-10)=110 < 400 -> gone
+    assert len(st.bufR) == 0
+    # a right row at 490 still pairs with the surviving left@500
+    out = st.process_epoch(
+        pd.DataFrame(columns=["k", "ts_us"]),
+        pd.DataFrame({"k": ["a"], "ts_us": [490]}),
+    )
+    assert len(out) == 1 and out["l_ts_us"].iloc[0] == 500
+
+
+@pytest.fixture(scope="module")
+def join_job_dirs(tmp_path_factory):
+    from gush_ray.datagen import write_clicks_dir, write_pages_dir
+
+    root = tmp_path_factory.mktemp("sjoin")
+    pages = str(root / "pages")
+    clicks = str(root / "clicks")
+    write_pages_dir(pages, n_urls=300, seed=21, n_epochs=4,
+                    rows_per_file=400)
+    write_clicks_dir(clicks, n_urls=300, seed=21, clicks_per_epoch=400,
+                     n_epochs=4, rows_per_file=400)
+    return pages, clicks
+
+
+HALF_H = 30 * 60 * 1_000_000
+
+
+def _run_join_job(pages, clicks, out_dir, **kw):
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    job = StreamingJob(
+        pages, out_dir, num_partitions=4,
+        right_dir=clicks,
+        join_spec=JoinSpec(-HALF_H, HALF_H, left_cols=("version",),
+                           right_cols=("click_id",)),
+        **kw,
+    )
+    return job
+
+
+def test_streaming_join_matches_batch_interval_join(
+        ray_session, join_job_dirs, tmp_path):
+    pages, clicks = join_job_dirs
+    job = _run_join_job(pages, clicks, str(tmp_path / "out"))
+    res = job.run()
+    assert res["completed"] == 3
+
+    joined = job.read_output("joined")
+    changes = job.read_output("changes")
+    assert len(joined) > 0
+
+    import pyarrow.parquet as pq
+    import glob as g
+    clk = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in sorted(g.glob(f"{clicks}/epoch=*/part-*.parquet"))],
+        ignore_index=True,
+    )
+    clk["ts_us"] = clk["ts"].astype("int64")
+
+    want = brute_pairs(
+        changes[["url", "ts_us", "version"]], clk[["url", "ts_us",
+                                                   "click_id"]],
+        "url", "ts_us", "ts_us", -HALF_H, HALF_H,
+    )
+    assert len(joined) == len(want)
+    gs = sorted(zip(joined["url"], joined["l_ts_us"], joined["r_ts_us"],
+                    joined["version"], joined["click_id"]))
+    ws = sorted(zip(want["url"],
+                    want["ts_us_l"].astype(np.int64),
+                    want["ts_us_r"].astype(np.int64),
+                    want["version"], want["click_id"]))
+    assert gs == ws
+
+
+def test_streaming_join_kill_resume_parity(
+        ray_session, join_job_dirs, tmp_path):
+    pages, clicks = join_job_dirs
+
+    full = _run_join_job(pages, clicks, str(tmp_path / "full"),
+                         run_id="sj_full")
+    full.run()
+    want = full.read_output("joined")
+
+    part = _run_join_job(pages, clicks, str(tmp_path / "part"),
+                         run_id="sj_part")
+    part.run(stop_after=2)  # "crash" mid-stream
+    resumed = _run_join_job(pages, clicks, str(tmp_path / "part"),
+                            run_id="sj_part2")
+    res = resumed.run()
+    assert res["completed"] == 3
+    got = resumed.read_output("joined")
+
+    key = ["url", "l_ts_us", "r_ts_us", "version", "click_id"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
