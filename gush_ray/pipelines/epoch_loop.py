@@ -117,18 +117,26 @@ def _dim_lookup(dim_holder, dim_key: str):
 
 
 @ray.remote
-def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
+def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
                dim_holder: list | None = None,
                dim_key: str = "site",
                errors_sink: tuple | None = None,
                key_col: str = "url",
                raw_ts_col: str = "warc_ts") -> list:
-    """Stateless map side: read one shard, extract, filter, (optionally)
-    broadcast-join the dimension snapshot, partition.
+    """Stateless map side: read one shard group, extract, filter,
+    (optionally) broadcast-join the dimension snapshot, partition.
 
     Invoked with ``num_returns=1+P``: returns ``[meta, frag_0..frag_{P-1}]``
     so each fragment is its own driver-owned Ray object — state workers
     fetch exactly their partition, nothing else moves.
+
+    ``shard_path`` may be a LIST of files processed as one task: an
+    epoch of many small shards otherwise costs hundreds of map tasks ×
+    (1+P) return objects per epoch, and every reduce task then resolves
+    one fragment ref PER MAP TASK — fixed driver/raylet bookkeeping that
+    does not shrink with CPUs and caps high-CPU scaling (measured ~2-3s
+    per epoch at 16 cpus with 250 shards). The driver groups files to a
+    CPU-derived task budget (see ``_group_shards``).
 
     The dimension join is the north-star "change stream × dimension
     snapshot" join in its broadcast form: ``ray.put`` once on the driver,
@@ -140,7 +148,10 @@ def _map_shard(shard_path: str, cfg: EngineConfig, P: int,
     from gush_ray.stages.filters import deny_filter_batch
     from gush_ray.stages.shuffle import stable_hash
 
-    batch = pq.read_table(shard_path)
+    if isinstance(shard_path, list):
+        batch = pa.concat_tables([pq.read_table(p) for p in shard_path])
+    else:
+        batch = pq.read_table(shard_path)
     n_read = batch.num_rows
     n_errors = 0
     if "html" in batch.column_names:
@@ -645,12 +656,29 @@ class StreamingJob:
 
     # ------------------------------------------------------- one epoch
 
+    def _group_shards(self, shards: list[str]) -> list[list[str]]:
+        """Group an epoch's shard files to a bounded map-task count:
+        ``max(P, 2 x cluster CPUs)`` tasks keeps every core busy with
+        slack for stragglers while capping the per-epoch object count
+        ((1+P) returns per task) and the per-reduce-task argument list
+        (one fragment ref per map task) — both are fixed driver/raylet
+        costs that otherwise cap high-CPU scaling."""
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        target = max(self.P, 2 * cpus)
+        if len(shards) <= target:
+            return [[s] for s in shards]
+        per = -(-len(shards) // target)
+        return [shards[i:i + per] for i in range(0, len(shards), per)]
+
     def _submit_map(self, epoch: int, path: str):
         """Launch the stateless map tasks for an epoch (non-blocking).
         With a stream-stream join the RIGHT stream's aligned epoch slice
         (same ``epoch=N`` name under ``right_dir``) maps through the same
         keyed exchange to the same partitions."""
-        shards = _shard_files(path)
+        shards = self._group_shards(_shard_files(path))
         if self.dim_df is not None and self._dim_holder is None:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
         refsets = [
@@ -674,7 +702,7 @@ class StreamingJob:
                     s, self.cfg, self.P, None, self.dim_key,
                     None, self.key_col, self.right_raw_ts_col,
                 )
-                for s in _shard_files(rpath)
+                for s in self._group_shards(_shard_files(rpath))
             ]
         return epoch, path, shards, refsets, rrefsets
 
