@@ -267,10 +267,12 @@ def _reduce_partition(
                                    closes["windows"])
         ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                    closes["sessions"])
+        t_parts = time.perf_counter()
         os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
         tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
         with open(tmp, "wb") as f:
-            f.write(ps.snapshot_bytes())
+            snap_bytes = ps.snapshot_bytes()
+            f.write(snap_bytes)
         os.replace(tmp, snapshot_out)
         t_snap = time.perf_counter()
     finally:
@@ -285,6 +287,12 @@ def _reduce_partition(
     metrics["t_ingest_s"] = round(t_ingest - t_restore, 3)
     metrics["t_process_s"] = round(t_process - t_ingest, 3)
     metrics["t_sink_snap_s"] = round(t_snap - t_process, 3)
+    # split of t_sink_snap: window/session parquet writes vs the state
+    # snapshot (serialize+compress+write), plus the snapshot size —
+    # the inputs to any future incremental-snapshot decision
+    metrics["t_wm_parts_s"] = round(t_parts - t_process, 3)
+    metrics["t_snapshot_s"] = round(t_snap - t_parts, 3)
+    metrics["snapshot_bytes"] = len(snap_bytes)
     return metrics
 
 
@@ -795,9 +803,10 @@ class StreamingJob:
             print(f"[prof] epoch {epoch} reduce+sink: {reduce_sec}s")
             ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
                   for k in ("t_restore_s", "t_ingest_s", "t_process_s",
-                            "t_sink_snap_s", "p_pandas", "p_sort",
-                            "p_dedup", "p_win", "p_sess", "p_nfa",
-                            "p_arrow")}
+                            "t_sink_snap_s", "t_wm_parts_s",
+                            "t_snapshot_s", "snapshot_bytes", "p_pandas",
+                            "p_sort", "p_dedup", "p_win", "p_sess",
+                            "p_nfa", "p_arrow")}
             print(f"[prof] epoch {epoch} reduce phase sums over "
                   f"{self.P} parts: {ph}")
 
