@@ -62,6 +62,25 @@ def _gen_text(rng: np.random.RandomState, n_words: int) -> str:
     return " ".join(words)
 
 
+def _url_universe(rng: np.random.RandomState, n_urls: int) -> np.ndarray:
+    """The shared url universe of the pages AND clicks streams.
+
+    Takes the caller's rng and consumes EXACTLY ONE draw (the
+    site-of-url vector) so that gen_pages' historical RNG sequence — and
+    therefore every cached corpus — is unchanged; gen_clicks gets the
+    identical universe by passing a fresh RandomState(seed). Any change
+    to the url format or draw order here changes BOTH streams together
+    (a divergence would silently empty the stream-join fixtures)."""
+    n_sites = max(4, n_urls // 20)
+    site_of_url = rng.randint(0, n_sites, size=n_urls)
+    return np.array(
+        [
+            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
+            for i in range(n_urls)
+        ]
+    )
+
+
 def gen_pages(
     n_urls: int = 2_000,
     seed: int = 7,
@@ -81,14 +100,7 @@ def gen_pages(
     """
     rng = np.random.RandomState(seed)
 
-    n_sites = max(4, n_urls // 20)
-    site_of_url = rng.randint(0, n_sites, size=n_urls)
-    urls = np.array(
-        [
-            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
-            for i in range(n_urls)
-        ]
-    )
+    urls = _url_universe(rng, n_urls)
     lang_of_url = np.array(LANGS)[rng.randint(0, len(LANGS), size=n_urls)]
 
     # version counts: 70% one, 25% 2-5, hot urls many
@@ -234,15 +246,7 @@ def gen_clicks(
     epochs' maxima, so a correctly-bounded watermark never classifies a
     click late (the join equivalence tests rely on this).
     """
-    rng = np.random.RandomState(seed)
-    n_sites = max(4, n_urls // 20)
-    site_of_url = rng.randint(0, n_sites, size=n_urls)  # gen_pages' draw
-    urls = np.array(
-        [
-            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
-            for i in range(n_urls)
-        ]
-    )
+    urls = _url_universe(np.random.RandomState(seed), n_urls)
     crng = np.random.RandomState(seed + 4099)
     n = clicks_per_epoch * n_epochs
     url_idx = crng.randint(0, n_urls, size=n)

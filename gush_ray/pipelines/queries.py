@@ -524,9 +524,10 @@ WITH m AS (
 )
 SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-  regexp_replace(regexp_replace(u,
+  regexp_replace(regexp_replace(regexp_replace(u,
     '#.*$', '', 'g'),
     '[?&]utm_[^&#]*', '', 'g'),
+    '^([^?]*)&', '\\1?', 'g'),
     '\\?$', '', 'g'),
     '^https?://www\\.', 'https://', 'g'),
     '^http://', 'https://', 'g'),

@@ -282,6 +282,10 @@ def rollup_aggregate(ds, keys: list[str], specs: Spec,
     # materialize: the finest aggregate is small by definition (one row
     # per key combination) and every coarser level re-reads it
     finest = partial_aggregate(ds, keys, specs, num_partitions).materialize()
+    if finest.count() == 0:
+        # ROLLUP of an empty input is empty (matches SQL); take_batch(1)
+        # below would raise on an empty dataset
+        return finest
     # Arrow types via a one-row sample: Dataset.schema().types can yield
     # plain Python classes for pandas-block datasets, which pa.nulls
     # rejects; a real Arrow batch always carries true DataTypes
@@ -348,6 +352,8 @@ def cube_aggregate(ds, keys: list[str], specs: Spec,
     from gush_ray.stages.agg import _MERGE_OPS
 
     finest = partial_aggregate(ds, keys, specs, num_partitions).materialize()
+    if finest.count() == 0:
+        return finest  # CUBE of empty input is empty (matches SQL)
     sample = finest.take_batch(1, batch_format="pyarrow")
     col_type = {f.name: f.type for f in sample.schema}
     out_names = [*keys, *specs.keys()]

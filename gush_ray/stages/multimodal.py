@@ -306,7 +306,11 @@ class SampleFrames:
         feats = (np.stack(rows["features"]).astype(np.float32)
                  if rows["features"]
                  else np.zeros((0, FEATURE_DIM), dtype=np.float32))
-        cols = {c: pa.array(rows[c]) for c in self.id_cols}
+        # id columns keep the INPUT schema's types: an all-malformed
+        # batch yields zero rows, and pa.array([]) would infer Arrow
+        # null type — a block-split-dependent schema mismatch downstream
+        cols = {c: pa.array(rows[c], type=batch.schema.field(c).type)
+                for c in self.id_cols}
         cols["frame_idx"] = pa.array(rows["frame_idx"], type=pa.int64())
         cols["n_frames"] = pa.array(rows["n_frames"], type=pa.int64())
         cols["width"] = pa.array(rows["width"], type=pa.int32())

@@ -404,7 +404,12 @@ class NFARunner:
         out = None
         if len(upd_rows) and len(ins_code):
             base = int(min(ins_start.min(), ts.min()))
-            span = int(ts.max()) - base
+            # the packed offset must cover restored partials' starts too
+            # (a lateness-delayed batch can carry old starts ABOVE the
+            # batch ts range — bounding by ts.max() alone would let an
+            # offset bleed into the key-code bits and corrupt pairing)
+            span = int(max(ins_start.max(initial=base),
+                           int(ts.max()))) - base
             if span >= (1 << 41):
                 return None
             order = np.lexsort((ins_start, ins_code))

@@ -80,7 +80,10 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
     """
     import pandas as pd
 
-    n = ds.count()
+    # materialize ONCE: count() then to_pandas() then the map below
+    # would otherwise execute the upstream pipeline three times
+    ds = ds.materialize()
+    n = ds.count()  # from block metadata — free after materialize
     if n > max_rows:
         raise ValueError(
             f"exact_cosine_pairs is the small-input exact baseline "
@@ -120,6 +123,25 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
                           zero_copy_batch=True)
 
 
+def _check_index_params(index_dir: str, n_planes: int, seed: int) -> None:
+    """Fail loudly when querying an index built with different LSH
+    parameters (the bucket layout would not match the probe set)."""
+    import json
+    import os
+
+    manifest = os.path.join(index_dir, "_lsh_index.json")
+    if not os.path.exists(manifest):
+        return  # pre-manifest index: caller vouches for the params
+    with open(manifest) as f:
+        have = json.load(f)
+    want = {"n_planes": n_planes, "seed": seed}
+    if have != want:
+        raise ValueError(
+            f"LSH index at {index_dir!r} was built with {have}, "
+            f"queried with {want}"
+        )
+
+
 def build_lsh_index(ds, index_dir: str, n_planes: int = 8, seed: int = 17,
                     id_col: str = "vec_id", emb_col: str = "embedding") -> str:
     """Build-once ANN index: each row's random-hyperplane signature is
@@ -130,15 +152,31 @@ def build_lsh_index(ds, index_dir: str, n_planes: int = 8, seed: int = 17,
     recomputed signatures for every row on every query).
 
     Idempotent: written to a temp dir, renamed into place; an existing
-    index is reused.
+    index is reused ONLY if its recorded (n_planes, seed) match — a
+    silent reuse across parameter changes would probe a stale bucket
+    layout and return wrong top-k.
     """
+    import json
     import os
     import shutil
     import uuid
 
     from gush_ray.stages.dedup import _lsh_planes
 
+    params = {"n_planes": n_planes, "seed": seed}
+    manifest = os.path.join(index_dir, "_lsh_index.json")
     if os.path.isdir(index_dir) and os.listdir(index_dir):
+        try:
+            with open(manifest) as f:
+                have = json.load(f)
+        except OSError:
+            have = None  # pre-manifest index: caller vouches (as query)
+        if have is not None and have != params:
+            raise ValueError(
+                f"existing LSH index at {index_dir!r} was built with "
+                f"{have}, requested {params} — delete it or use a "
+                f"different index_dir"
+            )
         return index_dir
     weights = 1 << np.arange(n_planes)
 
@@ -156,6 +194,8 @@ def build_lsh_index(ds, index_dir: str, n_planes: int = 8, seed: int = 17,
                    zero_copy_batch=True).write_parquet(
         tmp, partition_cols=["bucket"]
     )
+    with open(os.path.join(tmp, "_lsh_index.json"), "w") as f:
+        json.dump(params, f)
     try:
         os.rename(tmp, index_dir)
     except OSError:
@@ -178,6 +218,7 @@ def lsh_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
 
     from gush_ray.stages.dedup import _lsh_planes
 
+    _check_index_params(index_dir, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     planes = _lsh_planes(n_planes, len(q), seed)
     q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))
@@ -214,6 +255,7 @@ def lsh_index_scan_fraction(index_dir: str, query_vec: np.ndarray,
 
     from gush_ray.stages.dedup import _lsh_planes
 
+    _check_index_params(index_dir, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     planes = _lsh_planes(n_planes, len(q), seed)
     q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))

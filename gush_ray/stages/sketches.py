@@ -46,7 +46,12 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
     """
 
     def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b[col].value_counts(sort=False).reset_index()
+        # dropna=False: NULL is a countable group (SQL GROUP BY keeps
+        # it; the repo's aggregation discipline throughout). The null
+        # group coexists with the null-valued dropped-mass carrier row:
+        # both land in the same merged group and their (n, dropped)
+        # columns sum independently.
+        vc = b[col].value_counts(sort=False, dropna=False).reset_index()
         vc.columns = [col, "n"]
         vc = vc.sort_values(["n", col], ascending=[False, True],
                             kind="mergesort")
@@ -70,9 +75,11 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
         partials, [col], {"n": ("n", "sum"), "dropped": ("dropped", "sum")}
     ).to_pandas()
     total_dropped = int(merged["dropped"].sum())
-    merged = merged[merged[col].notna()]
+    # keep the null group when it has real counts; the pure carrier row
+    # (n == 0) exists only to ship dropped mass and is not a value
+    merged = merged[(merged["n"] > 0) | merged[col].notna()]
     top = merged.sort_values(["n", col], ascending=[False, True],
-                             kind="mergesort").head(k)
+                             kind="mergesort", na_position="last").head(k)
     out = top[[col, "n"]].reset_index(drop=True)
     out["n_upper"] = out["n"] + total_dropped
     return out

@@ -80,6 +80,10 @@ _STOP = {
 _URL_RULES: list[tuple[str, str]] = [
     (r"#.*$", ""),                     # drop fragment
     (r"[?&]utm_[^&#]*", ""),           # drop tracking params
+    # dropping a leading ?utm_… leaves the next param as '&rest' fused
+    # onto the path: promote the first '&' back to '?' when no '?'
+    # survives, so '?utm_a=1&id=3' and '?id=3' normalize identically
+    (r"^([^?]*)&", r"\1?"),
     (r"\?$", ""),                      # empty query leftover
     (r"^https?://www\.", "https://"),  # www + scheme canonicalization
     (r"^http://", "https://"),

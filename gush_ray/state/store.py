@@ -168,9 +168,10 @@ class PartitionState:
     def _process_join(self, epoch: int, base_dir: str,
                       changes_t: "pa.Table | None") -> dict:
         """Stream-stream interval join step: this epoch's change rows x
-        the right stream, through the buffered incremental join. Late
-        right rows (ts below the watermark) are dropped and counted —
-        their left counterparts were already routed to the late stream."""
+        the right stream, through the buffered incremental join. A right
+        row is dropped (and counted) only when it is UNJOINABLE — past
+        the same retention bound the buffer prune uses; left-side late
+        rows were already routed to the late stream by the V1 path."""
         from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
         p = self.p
@@ -186,7 +187,13 @@ class PartitionState:
         if rfrags:
             rtab = pa.concat_tables(rfrags, promote_options="default")
             new_r = rtab.select(r_cols).to_pandas()
-            on_time = new_r[p.ts_col].to_numpy() >= self.watermark_us
+            # a right row is only unjoinable once NO buffered-or-future
+            # left row can pair with it — the same retention bound the
+            # prune applies (r.ts - low < wm), NOT plain r.ts < wm: with
+            # a negative low bound a below-watermark right row can still
+            # match an already-buffered left row
+            on_time = (new_r[p.ts_col].to_numpy().astype(np.int64)
+                       - self.joiner.spec.low_us) >= self.watermark_us
             n_r_late = int((~on_time).sum())
             if n_r_late:
                 new_r = new_r[on_time].reset_index(drop=True)
@@ -593,6 +600,8 @@ class PartitionState:
         self._epoch_cache = {}
         self._frag_buf = {}
         self._frag_seen = {}
+        self._rfrag_buf = {}
+        self._rfrag_seen = {}
 
 
 def _windows_table(rows, group_cols, value_col) -> pa.Table:

@@ -201,6 +201,21 @@ def test_moving_aggregate_frames_do_not_cross_keys(ray_session):
     assert out["nw"].tolist() == [1, 1, 2, 2, 3, 3]
 
 
+def test_rollup_and_cube_of_empty_input_are_empty(ray_session):
+    """SQL: GROUP BY ROLLUP/CUBE over zero rows yields zero rows — the
+    operators must not crash on an empty (e.g. fully-filtered) input."""
+    from gush_ray.stages.analytic import cube_aggregate, rollup_aggregate
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "a": pd.Series(dtype="object"), "b": pd.Series(dtype="object"),
+        "v": pd.Series(dtype="int64"),
+    }))
+    assert rollup_aggregate(empty, ["a", "b"],
+                            {"n": (None, "count")}).count() == 0
+    assert cube_aggregate(empty, ["a", "b"],
+                          {"n": (None, "count")}).count() == 0
+
+
 def test_moving_aggregate_overflow_fallback_parity(ray_session):
     """A span near 2^61 forces the per-segment fallback (the segment
     offset trick would overflow int64); results must match the strided

@@ -369,6 +369,12 @@ def test_lsh_index_build_once_and_pruned_read(tmp_path):
     build_lsh_index(emb, idx, n_planes=6)
     again = lsh_index_topk(idx, qvec, k=10, n_planes=6)
     pd.testing.assert_frame_equal(got, again)
+    # parameter mismatch against an existing index fails loudly instead
+    # of silently probing a stale bucket layout
+    with pytest.raises(ValueError, match="built with"):
+        build_lsh_index(emb, idx, n_planes=8)
+    with pytest.raises(ValueError, match="queried with"):
+        lsh_index_topk(idx, qvec, k=10, n_planes=8)
 
 
 def test_langid_vectorized_parity():

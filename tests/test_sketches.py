@@ -42,6 +42,19 @@ def test_heavy_hitters_bounds_under_truncation():
     assert n <= 3000 <= hi
 
 
+def test_heavy_hitters_counts_null_group():
+    """NULL is a countable group (SQL GROUP BY semantics): a dominant
+    null value must appear in the top-k, distinct from the dropped-mass
+    carrier rows."""
+    vals = ["a"] * 10 + [None] * 30 + ["b"] * 5
+    ds = rd.from_pandas(pd.DataFrame({"k": pd.Series(vals, dtype="object")}))
+    got = heavy_hitters(ds, "k", k=3, capacity=64)
+    assert got["n"].tolist() == [30, 10, 5]
+    assert pd.isna(got["k"].iloc[0])
+    assert got["k"].tolist()[1:] == ["a", "b"]
+    assert (got["n_upper"] == got["n"]).all()
+
+
 def test_hll_accuracy_and_merge():
     for true_n in (100, 5_000, 200_000):
         h = HyperLogLog(p=12)

@@ -99,6 +99,53 @@ def test_prune_drops_only_unmatchable_rows():
     assert len(out) == 1 and out["l_ts_us"].iloc[0] == 500
 
 
+def test_below_watermark_right_row_still_joins_buffered_left(tmp_path):
+    """With a negative low bound, a right row whose ts is below the
+    watermark can still pair with an already-buffered left row; it may
+    only be dropped past the same retention bound the prune applies
+    (r.ts - low < wm), not at plain r.ts < wm."""
+    import pyarrow as pa
+    import glob as g
+    import pyarrow.parquet as pq
+
+    from gush_ray.state.store import PartitionState, StateParams
+
+    params = StateParams(key_col="url", ts_col="ts_us",
+                         window_group_cols=("lang",), pattern=None,
+                         join_spec=JoinSpec(-100, 100, left_cols=(),
+                                            right_cols=()))
+    ps = PartitionState(0, params)
+    out = str(tmp_path)
+
+    def ltab(ts):
+        return pa.table({"url": ["a"] * len(ts),
+                         "ts_us": pa.array(ts, type=pa.int64()),
+                         "lang": ["en"] * len(ts)})
+
+    ps.ingest(0, 0, ltab([1000]))
+    ps.process_epoch_to(0, out)
+    ps.advance_watermark(1000)
+
+    ps.ingest(1, 0, ltab([1020]))
+    ps.ingest_right(1, 0, pa.table({
+        "url": ["a"], "ts_us": pa.array([950], type=pa.int64())}))
+    m = ps.process_epoch_to(1, out)
+    assert m["right_late"] == 0
+    assert m["joined_rows"] == 2  # (1000,950) and (1020,950)
+    pairs = pa.concat_tables([
+        pq.read_table(f) for f in g.glob(f"{out}/joined/epoch=*/part-*")
+    ]).to_pandas()
+    got = sorted(zip(pairs["l_ts_us"], pairs["r_ts_us"]))
+    assert got == [(1000, 950), (1020, 950)]
+
+    # but a right row past the retention bound IS dropped as late
+    ps.advance_watermark(1200)
+    ps.ingest_right(2, 0, pa.table({
+        "url": ["a"], "ts_us": pa.array([1050], type=pa.int64())}))
+    m = ps.process_epoch_to(2, out)
+    assert m["right_late"] == 1 and m["joined_rows"] == 0
+
+
 @pytest.fixture(scope="module")
 def join_job_dirs(tmp_path_factory):
     from gush_ray.datagen import write_clicks_dir, write_pages_dir
