@@ -456,9 +456,26 @@ class StreamingJob:
         out: list[str] = []
         e = 0
         while e in found:
+            if self.right_dir is not None and not self._right_ready(
+                    found[e], ready_marker):
+                break  # joined streams advance together: wait for right
             out.append(found[e])
             e += 1
         return out
+
+    def _right_ready(self, left_path: str,
+                     ready_marker: str | None) -> bool:
+        """Continuous mode with a stream-stream join: an epoch is ready
+        only when the RIGHT stream's aligned slice is also complete
+        (same marker protocol) — otherwise a left slice arriving first
+        would fail the aligned-streams check mid-run."""
+        rpath = os.path.join(self.right_dir, os.path.basename(left_path))
+        if rpath.endswith(".parquet"):
+            return os.path.exists(rpath)
+        if not os.path.isdir(rpath):
+            return False
+        return ready_marker is None or os.path.exists(
+            os.path.join(rpath, ready_marker))
 
     def actors(self):
         if self._actors is None:

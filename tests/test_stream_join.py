@@ -211,6 +211,54 @@ def test_streaming_join_matches_batch_interval_join(
     assert gs == ws
 
 
+def test_streaming_join_continuous_waits_for_right_slices(
+        ray_session, join_job_dirs, tmp_path):
+    """Continuous mode with a join: left epochs that arrive BEFORE their
+    right slices must wait (streams advance together); once both sides
+    land, output equals the batch join run."""
+    import os
+    import shutil
+    import threading
+    import time as _time
+
+    pages, clicks = join_job_dirs
+    want = _run_join_job(pages, clicks, str(tmp_path / "batch"),
+                         run_id="cj_b")
+    want.run()
+
+    live_l = str(tmp_path / "live_l")
+    live_r = str(tmp_path / "live_r")
+    os.makedirs(live_l), os.makedirs(live_r)
+
+    def writer():
+        for e in range(4):
+            name = f"epoch={e:04d}"
+            # left lands first, right follows after a beat
+            shutil.copytree(os.path.join(pages, name),
+                            os.path.join(live_l, name))
+            open(os.path.join(live_l, name, "_READY"), "w").close()
+            _time.sleep(0.3)
+            shutil.copytree(os.path.join(clicks, name),
+                            os.path.join(live_r, name))
+            open(os.path.join(live_r, name, "_READY"), "w").close()
+        open(os.path.join(live_l, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    job = _run_join_job(live_l, live_r, str(tmp_path / "live"),
+                        run_id="cj_l")
+    res = job.run_continuous(poll_interval_s=0.1)
+    t.join()
+    assert res["finalized"] and res["completed"] == 3
+
+    key = ["url", "l_ts_us", "r_ts_us", "version", "click_id"]
+    a = want.read_output("joined")[key].sort_values(key) \
+        .reset_index(drop=True)
+    b = job.read_output("joined")[key].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_streaming_join_kill_resume_parity(
         ray_session, join_job_dirs, tmp_path):
     pages, clicks = join_job_dirs
