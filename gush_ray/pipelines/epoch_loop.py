@@ -222,6 +222,7 @@ def _reduce_partition(
     rfrag_keys: list[int],
     watermark_us: int,
     *tables,
+    prev_done=None,
 ) -> dict:
     """Stateless reduce: restore partition state, apply the epoch, advance
     the watermark, write outputs + new snapshot. Fragments arrive as
@@ -230,6 +231,13 @@ def _reduce_partition(
     Idempotent under retry/replay: state comes from the immutable previous
     snapshot, outputs and the new snapshot are written atomically to
     deterministic names.
+
+    ``prev_done``: the SAME partition's previous-epoch reduce ref. The
+    epoch loop runs reduces barrier-free — partition p's epoch-e reduce
+    depends only on p's epoch-(e-1) reduce (whose snapshot it restores),
+    not on every partition's — so passing the previous ref as an argument
+    makes the snapshot-file dependency explicit to the scheduler while
+    letting other partitions' epochs overlap a straggler.
     """
     t0 = time.perf_counter()
     ps = PartitionState(pid, params)
@@ -298,8 +306,13 @@ def _reduce_partition(
 
 @ray.remote
 def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
-                     out_dir: str, params: StateParams) -> dict:
-    """End-of-stream flush: close every remaining window/session."""
+                     out_dir: str, params: StateParams,
+                     prev_done=None) -> dict:
+    """End-of-stream flush: close every remaining window/session.
+
+    ``prev_done``: the partition's last reduce ref — the flush reads that
+    reduce's snapshot file, so the dependency must be explicit (reduces
+    are barrier-free; see :meth:`StreamingJob._run_epoch`)."""
     ps = PartitionState(pid, params)
     if not os.path.exists(snapshot_in):
         raise FileNotFoundError(
@@ -389,6 +402,9 @@ class StreamingJob:
         self._commit_thread = None
         self._commit_queue = None
         self._commit_error: BaseException | None = None
+        # per-partition ref of the LAST submitted reduce: the next epoch's
+        # reduce for that partition chains on it (barrier-free scheduling)
+        self._reduce_tail: list = [None] * self.P
 
     # ------------------------------------------------------------ setup
 
@@ -766,27 +782,85 @@ class StreamingJob:
         watermark = min(seen) if seen else NEG_INF
 
         if self.mode == "tasks":
-            metrics = ray.get(
-                [
-                    _reduce_partition.remote(
-                        pid,
-                        epoch,
-                        (self._snapshot_path(epoch - 1, pid)
-                         if epoch > 0 else None),
-                        self._snapshot_path(epoch, pid),
-                        self.out_dir,
-                        self.params,
-                        # fragment identity = shard index (exact; content
-                        # sums could collide and drop a distinct shard)
-                        list(range(len(metas))),
-                        list(range(len(rmetas))),
-                        watermark,
-                        *[rs[1 + pid] for rs in refsets],
-                        *[rs[1 + pid] for rs in rrefsets],
+            # BARRIER-FREE reduces: submit all P reduce tasks, each chained
+            # on the same partition's previous reduce (prev_done), and do
+            # NOT ray.get them here. The per-epoch all-partitions barrier
+            # made every straggler idle the whole cluster twice per epoch;
+            # chaining lets partition p's epoch e+1 start the moment p's
+            # epoch e finished, regardless of the other partitions. The
+            # metrics gather + manifest build move into the ordered
+            # committer thread (manifest order preserved by the FIFO
+            # queue; its bounded size is the backpressure that stops the
+            # driver racing unboundedly ahead).
+            refs = [
+                _reduce_partition.remote(
+                    pid,
+                    epoch,
+                    (self._snapshot_path(epoch - 1, pid)
+                     if epoch > 0 else None),
+                    self._snapshot_path(epoch, pid),
+                    self.out_dir,
+                    self.params,
+                    # fragment identity = shard index (exact; content
+                    # sums could collide and drop a distinct shard)
+                    list(range(len(metas))),
+                    list(range(len(rmetas))),
+                    watermark,
+                    *[rs[1 + pid] for rs in refsets],
+                    *[rs[1 + pid] for rs in rrefsets],
+                    prev_done=self._reduce_tail[pid],
+                )
+                for pid in range(self.P)
+            ]
+            self._reduce_tail = refs
+            submit_sec = round(time.perf_counter() - t0, 3)
+            max_ts_now = [int(t) for t in self._part_max_ts]
+            max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
+                            if self.right_dir is not None else None)
+            snap_paths = [self._snapshot_path(epoch, pid)
+                          for pid in range(self.P)]
+
+            def build_parts(timings: dict) -> list[dict]:
+                t_g = time.perf_counter()
+                metrics = ray.get(refs)
+                timings["reduce_gather_sec"] = round(
+                    time.perf_counter() - t_g, 3)
+                if prof:
+                    ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
+                          for k in ("t_restore_s", "t_ingest_s",
+                                    "t_process_s", "t_sink_snap_s",
+                                    "t_wm_parts_s", "t_snapshot_s",
+                                    "snapshot_bytes", "p_pandas", "p_sort",
+                                    "p_dedup", "p_win", "p_sess", "p_nfa",
+                                    "p_arrow")}
+                    print(f"[prof] epoch {epoch} reduce phase sums over "
+                          f"{self.P} parts: {ph} "
+                          f"(gather {timings['reduce_gather_sec']}s)")
+                parts = []
+                for pid in range(self.P):
+                    row = {"partition_id": pid,
+                           "max_ts_us": max_ts_now[pid],
+                           "snapshot": snap_paths[pid]}
+                    if max_ts_r_now is not None:
+                        row["max_ts_us_r"] = max_ts_r_now[pid]
+                    row.update(
+                        {k: int(v) if isinstance(v, np.integer) else v
+                         for k, v in metrics[pid].items()}
                     )
-                    for pid in range(self.P)
-                ]
+                    parts.append(row)
+                return parts
+
+            if prof:
+                print(f"[prof] epoch {epoch} reduce submit: {submit_sec}s "
+                      f"(barrier-free; gather runs in committer)")
+            self._enqueue_commit(
+                epoch, int(watermark), build_parts,
+                {"input_path": input_path,
+                 "timings": {"map_sec": map_sec,
+                             "reduce_submit_sec": submit_sec,
+                             "n_shards": len(shards)}},
             )
+            return watermark
         else:
             actors = self.actors()
             metrics = ray.get(
@@ -855,6 +929,16 @@ class StreamingJob:
     # ------------------------------------------------- ordered committer
 
     def _enqueue_commit(self, epoch, watermark, parts, extra) -> None:
+        """``parts``: either the concrete per-partition manifest rows
+        (actor mode) or a CALLABLE ``(timings_dict) -> rows`` that gathers
+        the barrier-free reduce refs (tasks mode) — the gather runs here,
+        off the epoch loop's critical path.
+
+        The queue is bounded: with barrier-free reduces the epoch loop no
+        longer blocks on anything but map metadata, so the full queue is
+        what stops the driver submitting unboundedly many epochs of
+        fragments into the object store (backpressure window =
+        maxsize + 1 epochs in flight)."""
         import queue
         import threading
 
@@ -864,7 +948,7 @@ class StreamingJob:
         # omit the uncommitted epochs' data)
         self._raise_commit_error()
         if self._commit_thread is None:
-            self._commit_queue = queue.Queue()
+            self._commit_queue = queue.Queue(maxsize=2)
 
             def worker():
                 while True:
@@ -873,6 +957,8 @@ class StreamingJob:
                         return
                     e, wm, p, x = item
                     try:
+                        if callable(p):
+                            p = p(x.setdefault("timings", {}))
                         self.sink.commit_epoch(e, wm, p, extra=x)
                         self._prune_snapshots(e)
                     except BaseException as exc:  # captured, re-raised on
@@ -881,7 +967,15 @@ class StreamingJob:
 
             self._commit_thread = threading.Thread(target=worker, daemon=True)
             self._commit_thread.start()
-        self._commit_queue.put((epoch, watermark, parts, extra))
+        while True:
+            try:
+                self._commit_queue.put((epoch, watermark, parts, extra),
+                                       timeout=2.0)
+                return
+            except queue.Full:
+                # full + dead worker would block forever: re-check for a
+                # captured committer error while waiting
+                self._raise_commit_error()
 
     def _raise_commit_error(self) -> None:
         if self._commit_error is not None:
@@ -893,8 +987,15 @@ class StreamingJob:
             ) from err
 
     def _drain_commits(self) -> None:
+        import queue
+
         if self._commit_thread is not None:
-            self._commit_queue.put(None)
+            while True:
+                try:
+                    self._commit_queue.put(None, timeout=2.0)
+                    break
+                except queue.Full:  # dead worker never drains a full queue
+                    self._raise_commit_error()
             self._commit_thread.join()
             self._commit_thread = None
             self._commit_queue = None
@@ -928,6 +1029,7 @@ class StreamingJob:
                 "final",
                 self.out_dir,
                 self.params,
+                prev_done=self._reduce_tail[pid],
             )
             for pid in range(self.P)
         ]

@@ -207,9 +207,11 @@ def test_streaming_dim_join(pages_dir, tmp_path):
     w = job.read_output("windows")
     assert set(w["category"].unique()) <= {"news", "shop", "blog", "forum"}
     assert w["n"].sum() == len(ch)
-    # timings recorded in the manifest
+    # timings recorded in the manifest (reduce time = submit + the
+    # committer-side gather, barrier-free scheduling)
     man = job.sink.read_manifest(0)
-    assert {"map_sec", "reduce_sec", "n_shards"} <= set(man["timings"])
+    assert {"map_sec", "reduce_submit_sec", "reduce_gather_sec",
+            "n_shards"} <= set(man["timings"])
 
 
 def test_error_side_output(pages_dir, tmp_path):
