@@ -84,6 +84,40 @@ DEFAULT_PATTERN = Pattern(
 )
 
 
+def _restore_from_chain(ps: PartitionState, snapshot_in: str) -> int:
+    """Restore partition state from ``snapshot_in``, resolving a DELTA
+    chain back to its full base frame (incremental snapshots: a full
+    frame every ``StateParams.snapshot_full_every`` epochs, upsert-only
+    deltas in between — write cost drops to O(keys touched this epoch)
+    while the read side re-reads the same base it always did plus the
+    small deltas). Returns the chain's base epoch so the caller can
+    decide whether the NEXT frame is full or delta."""
+    import re
+
+    from gush_ray.state.store import snapshot_base_epoch
+
+    with open(snapshot_in, "rb") as f:
+        blob = f.read()
+    base = snapshot_base_epoch(blob[:12])
+    this_epoch = int(re.search(r"epoch=(\d+)", snapshot_in).group(1))
+    if base is None:
+        ps.restore_bytes(blob)
+        return this_epoch
+    blobs = []
+    for e in range(base, this_epoch):
+        p = re.sub(r"epoch=\d+", f"epoch={e:05d}", snapshot_in)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot chain broken: epoch {this_epoch} is a delta "
+                f"with base {base} but {p} is missing"
+            )
+        with open(p, "rb") as f:
+            blobs.append(f.read())
+    blobs.append(blob)
+    ps.restore_chain(blobs)
+    return base
+
+
 def _shard_files(path: str) -> list[str]:
     """An epoch is a directory of shard files (or one file)."""
     if os.path.isdir(path):
@@ -241,6 +275,7 @@ def _reduce_partition(
     """
     t0 = time.perf_counter()
     ps = PartitionState(pid, params)
+    base_epoch = None
     if snapshot_in is not None:
         # a missing snapshot for epoch>0 means lost state — proceeding
         # with an empty PartitionState would silently re-emit version-0
@@ -249,8 +284,7 @@ def _reduce_partition(
             raise FileNotFoundError(
                 f"state snapshot missing for partition {pid}: {snapshot_in}"
             )
-        with open(snapshot_in, "rb") as f:
-            ps.restore_bytes(f.read())
+        base_epoch = _restore_from_chain(ps, snapshot_in)
     # the restored per-key dicts hold millions of small objects; without
     # freezing them, every gen-2 GC pass during the allocation-heavy
     # pandas/Arrow phases re-traverses all of it (measured 4x slowdown of
@@ -278,8 +312,13 @@ def _reduce_partition(
         t_parts = time.perf_counter()
         os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
         tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
+        # frame choice is deterministic (base + interval), so a replayed
+        # reduce rewrites the identical frame kind
+        full = (base_epoch is None
+                or epoch - base_epoch >= params.snapshot_full_every)
         with open(tmp, "wb") as f:
-            snap_bytes = ps.snapshot_bytes()
+            snap_bytes = (ps.snapshot_bytes() if full
+                          else ps.delta_bytes(base_epoch))
             f.write(snap_bytes)
         os.replace(tmp, snapshot_out)
         t_snap = time.perf_counter()
@@ -301,6 +340,7 @@ def _reduce_partition(
     metrics["t_wm_parts_s"] = round(t_parts - t_process, 3)
     metrics["t_snapshot_s"] = round(t_snap - t_parts, 3)
     metrics["snapshot_bytes"] = len(snap_bytes)
+    metrics["snapshot_kind"] = "full" if full else "delta"
     return metrics
 
 
@@ -318,8 +358,7 @@ def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
         raise FileNotFoundError(
             f"state snapshot missing for final flush: {snapshot_in}"
         )
-    with open(snapshot_in, "rb") as f:
-        ps.restore_bytes(f.read())
+    _restore_from_chain(ps, snapshot_in)
     closes = ps.advance_watermark(POS_INF)
     ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
                                closes["windows"])
@@ -350,6 +389,7 @@ class StreamingJob:
         right_dir: str | None = None,
         join_spec=None,
         right_raw_ts_col: str = "ts",
+        snapshot_full_every: int = 8,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -385,6 +425,7 @@ class StreamingJob:
             pattern=pattern,
             allowed_lateness_us=self.cfg.allowed_lateness_us,
             join_spec=join_spec,
+            snapshot_full_every=snapshot_full_every,
         )
         self.right_dir = right_dir
         self.right_raw_ts_col = right_raw_ts_col
@@ -1004,8 +1045,13 @@ class StreamingJob:
     def _prune_snapshots(self, committed_epoch: int, keep: int = 2) -> None:
         """Retention: only the last ``keep`` committed epochs' snapshots
         are needed for resume; older ones are dead weight on a long
-        stream (at 10^12 docs, per-partition state is GBs)."""
-        cutoff = committed_epoch - keep
+        stream (at 10^12 docs, per-partition state is GBs).
+
+        With incremental snapshots the retained window must also cover
+        the delta chain's FULL base frame: a kept delta at epoch e has
+        its base at most ``snapshot_full_every - 1`` epochs earlier."""
+        cutoff = (committed_epoch - keep
+                  - (self.params.snapshot_full_every - 1))
         if cutoff < 0 or not os.path.isdir(self.ckpt_dir):
             return
         import shutil

@@ -63,6 +63,14 @@ class StateParams:
     # stream-stream interval join against a second keyed event stream
     # (state/join_state.JoinSpec); left side = the emitted change rows
     join_spec: "object | None" = None
+    # incremental snapshots (tasks mode): write a FULL state frame every
+    # K epochs and small DELTA frames in between. The url-keyed dedup
+    # dicts hold one entry per key EVER seen (the dominant, ever-growing
+    # snapshot payload at steady state) but each epoch only touches the
+    # keys it saw — deltas carry just those, cutting the per-epoch
+    # snapshot write from O(all keys) to O(touched keys). 1 = every
+    # frame full (the pre-delta behavior).
+    snapshot_full_every: int = 8
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -93,6 +101,10 @@ class PartitionState:
             self.joiner = None
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
+        # dedup-dict keys touched since the last snapshot frame — the
+        # upsert set a DELTA frame carries (last_ts/version never delete,
+        # so deltas are pure upserts)
+        self._dirty: set = set()
         self._epoch_cache: dict[int, dict] = {}
         # direct-exchange ingest buffers: epoch -> fragments; frag keys make
         # re-sent fragments (task retries) idempotent
@@ -309,6 +321,7 @@ class PartitionState:
         self.version.update(
             zip(tail[p.key_col].tolist(), tail["version"].tolist())
         )
+        self._dirty.update(tail[p.key_col].tolist())
         tt["p_dedup"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
@@ -551,41 +564,78 @@ class PartitionState:
             e: v for e, v in self._epoch_cache.items() if e > epoch
         }
 
-    _SNAP_MAGIC = b"GZS1"  # zstd-compressed snapshot frame
+    _SNAP_MAGIC = b"GZS1"   # zstd-compressed FULL snapshot frame
+    _DELTA_MAGIC = b"GZD1"  # zstd-compressed DELTA frame (header carries
+    #                         the chain's base epoch, readable without
+    #                         decompressing the payload)
 
-    def snapshot_bytes(self) -> bytes:
-        raw = pickle.dumps(
-            {
-                "last_ts": self.last_ts,
-                "version": self.version,
-                "win": self.win,
-                "sessions": self.sessions,
-                "nfa": self.nfa.state() if self.nfa else None,
-                "join": self.joiner.state() if self.joiner else None,
-                "watermark_us": self.watermark_us,
-                "max_ts_us": self.max_ts_us,
-            }
-        )
+    def _small_state(self) -> dict:
+        """The watermark-bounded state sections — small at steady state
+        (open windows/sessions/NFA partials/join buffers are pruned as
+        the watermark advances), so every delta carries them in full."""
+        return {
+            "win": self.win,
+            "sessions": self.sessions,
+            "nfa": self.nfa.state() if self.nfa else None,
+            "join": self.joiner.state() if self.joiner else None,
+            "watermark_us": self.watermark_us,
+            "max_ts_us": self.max_ts_us,
+        }
+
+    @staticmethod
+    def _compress(raw: bytes, magic: bytes, head: bytes = b"") -> bytes:
         # zstd-1 the pickle: snapshots are the second-largest write of
         # every epoch (url-keyed dicts compress ~3x) and all partitions
         # flush them concurrently
-        comp = pa.Codec("zstd", compression_level=1).compress(raw)
         import struct
 
-        return (self._SNAP_MAGIC + struct.pack("<Q", len(raw))
+        comp = pa.Codec("zstd", compression_level=1).compress(raw)
+        return (magic + head + struct.pack("<Q", len(raw))
                 + comp.to_pybytes())
 
-    def restore_bytes(self, blob: bytes) -> None:
-        if blob[:4] == self._SNAP_MAGIC:
-            import struct
+    def snapshot_bytes(self) -> bytes:
+        raw = pickle.dumps(
+            {"last_ts": self.last_ts, "version": self.version}
+            | self._small_state()
+        )
+        self._dirty = set()
+        return self._compress(raw, self._SNAP_MAGIC)
 
+    def delta_bytes(self, base_epoch: int) -> bytes:
+        """An incremental frame: dedup upserts for keys touched since the
+        last frame + the full small sections. Restoring epoch e means
+        applying the FULL frame at ``base_epoch`` then every delta up to
+        e in order (see :func:`snapshot_base_epoch` for chain walking)."""
+        import struct
+
+        dirty = self._dirty
+        raw = pickle.dumps(
+            {
+                "dedup_last_ts": {k: self.last_ts[k] for k in dirty},
+                "dedup_version": {k: self.version[k] for k in dirty},
+            }
+            | self._small_state()
+        )
+        self._dirty = set()
+        return self._compress(raw, self._DELTA_MAGIC,
+                              head=struct.pack("<Q", base_epoch))
+
+    def _decode(self, blob: bytes) -> dict:
+        import struct
+
+        if blob[:4] == self._SNAP_MAGIC:
             (rawlen,) = struct.unpack("<Q", blob[4:12])
             blob = pa.Codec("zstd").decompress(
                 blob[12:], decompressed_size=rawlen
             )
-        st = pickle.loads(blob)
-        self.last_ts = st["last_ts"]
-        self.version = st["version"]
+        elif blob[:4] == self._DELTA_MAGIC:
+            (rawlen,) = struct.unpack("<Q", blob[12:20])
+            blob = pa.Codec("zstd").decompress(
+                blob[20:], decompressed_size=rawlen
+            )
+        return pickle.loads(blob)
+
+    def _apply_small(self, st: dict) -> None:
         self.win = st["win"]
         self.sessions = st["sessions"]
         if self.nfa is not None and st["nfa"] is not None:
@@ -594,14 +644,55 @@ class PartitionState:
             self.joiner.restore(st["join"])
         self.watermark_us = st["watermark_us"]
         self.max_ts_us = st["max_ts_us"]
+
+    def restore_bytes(self, blob: bytes) -> None:
+        if blob[:4] == self._DELTA_MAGIC:
+            raise ValueError(
+                "cannot restore from a delta frame alone — use "
+                "restore_chain with the full base frame first"
+            )
+        st = self._decode(blob)
+        self.last_ts = st["last_ts"]
+        self.version = st["version"]
+        self._apply_small(st)
+        self._dirty = set()
         # a restore is a rollback: caches for epochs processed AFTER the
         # snapshot must not survive it, or a resumed run would skip
-        # re-applying the uncommitted epoch (cached metrics, no state)
+        # re-applying the uncommitted epoch (cached metrics, no state);
+        # ingest buffers likewise belong to the rolled-back timeline
         self._epoch_cache = {}
         self._frag_buf = {}
         self._frag_seen = {}
         self._rfrag_buf = {}
         self._rfrag_seen = {}
+
+    def apply_delta_bytes(self, blob: bytes) -> None:
+        if blob[:4] != self._DELTA_MAGIC:
+            raise ValueError("apply_delta_bytes needs a GZD1 delta frame")
+        st = self._decode(blob)
+        self.last_ts.update(st["dedup_last_ts"])
+        self.version.update(st["dedup_version"])
+        self._apply_small(st)
+        self._dirty = set()
+        self._epoch_cache = {}
+
+    def restore_chain(self, blobs: list) -> None:
+        """Restore from ``[full_base, delta, delta, ...]`` in epoch
+        order (the reduce side resolves the chain from frame headers)."""
+        self.restore_bytes(blobs[0])
+        for b in blobs[1:]:
+            self.apply_delta_bytes(b)
+
+
+def snapshot_base_epoch(head: bytes) -> "int | None":
+    """``None`` if the frame at ``head`` is full (or legacy raw pickle),
+    else the delta chain's base epoch — readable from the first 12 bytes
+    without decompressing."""
+    import struct
+
+    if head[:4] == PartitionState._DELTA_MAGIC:
+        return struct.unpack("<Q", head[4:12])[0]
+    return None
 
 
 def _windows_table(rows, group_cols, value_col) -> pa.Table:

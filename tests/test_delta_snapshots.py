@@ -1,0 +1,165 @@
+"""Incremental (delta) state snapshots: chain restore parity at the
+PartitionState level and end-to-end resume through a delta chain.
+
+A FULL frame is written every ``StateParams.snapshot_full_every`` epochs
+with upsert-only DELTA frames between; restore applies base + deltas in
+order. The dedup dicts (one entry per key EVER seen — the unbounded
+snapshot payload) shrink to O(keys touched per epoch) on every delta
+write.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gush_ray.datagen import write_pages_dir
+from gush_ray.pipelines.epoch_loop import StreamingJob
+from gush_ray.stages.nfa import Pattern, Step
+from gush_ray.state.store import (
+    PartitionState,
+    StateParams,
+    snapshot_base_epoch,
+)
+
+
+def params(**kw):
+    defaults = dict(
+        key_col="url", ts_col="ts_us", window_group_cols=("lang",),
+        window_size_us=100, session_gap_us=50,
+        pattern=Pattern(
+            steps=(Step("a", "change_kind", "insert"),
+                   Step("b", "change_kind", "update")),
+            within_us=500, key="url", ts_col="ts_us", id_col="version",
+        ),
+    )
+    defaults.update(kw)
+    return StateParams(**defaults)
+
+
+def tbl(rows):
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def epoch_rows(e: int):
+    # epoch e touches url u{e} and the shared hot url "h"
+    return tbl([
+        {"url": f"u{e}", "ts_us": 10 + 100 * e, "lang": "en"},
+        {"url": "h", "ts_us": 20 + 100 * e, "lang": "de"},
+    ])
+
+
+def test_chain_restore_equals_full_restore():
+    """full@0 + deltas@1,2 restores the exact state a full@2 holds."""
+    a = PartitionState(0, params())
+    frames = []
+    for e in range(3):
+        a.process(e, epoch_rows(e))
+        a.advance_watermark(5 + 100 * e)
+        frames.append(a.snapshot_bytes() if e == 0 else a.delta_bytes(0))
+    full_at_2 = a.snapshot_bytes()
+
+    via_chain = PartitionState(0, params())
+    via_chain.restore_chain(frames)
+    via_full = PartitionState(0, params())
+    via_full.restore_bytes(full_at_2)
+
+    assert via_chain.last_ts == via_full.last_ts
+    assert via_chain.version == via_full.version
+    assert via_chain.win == via_full.win
+    assert via_chain.sessions == via_full.sessions
+    assert via_chain.watermark_us == via_full.watermark_us
+    # behavioral parity: the next epoch produces identical changes
+    nxt = epoch_rows(3)
+    out_c = via_chain.process(3, nxt)["changes"].to_pandas()
+    out_f = via_full.process(3, nxt)["changes"].to_pandas()
+    pd.testing.assert_frame_equal(out_c, out_f)
+
+
+def test_delta_frames_carry_only_touched_keys():
+    ps = PartitionState(0, params())
+    # epoch 0: 200 urls in the full base; watermark passes them so the
+    # small sections (windows/sessions/NFA partials) are pruned — the
+    # steady-state shape where the dedup dicts dominate the snapshot
+    ps.process(0, tbl([
+        {"url": f"u{i}", "ts_us": 10 + i, "lang": "en"} for i in range(200)
+    ]))
+    ps.advance_watermark(10_000)
+    full = ps.snapshot_bytes()
+    # epoch 1: only 2 urls touched → tiny delta
+    ps.process(1, tbl([
+        {"url": "u0", "ts_us": 50_000, "lang": "en"},
+        {"url": "new", "ts_us": 50_001, "lang": "en"},
+    ]))
+    ps.advance_watermark(60_000)
+    delta = ps.delta_bytes(0)
+    assert len(delta) < len(full) / 3
+    assert snapshot_base_epoch(delta[:12]) == 0
+    assert snapshot_base_epoch(full[:12]) is None
+    st = ps._decode(delta)
+    assert set(st["dedup_last_ts"]) == {"u0", "new"}
+
+
+def test_restore_rejects_bare_delta():
+    ps = PartitionState(0, params())
+    ps.process(0, epoch_rows(0))
+    ps.snapshot_bytes()
+    ps.process(1, epoch_rows(1))
+    d = ps.delta_bytes(0)
+    fresh = PartitionState(0, params())
+    with pytest.raises(ValueError, match="delta frame alone"):
+        fresh.restore_bytes(d)
+
+
+@pytest.fixture(scope="module")
+def pages5(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages5")
+    write_pages_dir(str(d), n_urls=300, seed=7, n_epochs=5)
+    return str(d)
+
+
+def norm(df, cols):
+    if df.empty:
+        return pd.DataFrame(columns=cols)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_e2e_resume_through_delta_chain(pages5, tmp_path):
+    """Kill after a DELTA epoch commits; the resumed run restores via the
+    chain and matches an uninterrupted all-full-frames run exactly."""
+    out_a = str(tmp_path / "allfull")
+    job_a = StreamingJob(pages5, out_a, run_id="dsA", num_partitions=4,
+                         snapshot_full_every=1)  # pre-delta behavior
+    job_a.run()
+
+    out_b = str(tmp_path / "chained")
+    job_b = StreamingJob(pages5, out_b, run_id="dsB", num_partitions=4,
+                         snapshot_full_every=3)
+    r1 = job_b.run(stop_after=2)  # epoch 1 = delta frame, then "crash"
+    assert r1["completed"] == 1
+    man = job_b.sink.read_manifest(1)
+    kinds = {p["snapshot_kind"] for p in man["partitions"]}
+    assert kinds == {"delta"}
+    job_b2 = StreamingJob(pages5, out_b, run_id="dsB2", num_partitions=4,
+                          snapshot_full_every=3)
+    r2 = job_b2.run(resume=True)
+    assert r2["completed"] == 4
+    # frame schedule: full@0, delta@1-2, full@3, delta@4
+    for e, want in [(0, "full"), (2, "delta"), (3, "full"), (4, "delta")]:
+        m = job_b2.sink.read_manifest(e)
+        assert {p["snapshot_kind"] for p in m["partitions"]} == {want}, e
+
+    for stream, cols in [
+        ("changes", ["url", "ts_us", "version", "change_kind"]),
+        ("windows", ["lang", "change_kind", "window_id", "n"]),
+        ("matches", ["url", "first_id", "recrawl_id", "start_us"]),
+        ("late", ["url", "ts_us"]),
+    ]:
+        a = norm(job_a.read_output(stream), cols)
+        b = norm(job_b2.read_output(stream), cols)
+        pd.testing.assert_frame_equal(a, b)
+    cols = ["url", "session_start_us", "session_end_us", "n_events"]
+    a = pd.concat([job_a.read_output("sessions"),
+                   job_a.read_output("sessions_wm")])
+    b = pd.concat([job_b2.read_output("sessions"),
+                   job_b2.read_output("sessions_wm")])
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
