@@ -196,10 +196,12 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         n_errors = errors.num_rows
         if errors_sink is not None and errors.num_rows:
             # dead-letter side output (SURVEY.md §1.2): unparseable rows
-            # are kept, not silently dropped (gush merely Resumes)
-            base_dir, epoch, shard_idx = errors_sink
+            # are kept, not silently dropped (gush merely Resumes);
+            # the stream name distinguishes left from the join's right
+            # stream (`errors` vs `errors_right`)
+            base_dir, stream, epoch, shard_idx = errors_sink
             ExactlyOnceSink.write_part(
-                base_dir, "errors", epoch, shard_idx,
+                base_dir, stream, epoch, shard_idx,
                 errors.select([key_col, raw_ts_col, "lang"]),
             )
         batch = batch.drop_columns(["text_extracted", "extract_ok"])
@@ -395,10 +397,6 @@ class StreamingJob:
         if (right_dir is None) != (join_spec is None):
             raise ValueError(
                 "stream-stream join needs BOTH right_dir and join_spec"
-            )
-        if join_spec is not None and mode != "tasks":
-            raise ValueError(
-                "stream-stream join is implemented for mode='tasks'"
             )
         self.key_col = key_col
         self.raw_ts_col = raw_ts_col
@@ -766,7 +764,8 @@ class StreamingJob:
         refsets = [
             _map_shard.options(num_returns=1 + self.P).remote(
                 s, self.cfg, self.P, self._dim_holder, self.dim_key,
-                (self.out_dir, epoch, i), self.key_col, self.raw_ts_col,
+                (self.out_dir, "errors", epoch, i), self.key_col,
+                self.raw_ts_col,
             )
             for i, s in enumerate(shards)
         ]
@@ -782,9 +781,10 @@ class StreamingJob:
             rrefsets = [
                 _map_shard.options(num_returns=1 + self.P).remote(
                     s, self.cfg, self.P, None, self.dim_key,
-                    None, self.key_col, self.right_raw_ts_col,
+                    (self.out_dir, "errors_right", epoch, i),
+                    self.key_col, self.right_raw_ts_col,
                 )
-                for s in self._group_shards(_shard_files(rpath))
+                for i, s in enumerate(self._group_shards(_shard_files(rpath)))
             ]
         return epoch, path, shards, refsets, rrefsets
 
@@ -906,9 +906,10 @@ class StreamingJob:
             actors = self.actors()
             metrics = ray.get(
                 [
-                    actors[pid].process_epoch_tables.remote(
-                        epoch, self.out_dir,
+                    actors[pid].process_epoch_tables_lr.remote(
+                        epoch, self.out_dir, len(refsets),
                         *[rs[1 + pid] for rs in refsets],
+                        *[rs[1 + pid] for rs in rrefsets],
                     )
                     for pid in range(self.P)
                 ]

@@ -768,6 +768,19 @@ class StateStoreActor:
                 self.ps.ingest(epoch, i, t)
         return self.ps.process_epoch_to(epoch, base_dir)
 
+    def process_epoch_tables_lr(self, epoch: int, base_dir: str,
+                                n_left: int, *tables) -> dict:
+        """Two-stream exchange ingestion (stream-stream join in actor
+        mode): the first ``n_left`` variadic tables are LEFT-stream
+        fragments, the rest are the join's RIGHT stream."""
+        for i, t in enumerate(tables[:n_left]):
+            if t is not None and t.num_rows:
+                self.ps.ingest(epoch, i, t)
+        for i, t in enumerate(tables[n_left:]):
+            if t is not None and t.num_rows:
+                self.ps.ingest_right(epoch, i, t)
+        return self.ps.process_epoch_to(epoch, base_dir)
+
     def process_epoch_refs(self, epoch: int, frags: list,
                            base_dir: str) -> dict:
         """Pull-model exchange: fetch this partition's fragments from the

@@ -282,3 +282,58 @@ def test_streaming_join_kill_resume_parity(
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_streaming_join_actors_mode_parity(
+        ray_session, join_job_dirs, tmp_path):
+    """Actor-mode (in-memory state) stream-stream join produces the same
+    joined pairs as the tasks-mode run — both ride the shared
+    PartitionState.ingest_right path."""
+    pages, clicks = join_job_dirs
+
+    tasks = _run_join_job(pages, clicks, str(tmp_path / "tasks"),
+                          run_id="sj_t")
+    tasks.run()
+    want = tasks.read_output("joined")
+
+    actors = _run_join_job(pages, clicks, str(tmp_path / "actors"),
+                           run_id="sj_a", mode="actors")
+    res = actors.run()
+    assert res["completed"] == 3
+    got = actors.read_output("joined")
+    actors.kill_actors()
+
+    key = ["url", "l_ts_us", "r_ts_us", "version", "click_id"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_right_stream_extraction_and_dead_letter(
+        ray_session, tmp_path):
+    """A pages-typed RIGHT stream goes through the same html extraction
+    in its map, and its unparseable rows land in `errors_right` (the
+    dead-letter contract holds per side, not just for the left)."""
+    from gush_ray.datagen import write_pages_dir
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    left = str(tmp_path / "left")
+    right = str(tmp_path / "right")
+    write_pages_dir(left, n_urls=200, seed=21, n_epochs=3)
+    write_pages_dir(right, n_urls=200, seed=22, n_epochs=3)
+
+    job = StreamingJob(
+        left, str(tmp_path / "out"), num_partitions=4,
+        right_dir=right, right_raw_ts_col="warc_ts",
+        join_spec=JoinSpec(-HALF_H, HALF_H, left_cols=("version",),
+                           right_cols=()),
+    )
+    res = job.run()
+    assert res["completed"] == 2
+    errs_r = job.read_output("errors_right")
+    assert len(errs_r) > 0           # malformed right rows preserved
+    errs_l = job.read_output("errors")
+    assert len(errs_l) > 0
+    joined = job.read_output("joined")
+    assert {"url", "l_ts_us", "r_ts_us"} <= set(joined.columns)
