@@ -70,6 +70,7 @@ from gush_ray.state.store import (
     PartitionState,
     StateParams,
     get_state_actor,
+    restore_state_from_chain,
 )
 
 DEFAULT_PATTERN = Pattern(
@@ -82,40 +83,6 @@ DEFAULT_PATTERN = Pattern(
     ts_col="ts_us",
     id_col="version",
 )
-
-
-def _restore_from_chain(ps: PartitionState, snapshot_in: str) -> int:
-    """Restore partition state from ``snapshot_in``, resolving a DELTA
-    chain back to its full base frame (incremental snapshots: a full
-    frame every ``StateParams.snapshot_full_every`` epochs, upsert-only
-    deltas in between — write cost drops to O(keys touched this epoch)
-    while the read side re-reads the same base it always did plus the
-    small deltas). Returns the chain's base epoch so the caller can
-    decide whether the NEXT frame is full or delta."""
-    import re
-
-    from gush_ray.state.store import snapshot_base_epoch
-
-    with open(snapshot_in, "rb") as f:
-        blob = f.read()
-    base = snapshot_base_epoch(blob[:12])
-    this_epoch = int(re.search(r"epoch=(\d+)", snapshot_in).group(1))
-    if base is None:
-        ps.restore_bytes(blob)
-        return this_epoch
-    blobs = []
-    for e in range(base, this_epoch):
-        p = re.sub(r"epoch=\d+", f"epoch={e:05d}", snapshot_in)
-        if not os.path.exists(p):
-            raise FileNotFoundError(
-                f"snapshot chain broken: epoch {this_epoch} is a delta "
-                f"with base {base} but {p} is missing"
-            )
-        with open(p, "rb") as f:
-            blobs.append(f.read())
-    blobs.append(blob)
-    ps.restore_chain(blobs)
-    return base
 
 
 def _shard_files(path: str) -> list[str]:
@@ -286,7 +253,7 @@ def _reduce_partition(
             raise FileNotFoundError(
                 f"state snapshot missing for partition {pid}: {snapshot_in}"
             )
-        base_epoch = _restore_from_chain(ps, snapshot_in)
+        base_epoch = restore_state_from_chain(ps, snapshot_in, epoch - 1)
     # the restored per-key dicts hold millions of small objects; without
     # freezing them, every gen-2 GC pass during the allocation-heavy
     # pandas/Arrow phases re-traverses all of it (measured 4x slowdown of
@@ -347,10 +314,13 @@ def _reduce_partition(
 
 
 @ray.remote
-def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
+def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
+                     epoch: "int | str",
                      out_dir: str, params: StateParams,
                      prev_done=None) -> dict:
     """End-of-stream flush: close every remaining window/session.
+    ``snap_epoch`` is the epoch ``snapshot_in`` belongs to (needed to
+    resolve a delta chain).
 
     ``prev_done``: the partition's last reduce ref — the flush reads that
     reduce's snapshot file, so the dependency must be explicit (reduces
@@ -360,7 +330,7 @@ def _flush_partition(pid: int, snapshot_in: str, epoch: "int | str",
         raise FileNotFoundError(
             f"state snapshot missing for final flush: {snapshot_in}"
         )
-    _restore_from_chain(ps, snapshot_in)
+    restore_state_from_chain(ps, snapshot_in, snap_epoch)
     closes = ps.advance_watermark(POS_INF)
     ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
                                closes["windows"])
@@ -603,7 +573,8 @@ class StreamingJob:
             if self.mode == "actors":
                 ray.get(
                     [
-                        a.restore_from.remote(self._snapshot_path(last, pid))
+                        a.restore_from.remote(
+                            self._snapshot_path(last, pid), last)
                         for pid, a in enumerate(self.actors())
                     ]
                 )
@@ -867,29 +838,11 @@ class StreamingJob:
                 timings["reduce_gather_sec"] = round(
                     time.perf_counter() - t_g, 3)
                 if prof:
-                    ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
-                          for k in ("t_restore_s", "t_ingest_s",
-                                    "t_process_s", "t_sink_snap_s",
-                                    "t_wm_parts_s", "t_snapshot_s",
-                                    "snapshot_bytes", "p_pandas", "p_sort",
-                                    "p_dedup", "p_win", "p_sess", "p_nfa",
-                                    "p_arrow")}
-                    print(f"[prof] epoch {epoch} reduce phase sums over "
-                          f"{self.P} parts: {ph} "
-                          f"(gather {timings['reduce_gather_sec']}s)")
-                parts = []
-                for pid in range(self.P):
-                    row = {"partition_id": pid,
-                           "max_ts_us": max_ts_now[pid],
-                           "snapshot": snap_paths[pid]}
-                    if max_ts_r_now is not None:
-                        row["max_ts_us_r"] = max_ts_r_now[pid]
-                    row.update(
-                        {k: int(v) if isinstance(v, np.integer) else v
-                         for k, v in metrics[pid].items()}
-                    )
-                    parts.append(row)
-                return parts
+                    self._print_phase_sums(
+                        epoch, metrics,
+                        f"(gather {timings['reduce_gather_sec']}s)")
+                return self._build_part_rows(
+                    metrics, max_ts_now, max_ts_r_now, snap_paths)
 
             if prof:
                 print(f"[prof] epoch {epoch} reduce submit: {submit_sec}s "
@@ -934,27 +887,15 @@ class StreamingJob:
         reduce_sec = round(time.perf_counter() - t0, 3)
         if prof:
             print(f"[prof] epoch {epoch} reduce+sink: {reduce_sec}s")
-            ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
-                  for k in ("t_restore_s", "t_ingest_s", "t_process_s",
-                            "t_sink_snap_s", "t_wm_parts_s",
-                            "t_snapshot_s", "snapshot_bytes", "p_pandas",
-                            "p_sort", "p_dedup", "p_win", "p_sess",
-                            "p_nfa", "p_arrow")}
-            print(f"[prof] epoch {epoch} reduce phase sums over "
-                  f"{self.P} parts: {ph}")
+            self._print_phase_sums(epoch, metrics, "")
 
-        parts = []
-        for pid in range(self.P):
-            row = {"partition_id": pid,
-                   "max_ts_us": int(self._part_max_ts[pid]),
-                   "snapshot": self._snapshot_path(epoch, pid)}
-            if self.right_dir is not None:
-                row["max_ts_us_r"] = int(self._part_max_ts_r[pid])
-            row.update(
-                {k: int(v) if isinstance(v, np.integer) else v
-                 for k, v in metrics[pid].items()}
-            )
-            parts.append(row)
+        parts = self._build_part_rows(
+            metrics,
+            [int(t) for t in self._part_max_ts],
+            ([int(t) for t in self._part_max_ts_r]
+             if self.right_dir is not None else None),
+            [self._snapshot_path(epoch, pid) for pid in range(self.P)],
+        )
         # commit off the critical path: the durability sync + manifest
         # write run in an ORDERED background committer while the next
         # epoch's map/reduce proceed (manifest order is preserved; a
@@ -967,6 +908,33 @@ class StreamingJob:
                          "n_shards": len(shards)}},
         )
         return watermark
+
+    _PHASE_KEYS = ("t_restore_s", "t_ingest_s", "t_process_s",
+                   "t_sink_snap_s", "t_wm_parts_s", "t_snapshot_s",
+                   "snapshot_bytes", "p_pandas", "p_sort", "p_dedup",
+                   "p_win", "p_sess", "p_nfa", "p_arrow")
+
+    def _print_phase_sums(self, epoch, metrics, suffix: str) -> None:
+        ph = {k: round(sum(m.get(k, 0.0) for m in metrics), 2)
+              for k in self._PHASE_KEYS}
+        print(f"[prof] epoch {epoch} reduce phase sums over "
+              f"{self.P} parts: {ph} {suffix}".rstrip())
+
+    def _build_part_rows(self, metrics, max_ts, max_ts_r,
+                         snap_paths) -> list[dict]:
+        parts = []
+        for pid in range(self.P):
+            row = {"partition_id": pid,
+                   "max_ts_us": max_ts[pid],
+                   "snapshot": snap_paths[pid]}
+            if max_ts_r is not None:
+                row["max_ts_us_r"] = max_ts_r[pid]
+            row.update(
+                {k: int(v) if isinstance(v, np.integer) else v
+                 for k, v in metrics[pid].items()}
+            )
+            parts.append(row)
+        return parts
 
     # ------------------------------------------------- ordered committer
 
@@ -1048,11 +1016,15 @@ class StreamingJob:
         are needed for resume; older ones are dead weight on a long
         stream (at 10^12 docs, per-partition state is GBs).
 
-        With incremental snapshots the retained window must also cover
-        the delta chain's FULL base frame: a kept delta at epoch e has
-        its base at most ``snapshot_full_every - 1`` epochs earlier."""
-        cutoff = (committed_epoch - keep
-                  - (self.params.snapshot_full_every - 1))
+        With incremental snapshots (tasks mode) the retained window must
+        also cover the delta chain's FULL base frame: a kept delta at
+        epoch e has its base at most ``snapshot_full_every - 1`` epochs
+        earlier. Actor mode only ever writes full frames
+        (``snapshot_to`` → ``snapshot_bytes``), so it keeps the tight
+        window."""
+        chain = (self.params.snapshot_full_every - 1
+                 if self.mode == "tasks" else 0)
+        cutoff = committed_epoch - keep - chain
         if cutoff < 0 or not os.path.isdir(self.ckpt_dir):
             return
         import shutil
@@ -1073,6 +1045,7 @@ class StreamingJob:
             _flush_partition.remote(
                 pid,
                 self._snapshot_path(n_epochs - 1, pid),
+                n_epochs - 1,
                 "final",
                 self.out_dir,
                 self.params,

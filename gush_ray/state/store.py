@@ -31,6 +31,7 @@ store (e.g. LSM on local disk) would slot in without touching the engine.
 
 from __future__ import annotations
 
+import os
 import pickle
 import time
 from dataclasses import dataclass, field
@@ -69,7 +70,8 @@ class StateParams:
     # snapshot payload at steady state) but each epoch only touches the
     # keys it saw — deltas carry just those, cutting the per-epoch
     # snapshot write from O(all keys) to O(touched keys). 1 = every
-    # frame full (the pre-delta behavior).
+    # frame full (the pre-delta behavior). Tasks mode only: actor-mode
+    # snapshots (snapshot_to) are always full frames.
     snapshot_full_every: int = 8
 
     def __post_init__(self):
@@ -695,6 +697,40 @@ def snapshot_base_epoch(head: bytes) -> "int | None":
     return None
 
 
+def restore_state_from_chain(ps: PartitionState, snapshot_in: str,
+                             this_epoch: int) -> int:
+    """Restore ``ps`` from the frame at ``snapshot_in`` (the snapshot of
+    ``this_epoch``), resolving a DELTA chain back to its full base frame
+    (incremental snapshots: a full frame every
+    ``StateParams.snapshot_full_every`` epochs, upsert-only deltas in
+    between). Chain files are sibling ``epoch=NNNNN`` directories of the
+    snapshot's parent — the epoch is passed in by the caller, never
+    re-parsed from the (user-controlled) path. Returns the chain's base
+    epoch so the caller can decide whether the NEXT frame is full or
+    delta."""
+    with open(snapshot_in, "rb") as f:
+        blob = f.read()
+    base = snapshot_base_epoch(blob[:12])
+    if base is None:
+        ps.restore_bytes(blob)
+        return this_epoch
+    state_dir = os.path.dirname(os.path.dirname(snapshot_in))
+    fname = os.path.basename(snapshot_in)
+    blobs = []
+    for e in range(base, this_epoch):
+        p = os.path.join(state_dir, f"epoch={e:05d}", fname)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot chain broken: epoch {this_epoch} is a delta "
+                f"with base {base} but {p} is missing"
+            )
+        with open(p, "rb") as f:
+            blobs.append(f.read())
+    blobs.append(blob)
+    ps.restore_chain(blobs)
+    return base
+
+
 def _windows_table(rows, group_cols, value_col) -> pa.Table:
     names = [*group_cols, "window_id", "n", "sum_value"]
     if not rows:
@@ -756,23 +792,15 @@ class StateStoreActor:
     def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
         return self.ps.process_epoch_to(epoch, base_dir)
 
-    def process_epoch_tables(self, epoch: int, base_dir: str,
-                             *tables) -> dict:
+    def process_epoch_tables_lr(self, epoch: int, base_dir: str,
+                                n_left: int, *tables) -> dict:
         """Exchange ingestion with refs passed as DIRECT variadic args:
         Ray resolves them to Arrow tables before the call (zero-copy, no
         borrower bookkeeping — nested refs in a list make every actor a
         borrower and the resulting ref-counting RPC storm measurably
-        degrades later map rounds; see BENCH/BASELINE.md)."""
-        for i, t in enumerate(tables):
-            if t is not None and t.num_rows:
-                self.ps.ingest(epoch, i, t)
-        return self.ps.process_epoch_to(epoch, base_dir)
-
-    def process_epoch_tables_lr(self, epoch: int, base_dir: str,
-                                n_left: int, *tables) -> dict:
-        """Two-stream exchange ingestion (stream-stream join in actor
-        mode): the first ``n_left`` variadic tables are LEFT-stream
-        fragments, the rest are the join's RIGHT stream."""
+        degrades later map rounds; see BENCH/BASELINE.md). The first
+        ``n_left`` tables are LEFT-stream fragments, the rest are the
+        stream-stream join's RIGHT stream."""
         for i, t in enumerate(tables[:n_left]):
             if t is not None and t.num_rows:
                 self.ps.ingest(epoch, i, t)
@@ -811,9 +839,16 @@ class StateStoreActor:
         _os.replace(tmp, path)
         return path
 
-    def restore_from(self, path: str) -> None:
-        with open(path, "rb") as f:
-            self.ps.restore_bytes(f.read())
+    def restore_from(self, path: str, epoch: "int | None" = None) -> None:
+        """Restore actor state from a snapshot file. ``epoch`` (the
+        epoch the snapshot belongs to) is required to resolve a DELTA
+        chain written by a tasks-mode run — without it only full frames
+        restore (actors themselves always write full frames)."""
+        if epoch is not None:
+            restore_state_from_chain(self.ps, path, epoch)
+        else:
+            with open(path, "rb") as f:
+                self.ps.restore_bytes(f.read())
 
 
 def get_state_actor(run_id: str, partition_id: int, params: StateParams):

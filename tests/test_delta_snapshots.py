@@ -163,3 +163,40 @@ def test_e2e_resume_through_delta_chain(pages5, tmp_path):
     b = pd.concat([job_b2.read_output("sessions"),
                    job_b2.read_output("sessions_wm")])
     pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+
+
+def test_out_dir_containing_epoch_component(pages5, tmp_path):
+    """Chain resolution must not re-parse epoch numbers out of the whole
+    path: an out_dir nested under a directory literally named
+    'epoch=7' used to corrupt base resolution (review finding)."""
+    out = str(tmp_path / "epoch=7" / "out")
+    job = StreamingJob(pages5, out, run_id="ep7", num_partitions=4,
+                       snapshot_full_every=3)
+    res = job.run()
+    assert res["completed"] == 4
+    assert len(job.read_output("changes")) > 0
+
+
+def test_tasks_to_actors_resume_through_delta_chain(pages5, tmp_path):
+    """A tasks-mode stream that crashed after a DELTA epoch can resume
+    in actor mode: restore_from resolves the chain when given the
+    epoch (review finding — it used to reject delta frames)."""
+    out = str(tmp_path / "xmode")
+    job1 = StreamingJob(pages5, out, run_id="xm1", num_partitions=4,
+                        snapshot_full_every=3)
+    r1 = job1.run(stop_after=2)  # epoch 1 wrote delta frames
+    assert r1["completed"] == 1
+
+    job2 = StreamingJob(pages5, out, run_id="xm2", num_partitions=4,
+                        mode="actors", snapshot_full_every=3)
+    r2 = job2.run(resume=True)
+    assert r2["completed"] == 4
+    got = job2.read_output("changes")
+    job2.kill_actors()
+
+    ref_out = str(tmp_path / "ref")
+    ref = StreamingJob(pages5, ref_out, run_id="xmref", num_partitions=4)
+    ref.run()
+    want = ref.read_output("changes")
+    cols = ["url", "ts_us", "version", "change_kind"]
+    pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols))
