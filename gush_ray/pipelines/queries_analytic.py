@@ -684,6 +684,126 @@ WHERE levenshtein(a.s, b.s) <= 4
 """
 
 
+# ------------------------------------------- benchmark decontamination
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3/PaLM-style eval decontamination: docs sharing any word
+    4-gram with the held-out benchmark slice (doc_id % 20 == 0) are
+    flagged with their distinct-gram hit count. The benchmark gram set
+    is small by contract and broadcast once (``ray.put``); the corpus
+    side streams — only (doc_id, n_hits) rows come back."""
+    from gush_ray.stages.decontam import (collect_bench_grams,
+                                          contamination_hits)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 20 == 0).to_numpy()],
+        batch_format="pandas")
+    corpus = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 20 != 0).to_numpy()],
+        batch_format="pandas")
+    grams = collect_bench_grams(bench, n=4)
+    return contamination_hits(corpus, grams, n=4)
+
+
+SQL_DECONTAMINATE = """
+WITH bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 20 = 0),
+bi AS (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM bw),
+bg AS (SELECT DISTINCT array_to_string(ws[i : i+3], ' ') AS gram FROM bi),
+cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       WHERE doc_id % 20 <> 0),
+ci AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+       FROM cw),
+cg AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i+3], ' ') AS gram
+       FROM ci)
+SELECT cg.doc_id AS doc_id, count(*) AS n_hits
+FROM cg JOIN bg USING (gram)
+GROUP BY cg.doc_id
+"""
+
+
+# --------------------------------------- exact substring duplication
+
+def q_dup_spans(sf_dir: str):
+    """Lee et al. 2021 exact-substring duplication stats: per-document
+    merged spans of ≥30 chars whose content occurs more than once in
+    the corpus. Fingerprint shuffle only — text never leaves the map
+    side (see stages/decontam.duplicated_spans)."""
+    from gush_ray.stages.decontam import duplicated_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicated_spans(docs, k=30, num_partitions=8)
+
+
+SQL_DUP_SPANS = """
+WITH w AS (SELECT doc_id, i, substring(text, i, 30) AS win
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 29)) AS i
+                 FROM documents)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+dw AS (SELECT w.doc_id, w.i FROM w JOIN d USING (win)),
+flg AS (SELECT doc_id, i,
+         CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id
+                                             ORDER BY i), -30) + 30
+              THEN 1 ELSE 0 END AS new_island
+        FROM dw),
+isl AS (SELECT doc_id, i,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flg),
+sp AS (SELECT doc_id, island, min(i) AS s, max(i) + 29 AS e
+       FROM isl GROUP BY doc_id, island)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+FROM sp GROUP BY doc_id
+"""
+
+
+def q_dup_span_removal(sf_dir: str):
+    """Remove-all-copies substring dedup: every duplicated ≥30-char span
+    is cut out of every document; untouched docs pass through. One
+    docs⟖spans co-partition join moves each document exactly once."""
+    from gush_ray.stages.decontam import remove_duplicated_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicated_spans(docs, k=30, num_partitions=8)
+
+
+SQL_DUP_SPAN_REMOVAL = """
+WITH w AS (SELECT doc_id, i, substring(text, i, 30) AS win
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 29)) AS i
+                 FROM documents)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+dw AS (SELECT w.doc_id, w.i FROM w JOIN d USING (win)),
+flg AS (SELECT doc_id, i,
+         CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id
+                                             ORDER BY i), -30) + 30
+              THEN 1 ELSE 0 END AS new_island
+        FROM dw),
+isl AS (SELECT doc_id, i,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flg),
+sp AS (SELECT doc_id, island, min(i) AS s, max(i) + 30 AS e
+       FROM isl GROUP BY doc_id, island),
+seg AS (SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS prev_e
+        FROM sp),
+cuts AS (SELECT dd.doc_id,
+          string_agg(substring(dd.text, seg.prev_e, seg.s - seg.prev_e),
+                     '' ORDER BY seg.s)
+            || substring(dd.text, max(seg.e)) AS text,
+          CAST(sum(least(seg.e, length(dd.text) + 1) - seg.s) AS BIGINT)
+            AS removed_chars
+         FROM documents dd JOIN seg ON dd.doc_id = seg.doc_id
+         GROUP BY dd.doc_id, dd.text)
+SELECT dd.doc_id, coalesce(c.text, dd.text) AS text,
+       CAST(coalesce(c.removed_chars, 0) AS BIGINT) AS removed_chars
+FROM documents dd LEFT JOIN cuts c USING (doc_id)
+"""
+
+
 ANALYTIC_QUERIES = {
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -704,4 +824,7 @@ ANALYTIC_QUERIES = {
     "zscore": (q_zscore, SQL_ZSCORE),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "editdist_pairs": (q_editdist_pairs, SQL_EDITDIST_PAIRS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
 }
