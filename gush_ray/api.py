@@ -248,6 +248,40 @@ class Stream:
             lambda b: scrub_repeated_lines_batch(b, id_col, text_col, **kw),
             batch_format="pandas"))
 
+    def decontaminate(self, bench: "Stream | object", n: int = 4,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      use_bloom: bool = False, **kw) -> "Stream":
+        """Drop documents sharing any word n-gram with the benchmark
+        stream (GPT-3-style eval decontamination); ``use_bloom`` bounds
+        broadcast memory at corpus-scale benchmark sets (one-sided
+        error: may over-drop, never under-drops)."""
+        from gush_ray.stages.decontam import (decontaminate,
+                                              decontaminate_bloom)
+
+        bench_ds = bench.ds if isinstance(bench, Stream) else bench
+        fn = decontaminate_bloom if use_bloom else decontaminate
+        return self._wrap(fn(self.ds, bench_ds, n=n, id_col=id_col,
+                             text_col=text_col, **kw))
+
+    def dup_spans(self, k: int = 30, id_col: str = "doc_id",
+                  text_col: str = "text", **kw) -> "Stream":
+        """Per-document exact duplicated-substring span stats
+        (Lee et al. 2021); ``winnow_w`` trades shuffle volume for a
+        minimum detectable span length of k + w - 1."""
+        from gush_ray.stages.decontam import duplicated_spans
+
+        return self._wrap(duplicated_spans(self.ds, k=k, id_col=id_col,
+                                           text_col=text_col, **kw))
+
+    def dedup_substrings(self, k: int = 30, id_col: str = "doc_id",
+                         text_col: str = "text", **kw) -> "Stream":
+        """Cut every duplicated ≥k-char span out of every document
+        (remove-all-copies exact substring dedup)."""
+        from gush_ray.stages.decontam import remove_duplicated_spans
+
+        return self._wrap(remove_duplicated_spans(
+            self.ds, k=k, id_col=id_col, text_col=text_col, **kw))
+
     def sample_stratified(self, group_col: str, k: int,
                           id_col: str = "doc_id", **kw) -> "Stream":
         """Deterministic per-group quota sample (smallest md5(id))."""

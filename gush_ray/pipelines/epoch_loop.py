@@ -362,6 +362,7 @@ class StreamingJob:
         join_spec=None,
         right_raw_ts_col: str = "ts",
         snapshot_full_every: int = 8,
+        commit_queue_depth: int = 2,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -382,6 +383,10 @@ class StreamingJob:
         self.run_id = run_id
         self.P = num_partitions
         self.mode = mode
+        # backpressure window = commit_queue_depth + 1 epochs in flight;
+        # raise at very high epoch rates when commits (not reduces) bound
+        # throughput and object-store headroom allows deeper pipelining
+        self.commit_queue_depth = max(1, int(commit_queue_depth))
         self.sink = ExactlyOnceSink(out_dir)
         self.params = StateParams(
             key_col=key_col,
@@ -958,7 +963,7 @@ class StreamingJob:
         # omit the uncommitted epochs' data)
         self._raise_commit_error()
         if self._commit_thread is None:
-            self._commit_queue = queue.Queue(maxsize=2)
+            self._commit_queue = queue.Queue(maxsize=self.commit_queue_depth)
 
             def worker():
                 while True:

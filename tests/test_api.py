@@ -195,3 +195,27 @@ def test_stream_editdist_pairs():
         num_partitions=2,
     ).to_pandas()
     assert [(a, b) for a, b in zip(out.id_a, out.id_b)] == [(1, 2)]
+
+
+def test_stream_decontam_and_substring_dedup():
+    corpus = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over it",
+                 "a completely different document body here",
+                 "the quick brown fox jumps far away"],
+    })
+    bench = pa.table({
+        "doc_id": [9],
+        "text": ["watch the quick brown fox jumps now"],
+    })
+    clean = Stream.from_arrow(corpus).decontaminate(
+        Stream.from_arrow(bench), n=4).to_pandas()
+    assert set(clean.doc_id) == {2}
+    spans = Stream.from_arrow(corpus).dup_spans(
+        k=20, num_partitions=2).to_pandas()
+    assert set(spans.doc_id) == {1, 3}
+    deduped = Stream.from_arrow(corpus).dedup_substrings(
+        k=20, num_partitions=2).to_pandas().sort_values("doc_id")
+    assert deduped.removed_chars.tolist()[1] == 0
+    assert (deduped.removed_chars.tolist()[0] > 0
+            and deduped.removed_chars.tolist()[2] > 0)
