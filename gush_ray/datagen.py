@@ -356,6 +356,17 @@ def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
     for j in range(max(2, n // 20)):
         blobs.append(blobs[j][: len(blobs[j]) // 2])
         kinds.append("truncated")
+    # JPEG/GIF: real frame geometry via pure header walk (pixel decode
+    # needs native codecs this environment lacks)
+    from gush_ray.stages.codecs import encode_gif_header, encode_jpeg_header
+    for j in range(max(2, n // 10)):
+        w, h = int(rng.randint(16, 1920)), int(rng.randint(16, 1080))
+        if j % 2 == 0:
+            blobs.append(encode_jpeg_header(w, h, 3))
+            kinds.append("jpeg")
+        else:
+            blobs.append(encode_gif_header(w, h, 1 + j % 8))
+            kinds.append("gif")
     return pa.table({
         "media_id": pa.array(range(len(blobs)), type=pa.int64()),
         "blob": pa.array(blobs, type=pa.binary()),

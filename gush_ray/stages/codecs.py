@@ -39,7 +39,8 @@ def _valueerror_on_truncation(fn):
         try:
             return fn(data, *a, **kw)
         except (struct.error, zlib.error, IndexError) as exc:
-            raise ValueError(f"malformed {fn.__name__[7:]}: {exc}") from exc
+            name = fn.__name__.removeprefix("decode_")
+            raise ValueError(f"malformed {name}: {exc}") from exc
 
     return wrapped
 
@@ -325,3 +326,78 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return px[ys][:, xs]
+
+
+# ------------------------------------------------- JPEG / GIF headers
+
+# SOF markers that carry frame dimensions (every SOFn except the
+# DHT/JPG/DAC markers C4/C8/CC), per ITU T.81 table B.1
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+@_valueerror_on_truncation
+def jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from a JPEG stream's SOF marker.
+
+    Full JPEG decode needs a native codec; the frame geometry does not —
+    it is a plain marker walk (ITU T.81 §B.2.2), which is what a
+    filter-by-resolution data pipeline actually consumes. Raises
+    ValueError on non-JPEG or truncated input.
+    """
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("marker desync in JPEG stream")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length field
+            continue
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack(">HH", data[i + 5:i + 9])
+            ncomp = data[i + 9]
+            if w == 0 or h == 0:
+                raise ValueError("JPEG SOF with zero dimension")
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF marker before scan data")
+
+
+@_valueerror_on_truncation
+def gif_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, global_palette_size) from a GIF logical screen
+    descriptor (GIF87a/89a §18) — pure header math, no LZW decode."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    palette = (2 << (flags & 0x07)) if (flags & 0x80) else 0
+    if w == 0 or h == 0:
+        raise ValueError("GIF with zero dimension")
+    return w, h, palette
+
+
+def encode_jpeg_header(w: int, h: int, ncomp: int = 3) -> bytes:
+    """Minimal well-formed JPEG prefix (SOI + APP0 + SOF0 + EOI) — test
+    fixture only; carries real geometry but no entropy-coded image."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    comp = b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comp
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def encode_gif_header(w: int, h: int, palette_bits: int = 2) -> bytes:
+    """Minimal GIF87a logical screen descriptor + trailer — test fixture."""
+    flags = 0x80 | ((palette_bits - 1) & 0x07)
+    pal = bytes(3 * (2 << ((palette_bits - 1) & 0x07)))
+    return (b"GIF87a" + struct.pack("<HH", w, h) + bytes([flags, 0, 0])
+            + pal + b"\x3b")

@@ -3,12 +3,14 @@
 Binary payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract are actor-pool ``map_batches`` stages. PNG, BMP and WAV
 decode is REAL (pure-stdlib codecs, :mod:`gush_ray.stages.codecs`);
-formats that require native libraries absent from this environment
-(JPEG/GIF/video) fall back per ``on_unsupported`` — a deterministic
-hash-derived fake (so the full pipeline stays exercised end-to-end) or
-a loud ``NotImplementedError``. The decode itself is per-blob by nature;
-the actor-pool pattern (setup once per actor, small batches so wide
-payloads × concurrency fit the worker heap) is the scalable shape.
+JPEG/GIF get REAL frame geometry from a pure header walk (their pixel
+decode needs native libraries absent here, so pixel-statistic feature
+slots stay honestly zero); remaining formats fall back per
+``on_unsupported`` — a deterministic hash-derived fake (so the full
+pipeline stays exercised end-to-end) or a loud ``NotImplementedError``.
+The decode itself is per-blob by nature; the actor-pool pattern (setup
+once per actor, small batches so wide payloads × concurrency fit the
+worker heap) is the scalable shape.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ from gush_ray.stages.codecs import (
     decode_wav,
     decode_y4m,
     encode_png,
+    gif_header,
+    jpeg_header,
     resize_nearest,
 )
 
@@ -72,6 +76,24 @@ def _fake_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
     height = int(64 + (h[1] % 64))
     feats = (h[:FEATURE_DIM] / 255.0).astype(np.float32)
     return width, height, feats
+
+
+def _geometry_features(w: int, h: int, ncomp: int,
+                       palette: int = 0) -> np.ndarray:
+    """Header-derived features for formats whose pixels are not
+    decodable here: geometry/aspect/component slots are REAL, the
+    pixel-statistic slots (mean/std/min/max) are 0 — honestly absent,
+    not faked."""
+    return np.array(
+        [
+            0.0, 0.0, 0.0, 0.0,  # per-channel means / gray std: unknown
+            ncomp / 4.0,
+            palette / 256.0,
+            min(w / max(h, 1), 4.0) / 4.0,
+            1.0,  # modality tag: image
+        ],
+        dtype=np.float32,
+    )
 
 
 def _image_features(px: np.ndarray) -> tuple[int, int, np.ndarray]:
@@ -130,6 +152,7 @@ class DecodeFeatures:
 
     * png/bmp → real pixels → (width, height, image features)
     * wav → real samples → (n_frames, channels, audio features)
+    * jpeg/gif → real geometry from the header walk (pixel stats 0)
     * anything else → ``on_unsupported``: "fake" (deterministic
       hash-derived, keeps the pipeline exercised) or "error"
       (NotImplementedError — the honest boundary for codecs this
@@ -158,14 +181,25 @@ class DecodeFeatures:
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 n, ch, f = _audio_features(*decode_wav(blob))
                 return n, ch, f, "wav", True
+            # JPEG/GIF: pixel decode needs native codecs this
+            # environment lacks, but frame GEOMETRY is a pure header
+            # walk — real width/height/aspect (what resolution filters
+            # consume); pixel-statistic feature slots stay honestly 0
+            if blob.startswith(b"\xff\xd8\xff"):
+                w, h, ncomp = jpeg_header(blob)
+                return w, h, _geometry_features(w, h, ncomp), "jpeg", True
+            if blob[:4] == b"GIF8":
+                w, h, pal = gif_header(blob)
+                return w, h, _geometry_features(w, h, 3, pal), "gif", True
         except ValueError:
             w, h, f = _fake_decode(blob)
             return w, h, f, "malformed", False
         if self.on_unsupported == "error":
             raise NotImplementedError(
-                "no pure-stdlib codec for this format (JPEG/GIF/video "
-                "need native libraries not present in this environment); "
-                "plug a decoder into DecodeFeatures._decode_one"
+                "no pure-stdlib codec for this format (video and full "
+                "JPEG/GIF pixel decode need native libraries not present "
+                "in this environment); plug a decoder into "
+                "DecodeFeatures._decode_one"
             )
         w, h, f = _fake_decode(blob)
         return w, h, f, "fake", True

@@ -115,10 +115,46 @@ def test_decode_features_real_codecs():
     f0 = out["features"][0].as_py()
     assert abs(f0[0] - 7 / 255) < 1e-6 and abs(f0[3]) < 1e-6
     # on_unsupported="error" is the honest boundary for absent codecs
+    # (WEBP: RIFF container but not WAVE — no stdlib decode possible)
     with pytest.raises(NotImplementedError):
         DecodeFeatures(blob_col="blob", on_unsupported="error")._decode_one(
-            b"\xff\xd8\xff jpeg-ish"
+            b"RIFF\x00\x01\x00\x00WEBPVP8 "
         )
+
+
+def test_decode_features_jpeg_gif_header_geometry():
+    """JPEG/GIF get REAL dimensions from a pure header walk (no native
+    codec): geometry features real, pixel-statistic slots honestly 0;
+    malformed headers dead-letter."""
+    from gush_ray.stages.codecs import (encode_gif_header,
+                                        encode_jpeg_header, gif_header,
+                                        jpeg_header)
+    from gush_ray.stages.multimodal import DecodeFeatures, sniff_blob_batch
+
+    jpg = encode_jpeg_header(640, 480, 3)
+    gif = encode_gif_header(320, 200, 4)
+    assert jpeg_header(jpg) == (640, 480, 3)
+    assert gif_header(gif) == (320, 200, 16)
+    t = pa.table({
+        "id": [1, 2, 3],
+        "blob": pa.array([jpg, gif, b"\xff\xd8\xff no sof here"],
+                         type=pa.binary()),
+    })
+    assert sniff_blob_batch(t, blob_col="blob")["blob_kind"].to_pylist() \
+        == ["jpeg", "gif", "jpeg"]
+    out = DecodeFeatures(blob_col="blob")(t)
+    assert out["width"].to_pylist()[:2] == [640, 320]
+    assert out["height"].to_pylist()[:2] == [480, 200]
+    assert out["decode_kind"].to_pylist() == ["jpeg", "gif", "malformed"]
+    assert out["decode_ok"].to_pylist() == [True, True, False]
+    f_jpg = out["features"][0].as_py()
+    assert f_jpg[0] == 0.0 and f_jpg[3] == 0.0   # pixel stats absent
+    assert abs(f_jpg[6] - min(640 / 480, 4.0) / 4.0) < 1e-6
+    assert f_jpg[7] == 1.0                        # image modality tag
+    # error mode still raises for these headers? no — they decode now
+    w, h, f, kind, ok = DecodeFeatures(
+        blob_col="blob", on_unsupported="error")._decode_one(jpg)
+    assert (w, h, kind, ok) == (640, 480, "jpeg", True)
 
 
 def test_multimodal_decode_query_deterministic():
