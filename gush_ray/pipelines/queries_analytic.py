@@ -804,6 +804,91 @@ FROM documents dd LEFT JOIN cuts c USING (doc_id)
 """
 
 
+# --------------------------------------------- end-to-end training mix
+
+def q_training_mix(sf_dir: str):
+    """The composed training-data flagship: quality filter (Gopher-style
+    word/stopword floors) → benchmark decontamination (4-gram overlap vs
+    the held-out doc_id%20==0 slice) → exact dedup (min doc_id per
+    md5(text)) → deterministic per-language quota sample. Every stage is
+    the already-oracle-paired operator; this query pins that the
+    COMPOSITION matches one SQL plan end-to-end."""
+    import hashlib
+
+    from gush_ray.stages.corpus import stratified_sample
+    from gush_ray.stages.decontam import collect_bench_grams, doc_ngrams
+    from gush_ray.stages.shuffle import partition_map
+    from gush_ray.stages.text import gopher_rules_batch
+
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    bench = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 20 == 0).to_numpy()],
+        batch_format="pandas")
+    corpus = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 20 != 0).to_numpy()],
+        batch_format="pandas")
+
+    grams_ref = ray.put(collect_bench_grams(bench, n=4))
+
+    def quality_and_clean(b: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_rules_batch(b)
+        g = g[(g["n_words"] >= 30) & (g["n_stop"] >= 2)]
+        grams = ray.get(grams_ref)
+        mask = [not (doc_ngrams(t or "", 4) & grams)
+                for t in g["text"].tolist()]
+        g = g[np.asarray(mask, dtype=bool)]
+        g = g.copy()
+        g["text_hash"] = g["text"].map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return g[["doc_id", "lang", "n_words", "text_hash"]]
+
+    cleaned = corpus.map_batches(quality_and_clean, batch_format="pandas")
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_hash", "doc_id"], kind="mergesort")
+        return df.groupby("text_hash", sort=False).head(1)
+
+    deduped = partition_map(cleaned, ["text_hash"], keep_min,
+                            num_partitions=8)
+    mix = stratified_sample(deduped, "lang", k=30)
+    return mix.drop_columns(["text_hash"])
+
+
+SQL_TRAINING_MIX = """
+WITH corpus AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id % 20 <> 0),
+g AS (SELECT doc_id, text, lang,
+        len(regexp_extract_all(text, '\\S+')) AS n_words,
+        len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+            x -> x IN ('the','and','of','to','a','in','is','that','it','for')
+        )) AS n_stop
+      FROM corpus),
+q AS (SELECT doc_id, text, lang, n_words FROM g
+      WHERE n_words >= 30 AND n_stop >= 2),
+bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+       WHERE doc_id % 20 = 0),
+bi AS (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM bw),
+bg AS (SELECT DISTINCT array_to_string(ws[i : i+3], ' ') AS gram FROM bi),
+cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM q),
+ci AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+       FROM cw),
+cg AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i+3], ' ') AS gram
+       FROM ci),
+cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+clean AS (SELECT * FROM q
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+ded AS (SELECT * FROM clean
+        QUALIFY row_number()
+          OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+SELECT doc_id, lang, n_words FROM ded
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 30
+"""
+
+
 ANALYTIC_QUERIES = {
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -827,4 +912,5 @@ ANALYTIC_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
 }
