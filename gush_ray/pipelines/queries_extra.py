@@ -165,6 +165,32 @@ def q_lsh_index_ann(sf_dir: str):
     return lsh_index_topk(idx, qvec, k=10, n_planes=6)
 
 
+def q_ivf_index_ann(sf_dir: str):
+    """ANN with a TRAINED build-once IVF index: spherical-k-means list
+    assignment written as list-partitioned parquet; the query reads only
+    the n_probe nearest lists. Data-adaptive complement of
+    lsh_index_ann (better pruning on clustered corpora; needs a
+    training sample). Rows-only: k-means lists aren't SQL-expressible."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.similarity import build_ivf_index, ivf_index_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = build_ivf_index(emb, f"/tmp/gush_ray_ivf_index/{key}",
+                          n_lists=16, sample_size=2000)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    # full probe => exact top-k (deterministic vs the data layout);
+    # callers trade recall for reads by lowering n_probe
+    return ivf_index_topk(idx, qvec, k=10, n_probe=16)
+
+
 def q_content_chunks(sf_dir: str):
     """Content-defined chunking + chunk-level exact dedup: documents
     explode into rolling-hash-bounded chunks; duplicate chunks collapse
@@ -498,6 +524,7 @@ EXTRA_QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
+    "ivf_index_ann": (q_ivf_index_ann, None),
     "lang_id": (q_lang_id, None),
     "approx_distinct_users": (q_approx_distinct, None),
     "content_chunks": (q_content_chunks, None),

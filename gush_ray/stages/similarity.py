@@ -278,6 +278,195 @@ def lsh_index_scan_fraction(index_dir: str, query_vec: np.ndarray,
     return probed / max(total, 1)
 
 
+def _spherical_kmeans(unit: np.ndarray, n_lists: int, n_iters: int,
+                      seed: int) -> np.ndarray:
+    """Vectorized spherical k-means (cosine Lloyd) over a UNIT-norm
+    sample. kmeans++-style farthest-point seeding, empty lists reseeded
+    to the worst-assigned points. Returns (n_lists, d) unit centroids."""
+    rng = np.random.RandomState(seed)
+    n = len(unit)
+    n_lists = min(n_lists, n)
+    # greedy farthest-point init: deterministic and spread-out
+    first = int(rng.randint(n))
+    cent = [unit[first]]
+    best = unit @ cent[0]
+    for _ in range(n_lists - 1):
+        nxt = int(np.argmin(best))
+        cent.append(unit[nxt])
+        best = np.maximum(best, unit @ cent[-1])
+    C = np.stack(cent)
+    for _ in range(n_iters):
+        sims = unit @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, unit)
+        norms = np.linalg.norm(newC, axis=1)
+        empty = norms == 0
+        if empty.any():
+            # reseed dead lists to the points farthest from their list
+            worst = np.argsort(sims[np.arange(n), assign])[: int(empty.sum())]
+            newC[empty] = unit[worst]
+            norms[empty] = 1.0
+        C = newC / norms[:, None]
+    return C
+
+
+def build_ivf_index(ds, index_dir: str, n_lists: int = 16,
+                    sample_size: int = 20_000, n_iters: int = 15,
+                    seed: int = 17, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> str:
+    """Build-once IVF (inverted-file) ANN index: spherical k-means
+    centroids trained on a deterministic hash sample, every row assigned
+    to its max-cosine list ONCE, table written as parquet PARTITIONED BY
+    list (``list=N/`` hive dirs). Queries then read only the ``n_probe``
+    lists nearest the query vector — data-adaptive pruning, the
+    complement of the data-oblivious hyperplane cut in
+    :func:`build_lsh_index` (IVF prunes better when the corpus is
+    clustered; LSH needs no training pass).
+
+    100-TB shape: the only driver-side materialization is the k-means
+    SAMPLE (``sample_size`` rows, picked by a splitmix hash of the id —
+    deterministic, one cheap metadata ``count()`` on the raw read to set
+    the rate); assignment streams per batch against the broadcast
+    (n_lists × d) centroid matrix. Idempotent + parameter-guarded like
+    the LSH index: temp-dir build, rename into place, manifest mismatch
+    fails loudly.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    params = {"kind": "ivf", "n_lists": n_lists, "seed": seed,
+              "sample_size": sample_size, "n_iters": n_iters}
+    manifest = os.path.join(index_dir, "_ivf_index.json")
+    if os.path.isdir(index_dir) and os.listdir(index_dir):
+        try:
+            with open(manifest) as f:
+                have = json.load(f)
+        except OSError:
+            have = None
+        if have != params:
+            raise ValueError(
+                f"existing IVF index at {index_dir!r} was built with "
+                f"{have}, requested {params} — delete it or use a "
+                f"different index_dir"
+            )
+        return index_dir
+
+    n = ds.count()  # metadata-only on a raw parquet read
+    rate = min(1.0, sample_size / max(n, 1))
+    thresh = np.uint64(min(int(rate * 2**64), 2**64 - 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or rate >= 1.0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64 finalizer: uniform, deterministic in the id
+        z = ids + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return batch.filter(pa.array(z < thresh))
+
+    sample = ds.map_batches(
+        hash_sample, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ ~sample_size rows by construction
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample[emb_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    centroids = _spherical_kmeans(mat / norms[:, None], n_lists,
+                                  n_iters, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list",
+                                       pa.array([], type=pa.int64()))
+        C = ray.get(cent_ref)
+        m = _to_matrix(batch[emb_col])
+        nn = np.linalg.norm(m, axis=1)
+        nn[nn == 0] = 1.0
+        lists = np.argmax((m / nn[:, None]) @ C.T, axis=1).astype(np.int64)
+        return batch.append_column("list", pa.array(lists))
+
+    tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
+    ds.map_batches(assign, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        tmp, partition_cols=["list"]
+    )
+    np.save(os.path.join(tmp, "_centroids.npy"), centroids)
+    with open(os.path.join(tmp, "_ivf_index.json"), "w") as f:
+        json.dump(params, f)
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return index_dir
+
+
+def _ivf_probe_lists(index_dir: str, query_vec: np.ndarray,
+                     n_probe: int) -> list[int]:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ivf_index.json")) as f:
+        params = json.load(f)
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn), kind="stable")
+    return [int(i) for i in order[: min(n_probe, params["n_lists"])]]
+
+
+def ivf_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Query a :func:`build_ivf_index` index: exact cosine top-k over
+    ONLY the ``n_probe`` lists whose centroids are nearest the query —
+    the read prunes to ~n_probe/n_lists of the corpus (exactly, when
+    lists are balanced). ``n_probe = n_lists`` degrades to the exact
+    scan, so recall is tunable per query with no rebuild."""
+    import os
+
+    import ray.data as rd
+
+    paths = [
+        os.path.join(d, f)
+        for s in _ivf_probe_lists(index_dir, query_vec, n_probe)
+        if os.path.isdir(d := os.path.join(index_dir, f"list={s}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    sub = rd.read_parquet(paths, columns=[id_col, emb_col])
+    return brute_force_topk(sub, query_vec, k=k, id_col=id_col,
+                            emb_col=emb_col)
+
+
+def ivf_scan_fraction(index_dir: str, query_vec: np.ndarray,
+                      n_probe: int = 4) -> float:
+    """Bytes under the probed lists / total index bytes — the
+    read-pruning evidence a query benchmark records."""
+    import os
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d) for f in fs
+        )
+
+    probed = sum(
+        dir_bytes(d)
+        for s in _ivf_probe_lists(index_dir, query_vec, n_probe)
+        if os.path.isdir(d := os.path.join(index_dir, f"list={s}"))
+    )
+    return probed / max(dir_bytes(index_dir), 1)
+
+
 def lsh_bucket_topk(ds, query_vec: np.ndarray, k: int = 10, n_planes: int = 8,
                     seed: int = 17, id_col: str = "vec_id",
                     emb_col: str = "embedding", n_probe_bits: int = 1):

@@ -377,6 +377,70 @@ def test_lsh_index_build_once_and_pruned_read(tmp_path):
         lsh_index_topk(idx, qvec, k=10, n_planes=8)
 
 
+def test_ivf_index_clustered_recall_and_pruning(tmp_path):
+    """IVF (trained, data-adaptive) vs the data-oblivious LSH cut: on a
+    clustered corpus a query near a cluster center gets perfect recall
+    probing ~1/8 of the lists, because k-means lists track the clusters."""
+    from gush_ray.stages.similarity import (
+        brute_force_topk, build_ivf_index, ivf_index_topk,
+        ivf_scan_fraction,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 32) * 4
+    rows = []
+    for i in range(800):
+        c = i % 8
+        rows.append({"vec_id": i,
+                     "embedding": (centers[c] + rng.randn(32) * 0.3)
+                     .astype(np.float32).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    idx = str(tmp_path / "ivf_clustered")
+    build_ivf_index(ds, idx, n_lists=16, sample_size=400, seed=3)
+    qvec = centers[2] + 0.05  # near cluster 2's center
+    ref = set(brute_force_topk(ds, qvec, k=10)["vec_id"])
+    got = set(ivf_index_topk(idx, qvec, k=10, n_probe=2)["vec_id"])
+    assert got == ref, "clustered recall@10 must be perfect at n_probe=2"
+    frac = ivf_scan_fraction(idx, qvec, n_probe=2)
+    assert 0 < frac < 0.3, f"probed fraction {frac:.3f}"
+
+
+def test_ivf_index_exact_at_full_probe_and_guards(tmp_path):
+    """On the (near-random) embeddings fixture: n_probe=n_lists degrades
+    to the exact scan; build is idempotent; param mismatch fails loudly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.similarity import (
+        brute_force_topk, build_ivf_index, ivf_index_topk,
+    )
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf_fixture")
+    build_ivf_index(emb, idx, n_lists=16, sample_size=400)
+    qtab = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    qvec = np.array(
+        qtab.filter(pc.equal(qtab["vec_id"], 7))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ref = brute_force_topk(emb, qvec, k=10)
+    full = ivf_index_topk(idx, qvec, k=10, n_probe=16)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+    # partial probe: top-k subset of candidates is still ordered by sim,
+    # and every returned id scores what the exact scan says it scores
+    part = ivf_index_topk(idx, qvec, k=10, n_probe=4)
+    assert len(part) == 10
+    assert (part["sim"].to_numpy()[:-1] >= part["sim"].to_numpy()[1:]).all()
+    # idempotent rebuild reuses the index
+    build_ivf_index(emb, idx, n_lists=16, sample_size=400)
+    again = ivf_index_topk(idx, qvec, k=10, n_probe=16)
+    pd.testing.assert_frame_equal(full, again)
+    with pytest.raises(ValueError, match="built with"):
+        build_ivf_index(emb, idx, n_lists=8, sample_size=400)
+
+
 def test_langid_vectorized_parity():
     """Vectorized stopword scoring must reproduce the per-row reference
     scoring exactly, including the largest-lang tie-break and 'und'."""
