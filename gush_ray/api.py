@@ -419,6 +419,14 @@ class Stream:
 
         return approx_quantiles(self.ds, col, qs, **kw)
 
+    def exact_quantiles(self, col: str, qs: list[float],
+                        **kw) -> dict[float, float]:
+        """Terminal: EXACT quantiles with no global sort (shared
+        histogram-refinement passes; DuckDB quantile_disc semantics)."""
+        from gush_ray.stages.sketches import exact_quantiles_nosort
+
+        return exact_quantiles_nosort(self.ds, col, qs, **kw)
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:

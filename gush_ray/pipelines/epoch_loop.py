@@ -363,6 +363,7 @@ class StreamingJob:
         right_raw_ts_col: str = "ts",
         snapshot_full_every: int = 8,
         commit_queue_depth: int = 2,
+        dedup_ttl_us: int | None = None,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -399,6 +400,7 @@ class StreamingJob:
             allowed_lateness_us=self.cfg.allowed_lateness_us,
             join_spec=join_spec,
             snapshot_full_every=snapshot_full_every,
+            dedup_ttl_us=dedup_ttl_us,
         )
         self.right_dir = right_dir
         self.right_raw_ts_col = right_raw_ts_col

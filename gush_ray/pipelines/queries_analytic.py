@@ -804,6 +804,28 @@ FROM documents dd LEFT JOIN cuts c USING (doc_id)
 """
 
 
+# --------------------------------------------- exact distributed quantile
+
+def q_exact_quantiles(sf_dir: str):
+    """EXACT p50/p90 of order totalprice with no global sort: iterative
+    histogram refinement (stats pass → bucket-count rounds → one
+    collect pass over the final narrow value range). The exact
+    counterpart of the approx_quantiles sketch; DuckDB quantile_disc is
+    the oracle."""
+    from gush_ray.stages.sketches import exact_quantiles_nosort
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    qs = exact_quantiles_nosort(orders, "o_totalprice", [0.5, 0.9])
+    return pd.DataFrame({"p50": [qs[0.5]], "p90": [qs[0.9]]})
+
+
+SQL_EXACT_QUANTILES = """
+SELECT CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90
+FROM orders
+"""
+
+
 # --------------------------------------------- end-to-end training mix
 
 def q_training_mix(sf_dir: str):
@@ -913,4 +935,5 @@ ANALYTIC_QUERIES = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "exact_quantiles": (q_exact_quantiles, SQL_EXACT_QUANTILES),
 }

@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--slide-sec", type=int, default=None)
     ap.add_argument("--gap-sec", type=int, default=1800)
     ap.add_argument("--lateness-sec", type=int, default=0)
+    ap.add_argument("--dedup-ttl-sec", type=int, default=None,
+                    help="evict dedup state for keys idle this long in "
+                         "event time (bounds state; version counters "
+                         "restart for evicted keys)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone local runs")
@@ -70,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         window_slide_us=(args.slide_sec * 1_000_000
                          if args.slide_sec else None),
+        dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
+                      if args.dedup_ttl_sec else None),
     )
     res = job.run(resume=not args.no_resume)
     summary = {

@@ -327,3 +327,163 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for blob in partials.to_pandas()["registers"]:
         merged.merge(HyperLogLog.from_state(p, blob))
     return merged.estimate()
+
+
+def _in_range(x, lo, hi, hi_incl):
+    m = (x >= lo) & (x < hi)
+    if hi_incl:
+        m |= x == hi
+    return m
+
+
+def exact_quantiles_nosort(ds, col: str, qs: list[float],
+                           n_buckets: int = 2048,
+                           collect_cap: int = 500_000,
+                           max_rounds: int = 40) -> dict[float, float]:
+    """EXACT order statistics with NO global sort: DuckDB
+    ``quantile_disc`` semantics — the value at 0-based rank
+    ceil(q*n) - 1 of the sorted non-null column (probed empirically;
+    q=0 → min, q=1 → max).
+
+    The exact counterpart of :func:`approx_quantiles`, built for data
+    that cannot be sorted globally: one stats pass (count/min/max), then
+    histogram-refinement passes that narrow every requested rank into a
+    fixed-width value range until each range's row count fits
+    ``collect_cap``, then ONE collect pass that ships only those narrow
+    ranges to the driver for the final selects. All quantiles share each
+    pass (a round histograms every still-open range in the same scan),
+    so p50+p90 together cost the same scans as one of them — typically
+    3-4 column-pruned scans total. Each refinement round moves only
+    per-batch nonzero (range, bucket, count) partials through the
+    engine's standard combiner shuffle — never rows. Degenerate mass
+    (every value identical) exits via the lo == hi fast path.
+    """
+    import math
+
+    from gush_ray.stages.agg import partial_aggregate
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].dropna().to_numpy(dtype=np.float64)
+        if len(x) == 0:
+            return pd.DataFrame({"cnt": pd.Series([0], dtype="int64"),
+                                 "mn": [np.inf], "mx": [-np.inf]})
+        return pd.DataFrame({"cnt": pd.Series([len(x)], dtype="int64"),
+                             "mn": [x.min()], "mx": [x.max()]})
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    # a fully-empty Dataset yields zero batches → a columnless frame
+    n = int(st["cnt"].sum()) if "cnt" in st.columns else 0
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    glo, ghi = float(st["mn"].min()), float(st["mx"].max())
+
+    # per-quantile search state: [k, below, lo, hi, hi_incl, value]
+    # (the epsilon guards float q*n landing a hair above an integer:
+    # 0.9*10 -> 9.000000000000002)
+    tasks = {}
+    out = {}
+    for q in qs:
+        k = min(max(0, math.ceil(q * n - 1e-9) - 1), n - 1)
+        tasks[q] = {"k": k, "below": 0, "lo": glo, "hi": ghi,
+                    "hi_incl": True}
+
+    for _ in range(max_rounds):
+        for q in list(tasks):
+            t = tasks[q]
+            if t["hi"] <= t["lo"]:
+                out[q] = t["lo"]
+                del tasks[q]
+        if not tasks:
+            return out
+        # ranges is small (≤ len(qs) rows) — ships with the closure
+        ranges = [(ri, t["lo"], t["hi"], t["hi_incl"],
+                   np.linspace(t["lo"], t["hi"], n_buckets + 1))
+                  for ri, t in enumerate(tasks.values())]
+
+        def hist(b: pd.DataFrame, ranges=ranges) -> pd.DataFrame:
+            x = b[col].dropna().to_numpy(dtype=np.float64)
+            rs, bks, cts = [], [], []
+            for ri, lo, hi, hi_incl, edges in ranges:
+                xr = x[_in_range(x, lo, hi, hi_incl)]
+                if len(xr) == 0:
+                    continue
+                idx = np.clip(np.searchsorted(edges, xr, side="right") - 1,
+                              0, n_buckets - 1)
+                u, c = np.unique(idx, return_counts=True)
+                rs.append(np.full(len(u), ri, dtype=np.int64))
+                bks.append(u.astype(np.int64))
+                cts.append(c.astype(np.int64))
+            if not rs:
+                return pd.DataFrame(
+                    {"r": pd.Series([], dtype="int64"),
+                     "bucket": pd.Series([], dtype="int64"),
+                     "cnt": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"r": np.concatenate(rs),
+                                 "bucket": np.concatenate(bks),
+                                 "cnt": np.concatenate(cts)})
+
+        agg = partial_aggregate(
+            ds.map_batches(hist, batch_format="pandas"),
+            ["r", "bucket"], {"total": ("cnt", "sum")},
+        ).to_pandas()
+        narrow_enough = True
+        for ri, (q, t) in enumerate(tasks.items()):
+            sub = agg[agg["r"] == ri]
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            counts[sub["bucket"].to_numpy()] = sub["total"].to_numpy()
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, t["k"] - t["below"], side="right"))
+            edges = ranges[ri][4]
+            t["below"] += int(cum[b] - counts[b])
+            t["lo"], t["hi"] = float(edges[b]), float(edges[b + 1])
+            t["hi_incl"] = t["hi_incl"] and b == n_buckets - 1
+            if counts[b] > collect_cap:
+                narrow_enough = False
+        if narrow_enough:
+            break
+    else:
+        open_ranges = {q: (t["lo"], t["hi"]) for q, t in tasks.items()}
+        raise RuntimeError(
+            f"exact_quantiles_nosort did not converge in {max_rounds} "
+            f"rounds (open ranges {open_ranges}, {collect_cap=})"
+        )
+
+    # ranges that collapsed to a point in the final round resolve here —
+    # an exclusive-hi point range would collect zero rows
+    for q in list(tasks):
+        if tasks[q]["hi"] <= tasks[q]["lo"]:
+            out[q] = tasks[q]["lo"]
+            del tasks[q]
+    if not tasks:
+        return out
+
+    # one shared collect pass over every still-open narrow range
+    franges = [(ri, t["lo"], t["hi"], t["hi_incl"])
+               for ri, t in enumerate(tasks.values())]
+
+    def collect(bb: pd.DataFrame, franges=franges) -> pd.DataFrame:
+        x = bb[col].dropna().to_numpy(dtype=np.float64)
+        rs, vs = [], []
+        for ri, lo, hi, hi_incl in franges:
+            xr = x[_in_range(x, lo, hi, hi_incl)]
+            rs.append(np.full(len(xr), ri, dtype=np.int64))
+            vs.append(xr)
+        return pd.DataFrame({"r": np.concatenate(rs),
+                             "v": np.concatenate(vs)})
+
+    vals = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    for ri, (q, t) in enumerate(tasks.items()):
+        xr = vals[vals["r"] == ri]["v"].to_numpy()
+        r = t["k"] - t["below"]
+        out[q] = float(np.partition(xr, r)[r])
+    return out
+
+
+def exact_quantile(ds, col: str, q: float = 0.5, n_buckets: int = 2048,
+                   collect_cap: int = 500_000, max_rounds: int = 40) -> float:
+    """Single-quantile convenience wrapper of
+    :func:`exact_quantiles_nosort`."""
+    return exact_quantiles_nosort(
+        ds, col, [q], n_buckets=n_buckets, collect_cap=collect_cap,
+        max_rounds=max_rounds,
+    )[q]

@@ -73,6 +73,16 @@ class StateParams:
     # frame full (the pre-delta behavior). Tasks mode only: actor-mode
     # snapshots (snapshot_to) are always full frames.
     snapshot_full_every: int = 8
+    # event-time TTL for the url-keyed dedup maps (Flink-style state
+    # TTL): a key idle past the TTL relative to the watermark is evicted
+    # at watermark advance, bounding state to the keys active inside the
+    # TTL horizon instead of every key EVER seen. Trade-off (documented,
+    # deliberate): a row for an evicted key restarts its version counter
+    # at 0 / change_kind 'insert' — identical to Flink's cleared-state
+    # semantics. Dedup itself stays correct: any non-late row has
+    # ts >= watermark > the evicted key's last_ts, so no stale row is
+    # wrongly kept. None = keep state forever (the pre-TTL behavior).
+    dedup_ttl_us: int | None = None
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -104,9 +114,19 @@ class PartitionState:
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
         # dedup-dict keys touched since the last snapshot frame — the
-        # upsert set a DELTA frame carries (last_ts/version never delete,
-        # so deltas are pure upserts)
+        # upsert set a DELTA frame carries. With a TTL, eviction also
+        # DELETES keys, so frames additionally carry tombstones for keys
+        # evicted since the last frame (without them, a chain restore
+        # would resurrect evicted entries and a resumed run's version
+        # counters would diverge from an uninterrupted run's)
         self._dirty: set = set()
+        self._evicted: set = set()
+        # last watermark at which a TTL sweep ran (amortization: the
+        # sweep scans the whole dict, so it runs at most once per TTL/8
+        # of watermark progress; snapshotted so a resumed run keeps the
+        # same deterministic sweep schedule)
+        self._ttl_sweep_wm: int = NEG_INF
+        self.evicted_total: int = 0
         self._epoch_cache: dict[int, dict] = {}
         # direct-exchange ingest buffers: epoch -> fragments; frag keys make
         # re-sent fragments (task retries) idempotent
@@ -431,6 +451,9 @@ class PartitionState:
                 # cumulative runs dropped by the max_partials cap (0 means
                 # the all-runs/SQL-self-join semantics are exact so far)
                 "nfa_truncated": int(self.nfa.truncated) if self.nfa else 0,
+                # cumulative dedup keys dropped by the state TTL (0 when
+                # dedup_ttl_us is unset — version counters never reset)
+                "ttl_evicted": int(self.evicted_total),
                 "max_ts_us": self.max_ts_us,
             },
         }
@@ -531,6 +554,19 @@ class PartitionState:
         wm = max(self.watermark_us, watermark_us - self.p.allowed_lateness_us)
         self.watermark_us = wm
 
+        ttl = self.p.dedup_ttl_us
+        if (ttl is not None and wm > NEG_INF
+                and wm - self._ttl_sweep_wm >= max(ttl // 8, 1)):
+            cutoff = wm - ttl
+            expired = [k for k, t in self.last_ts.items() if t < cutoff]
+            for k in expired:
+                del self.last_ts[k]
+                self.version.pop(k, None)
+                self._dirty.discard(k)
+            self._evicted.update(expired)
+            self.evicted_total += len(expired)
+            self._ttl_sweep_wm = wm
+
         slide = self.p.window_slide_us or self.p.window_size_us
         win_rows = []
         for key, (cnt, s) in list(self.win.items()):
@@ -582,6 +618,8 @@ class PartitionState:
             "join": self.joiner.state() if self.joiner else None,
             "watermark_us": self.watermark_us,
             "max_ts_us": self.max_ts_us,
+            "ttl_sweep_wm": self._ttl_sweep_wm,
+            "evicted_total": self.evicted_total,
         }
 
     @staticmethod
@@ -601,6 +639,7 @@ class PartitionState:
             | self._small_state()
         )
         self._dirty = set()
+        self._evicted = set()  # a full frame carries the whole state
         return self._compress(raw, self._SNAP_MAGIC)
 
     def delta_bytes(self, base_epoch: int) -> bytes:
@@ -615,10 +654,16 @@ class PartitionState:
             {
                 "dedup_last_ts": {k: self.last_ts[k] for k in dirty},
                 "dedup_version": {k: self.version[k] for k in dirty},
+                # evicted-and-not-reinserted keys: a reinsertion lands in
+                # _dirty (upsert wins), so a key still absent from the
+                # live dict is a true delete
+                "dedup_tombstones": [k for k in self._evicted
+                                     if k not in self.last_ts],
             }
             | self._small_state()
         )
         self._dirty = set()
+        self._evicted = set()
         return self._compress(raw, self._DELTA_MAGIC,
                               head=struct.pack("<Q", base_epoch))
 
@@ -646,6 +691,9 @@ class PartitionState:
             self.joiner.restore(st["join"])
         self.watermark_us = st["watermark_us"]
         self.max_ts_us = st["max_ts_us"]
+        # .get: pre-TTL frames lack these keys
+        self._ttl_sweep_wm = st.get("ttl_sweep_wm", NEG_INF)
+        self.evicted_total = st.get("evicted_total", 0)
 
     def restore_bytes(self, blob: bytes) -> None:
         if blob[:4] == self._DELTA_MAGIC:
@@ -658,6 +706,7 @@ class PartitionState:
         self.version = st["version"]
         self._apply_small(st)
         self._dirty = set()
+        self._evicted = set()
         # a restore is a rollback: caches for epochs processed AFTER the
         # snapshot must not survive it, or a resumed run would skip
         # re-applying the uncommitted epoch (cached metrics, no state);
@@ -674,8 +723,12 @@ class PartitionState:
         st = self._decode(blob)
         self.last_ts.update(st["dedup_last_ts"])
         self.version.update(st["dedup_version"])
+        for k in st.get("dedup_tombstones", ()):
+            self.last_ts.pop(k, None)
+            self.version.pop(k, None)
         self._apply_small(st)
         self._dirty = set()
+        self._evicted = set()
         self._epoch_cache = {}
 
     def restore_chain(self, blobs: list) -> None:

@@ -219,3 +219,13 @@ def test_stream_decontam_and_substring_dedup():
     assert deduped.removed_chars.tolist()[1] == 0
     assert (deduped.removed_chars.tolist()[0] > 0
             and deduped.removed_chars.tolist()[2] > 0)
+
+
+def test_stream_exact_quantiles(ray_session):
+    import numpy as np
+
+    x = np.arange(1, 1002, dtype=float)  # 1..1001, median 501
+    s = Stream.from_arrow(pa.table({"v": x}))
+    got = s.exact_quantiles("v", [0.5, 0.9], n_buckets=16, collect_cap=50)
+    assert got[0.5] == 501.0
+    assert got[0.9] == 901.0  # ceil(0.9*1001)-1 = 900 -> value 901

@@ -200,3 +200,114 @@ def test_tasks_to_actors_resume_through_delta_chain(pages5, tmp_path):
     want = ref.read_output("changes")
     cols = ["url", "ts_us", "version", "change_kind"]
     pd.testing.assert_frame_equal(norm(got, cols), norm(want, cols))
+
+
+# ------------------------------------------------- dedup state TTL
+
+def test_dedup_ttl_evicts_idle_keys_and_restarts_version():
+    """Keys idle past the TTL are evicted at watermark advance; a
+    re-seen key restarts at version 0/'insert' (Flink cleared-state
+    semantics); active keys keep their counters."""
+    ps = PartitionState(0, params(pattern=None, dedup_ttl_us=1_000))
+    ps.process(0, tbl([
+        {"url": "idle", "ts_us": 100, "lang": "en"},
+        {"url": "hot", "ts_us": 120, "lang": "en"},
+    ]))
+    ps.advance_watermark(500)  # nothing old enough yet
+    assert set(ps.last_ts) == {"idle", "hot"}
+    # hot stays active; idle goes quiet
+    ps.process(1, tbl([{"url": "hot", "ts_us": 9_000, "lang": "en"}]))
+    ps.advance_watermark(10_000)  # cutoff 9_000: idle(100) out, hot kept
+    assert set(ps.last_ts) == {"hot"}
+    assert ps.evicted_total == 1
+    out = ps.process(2, tbl([
+        {"url": "idle", "ts_us": 20_000, "lang": "en"},
+        {"url": "hot", "ts_us": 20_001, "lang": "en"},
+    ]))["changes"].to_pandas().set_index("url")
+    assert out.loc["idle", "version"] == 0
+    assert out.loc["idle", "change_kind"] == "insert"
+    assert out.loc["hot", "version"] == 2  # counter survived
+
+
+def test_dedup_ttl_bounds_state_growth():
+    """With a TTL spanning ~2 epochs of event time, state holds only the
+    keys active inside the horizon — not every key ever seen."""
+    ps = PartitionState(0, params(pattern=None, dedup_ttl_us=2_000))
+    for e in range(10):
+        ps.process(e, tbl([
+            {"url": f"e{e}k{i}", "ts_us": 1_000 * e + i, "lang": "en"}
+            for i in range(100)
+        ]))
+        ps.advance_watermark(1_000 * e + 999)
+    assert len(ps.last_ts) <= 300, len(ps.last_ts)  # not 1000
+    assert ps.evicted_total >= 700
+
+
+def test_dedup_ttl_delta_tombstones_restore_parity():
+    """A chain restore must reproduce evictions: deltas carry tombstones
+    for evicted keys, and an evict-then-reinsert is a plain upsert."""
+    p = params(pattern=None, dedup_ttl_us=1_000)
+    a = PartitionState(0, p)
+    a.process(0, tbl([
+        {"url": "gone", "ts_us": 100, "lang": "en"},
+        {"url": "back", "ts_us": 110, "lang": "en"},
+        {"url": "kept", "ts_us": 120, "lang": "en"},
+    ]))
+    a.advance_watermark(500)
+    frames = [a.snapshot_bytes()]
+    # epoch 1: kept stays active; 'back' is re-seen AFTER eviction
+    a.process(1, tbl([{"url": "kept", "ts_us": 19_000, "lang": "en"}]))
+    a.advance_watermark(20_000)  # evicts gone+back (last_ts 100/110)
+    a.process(2, tbl([{"url": "back", "ts_us": 30_000, "lang": "en"}]))
+    frames.append(a.delta_bytes(0))
+
+    b = PartitionState(0, p)
+    b.restore_chain(frames)
+    assert b.last_ts == a.last_ts
+    assert b.version == a.version
+    assert "gone" not in b.last_ts
+    assert b.version["back"] == 0  # reinserted after eviction
+    assert b.evicted_total == a.evicted_total == 2
+    # behavioral parity on the next epoch
+    nxt = tbl([{"url": "gone", "ts_us": 40_000, "lang": "en"},
+               {"url": "kept", "ts_us": 40_001, "lang": "en"}])
+    out_a = a.process(3, nxt)["changes"].to_pandas()
+    out_b = b.process(3, nxt)["changes"].to_pandas()
+    pd.testing.assert_frame_equal(out_a, out_b)
+
+
+def test_dedup_ttl_end_to_end_resume_parity(tmp_path):
+    """TTL through the full job: evictions happen mid-stream, the
+    ttl_evicted metric lands in manifests, and a killed+resumed run is
+    row-identical to an uninterrupted one (tombstoned deltas restore)."""
+    pages = str(tmp_path / "pages")
+    # 3 epochs, small url pool → urls recur; a short TTL forces evictions
+    write_pages_dir(pages, n_urls=300, seed=33, n_epochs=3)
+    ttl = 10 * 60 * 1_000_000  # 10 min event time
+
+    job_a = StreamingJob(pages, str(tmp_path / "a"), run_id="ttlA",
+                         num_partitions=4, dedup_ttl_us=ttl,
+                         snapshot_full_every=2)
+    job_a.run()
+    evicted = sum(
+        p.get("ttl_evicted", 0)
+        for e in job_a.sink.committed_epochs()
+        for p in job_a.sink.read_manifest(e)["partitions"]
+    )
+    assert evicted > 0, "fixture must actually exercise eviction"
+
+    job_b1 = StreamingJob(pages, str(tmp_path / "b"), run_id="ttlB1",
+                          num_partitions=4, dedup_ttl_us=ttl,
+                          snapshot_full_every=2)
+    job_b1.run(stop_after=2)
+    job_b2 = StreamingJob(pages, str(tmp_path / "b"), run_id="ttlB2",
+                          num_partitions=4, dedup_ttl_us=ttl,
+                          snapshot_full_every=2)
+    job_b2.run(resume=True)
+
+    cols = ["url", "ts_us", "version", "change_kind"]
+    a = job_a.read_output("changes")[cols].sort_values(cols).reset_index(
+        drop=True)
+    b = job_b2.read_output("changes")[cols].sort_values(cols).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(a, b)

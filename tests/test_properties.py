@@ -246,3 +246,64 @@ def test_delta_chain_restore_matches_live_state(epochs, cadence, wm_step):
     w2 = live.advance_watermark(POS_INF)
     assert g2["windows"].equals(w2["windows"])
     assert g2["sessions"].equals(w2["sessions"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d", "e"]),   # key
+                st.integers(min_value=0, max_value=1000),      # ts
+            ),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=6,                                # epochs
+    ),
+    st.integers(min_value=1, max_value=4),                     # full cadence
+    st.integers(min_value=0, max_value=300),                   # wm step
+    st.integers(min_value=10, max_value=2_000),                # dedup TTL
+)
+def test_delta_chain_restore_with_ttl_tombstones(epochs, cadence, wm_step,
+                                                 ttl):
+    """Chain restore == live state for ANY eviction pattern: TTL sweeps
+    delete dedup keys mid-chain, so deltas must tombstone them (and an
+    evict-then-reinsert must surface as a plain upsert)."""
+    import pyarrow as pa
+
+    def mkps():
+        return PartitionState(0, StateParams(
+            key_col="url", ts_col="ts_us", window_group_cols=("lang",),
+            window_size_us=100, session_gap_us=50, dedup_ttl_us=ttl,
+        ))
+
+    live = mkps()
+    frames, base = [], None
+    for e, rows in enumerate(epochs):
+        tbl_rows = [
+            {"url": k, "ts_us": t * len(epochs) + e, "lang": "en"}
+            for k, t in rows
+        ]
+        if tbl_rows:
+            live.process(e, pa.Table.from_pandas(
+                pd.DataFrame(tbl_rows), preserve_index=False))
+        live.advance_watermark(e * wm_step)
+        if base is None or e - base >= cadence:
+            frames = [live.snapshot_bytes()]
+            base = e
+        else:
+            frames.append(live.delta_bytes(base))
+
+    restored = mkps()
+    restored.restore_chain(frames)
+    assert restored.last_ts == live.last_ts
+    assert restored.version == live.version
+    assert restored.evicted_total == live.evicted_total
+    assert restored._ttl_sweep_wm == live._ttl_sweep_wm
+
+    probe = pa.Table.from_pandas(pd.DataFrame(
+        [{"url": k, "ts_us": 10_000 + i, "lang": "en"}
+         for i, k in enumerate(["a", "b", "c"])]), preserve_index=False)
+    got = restored.process(len(epochs), probe)["changes"].to_pandas()
+    want = live.process(len(epochs), probe)["changes"].to_pandas()
+    pd.testing.assert_frame_equal(got, want)

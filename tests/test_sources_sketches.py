@@ -114,3 +114,56 @@ def test_approx_quantiles_empty(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype="float64")}))
     est = approx_quantiles(ds, "v", [0.5])
     assert np.isnan(est[0.5])
+
+
+def _disc_rank(n: int, q: float) -> int:
+    """DuckDB quantile_disc rank convention (probed: ceil(q*n) - 1)."""
+    import math
+
+    return min(max(0, math.ceil(q * n - 1e-9) - 1), n - 1)
+
+
+def test_exact_quantile_matches_sorted_reference(ray_session):
+    from gush_ray.stages.sketches import exact_quantile
+
+    rng = np.random.RandomState(23)
+    x = np.concatenate([
+        rng.lognormal(0, 2, 20_000),           # heavy tail
+        np.full(5_000, 7.5),                   # a huge tie block
+        rng.randint(0, 50, 5_000).astype(float),
+    ])
+    ds = rd.from_pandas(pd.DataFrame({"v": x})).repartition(8)
+    xs = np.sort(x)
+    for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        got = exact_quantile(ds, "v", q, n_buckets=64, collect_cap=500)
+        assert got == xs[_disc_rank(len(x), q)], (q, got)
+
+
+def test_exact_quantiles_share_passes_multi_q(ray_session):
+    """Multi-quantile call: every q exact, including both extremes and a
+    pair whose refinement ranges diverge after round 1."""
+    from gush_ray.stages.sketches import exact_quantiles_nosort
+
+    rng = np.random.RandomState(7)
+    x = rng.gamma(2.0, 3.0, 30_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": x})).repartition(4)
+    qs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = exact_quantiles_nosort(ds, "v", qs, n_buckets=32,
+                                 collect_cap=400)
+    xs = np.sort(x)
+    for q in qs:
+        assert got[q] == xs[_disc_rank(len(x), q)], (q, got[q])
+
+
+def test_exact_quantile_degenerate_and_nulls(ray_session):
+    from gush_ray.stages.sketches import exact_quantile
+
+    # all-identical mass exits via the lo == hi fast path
+    ds = rd.from_pandas(pd.DataFrame({"v": np.full(10_000, 3.25)}))
+    assert exact_quantile(ds, "v", 0.5, collect_cap=10) == 3.25
+    # nulls ignored (SQL aggregate semantics); tiny n
+    ds2 = rd.from_pandas(pd.DataFrame({"v": [None, 4.0, None, 1.0, 2.0]}))
+    assert exact_quantile(ds2, "v", 0.5) == 2.0
+    # empty input -> NaN
+    ds3 = rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype="float64")}))
+    assert np.isnan(exact_quantile(ds3, "v", 0.5))
