@@ -51,14 +51,17 @@ def _slot_files(base_dir: str, stream: str, slot: str):
 
 def audit(out_dir: str) -> dict:
     """Full lineage audit; returns a report dict (see module docstring)."""
+    from gush_ray.compact import compact_slot, compaction_records
     from gush_ray.sinks.exactly_once import ExactlyOnceSink
     from gush_ray.state.store import snapshot_base_epoch
 
     sink = ExactlyOnceSink(out_dir)
     problems: list[str] = []
+    warnings: list[str] = []
     epochs = sink.committed_epochs()
     n_files = 0
     n_bytes = 0
+    compactions = compaction_records(out_dir)
 
     # 1. contiguity + final marker
     if epochs != list(range(len(epochs))):
@@ -77,15 +80,29 @@ def audit(out_dir: str) -> dict:
         and n not in ("_manifest", "_state")
     ]
 
-    # 2 + 3. per-epoch file integrity and row conservation
+    # 2 + 3. per-epoch file integrity and row conservation (epochs
+    # rewritten by compaction are checked per compacted RANGE below)
+    covered_by = {
+        s: {e for a, b in rs for e in range(a, b + 1)}
+        for s, rs in compactions.items()
+    }
     for e in epochs:
         man = sink.read_manifest(e)
         parts = man.get("partitions", [])
         slot = f"epoch={e:05d}"
         for stream in streams:
+            covered = e in covered_by.get(stream, ())
             files, stray = _slot_files(out_dir, stream, slot)
             for s in stray:
                 problems.append(f"stray temp file in committed slot: {s}")
+            if covered:
+                if files:
+                    warnings.append(
+                        f"leftover pre-compaction slot (ignored by "
+                        f"readers; rerun compact to clean): "
+                        f"{stream}/{slot}"
+                    )
+                continue
             rows = 0
             for f in files:
                 try:
@@ -100,6 +117,45 @@ def audit(out_dir: str) -> dict:
                 if rows != want:
                     problems.append(
                         f"epoch {e} stream {stream}: {rows} rows on disk "
+                        f"!= {want} in manifest metrics"
+                    )
+
+    # 3b. compacted ranges: integrity + conservation against the summed
+    # manifest metrics of every covered epoch
+    committed = set(epochs)
+    for stream, ranges in compactions.items():
+        seen: set[int] = set()
+        for a, b in ranges:
+            span = set(range(a, b + 1))
+            if span & seen:
+                problems.append(
+                    f"overlapping compaction ranges for {stream} at "
+                    f"{a}-{b}")
+            seen |= span
+            if not span <= committed:
+                problems.append(
+                    f"compaction {stream} {a}-{b} covers uncommitted "
+                    f"epochs {sorted(span - committed)}")
+            files, stray = _slot_files(out_dir, stream, compact_slot(a, b))
+            for s in stray:
+                problems.append(f"stray temp file in compacted slot: {s}")
+            rows = 0
+            for f in files:
+                try:
+                    rows += pq.read_metadata(f).num_rows
+                    n_files += 1
+                    n_bytes += os.path.getsize(f)
+                except Exception as exc:
+                    problems.append(f"unreadable parquet {f}: {exc}")
+            expect = _CONSERVED.get(stream)
+            if expect is not None:
+                want = 0
+                for e in sorted(span & committed):
+                    want += sum(expect(p) for p in
+                                sink.read_manifest(e).get("partitions", []))
+                if rows != want:
+                    problems.append(
+                        f"compacted {stream} {a}-{b}: {rows} rows on disk "
                         f"!= {want} in manifest metrics"
                     )
 
@@ -141,7 +197,10 @@ def audit(out_dir: str) -> dict:
         "streams": streams,
         "files": n_files,
         "bytes": n_bytes,
+        "compactions": {s: [list(r) for r in rs]
+                        for s, rs in compactions.items()},
         "problems": problems,
+        "warnings": warnings,
     }
 
 

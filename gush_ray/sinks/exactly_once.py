@@ -132,8 +132,18 @@ class ExactlyOnceSink:
             return json.load(f)
 
     def committed_files(self, stream: str) -> list[str]:
-        """Data files belonging to committed epochs only (reader isolation)."""
-        slots = [f"epoch={e:05d}" for e in self.committed_epochs()]
+        """Data files belonging to committed epochs only (reader
+        isolation). Epoch ranges rewritten by ``gush_ray.compact`` are
+        read from their ``compact=A-B`` slot instead of the (deleted)
+        per-epoch slots — the compaction record is the cutover, so a
+        crash mid-compaction never hides rows."""
+        from gush_ray.compact import compact_slot, compaction_records
+
+        ranges = compaction_records(self.base_dir).get(stream, [])
+        covered = {e for a, b in ranges for e in range(a, b + 1)}
+        slots = [compact_slot(a, b) for a, b in ranges]
+        slots += [f"epoch={e:05d}" for e in self.committed_epochs()
+                  if e not in covered]
         if self.final_committed():
             slots.append("epoch=final")
         files = []

@@ -1,0 +1,121 @@
+"""Output compaction: readers see identical rows before/after, lineage
+audits stay green, and every crash window is recoverable."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from gush_ray.compact import compact, compact_stream, compaction_records
+from gush_ray.datagen import write_pages_dir
+from gush_ray.fsck import audit
+from gush_ray.pipelines.epoch_loop import StreamingJob
+
+STREAMS = ("changes", "windows", "sessions", "sessions_wm", "matches",
+           "late")
+
+
+@pytest.fixture()
+def job(tmp_path):
+    pages = str(tmp_path / "pages")
+    write_pages_dir(pages, n_urls=250, seed=52, n_epochs=4)
+    out = str(tmp_path / "out")
+    j = StreamingJob(pages, out, run_id="cmp", num_partitions=4)
+    j.run()
+    return j
+
+
+def read_all(j):
+    return {
+        s: j.read_output(s).sort_values(
+            list(j.read_output(s).columns)).reset_index(drop=True)
+        for s in STREAMS
+    }
+
+
+def count_parquet(out_dir):
+    return sum(
+        1 for r, _d, fs in os.walk(out_dir)
+        if "_state" not in r and "_manifest" not in r
+        for f in fs if f.endswith(".parquet")
+    )
+
+
+def test_compact_preserves_rows_and_shrinks_files(job):
+    before = read_all(job)
+    files_before = count_parquet(job.out_dir)
+    reports = compact(job.out_dir)
+    assert any(r.get("compacted") for r in reports)
+    after = read_all(job)
+    for s in STREAMS:
+        pd.testing.assert_frame_equal(before[s], after[s]), s
+    assert count_parquet(job.out_dir) < files_before
+    rep = audit(job.out_dir)
+    assert rep["ok"], rep["problems"]
+    assert rep["compactions"].get("changes") == [[0, 3]]
+
+
+def test_compact_upto_then_rest(job):
+    before = read_all(job)
+    r1 = compact_stream(job.out_dir, "changes", upto=1)
+    assert r1["compacted"] and (r1["from"], r1["to"]) == (0, 1)
+    r2 = compact_stream(job.out_dir, "changes")
+    assert r2["compacted"] and (r2["from"], r2["to"]) == (2, 3)
+    assert compaction_records(job.out_dir)["changes"] == [(0, 1), (2, 3)]
+    after = read_all(job)
+    pd.testing.assert_frame_equal(before["changes"], after["changes"])
+    assert audit(job.out_dir)["ok"]
+
+
+def test_crash_before_record_is_invisible(job):
+    """A compacted slot WITHOUT its record must not change what readers
+    see, and the next compact run rebuilds it."""
+    before = read_all(job)
+    slot = os.path.join(job.out_dir, "changes", "compact=00000-00003")
+    os.makedirs(slot)
+    with open(os.path.join(slot, "part-00000.parquet"), "wb") as f:
+        f.write(b"half-written junk")
+    pd.testing.assert_frame_equal(before["changes"],
+                                  read_all(job)["changes"])
+    r = compact_stream(job.out_dir, "changes")
+    assert r["compacted"]
+    pd.testing.assert_frame_equal(before["changes"],
+                                  read_all(job)["changes"])
+    assert audit(job.out_dir)["ok"]
+
+
+def test_crash_before_cleanup_reads_compacted_and_heals(job):
+    """Record committed but old epoch dirs still present: readers use
+    the compacted slot (no double counting); the next run cleans up."""
+    before = read_all(job)
+    stash = os.path.join(job.out_dir, "_stash")
+    shutil.copytree(os.path.join(job.out_dir, "changes"), stash)
+    compact_stream(job.out_dir, "changes")
+    # resurrect the pre-compaction epoch dirs (as if cleanup was lost)
+    for name in os.listdir(stash):
+        if name.startswith("epoch=") and name != "epoch=final":
+            shutil.copytree(os.path.join(stash, name),
+                            os.path.join(job.out_dir, "changes", name))
+    shutil.rmtree(stash)
+    pd.testing.assert_frame_equal(before["changes"],
+                                  read_all(job)["changes"])
+    rep = audit(job.out_dir)
+    assert rep["ok"]
+    assert any("leftover pre-compaction" in w for w in rep["warnings"])
+    r = compact_stream(job.out_dir, "changes")  # heals, nothing new
+    assert not r["compacted"]
+    assert not any(
+        n.startswith("epoch=") and n != "epoch=final"
+        for n in os.listdir(os.path.join(job.out_dir, "changes"))
+    )
+
+
+def test_fsck_catches_corrupt_compacted_rows(job):
+    compact(job.out_dir)
+    d = os.path.join(job.out_dir, "changes", "compact=00000-00003")
+    victim = sorted(os.listdir(d))[0]
+    os.remove(os.path.join(d, victim))
+    rep = audit(job.out_dir)
+    assert not rep["ok"]
+    assert any("compacted changes 0-3" in p for p in rep["problems"])
