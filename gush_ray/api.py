@@ -427,6 +427,15 @@ class Stream:
 
         return exact_quantiles_nosort(self.ds, col, qs, **kw)
 
+    def exact_quantiles_by(self, key: str, col: str, qs: list[float],
+                           **kw):
+        """Terminal: per-group exact quantiles, shared refinement rounds
+        across all (group, q) tasks. Returns a long (key, q, value)
+        pandas frame."""
+        from gush_ray.stages.sketches import grouped_exact_quantiles
+
+        return grouped_exact_quantiles(self.ds, key, col, qs, **kw)
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:

@@ -826,6 +826,30 @@ FROM orders
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group EXACT p50/p90 with no sort: shared histogram-refinement
+    rounds across every (group, q) task — one grouped stats pass, the
+    rounds, one collect pass, regardless of group count."""
+    from gush_ray.stages.sketches import grouped_exact_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    long = grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice",
+                                   [0.5, 0.9])
+    wide = long.pivot(index="l_returnflag", columns="q",
+                      values="value").reset_index()
+    wide.columns = ["l_returnflag", "p50", "p90"]
+    return wide.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------- end-to-end training mix
 
 def q_training_mix(sf_dir: str):
@@ -936,4 +960,5 @@ ANALYTIC_QUERIES = {
     "dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "exact_quantiles": (q_exact_quantiles, SQL_EXACT_QUANTILES),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
 }

@@ -487,3 +487,156 @@ def exact_quantile(ds, col: str, q: float = 0.5, n_buckets: int = 2048,
         ds, col, [q], n_buckets=n_buckets, collect_cap=collect_cap,
         max_rounds=max_rounds,
     )[q]
+
+
+def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float],
+                            n_buckets: int = 512,
+                            collect_cap: int = 100_000,
+                            max_rounds: int = 40) -> pd.DataFrame:
+    """Per-GROUP exact quantiles with no sort: the
+    :func:`exact_quantiles_nosort` refinement generalized to (group, q)
+    tasks. One grouped stats pass, then shared rounds — every group's
+    every quantile narrows in the SAME scan, each round shuffling only
+    (group, q, bucket) count partials through the standard combiner —
+    then one shared collect pass over the final narrow ranges.
+
+    Driver state is O(groups × len(qs)) search intervals (the groups
+    themselves never materialize beyond the G-row stats table — same
+    contract as any grouped aggregate's result). Returns a long frame
+    (key, q, value), one row per (group, quantile).
+    """
+    import math
+
+    from gush_ray.stages.agg import partial_aggregate
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.dropna(subset=[col]).groupby(key, dropna=False)[col]
+        return g.agg(cnt="count", mn="min", mx="max").reset_index()
+
+    st = partial_aggregate(
+        ds.map_batches(stats, batch_format="pandas"), [key],
+        {"cnt": ("cnt", "sum"), "mn": ("mn", "min"), "mx": ("mx", "max")},
+    ).to_pandas()
+
+    # (group, q) search tasks; rank convention as exact_quantiles_nosort
+    tasks: dict[tuple, dict] = {}
+    out_rows = []
+    for _, row in st.iterrows():
+        n = int(row["cnt"])
+        for q in qs:
+            k = min(max(0, math.ceil(q * n - 1e-9) - 1), n - 1)
+            tasks[(row[key], q)] = {
+                "k": k, "below": 0, "lo": float(row["mn"]),
+                "hi": float(row["mx"]), "hi_incl": True,
+            }
+
+    def resolve_points():
+        for gq in list(tasks):
+            t = tasks[gq]
+            if t["hi"] <= t["lo"]:
+                out_rows.append((gq[0], gq[1], t["lo"]))
+                del tasks[gq]
+
+    for _ in range(max_rounds):
+        resolve_points()
+        if not tasks:
+            break
+        # group -> [(task_index, lo, hi, hi_incl)]; edges are recomputed
+        # in the worker (np.linspace is deterministic, so worker and
+        # driver see bit-identical bucket boundaries) — shipping them
+        # would broadcast O(G × qs × n_buckets) floats per round
+        per_group: dict = {}
+        order = list(tasks.items())
+        for ti, ((grp, _q), t) in enumerate(order):
+            per_group.setdefault(grp, []).append(
+                (ti, t["lo"], t["hi"], t["hi_incl"]))
+
+        def hist(b: pd.DataFrame, per_group=per_group) -> pd.DataFrame:
+            rs, bks, cts = [], [], []
+            sub = b.dropna(subset=[col])
+            for grp, g in sub.groupby(key, dropna=False):
+                specs = per_group.get(grp)
+                if not specs:
+                    continue
+                x = g[col].to_numpy(dtype=np.float64)
+                for ti, lo, hi, hi_incl in specs:
+                    xr = x[_in_range(x, lo, hi, hi_incl)]
+                    if len(xr) == 0:
+                        continue
+                    edges = np.linspace(lo, hi, n_buckets + 1)
+                    idx = np.clip(
+                        np.searchsorted(edges, xr, side="right") - 1,
+                        0, n_buckets - 1)
+                    u, c = np.unique(idx, return_counts=True)
+                    rs.append(np.full(len(u), ti, dtype=np.int64))
+                    bks.append(u.astype(np.int64))
+                    cts.append(c.astype(np.int64))
+            if not rs:
+                return pd.DataFrame(
+                    {"t": pd.Series([], dtype="int64"),
+                     "bucket": pd.Series([], dtype="int64"),
+                     "cnt": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"t": np.concatenate(rs),
+                                 "bucket": np.concatenate(bks),
+                                 "cnt": np.concatenate(cts)})
+
+        agg = partial_aggregate(
+            ds.map_batches(hist, batch_format="pandas"),
+            ["t", "bucket"], {"total": ("cnt", "sum")},
+        ).to_pandas()
+        narrow_enough = True
+        for ti, (gq, t) in enumerate(order):
+            if gq not in tasks:
+                continue
+            sub = agg[agg["t"] == ti]
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            counts[sub["bucket"].to_numpy()] = sub["total"].to_numpy()
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, t["k"] - t["below"], side="right"))
+            edges = np.linspace(t["lo"], t["hi"], n_buckets + 1)
+            t["below"] += int(cum[b] - counts[b])
+            t["lo"], t["hi"] = float(edges[b]), float(edges[b + 1])
+            t["hi_incl"] = t["hi_incl"] and b == n_buckets - 1
+            if counts[b] > collect_cap:
+                narrow_enough = False
+        if narrow_enough:
+            break
+    else:
+        raise RuntimeError(
+            f"grouped_exact_quantiles did not converge in {max_rounds} "
+            f"rounds ({len(tasks)} open tasks, {collect_cap=})")
+
+    resolve_points()
+    if tasks:
+        forder = list(tasks.items())
+        fper_group: dict = {}
+        for ti, ((grp, _q), t) in enumerate(forder):
+            fper_group.setdefault(grp, []).append(
+                (ti, t["lo"], t["hi"], t["hi_incl"]))
+
+        def collect(bb: pd.DataFrame, fper_group=fper_group) -> pd.DataFrame:
+            rs, vs = [], []
+            sub = bb.dropna(subset=[col])
+            for grp, g in sub.groupby(key, dropna=False):
+                specs = fper_group.get(grp)
+                if not specs:
+                    continue
+                x = g[col].to_numpy(dtype=np.float64)
+                for ti, lo, hi, hi_incl in specs:
+                    xr = x[_in_range(x, lo, hi, hi_incl)]
+                    rs.append(np.full(len(xr), ti, dtype=np.int64))
+                    vs.append(xr)
+            if not rs:
+                return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                     "v": pd.Series([], dtype="float64")})
+            return pd.DataFrame({"t": np.concatenate(rs),
+                                 "v": np.concatenate(vs)})
+
+        vals = ds.map_batches(collect, batch_format="pandas").to_pandas()
+        for ti, ((grp, q), t) in enumerate(forder):
+            xr = vals[vals["t"] == ti]["v"].to_numpy()
+            r = t["k"] - t["below"]
+            out_rows.append((grp, q, float(np.partition(xr, r)[r])))
+
+    out = pd.DataFrame(out_rows, columns=[key, "q", "value"])
+    return out.sort_values([key, "q"]).reset_index(drop=True)

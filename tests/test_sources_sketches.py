@@ -167,3 +167,29 @@ def test_exact_quantile_degenerate_and_nulls(ray_session):
     # empty input -> NaN
     ds3 = rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype="float64")}))
     assert np.isnan(exact_quantile(ds3, "v", 0.5))
+
+
+def test_grouped_exact_quantiles_match_reference(ray_session):
+    from gush_ray.stages.sketches import grouped_exact_quantiles
+
+    rng = np.random.RandomState(31)
+    frames = []
+    for g, (n, scale) in enumerate([(8_000, 1.0), (500, 40.0), (3, 1.0),
+                                    (2_000, 0.0)]):  # incl. all-ties group
+        frames.append(pd.DataFrame({
+            "g": f"grp{g}",
+            "v": (rng.lognormal(0, 1, n) * scale if scale else
+                  np.full(n, 42.0)),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    ds = rd.from_pandas(df).repartition(8)
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = grouped_exact_quantiles(ds, "g", "v", qs, n_buckets=32,
+                                  collect_cap=300)
+    assert len(got) == 4 * len(qs)
+    for g, sub in df.groupby("g"):
+        xs = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            want = xs[_disc_rank(len(xs), q)]
+            have = got[(got["g"] == g) & (got["q"] == q)]["value"].iloc[0]
+            assert have == want, (g, q, have, want)
