@@ -646,6 +646,7 @@ class StreamingJob:
         ready_marker: str | None = "_READY",
         idle_timeout_s: float | None = 60.0,
         resume: bool = True,
+        compact_every: int | None = None,
     ) -> dict:
         """Tail the input directory while running: consume new
         ``epoch=N`` slices as they appear (the live-ingestion form of the
@@ -660,6 +661,13 @@ class StreamingJob:
         the same epochs (pinned by an e2e test). ``idle_timeout_s`` with
         no new input and no stop marker returns WITHOUT finalizing (the
         stream stays resumable); pass ``None`` to wait forever.
+
+        ``compact_every``: merge every N committed epochs' small part
+        files in-flight (gush_ray.compact; readers cut over atomically,
+        so a concurrent ``read_output`` never sees a partial state).
+        Compaction only ever touches durably committed epochs, which a
+        live run never rewrites — no coordination with the epoch loop is
+        needed beyond running it on the driver between polls.
         """
         files = self._discover_ready(ready_marker)
         start = self._resume_start(resume, files, allow_growth=True)
@@ -692,6 +700,10 @@ class StreamingJob:
                 progressed = True
             if progressed:
                 idle_since = time.monotonic()
+                if compact_every:
+                    from gush_ray.compact import compact
+
+                    compact(self.out_dir, min_epochs=compact_every)
 
             if os.path.exists(os.path.join(self.pages_dir, stop_marker)):
                 # consume anything that raced in with the stop marker
@@ -702,6 +714,10 @@ class StreamingJob:
                     return {"completed": -1, "empty": True,
                             "finalized": False}
                 self._finalize(next_epoch)
+                if compact_every:
+                    from gush_ray.compact import compact
+
+                    compact(self.out_dir, min_epochs=compact_every)
                 return {"completed": next_epoch - 1,
                         "watermark_us": watermark, "finalized": True}
 

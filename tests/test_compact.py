@@ -119,3 +119,52 @@ def test_fsck_catches_corrupt_compacted_rows(job):
     rep = audit(job.out_dir)
     assert not rep["ok"]
     assert any("compacted changes 0-3" in p for p in rep["problems"])
+
+
+def test_continuous_ingestion_with_inflight_compaction(tmp_path):
+    """compact_every merges committed epochs WHILE the stream runs;
+    output rows stay identical to a batch run and fsck stays green."""
+    import threading
+    import time as _time
+
+    src = str(tmp_path / "src_pages")
+    write_pages_dir(src, n_urls=250, seed=61, n_epochs=5)
+    batch_out = str(tmp_path / "batch_out")
+    jb = StreamingJob(src, batch_out, run_id="acB", num_partitions=4)
+    jb.run()
+
+    live = str(tmp_path / "live_pages")
+    os.makedirs(live)
+
+    def writer():
+        for e in range(5):
+            _time.sleep(0.3)
+            name = f"epoch={e:04d}"
+            shutil.copytree(os.path.join(src, name),
+                            os.path.join(live, name + ".tmp"))
+            os.rename(os.path.join(live, name + ".tmp"),
+                      os.path.join(live, name))
+            open(os.path.join(live, name, "_READY"), "w").close()
+        open(os.path.join(live, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    live_out = str(tmp_path / "live_out")
+    jl = StreamingJob(live, live_out, run_id="acL", num_partitions=4)
+    res = jl.run_continuous(poll_interval_s=0.1, compact_every=2)
+    t.join()
+    assert res["finalized"] and res["completed"] == 4
+
+    recs = compaction_records(live_out)
+    assert recs.get("changes"), "in-flight compaction never ran"
+    from gush_ray.fsck import audit as _audit
+    rep = _audit(live_out)
+    assert rep["ok"], rep["problems"]
+
+    for stream in ("changes", "windows", "matches"):
+        a = jb.read_output(stream)
+        cols = list(a.columns)
+        b = jl.read_output(stream)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), stream
