@@ -401,3 +401,76 @@ def encode_gif_header(w: int, h: int, palette_bits: int = 2) -> bytes:
     pal = bytes(3 * (2 << ((palette_bits - 1) & 0x07)))
     return (b"GIF87a" + struct.pack("<HH", w, h) + bytes([flags, 0, 0])
             + pal + b"\x3b")
+
+
+# ------------------------------------------------------------- PPM / PGM
+# Netpbm binary formats: pure-ASCII header + raw samples, the simplest
+# REAL image codecs that exist (P5 = grayscale, P6 = RGB; maxval <= 255).
+
+def _pnm_header(data: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """Parse 'P5/P6 <w> <h> <maxval>' with '#' comments; returns
+    (w, h, maxval, data_offset). The header ends after EXACTLY one
+    whitespace byte following maxval (per spec)."""
+    if not data.startswith(magic):
+        raise ValueError(f"not a {magic.decode()} stream")
+    pos = len(magic)
+    vals = []
+    while len(vals) < 3:
+        if pos >= len(data):
+            raise ValueError("malformed pnm: truncated header")
+        c = data[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("malformed pnm: unterminated comment")
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(data) and data[end:end + 1].isdigit():
+                end += 1
+            vals.append(int(data[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"malformed pnm: unexpected byte {c!r}")
+    if pos >= len(data) or not data[pos:pos + 1].isspace():
+        raise ValueError("malformed pnm: missing header terminator")
+    w, h, maxval = vals
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported pnm maxval {maxval}")
+    return w, h, maxval, pos + 1
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8).tobytes()
+
+
+@_valueerror_on_truncation
+def decode_ppm(data: bytes) -> np.ndarray:
+    w, h, _maxval, off = _pnm_header(data, b"P6")
+    need = w * h * 3
+    body = data[off:off + need]
+    if len(body) < need:
+        raise ValueError("malformed ppm: truncated pixel data")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → binary PGM (P5)."""
+    h, w = pixels.shape[:2]
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8).tobytes()
+
+
+@_valueerror_on_truncation
+def decode_pgm(data: bytes) -> np.ndarray:
+    w, h, _maxval, off = _pnm_header(data, b"P5")
+    need = w * h
+    body = data[off:off + need]
+    if len(body) < need:
+        raise ValueError("malformed pgm: truncated pixel data")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w)

@@ -45,6 +45,8 @@ _SNIFF_RULES = (
     ("riff", b"RIFF", 0),
     ("wav", b"WAVE", 8),
     ("y4m", b"YUV4MPEG2", 0),
+    ("ppm", b"P6", 0),
+    ("pgm", b"P5", 0),
 )
 
 
@@ -178,6 +180,16 @@ class DecodeFeatures:
             if blob.startswith(b"BM"):
                 w, h, f = _image_features(decode_bmp(blob))
                 return w, h, f, "bmp", True
+            if blob.startswith(b"P6"):
+                from gush_ray.stages.codecs import decode_ppm
+
+                w, h, f = _image_features(decode_ppm(blob))
+                return w, h, f, "ppm", True
+            if blob.startswith(b"P5"):
+                from gush_ray.stages.codecs import decode_pgm
+
+                w, h, f = _image_features(decode_pgm(blob))
+                return w, h, f, "pgm", True
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 n, ch, f = _audio_features(*decode_wav(blob))
                 return n, ch, f, "wav", True

@@ -239,3 +239,45 @@ def test_multimodal_resize_and_frame_sample_queries():
     fs = q_frame_sample("/root/testdata/sf0.001")
     assert len(fs) == 12                  # truncated clip produced no rows
     assert (fs["n_sampled"] == (fs["n_frames"] + 4) // 5).all()
+
+
+def test_pnm_roundtrip_and_comments():
+    from gush_ray.stages.codecs import (decode_pgm, decode_ppm, encode_pgm,
+                                        encode_ppm)
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    gray = rng.randint(0, 256, (4, 9), dtype=np.uint8)
+    assert (decode_pgm(encode_pgm(gray)) == gray).all()
+    # header comments and arbitrary whitespace are legal
+    body = rgb.tobytes()
+    quirky = b"P6 # comment\n# another\n 5\t7 # w h\n255\n" + body
+    assert (decode_ppm(quirky) == rgb).all()
+    for bad in (b"P6\n5 7\n255\n" + body[:-8],     # truncated pixels
+                b"P6\n5 7\n70000\n" + body,        # 16-bit maxval
+                b"P6\n5 7 255",                    # no terminator
+                b"P5\n", b"Px"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_decode_features_pnm_real_pixels():
+    from gush_ray.stages.codecs import encode_pgm, encode_ppm
+    from gush_ray.stages.multimodal import DecodeFeatures, sniff_blob_batch
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (12, 8, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (6, 10), dtype=np.uint8)
+    batch = pa.table({"html": pa.array(
+        [encode_ppm(rgb), encode_pgm(gray)], type=pa.binary())})
+    sniffed = sniff_blob_batch(batch)
+    assert sniffed["blob_kind"].to_pylist() == ["ppm", "pgm"]
+    out = DecodeFeatures()(batch)
+    assert out["width"].to_pylist() == [8, 10]
+    assert out["height"].to_pylist() == [12, 6]
+    assert out["decode_kind"].to_pylist() == ["ppm", "pgm"]
+    assert out["decode_ok"].to_pylist() == [True, True]
+    # real pixel statistics (mean brightness feature) — not the fake
+    f0 = np.asarray(out["features"][0].as_py())
+    assert abs(f0[0] - rgb.mean() / 255.0) < 0.02
