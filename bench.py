@@ -72,7 +72,18 @@ def bench_flagship_stream(sf_dir: str) -> dict:
         n_epochs=BENCH_PAGES_EPOCHS,
     )
     _warm_cache(sf_dir, [pages_dir])
-    out_dir = f"/tmp/gush_ray_bench/{uuid.uuid4().hex}"
+    # sink parts + state snapshots are the run's write-bandwidth floor.
+    # On this shared VM the DISK is a fixed resource a co-tenant also
+    # hammers — and the 16-cpu leg demands 3x the write bandwidth of the
+    # 4-cpu leg for the same bytes, so co-tenant disk IO shows up as a
+    # fake scaling defect (observed: both legs slow, hi leg 2x worse,
+    # while the matmul ceiling probe stays clean). tmpfs isolates the
+    # ENGINE's scaling; on a real cluster output bandwidth (S3/NFS)
+    # scales with the node count. Override with GRAFT_BENCH_OUT.
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
     # full north-star pipeline incl. the change-stream × dimension join
     dim = gen_dim_sites(max(4, BENCH_PAGES_URLS // 20)).to_pandas()
     job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
@@ -257,17 +268,20 @@ def run_scaling(repeat: int = 1) -> dict:
             GRAFT_BENCH_URLS=str(SCALING_URLS),
             GRAFT_BENCH_EPOCHS="2",
         )
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
-            env=env, capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode != 0:  # surface the child's traceback
-            sys.stderr.write(proc.stderr)
-            raise RuntimeError(
-                f"scaling child (cpus={ncpu}) failed rc={proc.returncode}"
+        for attempt in (1, 2):  # one retry: a 15-min measurement should
+            proc = subprocess.run(  # survive a transient host hiccup
+                [sys.executable, os.path.abspath(__file__),
+                 "--flagship-only"],
+                env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            sys.stderr.write(proc.stderr)  # surface the child's traceback
+        raise RuntimeError(
+            f"scaling child (cpus={ncpu}) failed twice "
+            f"rc={proc.returncode}"
+        )
 
     lo, hi = SCALE_LO, SCALE_HI
     pairs = []

@@ -364,6 +364,7 @@ class StreamingJob:
         snapshot_full_every: int = 8,
         commit_queue_depth: int = 2,
         dedup_ttl_us: int | None = None,
+        idle_partition_epochs: int | None = None,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -415,6 +416,16 @@ class StreamingJob:
         # stream running ahead must not mark the other's rows late)
         self._part_max_ts = [NEG_INF] * self.P
         self._part_max_ts_r = [NEG_INF] * self.P
+        # Flink-style source idleness: a partition whose event-time max
+        # has not advanced for this many epochs stops holding the
+        # watermark back (its stale max would otherwise pin the min
+        # forever and no window could ever close). Trade-off, same as
+        # Flink's withIdleness: if the idle partition later produces
+        # rows with old timestamps they are late-routed. None = every
+        # data-bearing partition always participates in the min.
+        self.idle_partition_epochs = idle_partition_epochs
+        self._part_idle = [0] * self.P
+        self._part_idle_r = [0] * self.P
         self._commit_thread = None
         self._commit_queue = None
         self._commit_error: BaseException | None = None
@@ -577,6 +588,8 @@ class StreamingJob:
                 pid = p["partition_id"]
                 self._part_max_ts[pid] = p.get("max_ts_us", NEG_INF)
                 self._part_max_ts_r[pid] = p.get("max_ts_us_r", NEG_INF)
+                self._part_idle[pid] = p.get("idle_epochs", 0)
+                self._part_idle_r[pid] = p.get("idle_epochs_r", 0)
             if self.mode == "actors":
                 ray.get(
                     [
@@ -800,6 +813,8 @@ class StreamingJob:
         # Partitions that have NEVER seen a row are idle sources and do
         # not hold the watermark back (they have no pending state); only
         # partitions with data participate in the min (W5).
+        old_max = list(self._part_max_ts)
+        old_max_r = list(self._part_max_ts_r)
         for m in metas:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts[pid]:
@@ -808,13 +823,35 @@ class StreamingJob:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts_r[pid]:
                     self._part_max_ts_r[pid] = m["max_ts"][pid]
-        maxima = list(self._part_max_ts)
+        # source-idleness bookkeeping: epochs since each partition's
+        # event-time max last advanced (persisted in manifests so a
+        # resumed run continues the same idleness schedule)
+        for pid in range(self.P):
+            self._part_idle[pid] = (
+                0 if self._part_max_ts[pid] > old_max[pid]
+                else self._part_idle[pid] + 1)
+            self._part_idle_r[pid] = (
+                0 if self._part_max_ts_r[pid] > old_max_r[pid]
+                else self._part_idle_r[pid] + 1)
+
+        k = self.idle_partition_epochs
+
+        def active(maxima, idle):
+            seen = [t for t in maxima if t > NEG_INF]
+            if k is None or not seen:
+                return seen
+            live = [t for t, i in zip(maxima, idle)
+                    if t > NEG_INF and i < k]
+            # every data-bearing partition idle → nothing new arrived;
+            # the stale maxima are the only (and correct) bound
+            return live or seen
+
+        maxima = active(self._part_max_ts, self._part_idle)
         if self.right_dir is not None:
             # both streams bound the watermark (min of the two per
             # partition, idle partitions excluded as above)
-            maxima += self._part_max_ts_r
-        seen = [t for t in maxima if t > NEG_INF]
-        watermark = min(seen) if seen else NEG_INF
+            maxima += active(self._part_max_ts_r, self._part_idle_r)
+        watermark = min(maxima) if maxima else NEG_INF
 
         if self.mode == "tasks":
             # BARRIER-FREE reduces: submit all P reduce tasks, each chained
@@ -852,6 +889,8 @@ class StreamingJob:
             max_ts_now = [int(t) for t in self._part_max_ts]
             max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
                             if self.right_dir is not None else None)
+            idle_now = list(self._part_idle)
+            idle_r_now = list(self._part_idle_r)
             snap_paths = [self._snapshot_path(epoch, pid)
                           for pid in range(self.P)]
 
@@ -865,7 +904,8 @@ class StreamingJob:
                         epoch, metrics,
                         f"(gather {timings['reduce_gather_sec']}s)")
                 return self._build_part_rows(
-                    metrics, max_ts_now, max_ts_r_now, snap_paths)
+                    metrics, max_ts_now, max_ts_r_now, snap_paths,
+                    idle_now, idle_r_now)
 
             if prof:
                 print(f"[prof] epoch {epoch} reduce submit: {submit_sec}s "
@@ -918,6 +958,8 @@ class StreamingJob:
             ([int(t) for t in self._part_max_ts_r]
              if self.right_dir is not None else None),
             [self._snapshot_path(epoch, pid) for pid in range(self.P)],
+            list(self._part_idle),
+            list(self._part_idle_r),
         )
         # commit off the critical path: the durability sync + manifest
         # write run in an ORDERED background committer while the next
@@ -944,14 +986,19 @@ class StreamingJob:
               f"{self.P} parts: {ph} {suffix}".rstrip())
 
     def _build_part_rows(self, metrics, max_ts, max_ts_r,
-                         snap_paths) -> list[dict]:
+                         snap_paths, idle, idle_r) -> list[dict]:
+        # idle/idle_r are SNAPSHOTS taken at submit time: this runs in
+        # the committer thread, where self._part_idle may already
+        # describe a later epoch
         parts = []
         for pid in range(self.P):
             row = {"partition_id": pid,
                    "max_ts_us": max_ts[pid],
+                   "idle_epochs": idle[pid],
                    "snapshot": snap_paths[pid]}
             if max_ts_r is not None:
                 row["max_ts_us_r"] = max_ts_r[pid]
+                row["idle_epochs_r"] = idle_r[pid]
             row.update(
                 {k: int(v) if isinstance(v, np.integer) else v
                  for k, v in metrics[pid].items()}

@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--slide-sec", type=int, default=None)
     ap.add_argument("--gap-sec", type=int, default=1800)
     ap.add_argument("--lateness-sec", type=int, default=0)
+    ap.add_argument("--idle-partition-epochs", type=int, default=None,
+                    help="Flink-style source idleness: a partition whose "
+                         "event-time max hasn't advanced for K epochs "
+                         "stops holding the watermark back")
     ap.add_argument("--dedup-ttl-sec", type=int, default=None,
                     help="evict dedup state for keys idle this long in "
                          "event time (bounds state; version counters "
@@ -76,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
                          if args.slide_sec else None),
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
+        idle_partition_epochs=args.idle_partition_epochs,
     )
     res = job.run(resume=not args.no_resume)
     summary = {

@@ -351,3 +351,120 @@ def test_streaming_dim_join_unmatched_keys(pages_dir, tmp_path):
     assert ch["category"].isna().any()  # unmatched keys exist
     w = job.read_output("windows")
     assert w["n"].sum() == len(ch)      # conservation incl. null groups
+
+
+# ------------------------------------------------- source idleness (W5)
+
+def _mini_pages(base, epochs_rows):
+    """Hand-built pages stream: epochs_rows = [[(url, ts_us), ...], ...]"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from gush_ray.extract import render_html
+
+    for e, rows in enumerate(epochs_rows):
+        d = os.path.join(base, f"epoch={e:04d}")
+        os.makedirs(d)
+        t = pa.table({
+            "url": [u for u, _ in rows],
+            "warc_ts": pa.array([ts for _, ts in rows],
+                                type=pa.timestamp("us")),
+            "html": pa.array(
+                [render_html(u, f"hello world {ts}") for u, ts in rows],
+                type=pa.binary()),
+            "text": [f"hello world {ts}" for _, ts in rows],
+            "lang": ["en"] * len(rows),
+        })
+        pq.write_table(t, os.path.join(d, "part-00.parquet"))
+    return base
+
+
+# with P=2: site0's url hashes to partition 1, site1's to partition 0
+_URL_P1 = "https://site0.example.org/p"
+_URL_P0 = "https://site1.example.org/p"
+_T0 = 1_700_000_000_000_000
+_HOUR = 3600 * 1_000_000
+
+
+def test_idle_partition_unpins_watermark(tmp_path):
+    """A partition that produced data once then went idle must not pin
+    the watermark forever (Flink withIdleness semantics): with
+    idle_partition_epochs set, windows close DURING the stream; without
+    it they only close at the final flush. Totals agree either way, and
+    a straggler row from the idle partition is late-routed — the
+    documented trade-off."""
+    import os
+
+    epochs = [
+        [(_URL_P1, _T0), (_URL_P0, _T0 + 1)],       # both partitions
+        [(_URL_P0, _T0 + 2 * _HOUR)],               # partition 1 idle
+        [(_URL_P0, _T0 + 4 * _HOUR)],               # still idle
+        [(_URL_P1, _T0 + 300_000_000),              # straggler, old ts
+         (_URL_P0, _T0 + 5 * _HOUR)],
+    ]
+    pages = _mini_pages(str(tmp_path / "pages"), epochs)
+
+    def run(out, run_id, idle):
+        j = StreamingJob(pages, str(tmp_path / out), run_id=run_id,
+                         num_partitions=2, window_size_us=_HOUR,
+                         idle_partition_epochs=idle)
+        j.run()
+        return j
+
+    j_off = run("off", "idleOff", None)
+    j_on = run("on", "idleOn", 1)
+
+    def committed_window_slots(j):
+        d = os.path.join(j.out_dir, "windows")
+        return [n for n in os.listdir(d) if n != "epoch=final"] \
+            if os.path.isdir(d) else []
+
+    # without idleness the stale partition pins wm at T0 → nothing
+    # closes until the final flush; with it, in-stream closes happen
+    assert not committed_window_slots(j_off)
+    assert committed_window_slots(j_on)
+
+    # trade-off: the idle partition's straggler is late under idleness
+    late_on = j_on.read_output("late")
+    assert _URL_P1 in set(late_on["url"])
+    late_off = j_off.read_output("late")
+    assert late_off.empty or _URL_P1 not in set(late_off["url"])
+
+    # conservation: windows' total count equals the non-late change rows
+    for j in (j_on, j_off):
+        ch = j.read_output("changes")
+        w = j.read_output("windows")
+        assert w["n"].sum() == len(ch)
+
+
+def test_idle_partition_resume_parity(tmp_path):
+    """Idle counters persist in manifests: killed+resumed == uninterrupted
+    with idleness enabled."""
+    epochs = [
+        [(_URL_P1, _T0), (_URL_P0, _T0 + 1)],
+        [(_URL_P0, _T0 + 2 * _HOUR)],
+        [(_URL_P0, _T0 + 4 * _HOUR)],
+        [(_URL_P0, _T0 + 6 * _HOUR)],
+    ]
+    pages = _mini_pages(str(tmp_path / "pages"), epochs)
+
+    def job(out, run_id):
+        return StreamingJob(pages, str(tmp_path / out), run_id=run_id,
+                            num_partitions=2, window_size_us=_HOUR,
+                            idle_partition_epochs=2)
+
+    ja = job("a", "ipA")
+    ja.run()
+    jb = job("b", "ipB1")
+    jb.run(stop_after=2)
+    jb2 = job("b", "ipB2")
+    jb2.run(resume=True)
+
+    for stream in ("changes", "windows", "late"):
+        a = ja.read_output(stream)
+        cols = list(a.columns)
+        b = jb2.read_output(stream)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True)), stream
