@@ -850,6 +850,113 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_group_corr(sf_dir: str):
+    """Pearson correlation per group from ONE pass of sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) — the textbook mergeable-
+    moments shape: per-batch partial sums, one tiny combiner shuffle,
+    driver-side closed form over G rows."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].astype("float64")
+        y = b["l_extendedprice"].astype("float64")
+        return b.assign(x=x, y=y, xx=x * x, yy=y * y, xy=x * y)[
+            ["l_returnflag", "x", "y", "xx", "yy", "xy"]]
+
+    agg = partial_aggregate(
+        li.map_batches(moments, batch_format="pandas"), ["l_returnflag"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
+         "sxy": ("xy", "sum")},
+    ).to_pandas()
+    n = agg["n"].astype("float64")
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = np.sqrt((n * agg["sxx"] - agg["sx"] ** 2)
+                  * (n * agg["syy"] - agg["sy"] ** 2))
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "corr_qty_price": _round_ha(num / den, 4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_GROUP_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_group_mode(sf_dir: str):
+    """Most frequent value per group, deterministic tie-break (highest
+    count, then smallest value). Combiner shape: per-batch (group,
+    value) counts, one partial shuffle; the merged table is
+    groups × distinct-values rows — driver-small whenever the value
+    column has bounded cardinality (quantity: 50)."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    agg = partial_aggregate(
+        li, ["l_returnflag", "l_quantity"], {"n": (None, "count")},
+    ).to_pandas()
+    agg = agg.sort_values(["l_returnflag", "n", "l_quantity"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = agg.groupby("l_returnflag", as_index=False).head(1)
+    out = out.rename(columns={"l_quantity": "mode_qty"})[
+        ["l_returnflag", "mode_qty"]]
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_GROUP_MODE = """
+SELECT l_returnflag, l_quantity AS mode_qty FROM (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity)
+WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+def q_group_mad(sf_dir: str):
+    """Median absolute deviation per group: grouped exact median (no
+    sort), broadcast the G medians, one residual pass, grouped exact
+    median again — a composition of two grouped_exact_quantiles runs,
+    every scan column-pruned."""
+    from gush_ray.stages.sketches import grouped_exact_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    med = grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice",
+                                  [0.5])
+    med_by_g = dict(zip(med["l_returnflag"], med["value"]))
+
+    def residual(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_returnflag"].map(med_by_g).astype("float64")
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "r": (b["l_extendedprice"].astype("float64") - m).abs(),
+        })
+
+    resid = li.map_batches(residual, batch_format="pandas")
+    mad = grouped_exact_quantiles(resid, "l_returnflag", "r", [0.5])
+    out = pd.DataFrame({
+        "l_returnflag": mad["l_returnflag"],
+        "mad_price": _round_ha(mad["value"], 4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_GROUP_MAD = """
+WITH m AS (
+  SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       round(CAST(quantile_disc(abs(l_extendedprice - med), 0.5)
+                  AS DOUBLE), 4) AS mad_price
+FROM lineitem l JOIN m USING (l_returnflag)
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
 # --------------------------------------------- end-to-end training mix
 
 def q_training_mix(sf_dir: str):
@@ -961,4 +1068,7 @@ ANALYTIC_QUERIES = {
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "exact_quantiles": (q_exact_quantiles, SQL_EXACT_QUANTILES),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
+    "group_corr": (q_group_corr, SQL_GROUP_CORR),
+    "group_mode": (q_group_mode, SQL_GROUP_MODE),
+    "group_mad": (q_group_mad, SQL_GROUP_MAD),
 }
