@@ -91,3 +91,26 @@ def test_cli_exit_codes(out_dir, tmp_path, capsys):
     bad = corrupted_copy(out_dir, tmp_path, "cli")
     os.remove(os.path.join(bad, "_manifest", "epoch=00003.json"))
     assert main([bad]) == 1
+
+
+def test_metrics_summary(out_dir):
+    from gush_ray.metrics import summarize
+
+    rep = summarize(out_dir)
+    assert rep["epochs_committed"] == 4 and rep["final"]
+    t = rep["totals"]
+    # conservation: rows in = changes + late + replays + stale
+    assert t["rows_in"] == (t["changes"] + t["late"]
+                            + t["replays_dropped"] + t["stale_dropped"])
+    assert t["changes"] == t["inserts"] + t["updates"]
+    assert all(r["snapshot_bytes"] > 0 for r in rep["epochs"])
+    assert rep["last_watermark_us"] is not None
+
+
+def test_metrics_cli(out_dir, capsys):
+    from gush_ray.metrics import main
+
+    assert main([out_dir]) == 0
+    txt = capsys.readouterr().out
+    assert "4 epochs (finalized)" in txt
+    assert main([out_dir, "--json"]) == 0
