@@ -850,6 +850,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC normalization (the canonical pre-dedup step): a
+    decomposed combining sequence is prepended to every document so the
+    fixture (pure ASCII) actually exercises recomposition; DuckDB's
+    nfc_normalize is the oracle."""
+    from gush_ray.stages.corpus import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pre = docs.map_batches(
+        lambda b: b.assign(text="e\u0301" + b["text"]),
+        batch_format="pandas")
+    out = normalize_text(pre, col="text", out="norm_text")
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id, nfc_normalize(chr(101) || chr(769) || text) AS norm_text
+FROM documents
+"""
+
+
 def q_group_corr(sf_dir: str):
     """Pearson correlation per group from ONE pass of sufficient
     statistics (n, Σx, Σy, Σx², Σy², Σxy) — the textbook mergeable-
@@ -1071,4 +1092,5 @@ ANALYTIC_QUERIES = {
     "group_corr": (q_group_corr, SQL_GROUP_CORR),
     "group_mode": (q_group_mode, SQL_GROUP_MODE),
     "group_mad": (q_group_mad, SQL_GROUP_MAD),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
 }

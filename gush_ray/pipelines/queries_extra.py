@@ -165,6 +165,22 @@ def q_lsh_index_ann(sf_dir: str):
     return lsh_index_topk(idx, qvec, k=10, n_planes=6)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings table: full-data Lloyd
+    (per-batch (cluster, n, sumvec, sse) partials — the corpus never
+    shuffles), then one assign pass; returns per-cluster sizes. Rows-only
+    (iterative centroids aren't SQL-expressible); deterministic via
+    sorted partial folds."""
+    from gush_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fit = kmeans_fit(emb, k=8, n_iters=10, sample_size=2000, seed=7)
+    out = kmeans_assign(emb, fit["centroids"]).to_pandas()
+    sizes = out.groupby("cluster", as_index=False).size()
+    sizes.columns = ["cluster", "n"]
+    return sizes.sort_values("cluster").reset_index(drop=True)
+
+
 def q_ivf_index_ann(sf_dir: str):
     """ANN with a TRAINED build-once IVF index: spherical-k-means list
     assignment written as list-partitioned parquet; the query reads only
@@ -525,6 +541,7 @@ EXTRA_QUERIES = {
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
     "ivf_index_ann": (q_ivf_index_ann, None),
+    "kmeans_clusters": (q_kmeans_clusters, None),
     "lang_id": (q_lang_id, None),
     "approx_distinct_users": (q_approx_distinct, None),
     "content_chunks": (q_content_chunks, None),

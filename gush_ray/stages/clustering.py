@@ -1,0 +1,155 @@
+"""Distributed k-means over an embedding column (corpus clustering).
+
+The full-data counterpart of the sample-trained IVF index: every Lloyd
+iteration is ONE streaming pass — each batch reduces to at most k rows
+(cluster id, point count, coordinate sum, SSE), so the per-iteration
+traffic is O(blocks × k × d) floats and the corpus itself never moves.
+The driver folds the partials (sorted first, so float summation order —
+and therefore the fitted centroids — are independent of Ray's block
+arrival order) and updates centroids; empty clusters keep their previous
+centroid. Convergence is detected by centroid shift.
+
+Training-data uses: domain/topic discovery, cluster-balanced sampling,
+and as the list assignment for a full-data IVF build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from gush_ray.stages.similarity import _to_matrix
+
+
+def _farthest_point_init(mat: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic greedy farthest-point seeding on a sample."""
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(len(mat)))
+    cent = [mat[first]]
+    d2 = ((mat - cent[0]) ** 2).sum(axis=1)
+    for _ in range(min(k, len(mat)) - 1):
+        nxt = int(np.argmax(d2))
+        cent.append(mat[nxt])
+        d2 = np.minimum(d2, ((mat - cent[-1]) ** 2).sum(axis=1))
+    return np.stack(cent)
+
+
+def _hash_sample(ds, emb_col: str, sample_size: int) -> np.ndarray:
+    """Deterministic row sample for seeding (same splitmix-threshold
+    trick as the IVF builder; one metadata count sets the rate)."""
+    import pyarrow as pa
+
+    n = ds.count()
+    rate = min(1.0, sample_size / max(n, 1))
+    thresh = np.uint64(min(int(rate * 2**64), 2**64 - 1))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or rate >= 1.0:
+            return batch
+        # CONTENT-only hash (vector head bit patterns): the decision must
+        # not depend on row position — Ray's dynamic block splitting can
+        # draw different batch boundaries between otherwise identical
+        # runs, and a position-dependent sample would make the fit
+        # nondeterministic
+        m = _to_matrix(batch[emb_col])
+        z = (m[:, 0].view(np.uint64)
+             ^ (m[:, min(1, m.shape[1] - 1)].view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return batch.filter(pa.array(z < thresh))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample[emb_col]])
+    # canonical row order: the sample's arrival order varies run to run
+    # (block completion order), and farthest-point seeding is
+    # order-sensitive — sort rows lexicographically so the init (and
+    # therefore the whole fit) is a pure function of the sampled SET
+    return mat[np.lexsort(mat.T[::-1])]
+
+
+def kmeans_fit(ds, emb_col: str = "embedding", k: int = 8,
+               n_iters: int = 20, seed: int = 17,
+               sample_size: int = 20_000, tol: float = 1e-6) -> dict:
+    """Fit k-means on the FULL dataset; returns
+    ``{"centroids": (k, d), "inertia": float, "iters": int}``."""
+    import pyarrow as pa
+
+    C = _farthest_point_init(_hash_sample(ds, emb_col, sample_size),
+                             k, seed)
+    k = len(C)
+    inertia = float("inf")
+    iters = 0
+    for it in range(n_iters):
+        cent_ref = ray.put(C)
+
+        def partials(batch: pa.Table) -> pd.DataFrame:
+            if batch.num_rows == 0:
+                return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64"),
+                                     "vec": pd.Series([], dtype=object),
+                                     "sse": pd.Series([], dtype="float64")})
+            Cw = ray.get(cent_ref)
+            m = _to_matrix(batch[emb_col])
+            # ||x - c||² = ||x||² - 2 x·c + ||c||²; argmin over c
+            d2 = (-2.0 * (m @ Cw.T)) + (Cw * Cw).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(m)), assign] + (m * m).sum(axis=1)
+            rows = []
+            for c in np.unique(assign):
+                sel = assign == c
+                rows.append({
+                    "cluster": int(c), "n": int(sel.sum()),
+                    "vec": m[sel].sum(axis=0).tobytes(),
+                    "sse": float(best[sel].sum()),
+                })
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        # sorted fold: float summation order must not depend on block
+        # arrival order, or the fit itself becomes nondeterministic
+        parts = parts.sort_values(["cluster", "vec"], kind="mergesort")
+        newC = C.copy()
+        new_inertia = float(parts["sse"].sum())
+        for c, grp in parts.groupby("cluster", sort=True):
+            vecs = np.stack([np.frombuffer(b, dtype=np.float64)
+                             for b in grp["vec"]])
+            n_c = int(grp["n"].sum())
+            if n_c > 0:
+                newC[c] = vecs.sum(axis=0) / n_c
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        inertia = new_inertia
+        iters = it + 1
+        if shift < tol:
+            break
+    return {"centroids": C, "inertia": inertia, "iters": iters}
+
+
+def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Add each row's nearest-centroid id (one streaming pass)."""
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cent_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+        Cw = ray.get(cent_ref)
+        m = _to_matrix(batch[emb_col])
+        d2 = (-2.0 * (m @ Cw.T)) + (Cw * Cw).sum(axis=1)
+        return batch.append_column(
+            out_col, pa.array(np.argmin(d2, axis=1).astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

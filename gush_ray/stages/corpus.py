@@ -169,3 +169,29 @@ def pack_sequences(ds, count_col: str, budget: int, id_col: str = "doc_id",
         return out
 
     return with_part.groupby(PART_COL).map_groups(pack, batch_format="pandas")
+
+
+def normalize_text_batch(df: pd.DataFrame, col: str = "text",
+                         out: "str | None" = None,
+                         form: str = "NFC") -> pd.DataFrame:
+    """Unicode-normalize a text column (stdlib ``unicodedata``; NFC by
+    default — the canonical first step of every web-text pipeline:
+    byte-different but canonically-equal strings must hash equal before
+    any dedup/fingerprint stage sees them)."""
+    import unicodedata
+
+    out = out or col
+    df = df.copy()
+    df[out] = [
+        unicodedata.normalize(form, t) if t is not None else None
+        for t in df[col].tolist()
+    ]
+    return df
+
+
+def normalize_text(ds, col: str = "text", out: "str | None" = None,
+                   form: str = "NFC"):
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, col=col, out=out, form=form),
+        batch_format="pandas",
+    )
