@@ -311,3 +311,27 @@ def test_dedup_ttl_end_to_end_resume_parity(tmp_path):
     b = job_b2.read_output("changes")[cols].sort_values(cols).reset_index(
         drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_ttl_mode_parity(tmp_path):
+    """TTL evictions happen in PartitionState, so tasks mode and actors
+    mode must produce identical outputs under eviction."""
+    pages = str(tmp_path / "pages")
+    write_pages_dir(pages, n_urls=250, seed=34, n_epochs=3)
+    ttl = 10 * 60 * 1_000_000
+
+    def run(out, run_id, mode):
+        j = StreamingJob(pages, str(tmp_path / out), run_id=run_id,
+                         num_partitions=4, dedup_ttl_us=ttl, mode=mode)
+        j.run()
+        return j
+
+    jt = run("t", "ttlT", "tasks")
+    ja = run("a", "ttlA2", "actors")
+    ja.kill_actors()
+    cols = ["url", "ts_us", "version", "change_kind"]
+    a = jt.read_output("changes")[cols].sort_values(cols).reset_index(
+        drop=True)
+    b = ja.read_output("changes")[cols].sort_values(cols).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(a, b)
