@@ -436,6 +436,32 @@ class Stream:
 
         return grouped_exact_quantiles(self.ds, key, col, qs, **kw)
 
+    def cluster_kmeans(self, k: int, emb_col: str = "embedding",
+                       out_col: str = "cluster", **kw) -> "Stream":
+        """Distributed k-means fit (full-data Lloyd, corpus never
+        shuffles) + assign; adds ``out_col``."""
+        from gush_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+        fit = kmeans_fit(self.ds, emb_col=emb_col, k=k, **kw)
+        return self._wrap(kmeans_assign(self.ds, fit["centroids"],
+                                        emb_col=emb_col, out_col=out_col))
+
+    def ann_topk(self, query_vec, k: int = 10, emb_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        """Terminal: exact cosine top-k against a broadcast query
+        (per-batch matmul + k-row merge)."""
+        from gush_ray.stages.similarity import brute_force_topk
+
+        return brute_force_topk(self.ds, query_vec, k=k, id_col=id_col,
+                                emb_col=emb_col)
+
+    def normalize_unicode(self, col: str = "text", form: str = "NFC",
+                          **kw) -> "Stream":
+        """Unicode-normalize a text column (stdlib; pre-dedup step)."""
+        from gush_ray.stages.corpus import normalize_text
+
+        return self._wrap(normalize_text(self.ds, col=col, form=form, **kw))
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:

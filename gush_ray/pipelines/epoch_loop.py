@@ -754,7 +754,8 @@ class StreamingJob:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        target = max(self.P, 2 * cpus)
+        per_cpu = int(os.environ.get("GUSH_MAP_TASKS_PER_CPU", "2"))
+        target = max(self.P, per_cpu * cpus)
         if len(shards) <= target:
             return [[s] for s in shards]
         per = -(-len(shards) // target)

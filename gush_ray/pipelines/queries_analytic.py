@@ -850,6 +850,80 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_bm25(sf_dir: str):
+    """BM25 retrieval scoring (Robertson/Lucene idf variant) for a fixed
+    term query, fully distributed: one pass computes per-doc term
+    frequencies + doc length; the global stats (N, avg doc length, per-
+    term document frequency) fold from per-batch scalar partials; the
+    scoring pass broadcasts those few floats and keeps per-batch top-k,
+    so the driver merges k rows per batch — never the corpus."""
+    TERMS = ("data", "stream", "window")
+    K1, B = 1.2, 0.75
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_len(bt: pd.DataFrame) -> pd.DataFrame:
+        toks = bt["text"].str.split(" ")
+        out = {"doc_id": bt["doc_id"], "dl": toks.map(len)}
+        for t in TERMS:
+            out[f"tf_{t}"] = toks.map(lambda ws, t=t: ws.count(t))
+        return pd.DataFrame(out)
+
+    stats = docs.map_batches(tf_len, batch_format="pandas")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [len(b)], "sdl": [int(b["dl"].sum())]}
+        for t in TERMS:
+            row[f"df_{t}"] = [int((b[f"tf_{t}"] > 0).sum())]
+        return pd.DataFrame(row)
+
+    # one scalar row per batch — driver-small by construction
+    g = stats.map_batches(partials, batch_format="pandas").to_pandas()
+    n = int(g["n"].sum())
+    avgdl = g["sdl"].sum() / n
+    idf = {t: np.log((n - int(g[f"df_{t}"].sum()) + 0.5)
+                     / (int(g[f"df_{t}"].sum()) + 0.5) + 1.0)
+           for t in TERMS}
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        dl = b["dl"].to_numpy(dtype=np.float64)
+        denom_dl = K1 * (1.0 - B + B * dl / avgdl)
+        s = np.zeros(len(b))
+        for t in TERMS:
+            tf = b[f"tf_{t}"].to_numpy(dtype=np.float64)
+            s += idf[t] * tf * (K1 + 1.0) / (tf + denom_dl)
+        out = pd.DataFrame({"doc_id": b["doc_id"], "bm25": _round_ha(s, 4)})
+        out = out[out["bm25"] > 0]
+        return out.sort_values(["bm25", "doc_id"],
+                               ascending=[False, True]).head(20)
+
+    top = stats.map_batches(score_topk, batch_format="pandas").to_pandas()
+    return top.sort_values(["bm25", "doc_id"], ascending=[False, True]) \
+              .head(20).reset_index(drop=True)
+
+
+SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+g AS (SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT sum(dl) / (SELECT count(*) FROM documents) FROM dl)
+                 AS avgdl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       WHERE w IN ('data', 'stream', 'window') GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+sc AS (SELECT tf.doc_id,
+         sum(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)))
+             AS score
+       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS bm25 FROM sc
+WHERE round(score, 4) > 0
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode NFC normalization (the canonical pre-dedup step): a
     decomposed combining sequence is prepended to every document so the
@@ -1093,4 +1167,5 @@ ANALYTIC_QUERIES = {
     "group_mode": (q_group_mode, SQL_GROUP_MODE),
     "group_mad": (q_group_mad, SQL_GROUP_MAD),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "bm25": (q_bm25, SQL_BM25),
 }

@@ -229,3 +229,23 @@ def test_stream_exact_quantiles(ray_session):
     got = s.exact_quantiles("v", [0.5, 0.9], n_buckets=16, collect_cap=50)
     assert got[0.5] == 501.0
     assert got[0.9] == 901.0  # ceil(0.9*1001)-1 = 900 -> value 901
+
+
+def test_stream_kmeans_ann_normalize(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(3, 8) * 6
+    rows = [{"vec_id": i,
+             "embedding": (centers[i % 3] + rng.randn(8) * 0.2)
+             .astype("float32").tolist()}
+            for i in range(120)]
+    s = Stream.from_arrow(pa.Table.from_pylist(rows))
+    clustered = s.cluster_kmeans(3, sample_size=120, seed=5).to_pandas()
+    assert clustered.groupby("cluster").size().min() >= 30
+    top = s.ann_topk(centers[0], k=5)
+    assert len(top) == 5 and (top["vec_id"] % 3 == 0).all()
+
+    t = Stream.from_arrow(pa.table({"text": ["école"]}))
+    norm = t.normalize_unicode().to_pandas()
+    assert norm["text"][0] == "école"
