@@ -468,3 +468,32 @@ def test_idle_partition_resume_parity(tmp_path):
         pd.testing.assert_frame_equal(
             a[cols].sort_values(cols).reset_index(drop=True),
             b[cols].sort_values(cols).reset_index(drop=True)), stream
+
+
+def test_resume_parity_from_every_kill_point(pages_dir, tmp_path):
+    """Exactly-once must hold no matter WHERE the crash lands: for every
+    epoch boundary k, a run stopped after k epochs and resumed matches
+    the uninterrupted run row-for-row."""
+    ref, _ = run_job(pages_dir, str(tmp_path / "ref"), run_id="kmRef")
+    cols = ["url", "ts_us", "version", "change_kind"]
+    want = norm(ref.read_output("changes"), cols)
+    wind = norm(ref.read_output("windows"),
+                ["lang", "change_kind", "window_id", "n"])
+
+    n_epochs = 3  # the module fixture writes 3 epochs
+    for k in range(1, n_epochs):
+        out = str(tmp_path / f"kill{k}")
+        j1, r1 = run_job(pages_dir, out, run_id=f"km{k}a", stop_after=k)
+        assert r1["completed"] == k - 1
+        j2, r2 = run_job(pages_dir, out, run_id=f"km{k}b", resume=True)
+        assert r2["completed"] == n_epochs - 1
+        pd.testing.assert_frame_equal(
+            want, norm(j2.read_output("changes"), cols)), k
+        pd.testing.assert_frame_equal(
+            wind, norm(j2.read_output("windows"),
+                       ["lang", "change_kind", "window_id", "n"])), k
+        # a further resume is a no-op (already finalized)
+        j3, r3 = run_job(pages_dir, out, run_id=f"km{k}c", resume=True)
+        assert r3.get("already_done") or r3["completed"] == n_epochs - 1
+        pd.testing.assert_frame_equal(
+            want, norm(j3.read_output("changes"), cols)), k
