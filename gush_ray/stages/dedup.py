@@ -150,38 +150,95 @@ def explode_bands(batch: pd.DataFrame, num_bands: int,
     return pd.concat(out_frames, ignore_index=True)
 
 
-def _pairs_in_group(g: pd.DataFrame, id_col: str,
-                    max_group: int = 200) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket + signature-estimated Jaccard.
+def _bucket_slices(df: pd.DataFrame, bucket_cols: list[str],
+                   id_col: str):
+    """Sort one hash partition by (bucket key, id) and return the sort
+    order plus (start, end) boundaries of each bucket.
+
+    This is the vectorized core of the per-partition bucket scan: the
+    partition is sorted ONCE with ``np.lexsort`` and buckets are found by
+    boundary detection, so the only per-bucket Python work left for the
+    caller is the (rare) buckets of size ≥ 2. The previous design ran
+    ``groupby(bucket_cols).map_groups`` — one Ray-level Python call per
+    bucket (~n_docs × bands calls at corpus scale)."""
+    arrs = [df[c].to_numpy() for c in bucket_cols]
+    ids = df[id_col].to_numpy()
+    # lexsort: last key is primary → bucket cols outermost, id innermost
+    order = np.lexsort([ids] + arrs[::-1])
+    change = np.zeros(len(df), dtype=bool)
+    change[0] = True
+    for a in arrs:
+        s = a[order]
+        change[1:] |= s[1:] != s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(df))
+    return order, starts, ends
+
+
+def _minhash_pairs_partition(df: pd.DataFrame, id_col: str,
+                             max_group: int = 200) -> pd.DataFrame:
+    """Candidate pairs within every LSH bucket of one hash partition,
+    with signature-estimated Jaccard.
 
     ``max_group`` caps degenerate buckets (a bucket of size m yields
     m(m-1)/2 pairs — a poisoned bucket would explode; log-and-truncate is
-    the documented behavior, mirroring salting for skewed joins).
+    the documented behavior, mirroring salting for skewed joins). The
+    truncation is deterministic: buckets are sorted by id before capping.
     """
-    ids = g[id_col].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame(
-            {"doc_a": np.array([], dtype=ids.dtype),
-             "doc_b": np.array([], dtype=ids.dtype),
-             "est_jaccard": np.array([], dtype=np.float64)}
-        )
-    # deterministic truncation: sort by id BEFORE capping the bucket
-    g = g.sort_values(id_col, kind="mergesort").iloc[:max_group]
-    ids = g[id_col].to_numpy()
-    sigs = np.stack(g["sig"].to_numpy())
-    ia, ib = np.triu_indices(len(ids), k=1)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    ids_dtype = df[id_col].to_numpy().dtype if len(df) else np.int64
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], dtype=ids_dtype),
+         "doc_b": np.array([], dtype=ids_dtype),
+         "est_jaccard": np.array([], dtype=np.float64)}
+    )
+    if len(df) < 2:
+        return empty
+    order, starts, ends = _bucket_slices(df, ["band_id", "band_hash"],
+                                         id_col)
+    ids = df[id_col].to_numpy()[order]
+    sigs = np.stack(df["sig"].to_numpy())[order]
+    out_a, out_b, out_e = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        e = min(e, s + max_group)
+        m = e - s
+        ia, ib = np.triu_indices(m, k=1)
+        est = (sigs[s:e][ia] == sigs[s:e][ib]).mean(axis=1)
+        out_a.append(ids[s:e][ia])
+        out_b.append(ids[s:e][ib])
+        out_e.append(est)
+    if not out_a:
+        return empty
     return pd.DataFrame(
-        {"doc_a": ids[ia], "doc_b": ids[ib], "est_jaccard": est}
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+         "est_jaccard": np.concatenate(out_e)}
+    )
+
+
+def dedup_pairs(pairs_ds, num_partitions: int = 16):
+    """Global (doc_a, doc_b) pair dedup: ONE hash shuffle keyed on the
+    pair id, O(P) Python calls (vectorized ``drop_duplicates`` per
+    partition) — not one call per pair group. Safe for any pair source
+    here because the per-pair payload (est_jaccard / hamming / cosine) is
+    a pure function of the pair, identical in every duplicate row."""
+    from gush_ray.stages.shuffle import partition_map
+
+    return partition_map(
+        pairs_ds, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        num_partitions=num_partitions,
     )
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle: int = 3, threshold: float = 0.7,
-                      seed: int = 1234):
+                      seed: int = 1234, num_partitions: int = 16):
     """Full MinHash-LSH near-dup pipeline → unique candidate pairs with
     signature-estimated Jaccard ≥ threshold."""
+    from gush_ray.stages.shuffle import partition_map
+
     sigs = ds.map_batches(
         lambda b: minhash_batch(b, text_col, num_perm, shingle, seed),
         batch_format="pandas",
@@ -189,17 +246,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bands = sigs.map_batches(
         lambda b: explode_bands(b, num_bands, id_col), batch_format="pandas"
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_in_group(g, id_col), batch_format="pandas"
+    # shuffle by the BUCKET key so every bucket lands whole in one
+    # partition, then scan buckets vectorized inside the partition
+    pairs = partition_map(
+        bands, ["band_id", "band_hash"],
+        lambda df: _minhash_pairs_partition(df, id_col),
+        num_partitions=num_partitions,
     )
-
     # a pair can surface from several bands → global dedup (tiny shuffle)
-    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_per_pair, batch_format="pandas"
-    )
+    uniq = dedup_pairs(pairs, num_partitions)
     return uniq.filter(expr=f"est_jaccard >= {threshold}")
 
 
@@ -369,10 +424,56 @@ def simhash_batch(batch: pd.DataFrame, text_col: str = "text",
     return out_df
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over the byte
+    view — no per-element Python)."""
+    if len(x) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8), axis=1
+    ).sum(axis=1).astype(np.int64)
+
+
+def _simhash_pairs_partition(df: pd.DataFrame, id_col: str,
+                             max_hamming: int,
+                             max_group: int = 200) -> pd.DataFrame:
+    ids_dtype = df[id_col].to_numpy().dtype if len(df) else np.int64
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], dtype=ids_dtype),
+         "doc_b": np.array([], dtype=ids_dtype),
+         "hamming": np.array([], dtype=np.int64)}
+    )
+    if len(df) < 2:
+        return empty
+    order, starts, ends = _bucket_slices(df, ["chunk_id", "chunk_val"],
+                                         id_col)
+    ids = df[id_col].to_numpy()[order]
+    sh = df["simhash"].to_numpy().astype(np.uint64)[order]
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        e = min(e, s + max_group)
+        ia, ib = np.triu_indices(e - s, k=1)
+        ham = _popcount64(sh[s:e][ia] ^ sh[s:e][ib])
+        keep = ham <= max_hamming
+        out_a.append(ids[s:e][ia][keep])
+        out_b.append(ids[s:e][ib][keep])
+        out_h.append(ham[keep])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+         "hamming": np.concatenate(out_h)}
+    )
+
+
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3):
+                           max_hamming: int = 3, num_partitions: int = 16):
     """Near-dup via SimHash banding: 4 chunks of 16 bits — any pair within
     hamming distance ≤ 3 shares at least one exact chunk (pigeonhole)."""
+    from gush_ray.stages.shuffle import partition_map
+
     sigs = ds.map_batches(
         lambda b: simhash_batch(b, text_col), batch_format="pandas"
     )
@@ -395,36 +496,12 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.concat(frames, ignore_index=True)
 
     bands = sigs.map_batches(explode, batch_format="pandas")
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        empty = pd.DataFrame(
-            {"doc_a": np.array([], dtype=ids.dtype),
-             "doc_b": np.array([], dtype=ids.dtype),
-             "hamming": np.array([], dtype=np.int64)}
-        )
-        if len(ids) < 2:
-            return empty
-        g = g.sort_values(id_col, kind="mergesort").iloc[:200]
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array(
-            [bin(int(v)).count("1") for v in x], dtype=np.int64
-        )
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
-             "hamming": ham[keep]}
-        )
-
-    pairs = bands.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = partition_map(
+        bands, ["chunk_id", "chunk_val"],
+        lambda df: _simhash_pairs_partition(df, id_col, max_hamming),
+        num_partitions=num_partitions,
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pairs(pairs, num_partitions)
 
 
 # --------------------------------------------------------- exact n-gram J
@@ -446,15 +523,51 @@ def _gram_hash_batch(t: pa.Table, id_col: str, text_col: str,
                      grams_col: pa.array(grams, type=pa.binary())})
 
 
+def candidate_id_ds(pairs_ds, id_col: str, num_partitions: int = 8):
+    """Distinct doc ids referenced by a pair Dataset, AS A DATASET —
+    pairs → (id) rows → hash-partitioned drop_duplicates. Nothing about
+    the pair set ever lands on the driver, so this holds even when the
+    candidate-pair list itself exceeds driver memory (the 100-TB case).
+    """
+    from gush_ray.stages.shuffle import partition_map
+
+    def explode_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: np.concatenate(
+            [b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]
+        )})
+
+    ids = pairs_ds.map_batches(explode_ids, batch_format="pandas")
+    distinct = partition_map(ids, id_col,
+                             lambda df: df.drop_duplicates([id_col]),
+                             num_partitions=num_partitions)
+    # repartition is load-bearing: map_groups emits schema-LESS empty
+    # blocks for empty partitions and the Acero hash join downstream
+    # rejects a schemaless side; repartition folds them into schemaed
+    # blocks (same hazard as documented in ngram_jaccard_pairs)
+    return distinct.repartition(num_partitions)
+
+
 def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 8):
+                        num_partitions: int = 8,
+                        broadcast_ids: bool | None = None):
     """Exact word-n-gram Jaccard verification of candidate pairs WITHOUT
     materializing the corpus anywhere: the corpus is semi-filtered to the
-    candidate doc ids (broadcast id set — the pair set is small BY
-    CONSTRUCTION: LSH buckets are capped and pairs threshold-filtered),
-    its n-gram hash sets are hash-joined onto the pairs, and the Jaccard
-    is computed per batch. Only candidate docs' gram sets ever shuffle.
+    candidate doc ids, its n-gram hash sets are hash-joined onto the
+    pairs, and the Jaccard is computed per batch. Only candidate docs'
+    gram sets ever shuffle.
+
+    The semi filter has two physical forms:
+
+    - distributed (default at scale): distinct candidate ids stay a
+      Dataset and the corpus is inner-hash-joined against them — the
+      pair list NEVER lands on the driver, so the path holds even when
+      the candidate pairs themselves exceed driver memory;
+    - broadcast (small-input fast path, ``broadcast_ids=True`` or
+      auto-picked when the pair count is tiny): a Python id set shipped
+      to every filter task — one fewer shuffle.
+
+    Both paths produce identical output (pinned by a parity test).
     """
     from gush_ray.stages.joins import broadcast_semi_filter, hash_join
 
@@ -468,11 +581,23 @@ def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
     # happens to land empty. Repartition folds empties into schemaed
     # blocks before the join sees them.
     pairs_ds = pairs_ds.repartition(num_partitions).materialize()
-    pdf_ids = pairs_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
-    cand_ids = set(pdf_ids["doc_a"]) | set(pdf_ids["doc_b"])
-    # pin the filtered corpus too: the full-corpus scan behind the semi
-    # filter must run once, not once per join side
-    sub = broadcast_semi_filter(corpus_ds, cand_ids, on=id_col).materialize()
+    if broadcast_ids is None:
+        # auto: broadcast only when the pair list is trivially small
+        broadcast_ids = pairs_ds.count() <= 10_000
+    if broadcast_ids:
+        pdf_ids = pairs_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
+        cand_ids = set(pdf_ids["doc_a"]) | set(pdf_ids["doc_b"])
+        sub = broadcast_semi_filter(corpus_ds, cand_ids, on=id_col)
+    else:
+        cand = candidate_id_ds(pairs_ds, id_col, num_partitions)
+        # inner join against DISTINCT ids == semi filter (no fan-out)
+        sub = hash_join(
+            corpus_ds.select_columns([id_col, text_col]), cand,
+            on=(id_col,), num_partitions=num_partitions,
+        )
+    # pin the filtered corpus: the scan behind the semi filter must run
+    # once, not once per join side
+    sub = sub.materialize()
     grams_a = sub.map_batches(
         lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_a", "grams_a"),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -574,32 +699,43 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 8,
 
     bucketed = ds.map_batches(add_buckets, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ids_dtype = df[id_col].to_numpy().dtype if len(df) else np.int64
         empty = pd.DataFrame(
-            {"doc_a": pd.Series(dtype=g[id_col].dtype),
-             "doc_b": pd.Series(dtype=g[id_col].dtype),
+            {"doc_a": np.array([], dtype=ids_dtype),
+             "doc_b": np.array([], dtype=ids_dtype),
              "cosine": np.array([], dtype=np.float64)}
         )
-        if len(g) < 2:
+        if len(df) < 2:
             return empty
-        g = g.sort_values(id_col, kind="mergesort").iloc[:500]
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g["emb"].to_numpy())
+        order, starts, ends = _bucket_slices(df, ["band", "bucket"], id_col)
+        ids = df[id_col].to_numpy()[order]
+        mat = np.stack(df["emb"].to_numpy())[order]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cos = sims[ia, ib]
-        keep = cos >= threshold
+        unit = mat / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            e = min(e, s + 500)
+            sub = unit[s:e]
+            ia, ib = np.triu_indices(e - s, k=1)
+            cos = (sub @ sub.T)[ia, ib]
+            keep = cos >= threshold
+            out_a.append(ids[s:e][ia][keep])
+            out_b.append(ids[s:e][ib][keep])
+            out_c.append(np.round(cos[keep], 4))
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
-             "cosine": np.round(cos[keep], 4)}
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
         )
 
-    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    from gush_ray.stages.shuffle import partition_map
+
+    pairs = partition_map(bucketed, ["band", "bucket"], pairs_partition,
+                          num_partitions=16)
     # a pair can surface from several bands → dedup (tiny shuffle)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pairs(pairs, 16)

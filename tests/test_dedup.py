@@ -259,6 +259,26 @@ def test_ngram_jaccard_join_matches_broadcast_dict():
     )
 
 
+def test_ngram_jaccard_distributed_semi_matches_broadcast():
+    """The distributed semi-filter (candidate ids stay a Dataset,
+    corpus inner-joined against them — zero driver-side pair state) must
+    produce identical output to the broadcast id-set fast path."""
+    from gush_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    corpus = corpus_with_dups()
+    pairs = minhash_lsh_pairs(corpus, threshold=0.3).materialize()
+    ref = (
+        ngram_jaccard_pairs(corpus, pairs, n=3, broadcast_ids=True)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    got = (
+        ngram_jaccard_pairs(corpus, pairs, n=3, broadcast_ids=False)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(ref[cols], got[cols], check_dtype=False)
+
+
 def test_minhash_batch_vectorized_parity():
     """The batch-vectorized minhash (concat + minimum.reduceat) must
     produce byte-identical signatures to the per-doc reference math."""
