@@ -20,6 +20,23 @@ with the same crash-safety contract as the sink itself:
    use the compacted one, and the next :func:`compact_stream` call
    finishes the cleanup.
 
+Reader contract on a LIVE stream: the cutover is atomic for listings
+taken after the record, but a reader that listed files just BEFORE the
+record can race the delete in 3 and hit ``FileNotFoundError`` on a
+listed per-epoch file — with ``run_continuous(compact_every=)`` this
+race is routine, not exotic. Readers must therefore retry the whole
+listing+read on ``FileNotFoundError`` (the re-listing sees the
+compacted slot and never the deleted dirs);
+:meth:`StreamingJob.read_output` does this.
+
+A crash after the ``os.replace`` in 1 but before the record in 2 can
+leave an unreferenced ``compact=A-B`` slot whose range will never be
+recomputed under the same name (later epochs extend the range). Every
+:func:`compact_stream` call therefore deletes, on entry, any
+``compact=*`` slot of this stream that has no matching record (plus
+stale ``.inprogress-*`` temp dirs); ``gush_ray.fsck`` warns about such
+orphans.
+
 Epoch manifests are never touched — lineage, resume and fsck keep
 working (epochs stay committed; fsck checks row conservation against the
 compacted files for covered ranges). Safe on a live stream: committed
@@ -83,6 +100,19 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
     # finish any interrupted cleanup first (crash between record+delete)
     for a, b in done:
         _cleanup_covered(out_dir, stream, a, b)
+    # delete unreferenced compact slots: a crash after os.replace but
+    # before the record leaves a slot of unknown completeness whose
+    # range never recurs (later epochs extend it), so nothing else
+    # would ever reclaim it. Also sweep stale .inprogress temp dirs.
+    recorded = {compact_slot(a, b) for a, b in done}
+    sdir = os.path.join(out_dir, stream)
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            p = os.path.join(sdir, name)
+            orphan = (name.startswith("compact=") and name not in recorded)
+            stale_tmp = ".inprogress-" in name
+            if (orphan or stale_tmp) and os.path.isdir(p):
+                shutil.rmtree(p)
     start = done[-1][1] + 1 if done else 0
     end = max(committed) if committed else -1
     if upto is not None:
@@ -118,8 +148,8 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
         if writer is not None:
             writer.close()
     if os.path.isdir(slot_dir):
-        # a crash after a previous rename but before its record left an
-        # unreferenced slot of unknown completeness: rebuild it
+        # same-named slot from a crashed run (already swept above unless
+        # it reappeared between the sweep and here): rebuild it
         shutil.rmtree(slot_dir)
     os.replace(tmp_dir, slot_dir)
     os.sync()  # compacted data durable before the record becomes visible

@@ -120,6 +120,22 @@ def audit(out_dir: str) -> dict:
                         f"!= {want} in manifest metrics"
                     )
 
+    # 3a. unreferenced compact slots: a crash after the slot rename but
+    # before its record leaves a compact=A-B dir of unknown completeness
+    # that no reader uses and — because later epochs extend the range —
+    # no future compact run would rebuild under the same name: a silent
+    # disk leak unless flagged (compact_stream now sweeps these on entry)
+    for stream in streams:
+        sdir = os.path.join(out_dir, stream)
+        recorded = {compact_slot(a, b)
+                    for a, b in compactions.get(stream, [])}
+        for name in sorted(os.listdir(sdir)):
+            if name.startswith("compact=") and name not in recorded:
+                warnings.append(
+                    f"unreferenced compact slot (no record; ignored by "
+                    f"readers; rerun compact to reclaim): {stream}/{name}"
+                )
+
     # 3b. compacted ranges: integrity + conservation against the summed
     # manifest metrics of every covered epoch
     committed = set(epochs)

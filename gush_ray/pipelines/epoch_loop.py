@@ -416,13 +416,17 @@ class StreamingJob:
         # stream running ahead must not mark the other's rows late)
         self._part_max_ts = [NEG_INF] * self.P
         self._part_max_ts_r = [NEG_INF] * self.P
-        # Flink-style source idleness: a partition whose event-time max
-        # has not advanced for this many epochs stops holding the
-        # watermark back (its stale max would otherwise pin the min
-        # forever and no window could ever close). Trade-off, same as
-        # Flink's withIdleness: if the idle partition later produces
-        # rows with old timestamps they are late-routed. None = every
-        # data-bearing partition always participates in the min.
+        # Flink-style source idleness: a partition that has RECEIVED NO
+        # ROWS for this many epochs stops holding the watermark back
+        # (its stale max would otherwise pin the min forever and no
+        # window could ever close). Idleness is keyed on record ARRIVAL
+        # (rows_in > 0 resets the counter), matching Flink's
+        # withIdleness — a partition actively producing rows whose
+        # timestamps don't advance (duplicates / bounded out-of-order)
+        # is NOT idle and keeps bounding the watermark at its max.
+        # Trade-off, same as Flink: if a truly idle partition later
+        # produces rows with old timestamps they are late-routed.
+        # None = every data-bearing partition always participates.
         self.idle_partition_epochs = idle_partition_epochs
         self._part_idle = [0] * self.P
         self._part_idle_r = [0] * self.P
@@ -814,25 +818,32 @@ class StreamingJob:
         # Partitions that have NEVER seen a row are idle sources and do
         # not hold the watermark back (they have no pending state); only
         # partitions with data participate in the min (W5).
-        old_max = list(self._part_max_ts)
-        old_max_r = list(self._part_max_ts_r)
+        rows_this = [0] * self.P
+        rows_this_r = [0] * self.P
         for m in metas:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts[pid]:
                     self._part_max_ts[pid] = m["max_ts"][pid]
+                rows_this[pid] += m["rows"][pid]
         for m in rmetas:
             for pid in range(self.P):
                 if m["max_ts"][pid] > self._part_max_ts_r[pid]:
                     self._part_max_ts_r[pid] = m["max_ts"][pid]
-        # source-idleness bookkeeping: epochs since each partition's
-        # event-time max last advanced (persisted in manifests so a
-        # resumed run continues the same idleness schedule)
+                rows_this_r[pid] += m["rows"][pid]
+        # source-idleness bookkeeping: epochs since each partition last
+        # RECEIVED any row (persisted in manifests so a resumed run
+        # continues the same idleness schedule). Keyed on arrival, not
+        # on event-time advancement: a partition producing rows with
+        # duplicate or bounded out-of-order timestamps is live — marking
+        # it idle would jump the watermark past its max and silently
+        # late-route everything it sends next (Flink withIdleness
+        # semantics: idle = no records for a duration).
         for pid in range(self.P):
             self._part_idle[pid] = (
-                0 if self._part_max_ts[pid] > old_max[pid]
+                0 if rows_this[pid] > 0
                 else self._part_idle[pid] + 1)
             self._part_idle_r[pid] = (
-                0 if self._part_max_ts_r[pid] > old_max_r[pid]
+                0 if rows_this_r[pid] > 0
                 else self._part_idle_r[pid] + 1)
 
         k = self.idle_partition_epochs
@@ -1150,14 +1161,32 @@ class StreamingJob:
 
     # ---------------------------------------------------------- readers
 
-    def read_output(self, stream: str) -> pd.DataFrame:
-        files = self.sink.committed_files(stream)
-        if not files:
-            return pd.DataFrame()
+    def read_output(self, stream: str, _retries: int = 3) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
-        tabs = [pq.read_table(f) for f in files]
-        tabs = [t for t in tabs if t.num_rows]
-        if not tabs:
-            return pd.DataFrame()
-        return pa.concat_tables(tabs, promote_options="default").to_pandas()
+        # FileNotFoundError retry: a concurrent compaction can delete a
+        # per-epoch file between our listing and the read (the compact
+        # record is the atomic cutover, but only for listings taken
+        # AFTER it — gush_ray/compact.py module docstring). Re-listing
+        # sees the compacted slot instead of the deleted dirs, so one
+        # retry suffices unless another compaction lands mid-read.
+        last_err: Exception | None = None
+        for _ in range(_retries):
+            files = self.sink.committed_files(stream)
+            if not files:
+                return pd.DataFrame()
+            try:
+                tabs = [pq.read_table(f) for f in files]
+            except FileNotFoundError as e:
+                last_err = e
+                continue
+            tabs = [t for t in tabs if t.num_rows]
+            if not tabs:
+                return pd.DataFrame()
+            return pa.concat_tables(
+                tabs, promote_options="default"
+            ).to_pandas()
+        raise RuntimeError(
+            f"read_output({stream!r}): listed files kept vanishing "
+            f"across {_retries} attempts (racing compactions?)"
+        ) from last_err

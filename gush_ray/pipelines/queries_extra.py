@@ -35,6 +35,18 @@ from gush_ray.stages.text import LangIdModel, fingerprint_batch
 from gush_ray.pipelines.queries import _read  # size-aware block policy
 
 
+def _fixture_cache_key(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache key for a /tmp index built from one fixture file: path PLUS
+    content identity (size + mtime_ns). Keying on the path alone reuses
+    a stale index when the fixture at that path is regenerated between
+    runs — build_*_index's idempotence guard checks params, not data."""
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    raw = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
 def _dup_corpus(sf_dir: str):
     """documents ∪ mutated copies (doc_id+1_000_000) — a deterministic
     near-dup corpus with known ground truth for the dedup operators."""
@@ -148,15 +160,13 @@ def q_lsh_index_ann(sf_dir: str):
     out as bucket-partitioned parquet; the query reads only the probed
     buckets (<20% of the index — asserted in tests). The reuse path of
     lsh_ann_topk, which re-signs the corpus per query."""
-    import hashlib
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from gush_ray.stages.similarity import build_lsh_index, lsh_index_topk
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = _fixture_cache_key(sf_dir)
     idx = build_lsh_index(emb, f"/tmp/gush_ray_lsh_index/{key}", n_planes=6)
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -187,15 +197,13 @@ def q_ivf_index_ann(sf_dir: str):
     the n_probe nearest lists. Data-adaptive complement of
     lsh_index_ann (better pruning on clustered corpora; needs a
     training sample). Rows-only: k-means lists aren't SQL-expressible."""
-    import hashlib
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from gush_ray.stages.similarity import build_ivf_index, ivf_index_topk
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = _fixture_cache_key(sf_dir)
     idx = build_ivf_index(emb, f"/tmp/gush_ray_ivf_index/{key}",
                           n_lists=16, sample_size=2000)
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",

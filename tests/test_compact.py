@@ -111,6 +111,54 @@ def test_crash_before_cleanup_reads_compacted_and_heals(job):
     )
 
 
+def test_orphan_compact_slot_is_flagged_and_reclaimed(job):
+    """A compact slot whose record never landed, with a DIFFERENT range
+    than any future compaction would use (the crash-then-more-epochs
+    case): fsck warns about it, and the next compact_stream call deletes
+    it on entry instead of leaking it forever."""
+    orphan = os.path.join(job.out_dir, "changes", "compact=00000-00001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"junk from a crashed compaction")
+    before = read_all(job)["changes"]
+    rep = audit(job.out_dir)
+    assert rep["ok"], rep["problems"]
+    assert any("unreferenced compact slot" in w for w in rep["warnings"])
+    r = compact_stream(job.out_dir, "changes")  # full range 0-3
+    assert r["compacted"] and (r["from"], r["to"]) == (0, 3)
+    assert not os.path.isdir(orphan), "orphan slot leaked"
+    pd.testing.assert_frame_equal(before, read_all(job)["changes"])
+    rep = audit(job.out_dir)
+    assert rep["ok"] and not any(
+        "unreferenced compact slot" in w for w in rep["warnings"])
+
+
+def test_read_output_retries_stale_listing(job):
+    """A reader whose file listing predates a concurrent compaction's
+    cutover+cleanup must not crash with FileNotFoundError: read_output
+    re-lists (now seeing the compacted slot) and succeeds."""
+    stale = job.sink.committed_files("changes")
+    before = read_all(job)["changes"]
+    compact_stream(job.out_dir, "changes")  # deletes the listed files
+    assert any(not os.path.exists(f) for f in stale)
+
+    real = job.sink.committed_files
+    calls = {"n": 0}
+
+    def racy(stream):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(stream)
+
+    job.sink.committed_files = racy
+    try:
+        got = job.read_output("changes")
+    finally:
+        job.sink.committed_files = real
+    assert calls["n"] >= 2, "retry never happened"
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, got)
+
+
 def test_fsck_catches_corrupt_compacted_rows(job):
     compact(job.out_dir)
     d = os.path.join(job.out_dir, "changes", "compact=00000-00003")

@@ -438,6 +438,31 @@ def test_idle_partition_unpins_watermark(tmp_path):
         assert w["n"].sum() == len(ch)
 
 
+def test_live_partition_with_stale_timestamps_is_not_idle(tmp_path):
+    """A partition that keeps RECEIVING rows whose event-time max does
+    not advance (duplicate / bounded out-of-order timestamps) is live,
+    not idle: the watermark must not jump past its max and silently
+    late-route everything it sends next. Flink's withIdleness — which
+    the idleness doc claims to match — marks a partition idle only when
+    NO records arrive for a duration, so idleness is keyed on row
+    arrival, not on event-time advancement."""
+    epochs = [
+        [(_URL_P1, _T0 + 2), (_URL_P0, _T0 + 1)],
+        [(_URL_P1, _T0 + 2), (_URL_P0, _T0 + 2 * _HOUR)],
+        [(_URL_P1, _T0 + 2), (_URL_P0, _T0 + 4 * _HOUR)],
+        [(_URL_P1, _T0 + 2), (_URL_P0, _T0 + 6 * _HOUR)],
+    ]
+    pages = _mini_pages(str(tmp_path / "pages"), epochs)
+    j = StreamingJob(pages, str(tmp_path / "out"), run_id="liveDup",
+                     num_partitions=2, window_size_us=_HOUR,
+                     idle_partition_epochs=1)
+    j.run()
+    # the live-but-stale partition bounds the watermark throughout, so
+    # none of its (repeated-timestamp) rows may be late-routed
+    late = j.read_output("late")
+    assert late.empty, f"live partition's rows were late-routed: {late}"
+
+
 def test_idle_partition_resume_parity(tmp_path):
     """Idle counters persist in manifests: killed+resumed == uninterrupted
     with idleness enabled."""
