@@ -35,15 +35,56 @@ def entry() -> Any:
     return entry_pipeline()
 
 
+# The first entries of the registry are its broadest-coverage slice:
+# one driver-checkable query per operator family (NFA, every window
+# kind, every change op, 8 join types, the streaming pipeline end to
+# end, ANN/index, dedup/corpus cleaning, text quality, decontamination,
+# retrieval, sketches with tolerance checks, analytic windows, source
+# formats, multimodal decode) — so a verification pass that samples a
+# prefix of the registry still touches every subsystem. Redundant
+# family members and rows-only entries follow; ALL pairs are re-checked
+# locally by tests/test_oracle.py regardless of order.
+_PRIORITY = [
+    "nfa_match",
+    "tumbling_count", "tumbling_avg", "sliding_avg", "session_count",
+    "global_count",
+    "change_classify", "change_delta", "change_set_expr", "where_fields",
+    "typed_field_extract", "latest_version",
+    "deny_filter",
+    "hash_join_agg", "salted_join_agg", "windowed_join_agg",
+    "asof_join", "interval_join", "anti_join", "semi_join",
+    "left_outer_join_agg",
+    "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
+    "ann_topk", "ivf_index_ann", "lsh_index_ann_full",
+    "embedding_pairs_exact",
+    "exact_dedup_docs", "line_dedup", "stratified_sample", "pii_redact",
+    "token_stats", "quality_score", "gopher_quality",
+    "decontaminate", "dup_span_removal", "training_mix",
+    "bm25",
+    "heavy_hitters", "approx_distinct_users", "approx_quantiles",
+    "exact_quantiles",
+    "running_total", "rollup_counts",
+    "jsonl_source_agg",
+    "multimodal_decode", "frame_sample",
+    "bloom_semi_checked",
+]
+
+
 def _all_query_entries() -> dict[str, tuple]:
     from gush_ray.pipelines.queries import CORE_QUERIES
     from gush_ray.pipelines.queries_analytic import ANALYTIC_QUERIES
     from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
 
+    merged: dict[str, tuple] = {}
+    merged.update(CORE_QUERIES)
+    merged.update(ANALYTIC_QUERIES)
+    merged.update(EXTRA_QUERIES)
     out: dict[str, tuple] = {}
-    out.update(CORE_QUERIES)
-    out.update(ANALYTIC_QUERIES)
-    out.update(EXTRA_QUERIES)
+    for name in _PRIORITY:
+        out[name] = merged[name]
+    for name, entry in merged.items():
+        if name not in out:
+            out[name] = entry
     return out
 
 
@@ -52,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # several oracles read fixed-path fixture parquet (the streaming
+    # pages/clicks streams); materialize them so the SQL is runnable
+    # regardless of whether the paired query ran first
+    from gush_ray.pipelines.queries_extra import ensure_oracle_fixtures
+
+    ensure_oracle_fixtures()
     return {
         name: sql
         for name, (_fn, sql) in _all_query_entries().items()

@@ -374,6 +374,157 @@ def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
     })
 
 
+def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v2",
+                         n: int = 60, seed: int = 11) -> str:
+    """Materialize the multimodal fixture as parquet at a FIXED path:
+    ``media.parquet`` (media_id, blob, true_kind) plus
+    ``expected.parquet`` — the GENERATOR's per-blob ground truth
+    (decode_kind, decode_ok, width, height) that a DuckDB oracle can
+    read, so the real decode path is verifiable end-to-end: the engine
+    decodes actual bytes, the oracle reads generation-time intent, and
+    any codec drift breaks the pair.
+
+    Expected values per kind: png/bmp → generated dims; wav →
+    (n_samples, channels) in the (width, height) slots (the audio
+    convention of DecodeFeatures); jpeg/gif → header-walk geometry =
+    generated dims; truncated blobs → decode_kind='malformed',
+    decode_ok=False with the deterministic fallback dims of
+    ``multimodal._fake_decode`` (a fixture-generation detail: the
+    interesting assertions for malformed blobs are kind/ok)."""
+    import pyarrow.parquet as _pq
+
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if os.path.exists(marker):
+        return tmp_root
+    os.makedirs(tmp_root, exist_ok=True)
+    from gush_ray.stages.codecs import (
+        encode_bmp, encode_gif_header, encode_jpeg_header, encode_png,
+        encode_wav,
+    )
+    from gush_ray.stages.multimodal import _fake_decode
+
+    rng = np.random.RandomState(seed)
+    blobs, kinds, exp_w, exp_h, exp_kind, exp_ok = [], [], [], [], [], []
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_png(px)); kinds.append("png")
+            exp_w.append(w); exp_h.append(h)
+            exp_kind.append("png"); exp_ok.append(True)
+        elif k == 1:
+            w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_bmp(px)); kinds.append("bmp")
+            exp_w.append(w); exp_h.append(h)
+            exp_kind.append("bmp"); exp_ok.append(True)
+        else:
+            nsamp = int(rng.randint(200, 2000))
+            s = (rng.randn(nsamp, 1) * 8000).astype(np.int16)
+            blobs.append(encode_wav(s, rate=16_000)); kinds.append("wav")
+            exp_w.append(nsamp); exp_h.append(1)
+            exp_kind.append("wav"); exp_ok.append(True)
+    for j in range(max(2, n // 20)):
+        t = blobs[j][: len(blobs[j]) // 2]
+        blobs.append(t); kinds.append("truncated")
+        fw, fh, _f = _fake_decode(t)
+        exp_w.append(fw); exp_h.append(fh)
+        exp_kind.append("malformed"); exp_ok.append(False)
+    for j in range(max(2, n // 10)):
+        w, h = int(rng.randint(16, 1920)), int(rng.randint(16, 1080))
+        if j % 2 == 0:
+            blobs.append(encode_jpeg_header(w, h, 3)); kinds.append("jpeg")
+            exp_kind.append("jpeg")
+        else:
+            blobs.append(encode_gif_header(w, h, 1 + j % 8))
+            kinds.append("gif")
+            exp_kind.append("gif")
+        exp_w.append(w); exp_h.append(h); exp_ok.append(True)
+    # real-BODY JPEG/GIF blobs (stages/jpeg.py, stages/gif.py): the
+    # decode stage must recover true pixel dims from actual entropy-
+    # coded data, not just header geometry
+    from gush_ray.stages.gif import encode_gif
+    from gush_ray.stages.jpeg import encode_jpeg
+
+    for j in range(max(4, n // 10)):
+        w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+        if j % 2 == 0:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_jpeg(px, quality=85)); kinds.append("jpeg")
+            exp_kind.append("jpeg")
+        else:
+            pal = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+            px = pal[rng.randint(0, 32, size=(h, w))]
+            blobs.append(encode_gif(px)); kinds.append("gif")
+            exp_kind.append("gif")
+        exp_w.append(w); exp_h.append(h); exp_ok.append(True)
+    ids = pa.array(range(len(blobs)), type=pa.int64())
+    _pq.write_table(
+        pa.table({"media_id": ids,
+                  "blob": pa.array(blobs, type=pa.binary()),
+                  "true_kind": pa.array(kinds, type=pa.string())}),
+        os.path.join(tmp_root, "media.parquet"),
+    )
+    _pq.write_table(
+        pa.table({"media_id": ids,
+                  "decode_kind": pa.array(exp_kind, type=pa.string()),
+                  "decode_ok": pa.array(exp_ok, type=pa.bool_()),
+                  "width": pa.array(exp_w, type=pa.int32()),
+                  "height": pa.array(exp_h, type=pa.int32())}),
+        os.path.join(tmp_root, "expected.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tmp_root
+
+
+def ensure_video_fixture(tmp_root: str = "/tmp/gush_ray_video/v1",
+                         n: int = 12, seed: int = 19,
+                         every_k: int = 5) -> str:
+    """Materialize the video fixture as parquet at a FIXED path:
+    ``video.parquet`` (media_id, blob) plus ``expected.parquet`` with the
+    generator's per-clip ground truth (n_frames, width, height,
+    n_sampled at ``every_k``). The truncated clip is EXCLUDED from
+    expected: a Y4M cut mid-frame fails decode atomically and the
+    sampling stage drops the whole clip (dead-letter analog, pinned by
+    tests) — the oracle sees only decodable clips."""
+    import pyarrow.parquet as _pq
+
+    from gush_ray.stages.codecs import encode_y4m
+
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if os.path.exists(marker):
+        return tmp_root
+    os.makedirs(tmp_root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    blobs, exp = [], []
+    for i in range(n):
+        nf = int(rng.randint(6, 30))
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        frames = rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8)
+        blobs.append(encode_y4m(frames, (25, 1)))
+        exp.append((i, nf, w, h, -(-nf // every_k)))
+    blobs.append(blobs[0][: len(blobs[0]) // 2])  # truncated clip
+    _pq.write_table(
+        pa.table({"media_id": pa.array(range(len(blobs)), type=pa.int64()),
+                  "blob": pa.array(blobs, type=pa.binary())}),
+        os.path.join(tmp_root, "video.parquet"),
+    )
+    mid, nf_, w_, h_, ns_ = zip(*exp)
+    _pq.write_table(
+        pa.table({"media_id": pa.array(mid, type=pa.int64()),
+                  "n_frames": pa.array(nf_, type=pa.int64()),
+                  "width": pa.array(w_, type=pa.int32()),
+                  "height": pa.array(h_, type=pa.int32()),
+                  "n_sampled": pa.array(ns_, type=pa.int64())}),
+        os.path.join(tmp_root, "expected.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tmp_root
+
+
 def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
     """Deterministic video fixture: real Y4M grayscale clips of varying
     frame counts (plus one truncated clip) as opaque binary blobs."""

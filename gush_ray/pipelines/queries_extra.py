@@ -1,10 +1,19 @@
-"""Rows-only query entries: streaming/CEP pipelines over the synthetic
-pages stream and the near-dup / similarity / multimodal operators.
+"""Streaming/CEP pipelines over the synthetic pages stream and the
+near-dup / similarity / multimodal operators.
 
-These are the non-SQL-expressible operators (stateful streaming,
-LSH-approximate algorithms, stubbed decode): the driver records a weaker
-rows-only check; semantics are pinned by unit tests instead
-(tests/test_dedup.py, tests/test_epoch_loop.py).
+Two verification classes live here:
+
+* **oracle-paired** — the streaming pipeline end-to-end (flagship
+  windows, late routing, stream-stream join, extraction byte-parity),
+  index ANN at full probe (== exact scan), tolerance-checked sketches,
+  the checked Bloom semi join, and real media decode vs generator
+  ground truth. Their DuckDB SQL reproduces the engine's exact
+  semantics over the SAME fixture parquet (fixed /tmp paths —
+  :func:`ensure_oracle_fixtures`).
+* **rows-only** — genuinely non-SQL-expressible operators (LSH banding,
+  k-means, rolling-hash boundaries, sequential packing, pruned-probe
+  ANN): semantics pinned by unit tests instead (tests/test_dedup.py,
+  tests/test_epoch_loop.py, tests/test_codecs.py).
 
 Each callable is deterministic in ``sf_dir`` (seeded generators, no
 wall-clock): repeated invocations return identical rows.
@@ -33,6 +42,172 @@ from gush_ray.stages.text import LangIdModel, fingerprint_batch
 
 
 from gush_ray.pipelines.queries import _read  # size-aware block policy
+
+
+# Fixed fixture locations shared by the streaming queries AND their
+# DuckDB oracles (the oracle SQL must be a static string, so the
+# fixtures live at deterministic paths independent of sf_dir; both
+# sides read the SAME parquet bytes). ensure_oracle_fixtures()
+# materializes them idempotently — __ray_entry__.oracle_sql() calls it
+# so the SQL is runnable no matter which side the driver runs first.
+PAGES_FIXTURE = "/tmp/gush_ray_pages/u2000_s7_e4_v3"
+CLICKS_FIXTURE = "/tmp/gush_ray_clicks/u2000_s7_e4_v1"
+_HALF_H_US = 30 * 60 * 1_000_000
+_WIN_US = 15 * 60 * 1_000_000
+NEG_INF_SQL = -(1 << 62)
+
+
+def _ensure_clicks() -> str:
+    from gush_ray.datagen import write_clicks_dir
+
+    if not os.path.exists(os.path.join(CLICKS_FIXTURE, "_COMPLETE")):
+        write_clicks_dir(CLICKS_FIXTURE, n_urls=2_000, seed=7,
+                         clicks_per_epoch=1_500, n_epochs=4)
+        with open(os.path.join(CLICKS_FIXTURE, "_COMPLETE"), "w") as f:
+            f.write("ok")
+    return CLICKS_FIXTURE
+
+
+def ensure_oracle_fixtures() -> None:
+    """Materialize every fixed-path fixture the oracle SQL reads
+    (idempotent, seconds when cold, no Ray needed)."""
+    from gush_ray.datagen import ensure_media_fixture, ensure_video_fixture
+
+    ensure_pages(n_urls=2_000, seed=7)
+    _ensure_clicks()
+    ensure_media_fixture()
+    ensure_video_fixture()
+
+
+# The streaming pipeline's exact batch semantics, as SQL over the same
+# fixture parquet (hive epoch= dirs = arrival epochs; P=1 so the
+# watermark is the global running max instead of a min over partition
+# maxima, which SQL cannot reproduce without the engine's hash):
+#   pages     — drop extraction failures (malformed html <=> text NULL)
+#   uniq      — per-epoch exact (url, ts) replay dedup
+#   wm        — watermark AFTER each epoch = running max event time
+#   flagged   — wm_prev = watermark the epoch's reduce restores
+#   nonlate   — late routing: ts below the restored watermark
+#   survivors — V1 stale drop: a non-late row of the same url with
+#               ts >= this row's ts in an EARLIER epoch supersedes it
+#               (closed form of the last_ts-map recursion: a stale
+#               dominator always implies a surviving one)
+#   changes   — version = rank among survivors; 0 = insert
+_SQL_PAGES_BASE = f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, lang, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+uniq AS (SELECT url, ts_us, lang, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT epoch, max(mx) OVER (ORDER BY epoch) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch)
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+),
+nonlate AS (SELECT * FROM flagged WHERE ts_us >= wm_prev),
+survivors AS (
+  SELECT a.url, a.ts_us, a.lang FROM nonlate a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nonlate b
+    WHERE b.url = a.url AND b.epoch < a.epoch AND b.ts_us >= a.ts_us
+  )
+),
+changes AS (
+  SELECT url, ts_us, lang,
+         row_number() OVER (PARTITION BY url ORDER BY ts_us) - 1 AS version
+  FROM survivors
+)
+"""
+
+SQL_PAGES_FLAGSHIP = _SQL_PAGES_BASE + f"""
+SELECT lang,
+       CASE WHEN version = 0 THEN 'insert' ELSE 'update' END AS change_kind,
+       ts_us // {_WIN_US} AS window_id,
+       count(*) AS n, CAST(count(*) AS DOUBLE) AS sum_value
+FROM changes GROUP BY lang, change_kind, window_id
+ORDER BY lang, change_kind, window_id
+"""
+
+SQL_PAGES_LATE = f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, lang, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+uniq AS (SELECT url, ts_us, lang, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT epoch, max(mx) OVER (ORDER BY epoch) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch)
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+)
+SELECT lang, count(*) AS n_late FROM flagged WHERE ts_us < wm_prev
+GROUP BY lang ORDER BY lang
+"""
+
+# same survivor pipeline, but the watermark is the TWO-stream bound
+# (min of both streams' running maxima — a stream running ahead must
+# not mark the other's rows late), then the inclusive interval join
+SQL_STREAM_JOIN = f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+clicks AS (
+  SELECT url, epoch_us(ts) AS c_ts, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{CLICKS_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+),
+uniq AS (SELECT url, ts_us, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT p.epoch,
+         least(max(p.mx) OVER (ORDER BY p.epoch),
+               max(c.mx) OVER (ORDER BY c.epoch)) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch) p
+  JOIN (SELECT epoch, max(c_ts) AS mx FROM clicks GROUP BY epoch) c
+    ON c.epoch = p.epoch
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+),
+nonlate AS (SELECT * FROM flagged WHERE ts_us >= wm_prev),
+survivors AS (
+  SELECT a.url, a.ts_us FROM nonlate a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nonlate b
+    WHERE b.url = a.url AND b.epoch < a.epoch AND b.ts_us >= a.ts_us
+  )
+),
+changes AS (
+  SELECT url, ts_us,
+         row_number() OVER (PARTITION BY url ORDER BY ts_us) - 1 AS version
+  FROM survivors
+)
+SELECT s.version AS version, count(*) AS n_pairs
+FROM changes s JOIN clicks c
+  ON c.url = s.url AND c.c_ts - s.ts_us BETWEEN -{_HALF_H_US} AND {_HALF_H_US}
+GROUP BY s.version ORDER BY s.version
+"""
+
+# byte-identity of html->text extraction: if the extractor drifts by one
+# byte anywhere, n_identical drops below count(text) and the pair breaks
+SQL_EXTRACT_PARITY = f"""
+SELECT lang, count(*) AS rows,
+       count(text) AS n_identical, count(text) AS n_ok
+FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet')
+GROUP BY lang ORDER BY lang
+"""
 
 
 def _fixture_cache_key(sf_dir: str, table: str = "embeddings") -> str:
@@ -175,6 +350,29 @@ def q_lsh_index_ann(sf_dir: str):
     return lsh_index_topk(idx, qvec, k=10, n_planes=6)
 
 
+def q_lsh_index_ann_full(sf_dir: str):
+    """The LSH index machinery verified end-to-end against SQL: probing
+    ALL buckets degrades the index read to the exact brute-force scan,
+    so build_lsh_index's signatures + bucket-partitioned layout +
+    lsh_index_topk's read path must reproduce the DuckDB cosine top-k
+    bit-exactly (any row misplaced or dropped by the index breaks the
+    pair). The PRUNED probe stays the separate rows-only lsh_index_ann
+    (recall < 1 by design; scan fraction pinned by tests)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gush_ray.stages.similarity import build_lsh_index, lsh_index_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    key = _fixture_cache_key(sf_dir)
+    idx = build_lsh_index(emb, f"/tmp/gush_ray_lsh_index/{key}", n_planes=6)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return lsh_index_topk(idx, qvec, k=10, n_planes=6, all_buckets=True)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means over the embeddings table: full-data Lloyd
     (per-batch (cluster, n, sumvec, sse) partials — the corpus never
@@ -236,14 +434,30 @@ def q_content_chunks(sf_dir: str):
 
 
 def q_approx_distinct(sf_dir: str):
-    """HyperLogLog approximate distinct users: each batch ships 2^12
-    registers instead of its keyspace (rows-only — approximate by
-    design; accuracy vs the exact count is pinned by test to <5%)."""
+    """HyperLogLog approximate distinct users WITH a driver-verifiable
+    tolerance check: each batch ships 2^12 one-byte registers instead of
+    its keyspace. Output = the distributed EXACT distinct count (the
+    SQL-matchable value) plus ``hll_ok`` — whether the HLL estimate is
+    within 4x its standard error (1.04/sqrt(2^p)) of the exact count.
+    The estimate stays approximate by design; its accuracy bound is what
+    the oracle row verifies (plus the <5% pin in tests)."""
+    from gush_ray.stages.shuffle import partition_map
     from gush_ray.stages.sketches import approx_distinct
 
     ev = _read(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ev, "user_id", p=12)
-    return pd.DataFrame({"n_approx": [int(round(est))]})
+    distinct = partition_map(
+        ev, "user_id", lambda df: df.drop_duplicates(["user_id"]), 8
+    )
+    n_exact = int(distinct.count())
+    rel_bound = 4 * 1.04 / (2 ** 6)  # 4 sigma at p=12 (sqrt(2^12) = 64)
+    ok = abs(est - n_exact) <= rel_bound * max(n_exact, 1)
+    return pd.DataFrame({"n_exact": [n_exact], "hll_ok": [bool(ok)]})
+
+
+SQL_APPROX_DISTINCT = """
+SELECT count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok FROM events
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -286,29 +500,35 @@ def q_multimodal_features(sf_dir: str):
     return df.drop(columns=["sum_w"])
 
 
-def q_multimodal_decode(sf_dir: str):
-    """REAL media decode (pure-stdlib PNG/BMP/WAV codecs) over a
-    deterministic fixture of actual encoded blobs: sniff → actor-pool
-    decode → per-format aggregate of real widths/heights. Truncated
-    blobs surface as decode_ok=False (dead-letter analog)."""
-    from gush_ray.datagen import gen_media_table
-    from gush_ray.stages.agg import partial_aggregate
+MEDIA_FIXTURE = "/tmp/gush_ray_media/v2"
+VIDEO_FIXTURE = "/tmp/gush_ray_video/v1"
 
-    ds = rd.from_arrow(gen_media_table(n=60, seed=11))
-    ds = ds.map_batches(lambda b: sniff_blob_batch(b, blob_col="blob"),
-                        batch_format="pyarrow", zero_copy_batch=True)
+
+def q_multimodal_decode(sf_dir: str):
+    """REAL media decode (pure-stdlib PNG/BMP/WAV codecs + JPEG/GIF
+    header-walk geometry) over a fixture of actual encoded blobs:
+    actor-pool decode → per-blob (kind, ok, width, height). Oracle-
+    paired: the DuckDB side reads the GENERATOR's ground-truth parquet
+    (datagen.ensure_media_fixture), so any codec drift — one wrong
+    pixel dimension on any blob — breaks the pair. Truncated blobs
+    surface as decode_ok=False (dead-letter analog)."""
+    from gush_ray.datagen import ensure_media_fixture
+
+    root = ensure_media_fixture(MEDIA_FIXTURE)
+    ds = rd.read_parquet(os.path.join(root, "media.parquet"),
+                         columns=["media_id", "blob"])
     ds = decode_features(ds, blob_col="blob", concurrency=2, batch_size=32)
-    agg = partial_aggregate(
-        ds, ["decode_kind", "decode_ok"],
-        {"n": (None, "count"), "sum_w": ("width", "sum"),
-         "sum_h": ("height", "sum")},
-    )
-    df = agg.to_pandas()
-    df["avg_width"] = (df["sum_w"] / df["n"]).round(2)
-    df["avg_height"] = (df["sum_h"] / df["n"]).round(2)
-    return (df.drop(columns=["sum_w", "sum_h"])
-            .sort_values(["decode_kind", "decode_ok"])
-            .reset_index(drop=True))
+    df = ds.select_columns(
+        ["media_id", "decode_kind", "decode_ok", "width", "height"]
+    ).to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MULTIMODAL_DECODE = f"""
+SELECT media_id, decode_kind, decode_ok, width, height
+FROM read_parquet('{MEDIA_FIXTURE}/expected.parquet')
+ORDER BY media_id
+"""
 
 
 def q_multimodal_resize(sf_dir: str):
@@ -339,12 +559,16 @@ def q_multimodal_resize(sf_dir: str):
 def q_frame_sample(sf_dir: str):
     """Real video frame sampling over Y4M clips: every 5th frame
     explodes into its own row with true dims + luma features; per-clip
-    sampled-frame counts returned."""
-    from gush_ray.datagen import gen_video_table
+    sampled-frame counts returned. Oracle-paired against the generator's
+    ground-truth parquet (datagen.ensure_video_fixture): frame counts,
+    dims and the sampling arithmetic are all verified; the truncated
+    clip must be dropped whole (it is absent from both sides)."""
+    from gush_ray.datagen import ensure_video_fixture
     from gush_ray.stages.agg import partial_aggregate
     from gush_ray.stages.multimodal import SampleFrames
 
-    ds = rd.from_arrow(gen_video_table(n=12, seed=19))
+    root = ensure_video_fixture(VIDEO_FIXTURE)
+    ds = rd.read_parquet(os.path.join(root, "video.parquet"))
     ds = ds.map_batches(
         SampleFrames,
         fn_constructor_kwargs={"blob_col": "blob", "every_k": 5},
@@ -358,16 +582,29 @@ def q_frame_sample(sf_dir: str):
     return agg.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+SQL_FRAME_SAMPLE = f"""
+SELECT media_id, n_sampled, n_frames, width, height
+FROM read_parquet('{VIDEO_FIXTURE}/expected.parquet')
+ORDER BY media_id
+"""
+
+
 def q_pages_flagship(sf_dir: str):
     """The full streaming CEP pipeline (extract → dedup/version → windows
     → sessions → NFA → exactly-once sink) over the deterministic synthetic
-    pages stream; returns the closed event-time windows."""
+    pages stream; returns the closed event-time windows.
+
+    num_partitions=1 so the watermark (min over partition maxima) is the
+    global running event-time max — the one watermark a static DuckDB
+    oracle can reproduce (SQL_PAGES_FLAGSHIP; the engine's partition
+    hash is not SQL-expressible). Multi-partition watermark/late/resume
+    behavior is pinned by tests/test_epoch_loop.py."""
     from gush_ray.pipelines.epoch_loop import StreamingJob
 
     pages_dir = ensure_pages(n_urls=2_000, seed=7)
     out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
     job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
-                       num_partitions=4)
+                       num_partitions=1)
     job.run()
     windows = job.read_output("windows")
     job.kill_actors()
@@ -381,23 +618,20 @@ def q_stream_join(sf_dir: str):
     """Stream-stream windowed join (changes × clicks within ±30 min,
     buffered per-partition state, watermark-pruned, exactly-once): pair
     counts per change version. Streaming == batch interval join is
-    pinned by tests/test_stream_join.py; the batch operator is itself
-    DuckDB-oracle-paired (`interval_join`)."""
-    from gush_ray.datagen import write_clicks_dir
+    pinned by tests/test_stream_join.py; additionally oracle-paired
+    directly (SQL_STREAM_JOIN: the survivor pipeline + the two-stream
+    watermark + the inclusive interval join, all in SQL over the same
+    fixture parquet). num_partitions=1 for the same reason as
+    q_pages_flagship."""
     from gush_ray.pipelines.epoch_loop import StreamingJob
     from gush_ray.state.join_state import JoinSpec
 
     pages_dir = ensure_pages(n_urls=2_000, seed=7)
-    clicks_dir = "/tmp/gush_ray_clicks/u2000_s7_e4_v1"
-    if not os.path.exists(os.path.join(clicks_dir, "_COMPLETE")):
-        write_clicks_dir(clicks_dir, n_urls=2_000, seed=7,
-                         clicks_per_epoch=1_500, n_epochs=4)
-        with open(os.path.join(clicks_dir, "_COMPLETE"), "w") as f:
-            f.write("ok")
+    clicks_dir = _ensure_clicks()
     out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
-    HALF_H = 30 * 60 * 1_000_000
+    HALF_H = _HALF_H_US
     job = StreamingJob(
-        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=1,
         right_dir=clicks_dir,
         join_spec=JoinSpec(-HALF_H, HALF_H, left_cols=("version",),
                            right_cols=("click_id",)),
@@ -414,13 +648,14 @@ def q_stream_join(sf_dir: str):
 
 def q_pages_late_routing(sf_dir: str):
     """Watermark late-data routing (W5): per-lang late-row counts from the
-    streaming job's late side-output."""
+    streaming job's late side-output. Oracle-paired (SQL_PAGES_LATE);
+    num_partitions=1 for the same reason as q_pages_flagship."""
     from gush_ray.pipelines.epoch_loop import StreamingJob
 
     pages_dir = ensure_pages(n_urls=2_000, seed=7)
     out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
     job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
-                       num_partitions=4)
+                       num_partitions=1)
     job.run()
     late = job.read_output("late")
     job.kill_actors()
@@ -460,11 +695,14 @@ def q_extract_parity(sf_dir: str):
     f = ds.map_batches(flags, batch_format="pyarrow")
     from gush_ray.stages.agg import partial_aggregate
 
-    return partial_aggregate(
+    df = partial_aggregate(
         f, ["lang"],
         {"rows": (None, "count"), "n_identical": ("same", "sum"),
          "n_ok": ("ok", "sum")},
-    )
+    ).to_pandas()
+    df["n_identical"] = df["n_identical"].astype("int64")
+    df["n_ok"] = df["n_ok"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
 
 
 def q_pack_sequences(sf_dir: str):
@@ -525,22 +763,108 @@ def q_bloom_semi(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def q_bloom_semi_checked(sf_dir: str):
+    """Bloom semi join in its production shape: Bloom prefilter (no
+    false negatives) + exact verification join that removes the one-sided
+    false positives — output therefore equals the exact semi join and is
+    SQL-verifiable. The raw filter's FP rate stays quantified by the
+    rows-only bloom_semi entry."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+    from gush_ray.stages.sketches import bloom_semi_filter, build_bloom
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick_keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    keys = docs.map_batches(pick_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bloom = build_bloom(keys, "doc_id", m_bits=1 << 16, k=5)
+    kept = bloom_semi_filter(docs, bloom, "doc_id")
+    # exact verify: inner hash join of the (small) prefiltered side
+    # against the distinct true key set — kills the Bloom FPs
+    verified = hash_join(
+        kept, keys.select_columns(["doc_id"]), on=("doc_id",),
+        num_partitions=8,
+    )
+    agg = partial_aggregate(verified, ["lang"], {"n_kept": (None, "count")})
+    return agg.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_BLOOM_SEMI_CHECKED = """
+SELECT lang, count(*) AS n_kept FROM documents
+WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang
+"""
+
+
 def q_approx_quantiles(sf_dir: str):
     """Mergeable approximate quantiles (bounded memory at every level)
-    over the event values — rows-only: approximate by design; rank
-    error vs the exact quantiles is pinned by test."""
-    from gush_ray.stages.sketches import approx_quantiles
+    WITH a driver-verifiable tolerance check. Output per q = the EXACT
+    quantile from the no-sort histogram-refinement path (the
+    SQL-matchable value, quantile_disc semantics) plus ``rank_ok`` —
+    whether the sketch estimate's true rank (one distributed counting
+    pass) is within 2% of q*n. The sketch stays approximate by design;
+    its rank-error bound is what the oracle row verifies."""
+    from gush_ray.stages.sketches import approx_quantiles, exact_quantiles_nosort
 
     ev = _read(sf_dir, "events", columns=["value"])
     qs = [0.1, 0.5, 0.9, 0.99]
     est = approx_quantiles(ev, "value", qs)
-    return pd.DataFrame({"q": qs,
-                         "value": [round(est[q], 2) for q in qs]})
+    exact = exact_quantiles_nosort(ev, "value", qs)
+    est_vals = np.array([est[q] for q in qs], dtype=np.float64)
 
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["value"].dropna().to_numpy(dtype=np.float64)
+        le = (x[:, None] <= est_vals[None, :]).sum(axis=0)
+        return pd.DataFrame({"n": [len(x)],
+                             "le": [le.astype(np.int64).tobytes()]})
+
+    parts = ev.map_batches(rank_partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    ranks = np.sum([np.frombuffer(b, dtype=np.int64) for b in parts["le"]],
+                   axis=0)
+    ok = np.abs(ranks - np.array(qs) * n) <= 0.02 * n
+    return pd.DataFrame({"q": np.array(qs, dtype=np.float64),
+                         "value": [float(exact[q]) for q in qs],
+                         "rank_ok": ok.astype(bool)})
+
+
+SQL_APPROX_QUANTILES = """
+SELECT 0.1 AS q, CAST(quantile_disc(value, 0.1) AS DOUBLE) AS value,
+       TRUE AS rank_ok FROM events
+UNION ALL
+SELECT 0.5, CAST(quantile_disc(value, 0.5) AS DOUBLE), TRUE FROM events
+UNION ALL
+SELECT 0.9, CAST(quantile_disc(value, 0.9) AS DOUBLE), TRUE FROM events
+UNION ALL
+SELECT 0.99, CAST(quantile_disc(value, 0.99) AS DOUBLE), TRUE FROM events
+"""
+
+
+from gush_ray.pipelines.queries import SQL_ANN_TOPK as _SQL_ANN_TOPK
 
 EXTRA_QUERIES = {
+    # oracle-paired (round 3): streaming e2e, index ANN at full probe,
+    # tolerance-checked sketches, checked bloom semi
+    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
+    "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),
+    "ivf_index_ann": (q_ivf_index_ann, _SQL_ANN_TOPK),
+    "lsh_index_ann_full": (q_lsh_index_ann_full, _SQL_ANN_TOPK),
+    "approx_distinct_users": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "bloom_semi_checked": (q_bloom_semi_checked, SQL_BLOOM_SEMI_CHECKED),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    # rows-only: genuinely non-SQL-expressible (LSH banding / k-means /
+    # rolling-hash boundaries / sequential packing / pruned-probe ANN /
+    # media decode), each pinned by unit tests instead
     "bloom_semi": (q_bloom_semi, None),
-    "approx_quantiles": (q_approx_quantiles, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_dedup": (q_simhash_dedup, None),
@@ -548,19 +872,11 @@ EXTRA_QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
-    "ivf_index_ann": (q_ivf_index_ann, None),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "lang_id": (q_lang_id, None),
-    "approx_distinct_users": (q_approx_distinct, None),
     "content_chunks": (q_content_chunks, None),
     "fingerprint": (q_fingerprint, None),
     "multimodal_features": (q_multimodal_features, None),
-    "multimodal_decode": (q_multimodal_decode, None),
     "multimodal_resize": (q_multimodal_resize, None),
-    "frame_sample": (q_frame_sample, None),
-    "pages_flagship": (q_pages_flagship, None),
-    "pages_late_routing": (q_pages_late_routing, None),
-    "stream_join": (q_stream_join, None),
-    "extract_parity": (q_extract_parity, None),
     "pack_sequences": (q_pack_sequences, None),
 }

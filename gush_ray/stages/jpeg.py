@@ -1,0 +1,599 @@
+"""Pure-numpy baseline JPEG codec (no native libraries).
+
+Closes the round-2 "honest boundary": JPEG frame GEOMETRY came from a
+header walk while pixel decode raised NotImplementedError. This module
+decodes real pixels for baseline (SOF0) and extended-sequential (SOF1)
+Huffman JPEGs — grayscale or YCbCr with any sampling factors ≤ 4
+(4:4:4, 4:2:0, 4:2:2, ...), restart markers included — and encodes
+4:4:4 / grayscale baseline JPEGs for round-trip tests.
+
+Design notes:
+
+* The decoder is entirely TABLE-DRIVEN (DQT/DHT read from the stream),
+  so it handles files from any encoder, including the standard Annex-K
+  tables — none of which need to be embedded here.
+* The encoder builds canonical Huffman tables from the image's own
+  symbol frequencies (two-pass, JPEG Annex-K length-limit adjustment,
+  all-ones code reserved via the standard dummy symbol), writes them as
+  DHT segments, and the decoder reconstructs codes with the identical
+  canonical rule — consistency by construction.
+* DCT/IDCT are exact matrix forms (T @ B @ T.T with the orthonormal
+  DCT-II basis), vectorized over ALL blocks of a component at once via
+  einsum — the per-pixel work is numpy; only the entropy coding walks
+  bits in Python (unavoidable without native code; the decode stage is
+  an actor-pool `map_batches` stage, so throughput scales with the
+  pool).
+* Progressive (SOF2) and arithmetic-coded JPEGs raise
+  ``NotImplementedError`` — callers (stages/multimodal.DecodeFeatures)
+  fall back to the header-walk geometry, which remains the honest
+  boundary for those variants. Corrupt streams raise ``ValueError``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- tables
+
+
+def _zigzag() -> np.ndarray:
+    """Zigzag scan order: position k in the scan -> linear index r*8+c."""
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(8, s + 1))
+        diag = [(r, s - r) for r in rs]
+        if s % 2 == 0:
+            diag.reverse()
+        out.extend(diag)
+    return np.array([r * 8 + c for r, c in out], dtype=np.int64)
+
+
+ZZ = _zigzag()           # scan position -> linear block index
+UNZZ = np.argsort(ZZ)    # linear block index -> scan position
+
+
+def _dct_basis() -> np.ndarray:
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    t = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) / 2.0
+    t[0, :] *= 1 / np.sqrt(2)
+    return t
+
+
+T = _dct_basis()
+
+# Annex-K example luminance/chrominance quant tables (the public spec
+# tables every encoder scales) — used by OUR encoder only; the decoder
+# reads whatever tables the file carries.
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+# ------------------------------------------------------- canonical codes
+
+
+def _huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Symbol -> code length via plain Huffman, JPEG-legal: a dummy
+    symbol (256) with frequency 1 joins the merge so no real symbol gets
+    the all-ones code, and lengths are squeezed to ≤ 16 with the
+    standard Annex-K adjustment."""
+    import heapq
+
+    items = [(f, [s]) for s, f in freqs.items() if f > 0]
+    items.append((1, [256]))  # reserves the all-ones code
+    if len(items) == 1:
+        return {items[0][1][0]: 1}
+    heapq.heapify(items)
+    depth: dict[int, int] = {s: 0 for _f, syms in items for s in syms}
+    while len(items) > 1:
+        fa, sa = heapq.heappop(items)
+        fb, sb = heapq.heappop(items)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(items, (fa + fb, sa + sb))
+    # length-limit to 16 (Annex K.3: move leaves up the tree)
+    counts = np.zeros(33, dtype=np.int64)
+    for _s, d in depth.items():
+        counts[min(d, 32)] += 1
+    i = 32
+    while i > 16:
+        while counts[i] > 0:
+            j = i - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[i] -= 2
+            counts[i - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+        i -= 1
+    # reassign lengths canonically: longest-first list of symbols sorted
+    # by (original depth, symbol) keeps frequent symbols short
+    ordered = sorted(depth.items(), key=lambda kv: (kv[1], kv[0]))
+    out: dict[int, int] = {}
+    lens_needed = []
+    for ln in range(1, 17):
+        lens_needed.extend([ln] * int(counts[ln]))
+    assert len(lens_needed) == len(ordered)
+    for (sym, _d), ln in zip(ordered, lens_needed):
+        out[sym] = ln
+    out.pop(256, None)  # dummy never emitted
+    return out
+
+
+def _canonical_codes(lengths: dict[int, int]):
+    """JPEG canonical assignment: symbols ordered by (length, listing
+    order); we list by (length, symbol value), and BOTH the encoder and
+    the DHT segment use that order, so decoders agree."""
+    bits = [0] * 17
+    for ln in lengths.values():
+        bits[ln] += 1
+    vals = [s for s, _ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))]
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return bits[1:], vals, codes
+
+
+def _codes_from_dht(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol, from a DHT segment's BITS/HUFFVAL."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for i, n in enumerate(bits):
+        ln = i + 1
+        for _ in range(n):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(pad, (1 << pad) - 1)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                raise ValueError("truncated JPEG entropy data")
+            else:  # a real marker: expose it, feed no more bits
+                self.marker = nxt
+                raise ValueError("hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        ln = 0
+        code = 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Skip to byte boundary and consume RSTn (n = 0..7)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    if (m - 0xD0) != n:
+                        raise ValueError("JPEG restart marker out of order")
+                    self.pos += 2
+                    self.marker = None
+                    return
+                raise ValueError(f"unexpected marker {m:#x} at restart")
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --------------------------------------------------------------- encode
+
+
+def _ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a 2-D plane to 8x8 multiples (edge-replicate) and return
+    (n_blocks, 8, 8) in raster MCU order plus blocks-per-row/col."""
+    h, w = plane.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.empty((H, W), dtype=np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[-1:, :]
+    p[:h, w:] = p[:h, w - 1: w]
+    p[h:, w:] = p[h - 1, w - 1]
+    by, bx = H // 8, W // 8
+    blk = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blk, bx, by
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JPEG bytes from (h, w) grayscale or (h, w, 3) RGB uint8
+    (4:4:4, canonical per-image Huffman tables)."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        qids = [0]
+    else:
+        ycc = _ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qids = [0, 1, 1]
+    qtabs = [_scaled_quant(QUANT_LUMA, quality),
+             _scaled_quant(QUANT_CHROMA, quality)]
+
+    comp_scan: list[np.ndarray] = []  # per component: (n_blocks, 64) ints
+    for plane, qid in zip(planes, qids):
+        blk, _bx, _by = _blocks_of(plane - 128.0)
+        f = np.einsum("ux,nxy,vy->nuv", T, blk, T)
+        q = np.round(f / qtabs[qid][None]).astype(np.int64)
+        comp_scan.append(q.reshape(-1, 64)[:, ZZ])
+
+    # pass 1: symbol frequencies (one DC + one AC table for all comps)
+    dc_freq: dict[int, int] = {}
+    ac_freq: dict[int, int] = {}
+
+    def _symbols(scan: np.ndarray, emit) -> None:
+        prev_dc = 0
+        for blk_v in scan:
+            diff = int(blk_v[0]) - prev_dc
+            prev_dc = int(blk_v[0])
+            emit("dc", _category(diff), diff)
+            pos = 1
+            for idx in np.flatnonzero(blk_v[1:]):
+                k = int(idx) + 1
+                run = k - pos
+                while run >= 16:
+                    emit("ac", 0xF0, None)
+                    run -= 16
+                v = int(blk_v[k])
+                emit("ac", (run << 4) | _category(v), v)
+                pos = k + 1
+            if pos <= 63:
+                emit("ac", 0x00, None)
+
+    def count(kind, sym, _v):
+        d = dc_freq if kind == "dc" else ac_freq
+        d[sym] = d.get(sym, 0) + 1
+
+    for scan in comp_scan:
+        _symbols(scan, count)
+
+    dc_bits, dc_vals, dc_codes = _canonical_codes(_huffman_lengths(dc_freq))
+    ac_bits, ac_vals, ac_codes = _canonical_codes(_huffman_lengths(ac_freq))
+
+    # pass 2: entropy-coded data
+    bw = _BitWriter()
+
+    def write_sym(kind, sym, v):
+        ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+        bw.write(ln, code)
+        if kind == "dc":
+            size = sym
+            if size:
+                vv = v if v >= 0 else v + (1 << size) - 1
+                bw.write(size, vv)
+        else:
+            size = sym & 0x0F
+            if size:
+                vv = v if v >= 0 else v + (1 << size) - 1
+                bw.write(size, vv)
+
+    # interleave components per MCU (4:4:4: one block each per MCU)
+    n_mcu = comp_scan[0].shape[0]
+    prev = [0] * len(comp_scan)
+    for m in range(n_mcu):
+        for ci, scan in enumerate(comp_scan):
+            blk_v = scan[m]
+            diff = int(blk_v[0]) - prev[ci]
+            prev[ci] = int(blk_v[0])
+            write_sym("dc", _category(diff), diff)
+            pos = 1
+            for idx in np.flatnonzero(blk_v[1:]):
+                k = int(idx) + 1
+                run = k - pos
+                while run >= 16:
+                    write_sym("ac", 0xF0, None)
+                    run -= 16
+                v = int(blk_v[k])
+                write_sym("ac", (run << 4) | _category(v), v)
+                pos = k + 1
+            if pos <= 63:
+                write_sym("ac", 0x00, None)
+    entropy = bw.flush()
+
+    # ---- assemble segments
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    for qid, qt in enumerate(qtabs[: 1 if gray else 2]):
+        zz = qt.reshape(64)[ZZ].astype(np.uint8).tobytes()
+        seg(0xDB, bytes([qid]) + zz)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    seg(0xC0, sof)
+    for tclass, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                                 (1, (ac_bits, ac_vals))):
+        seg(0xC4, bytes([tclass << 4]) + bytes(bits)
+            + bytes(v & 0xFF for v in vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(entropy)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decode
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 (or (h, w) for grayscale files) from baseline
+    / extended-sequential Huffman JPEG bytes. Progressive or arithmetic
+    coding raises NotImplementedError (header-walk geometry remains the
+    caller's fallback); corrupt data raises ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos + 2: pos + 4])[0]
+        body = data[pos + 4: pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                m = 128 if pq else 64
+                raw = b[1: 1 + m]
+                vals = (np.frombuffer(raw, dtype=">u2") if pq
+                        else np.frombuffer(raw, dtype=np.uint8))
+                t = np.zeros(64, dtype=np.float64)
+                t[ZZ] = vals.astype(np.float64)
+                qtabs[tq] = t.reshape(8, 8)
+                b = b[1 + m:]
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                tclass, tid = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                cnt = sum(bits)
+                vals = list(b[17: 17 + cnt])
+                htabs[(tclass, tid)] = _codes_from_dht(bits, vals)
+                b = b[17 + cnt:]
+        elif marker in (0xC0, 0xC1):  # SOF0/1: sequential Huffman
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec}
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("non-baseline JPEG coding")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tabs = {}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si: 3 + 2 * si]
+                scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(data, pos + 2 + seg_len, frame, qtabs,
+                                htabs, scan_tabs, restart_interval)
+        pos += 2 + seg_len
+    raise ValueError("no JPEG scan data found")
+
+
+def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,
+                 restart_interval) -> np.ndarray:
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.float64)
+        dc_id, ac_id = scan_tabs[c["id"]]
+        dc_t = htabs.get((0, dc_id))
+        ac_t = htabs.get((1, ac_id))
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing JPEG Huffman table")
+        c["dc_t"], c["ac_t"] = dc_t, ac_t
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_and_expect_rst(
+                    (mcu_count // restart_interval - 1) % 8)
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.float64)
+                        s = br.decode_symbol(c["dc_t"])
+                        diff = _extend(br.receive(s), s)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = br.decode_symbol(c["ac_t"])
+                            r, ssize = rs >> 4, rs & 0x0F
+                            if ssize == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[k] = _extend(br.receive(ssize), ssize)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bx"] + col] = blk
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("missing JPEG quant table")
+        coefs = np.zeros_like(c["coef"])
+        coefs[:, ZZ] = c["coef"]          # dezigzag
+        f = coefs.reshape(-1, 8, 8) * qt[None]
+        # IDCT: B = T^T F T  (orthonormal basis)
+        blk = np.einsum("ux,nuv,vy->nxy", T, f, T)
+        # reassemble raster plane from MCU-ordered blocks
+        plane = (blk.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8)) + 128.0
+        # upsample to full MCU grid resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -193,16 +193,34 @@ class DecodeFeatures:
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 n, ch, f = _audio_features(*decode_wav(blob))
                 return n, ch, f, "wav", True
-            # JPEG/GIF: pixel decode needs native codecs this
-            # environment lacks, but frame GEOMETRY is a pure header
-            # walk — real width/height/aspect (what resolution filters
-            # consume); pixel-statistic feature slots stay honestly 0
+            # JPEG/GIF: REAL pixel decode (pure-numpy baseline-DCT JPEG,
+            # pure-Python LZW GIF — stages/jpeg.py, stages/gif.py). For
+            # variants those codecs honestly refuse (progressive /
+            # arithmetic JPEG) or streams with parseable headers but
+            # missing/cut scan data, frame GEOMETRY from the header walk
+            # remains real (what resolution filters consume) and the
+            # pixel-statistic feature slots stay 0 — absent, not faked.
             if blob.startswith(b"\xff\xd8\xff"):
-                w, h, ncomp = jpeg_header(blob)
-                return w, h, _geometry_features(w, h, ncomp), "jpeg", True
+                try:
+                    from gush_ray.stages.jpeg import decode_jpeg
+
+                    w, h, f = _image_features(decode_jpeg(blob))
+                    return w, h, f, "jpeg", True
+                except (NotImplementedError, ValueError):
+                    w, h, ncomp = jpeg_header(blob)
+                    return (w, h, _geometry_features(w, h, ncomp),
+                            "jpeg", True)
             if blob[:4] == b"GIF8":
-                w, h, pal = gif_header(blob)
-                return w, h, _geometry_features(w, h, 3, pal), "gif", True
+                try:
+                    from gush_ray.stages.gif import decode_gif
+
+                    px, _n_frames = decode_gif(blob)
+                    w, h, f = _image_features(px)
+                    return w, h, f, "gif", True
+                except ValueError:
+                    w, h, pal = gif_header(blob)
+                    return (w, h, _geometry_features(w, h, 3, pal),
+                            "gif", True)
         except ValueError:
             w, h, f = _fake_decode(blob)
             return w, h, f, "malformed", False

@@ -206,12 +206,17 @@ def build_lsh_index(ds, index_dir: str, n_planes: int = 8, seed: int = 17,
 
 def lsh_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
                    n_planes: int = 8, seed: int = 17, n_probe_bits: int = 1,
-                   id_col: str = "vec_id", emb_col: str = "embedding"):
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   all_buckets: bool = False):
     """Query a :func:`build_lsh_index` index: exact cosine top-k over
     ONLY the probed buckets' partitions (query bucket ± single-bit
     flips) — the read prunes to ~(1+n_planes)/2^n_planes of the corpus.
     Same plane family as the index builder (dedup._lsh_planes), so
-    signatures agree by construction."""
+    signatures agree by construction.
+
+    ``all_buckets=True`` probes every bucket: the scan degrades to the
+    exact brute-force top-k (recall 1.0, zero pruning) — the oracle
+    anchor that lets the index read path be SQL-verified end-to-end."""
     import os
 
     import ray.data as rd
@@ -223,7 +228,9 @@ def lsh_index_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
     planes = _lsh_planes(n_planes, len(q), seed)
     q_sig = int((planes @ q > 0).dot(1 << np.arange(n_planes)))
     probe = {q_sig}
-    if n_probe_bits >= 1:
+    if all_buckets:
+        probe = set(range(1 << n_planes))
+    elif n_probe_bits >= 1:
         probe |= {q_sig ^ (1 << b) for b in range(n_planes)}
     dirs = [
         os.path.join(index_dir, f"bucket={s}")

@@ -10,8 +10,19 @@ import pytest
 
 from gush_ray.pipelines.queries import CORE_QUERIES
 from gush_ray.pipelines.queries_analytic import ANALYTIC_QUERIES
+from gush_ray.pipelines.queries_extra import (
+    EXTRA_QUERIES,
+    ensure_oracle_fixtures,
+)
 
-PAIRED_QUERIES = {**CORE_QUERIES, **ANALYTIC_QUERIES}
+PAIRED_QUERIES = {
+    name: (fn, sql)
+    for name, (fn, sql) in {**CORE_QUERIES, **ANALYTIC_QUERIES,
+                            **EXTRA_QUERIES}.items()
+    if sql
+}
+# several extra-query oracles read fixed-path fixture parquet
+ensure_oracle_fixtures()
 
 SF_DIR = "/root/testdata/sf0.001"
 
