@@ -371,10 +371,17 @@ class StreamingJob:
             raise ValueError(
                 "stream-stream join needs BOTH right_dir and join_spec"
             )
+        from gush_ray.fs import normalize_uri
+
         self.key_col = key_col
         self.raw_ts_col = raw_ts_col
-        self.pages_dir = pages_dir
-        self.out_dir = out_dir
+        # URI seam: file:// URIs collapse to local paths, so every input
+        # and output location (stream dirs, sink, snapshots) accepts
+        # them; the sink additionally accepts remote fsspec schemes
+        # directly (gush_ray/fs.py)
+        self.pages_dir = normalize_uri(pages_dir)
+        self.out_dir = normalize_uri(out_dir)
+        out_dir = self.out_dir
         self.cfg = cfg or EngineConfig()
         if run_id is None:
             # unique by default: a reused name + get_if_exists named
@@ -403,7 +410,8 @@ class StreamingJob:
             snapshot_full_every=snapshot_full_every,
             dedup_ttl_us=dedup_ttl_us,
         )
-        self.right_dir = right_dir
+        self.right_dir = (normalize_uri(right_dir)
+                          if right_dir is not None else None)
         self.right_raw_ts_col = right_raw_ts_col
         self.dim_df = dim_df
         self.dim_key = dim_key

@@ -14,8 +14,12 @@ BinlogRemoteReaderActor.scala:49-52 — data loss or duplication). Here:
 * resume = max contiguous committed epoch; uncommitted partials are
   ignored by readers and overwritten on replay.
 
-On a real cluster ``base_dir`` is shared storage (NFS/S3); the layout and
-commit protocol are identical.
+On a real cluster ``base_dir`` is shared storage (NFS/S3); the layout
+and commit protocol are identical, and the sink goes through the
+``gush_ray.fs`` URI seam: plain paths and ``file://`` URIs use the
+zero-overhead local adapter, any other scheme (``memory://``,
+``s3://``) an fsspec adapter with the same operation set (object-store
+semantics documented in gush_ray/fs.py).
 """
 
 from __future__ import annotations
@@ -26,12 +30,14 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from gush_ray.fs import get_fs
+
 
 class ExactlyOnceSink:
     def __init__(self, base_dir: str):
-        self.base_dir = base_dir
-        self.manifest_dir = os.path.join(base_dir, "_manifest")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.fs, self.base_dir = get_fs(base_dir)
+        self.manifest_dir = self.fs.join(self.base_dir, "_manifest")
+        self.fs.makedirs(self.manifest_dir)
 
     # ---- data files (called from workers; must be self-contained) ----
 
@@ -51,17 +57,20 @@ class ExactlyOnceSink:
             # a typeless placeholder (e.g. empty window groups) and would
             # poison concat on read; readers already tolerate missing files
             return {"path": None, "rows": 0}
+        fs, base_dir = get_fs(base_dir)
         slot = f"epoch={epoch:05d}" if isinstance(epoch, int) else f"epoch={epoch}"
-        d = os.path.join(base_dir, stream, slot)
-        os.makedirs(d, exist_ok=True)
-        final = os.path.join(d, f"part-{partition_id:05d}.parquet")
+        d = fs.join(base_dir, stream, slot)
+        fs.makedirs(d)
+        final = fs.join(d, f"part-{partition_id:05d}.parquet")
         tmp = final + f".inprogress-{os.getpid()}"
         # zstd-1 over default snappy: ~2-3x smaller on web text for a few
         # ms/MB of parallel CPU — disk bandwidth is the shared resource
         # all partitions contend for at high CPU counts (the 4→16 cpu
         # scaling leg concentrates the same bytes into 1/3 the wall time)
-        pq.write_table(table, tmp, compression="zstd", compression_level=1)
-        os.replace(tmp, final)  # atomic on POSIX: replay overwrites
+        with fs.open(tmp, "wb") as f:
+            pq.write_table(table, f, compression="zstd",
+                           compression_level=1)
+        fs.replace(tmp, final)  # atomic on POSIX: replay overwrites
         # durability note: data files are made durable by the single
         # os.sync() in commit_epoch — the manifest is the commit point,
         # so per-file fsyncs (hundreds per epoch) are unnecessary latency
@@ -70,14 +79,14 @@ class ExactlyOnceSink:
     # ---- manifest / commit protocol (driver-side) ----
 
     def _manifest_path(self, epoch: int) -> str:
-        return os.path.join(self.manifest_dir, f"epoch={epoch:05d}.json")
+        return self.fs.join(self.manifest_dir, f"epoch={epoch:05d}.json")
 
     def commit_epoch(self, epoch: int, watermark_us: int,
                      partitions: list[dict], extra: dict | None = None) -> None:
         # flush all of this epoch's data files in ONE pass before the
         # manifest becomes visible: a committed manifest must never
         # reference data the filesystem could still lose
-        os.sync()
+        self.fs.sync()
         payload = {
             "epoch": epoch,
             "watermark_us": watermark_us,
@@ -86,15 +95,14 @@ class ExactlyOnceSink:
         if extra:
             payload.update(extra)
         tmp = self._manifest_path(epoch) + ".inprogress"
-        with open(tmp, "w") as f:
+        with self.fs.open(tmp, "w") as f:
             json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path(epoch))
+            self.fs.fsync(f)
+        self.fs.replace(tmp, self._manifest_path(epoch))
 
     def committed_epochs(self) -> list[int]:
         out = []
-        for name in os.listdir(self.manifest_dir):
+        for name in self.fs.listdir(self.manifest_dir):
             if name.startswith("epoch=") and name.endswith(".json"):
                 out.append(int(name[len("epoch="):-len(".json")]))
         return sorted(out)
@@ -102,21 +110,20 @@ class ExactlyOnceSink:
     # ---- final-flush slot -------------------------------------------
 
     def _final_path(self) -> str:
-        return os.path.join(self.manifest_dir, "final.json")
+        return self.fs.join(self.manifest_dir, "final.json")
 
     def commit_final(self, payload: dict) -> None:
         tmp = self._final_path() + ".inprogress"
-        with open(tmp, "w") as f:
+        with self.fs.open(tmp, "w") as f:
             json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._final_path())
+            self.fs.fsync(f)
+        self.fs.replace(tmp, self._final_path())
 
     def final_committed(self) -> bool:
-        return os.path.exists(self._final_path())
+        return self.fs.exists(self._final_path())
 
     def read_final(self) -> dict:
-        with open(self._final_path()) as f:
+        with self.fs.open(self._final_path(), "r") as f:
             return json.load(f)
 
     def last_contiguous_epoch(self) -> int:
@@ -128,7 +135,7 @@ class ExactlyOnceSink:
         return e
 
     def read_manifest(self, epoch: int) -> dict:
-        with open(self._manifest_path(epoch)) as f:
+        with self.fs.open(self._manifest_path(epoch), "r") as f:
             return json.load(f)
 
     def committed_files(self, stream: str) -> list[str]:
@@ -148,11 +155,11 @@ class ExactlyOnceSink:
             slots.append("epoch=final")
         files = []
         for slot in slots:
-            d = os.path.join(self.base_dir, stream, slot)
-            if os.path.isdir(d):
+            d = self.fs.join(self.base_dir, stream, slot)
+            if self.fs.isdir(d):
                 files.extend(
-                    os.path.join(d, n)
-                    for n in sorted(os.listdir(d))
+                    self.fs.uri_of(self.fs.join(d, n))
+                    for n in self.fs.listdir(d)
                     if n.endswith(".parquet")
                 )
         return files
