@@ -109,6 +109,69 @@ def bench_flagship_stream(sf_dir: str) -> dict:
     return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt}
 
 
+def bench_flagship_join_stream(sf_dir: str) -> dict:
+    """Flagship variant with BOTH heavy stateful operators active at
+    bench scale: the NFA pattern matcher (on by default) AND the
+    stream-stream windowed join against a clicks stream — the two most
+    complex state machines get a recorded throughput, not just parity
+    tests (round-2 review follow-up)."""
+    import ray
+
+    from gush_ray.datagen import ensure_pages, gen_dim_sites
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.join_state import JoinSpec
+
+    pages_dir = ensure_pages(
+        "/tmp/gush_scale_pages", n_urls=BENCH_PAGES_URLS, seed=77,
+        n_epochs=BENCH_PAGES_EPOCHS,
+    )
+    clicks_dir = (f"/tmp/gush_scale_clicks/u{BENCH_PAGES_URLS}_s77"
+                  f"_e{BENCH_PAGES_EPOCHS}_v1")
+    if not os.path.exists(os.path.join(clicks_dir, "_COMPLETE")):
+        from gush_ray.datagen import write_clicks_dir
+
+        write_clicks_dir(clicks_dir, n_urls=BENCH_PAGES_URLS, seed=77,
+                         clicks_per_epoch=max(1500, BENCH_PAGES_URLS // 2),
+                         n_epochs=BENCH_PAGES_EPOCHS)
+        with open(os.path.join(clicks_dir, "_COMPLETE"), "w") as f:
+            f.write("ok")
+    _warm_cache(sf_dir, [pages_dir, clicks_dir])
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
+    dim = gen_dim_sites(max(4, BENCH_PAGES_URLS // 20)).to_pandas()
+    HALF_H = 30 * 60 * 1_000_000
+    job = StreamingJob(
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=32,
+        dim_df=dim, window_group_cols=("category", "change_kind"),
+        right_dir=clicks_dir,
+        join_spec=JoinSpec(-HALF_H, HALF_H, left_cols=("version",),
+                           right_cols=("click_id",)),
+    )
+
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = 0
+    n_pairs = 0
+    n_matches = 0
+    for e in job.sink.committed_epochs():
+        for pm in job.sink.read_manifest(e)["partitions"]:
+            n_rows += pm.get("rows_in", 0) + pm.get("right_rows_in", 0)
+            n_pairs += pm.get("joined_rows", 0)
+            n_matches += pm.get("matches", 0)
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "join_pairs": n_pairs, "nfa_matches": n_matches}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -125,6 +188,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from gush_ray.pipelines import queries as Q
+    from gush_ray.pipelines import queries_extra as QE
 
     def consume(res):
         if hasattr(res, "to_pandas"):
@@ -143,6 +207,9 @@ def run_bench() -> dict:
         "exact_dedup_docs": Q.q_exact_dedup_docs,
         "token_stats": Q.q_token_stats,
         "ann_topk": Q.q_ann_topk,
+        # near-dup family: pairs-vectorized partition scan (round-3
+        # rewrite of the per-bucket map_groups) — throughput on record
+        "minhash_dedup": QE.q_minhash_dedup,
     }
 
     _warm_cache(SF_DIR)
@@ -163,6 +230,8 @@ def run_bench() -> dict:
 
     flag = bench_flagship_stream(SF_DIR)
     timings["flagship_stream"] = round(flag["sec"], 3)
+    flag_join = bench_flagship_join_stream(SF_DIR)
+    timings["flagship_join_stream"] = round(flag_join["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -175,6 +244,10 @@ def run_bench() -> dict:
         "rows": rows,
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows": flag["rows"],
+        "flagship_join_rows_per_sec": round(flag_join["rows_per_sec"], 1),
+        "flagship_join_rows": flag_join["rows"],
+        "flagship_join_pairs": flag_join["join_pairs"],
+        "flagship_nfa_matches": flag_join["nfa_matches"],
     }
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the
@@ -219,6 +292,10 @@ def run_flagship_only() -> dict:
         "num_cpus": NCPU,
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows": flag["rows"],
+        "flagship_join_rows_per_sec": round(flag_join["rows_per_sec"], 1),
+        "flagship_join_rows": flag_join["rows"],
+        "flagship_join_pairs": flag_join["join_pairs"],
+        "flagship_nfa_matches": flag_join["nfa_matches"],
     }
     ray.shutdown()
     return result
@@ -304,10 +381,19 @@ def run_scaling(repeat: int = 1) -> dict:
     effs = [round(p[0], 3) for p in pairs]
     med_eff, r_lo, r_hi = pairs[len(pairs) // 2]
     hw = probe_hw_ceiling(lo, hi)
+    engine_vs_hw = (round(med_eff / hw["hw_ceiling"], 3)
+                    if hw["hw_ceiling"] else None)
+    # engine/hw > 1 means the engine "beat" the co-measured host ceiling
+    # — impossible if the probe were a valid bound, so it is evidence the
+    # probe mis-measured THIS window (e.g. the co-tenant load moved
+    # between the engine runs and the probe), not a bonus. Such a run's
+    # ceiling context is marked invalid and the run cannot become the
+    # capability record (round-2 review finding).
+    ceiling_valid = engine_vs_hw is not None and engine_vs_hw <= 1.0
     result = {
         **hw,
-        "engine_vs_hw": round(med_eff / hw["hw_ceiling"], 3)
-        if hw["hw_ceiling"] else None,
+        "engine_vs_hw": engine_vs_hw,
+        "ceiling_valid": ceiling_valid,
         "metric": f"scaling efficiency (fresh ray.init, {lo} vs {hi} cpus"
                   + (f", median of {repeat})" if repeat > 1 else ")"),
         f"sec_{lo}": r_lo["value"],
@@ -323,22 +409,50 @@ def run_scaling(repeat: int = 1) -> dict:
         "sf": SF_DIR,
         "scaling_urls": SCALING_URLS,
     }
+    # append to the round's run history and report the DISTRIBUTION:
+    # best-of-N selection biases a headline upward on a noisy host, so
+    # the headline statistic is the median of all run medians (round-2
+    # review finding); individual runs stay in the history for audit
+    hist_path = _scaling_history_path()
+    history = []
+    try:
+        with open(hist_path) as f:
+            history = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        pass
+    history.append({
+        "scaling_efficiency": result["scaling_efficiency"],
+        "efficiency_series": result["efficiency_series"],
+        "hw_ceiling": result["hw_ceiling"],
+        "engine_vs_hw": result["engine_vs_hw"],
+        "ceiling_valid": ceiling_valid,
+        "repeat": repeat,
+        "rows": result["rows"],
+    })
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(history[-1]) + "\n")
+    medians = sorted(h["scaling_efficiency"] for h in history)
+    result["history_medians"] = medians
+    result["history_median_of_medians"] = medians[len(medians) // 2]
+    result["history_min"] = medians[0]
+    result["history_max"] = medians[-1]
+
     _record_scaling(result)
     with open(_scaling_latest_path(), "w") as f:
         json.dump(result, f)
-    # best-median record across runs of the round, kept WITH its own
-    # co-measured host-ceiling context: this shared VM's capacity swings
-    # 0.58-1.0 within hours, so "latest" is a coin flip on co-tenant
-    # load; best+context is the engine-capability evidence, latest+full
-    # BENCH/BASELINE.md history is the honesty
+    # capability record: the best median whose OWN ceiling probe is
+    # self-consistent (engine/hw <= 1). A run that contradicts its probe
+    # cannot serve as evidence, however good its number looks.
     best_path = _scaling_best_path()
     try:
         with open(best_path) as f:
             best = json.load(f)
     except (OSError, ValueError):
         best = None
-    if best is None or result["scaling_efficiency"] >= best.get(
-            "scaling_efficiency", 0):
+    if ceiling_valid and (
+            best is None
+            or result["scaling_efficiency"] >= best.get(
+                "scaling_efficiency", 0)):
         with open(best_path, "w") as f:
             json.dump(result, f)
     return result
@@ -353,6 +467,11 @@ def _scaling_latest_path() -> str:
 def _scaling_best_path() -> str:
     return os.path.join(os.path.dirname(_scaling_latest_path()),
                         "scaling_best.json")
+
+
+def _scaling_history_path() -> str:
+    return os.path.join(os.path.dirname(_scaling_latest_path()),
+                        "scaling_history.jsonl")
 
 
 def _record_scaling(result: dict) -> None:
@@ -390,12 +509,25 @@ def _record_scaling(result: dict) -> None:
             "",
         ]
     if "hw_ceiling" in result:
+        valid = result.get("ceiling_valid", True)
         lines += [
             f"host ceiling probe (matmul per-proc eff): {lo}-proc "
             f"{result['hw_eff_lo']}, {hi}-proc {result['hw_eff_hi']} → "
             f"achievable {lo}→{hi} scaling ceiling "
             f"{result['hw_ceiling']}; engine/hw = "
-            f"{result['engine_vs_hw']}",
+            f"{result['engine_vs_hw']}"
+            + ("" if valid else
+               " — PROBE INVALID for this window (engine beat the"
+               " ceiling: the probe mis-measured; run cannot be the"
+               " capability record)"),
+            "",
+        ]
+    if "history_median_of_medians" in result:
+        lines += [
+            f"round history ({len(result['history_medians'])} runs): "
+            f"medians {result['history_medians']} → median-of-medians "
+            f"{result['history_median_of_medians']} "
+            f"(min {result['history_min']}, max {result['history_max']})",
             "",
         ]
     with open(path, "a") as f:
