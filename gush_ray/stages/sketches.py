@@ -357,6 +357,14 @@ def exact_quantiles_nosort(ds, col: str, qs: list[float],
     per-batch nonzero (range, bucket, count) partials through the
     engine's standard combiner shuffle — never rows. Degenerate mass
     (every value identical) exits via the lo == hi fast path.
+
+    Scale contract: the ONLY driver materialization is the final
+    collect, whose volume is ≤ len(qs) × ``collect_cap`` rows BY
+    CONSTRUCTION (rounds keep narrowing until every open range fits the
+    cap or raise) — at 100 TB keep ``collect_cap`` sized to driver heap
+    and let the rounds run one scan longer rather than raising the cap.
+    Prefer this (or :func:`approx_quantiles` when a rank-error bound is
+    acceptable) over any sort-the-column approach.
     """
     import math
 
