@@ -53,20 +53,22 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 
 import pyarrow.parquet as pq
+
+from gush_ray.fs import LocalFS, get_fs
 
 _REC_RE = re.compile(r"^compact-(?P<stream>.+)-(?P<a>\d{5})-(?P<b>\d{5})\.json$")
 
 
 def compaction_records(out_dir: str) -> dict[str, list[tuple[int, int]]]:
     """stream -> sorted list of compacted (from, to) inclusive ranges."""
-    mdir = os.path.join(out_dir, "_manifest")
+    fs, out_dir = get_fs(out_dir)
+    mdir = fs.join(out_dir, "_manifest")
     out: dict[str, list[tuple[int, int]]] = {}
-    if not os.path.isdir(mdir):
+    if not fs.isdir(mdir):
         return out
-    for name in os.listdir(mdir):
+    for name in fs.listdir(mdir):
         m = _REC_RE.match(name)
         if m:
             out.setdefault(m["stream"], []).append(
@@ -80,11 +82,11 @@ def compact_slot(a: int, b: int) -> str:
     return f"compact={a:05d}-{b:05d}"
 
 
-def _cleanup_covered(out_dir: str, stream: str, a: int, b: int) -> None:
+def _cleanup_covered(fs, out_dir: str, stream: str, a: int, b: int) -> None:
     for e in range(a, b + 1):
-        d = os.path.join(out_dir, stream, f"epoch={e:05d}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        d = fs.join(out_dir, stream, f"epoch={e:05d}")
+        if fs.isdir(d):
+            fs.rmtree(d)
 
 
 def compact_stream(out_dir: str, stream: str, upto: int | None = None,
@@ -94,25 +96,27 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
     nothing (fewer than ``min_epochs`` eligible epochs)."""
     from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
+    fs, out_dir = get_fs(out_dir)
+    local = isinstance(fs, LocalFS)
     sink = ExactlyOnceSink(out_dir)
     committed = sink.committed_epochs()
     done = compaction_records(out_dir).get(stream, [])
     # finish any interrupted cleanup first (crash between record+delete)
     for a, b in done:
-        _cleanup_covered(out_dir, stream, a, b)
-    # delete unreferenced compact slots: a crash after os.replace but
-    # before the record leaves a slot of unknown completeness whose
+        _cleanup_covered(fs, out_dir, stream, a, b)
+    # delete unreferenced compact slots: a crash after the slot rename
+    # but before the record leaves a slot of unknown completeness whose
     # range never recurs (later epochs extend it), so nothing else
     # would ever reclaim it. Also sweep stale .inprogress temp dirs.
     recorded = {compact_slot(a, b) for a, b in done}
-    sdir = os.path.join(out_dir, stream)
-    if os.path.isdir(sdir):
-        for name in os.listdir(sdir):
-            p = os.path.join(sdir, name)
+    sdir = fs.join(out_dir, stream)
+    if fs.isdir(sdir):
+        for name in fs.listdir(sdir):
+            p = fs.join(sdir, name)
             orphan = (name.startswith("compact=") and name not in recorded)
             stale_tmp = ".inprogress-" in name
-            if (orphan or stale_tmp) and os.path.isdir(p):
-                shutil.rmtree(p)
+            if (orphan or stale_tmp) and fs.isdir(p):
+                fs.rmtree(p)
     start = done[-1][1] + 1 if done else 0
     end = max(committed) if committed else -1
     if upto is not None:
@@ -121,50 +125,62 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
         return {"stream": stream, "compacted": False,
                 "eligible": max(0, end - start + 1)}
 
-    slot_dir = os.path.join(out_dir, stream, compact_slot(start, end))
-    tmp_dir = slot_dir + f".inprogress-{os.getpid()}"
-    os.makedirs(tmp_dir, exist_ok=True)
+    slot_dir = fs.join(out_dir, stream, compact_slot(start, end))
+    # Local: build in a tmp dir, one directory rename publishes the
+    # files. Object stores have no atomic directory rename — write into
+    # the slot dir directly; that is SAFE under the same protocol,
+    # because slot contents are invisible to readers until the RECORD
+    # lands, and a crash-partial unrecorded slot is swept on the next
+    # call (above).
+    build_dir = (slot_dir + f".inprogress-{os.getpid()}") if local         else slot_dir
+    if not local and fs.isdir(slot_dir):
+        fs.rmtree(slot_dir)
+    fs.makedirs(build_dir)
     # group source files by partition id (filename is part-{pid}.parquet)
     by_pid: dict[str, list[str]] = {}
     n_rows = 0
     for e in range(start, end + 1):
-        d = os.path.join(out_dir, stream, f"epoch={e:05d}")
-        if not os.path.isdir(d):
+        d = fs.join(out_dir, stream, f"epoch={e:05d}")
+        if not fs.isdir(d):
             continue  # epoch produced no rows for this stream
-        for name in sorted(os.listdir(d)):
+        for name in fs.listdir(d):
             if name.endswith(".parquet"):
-                by_pid.setdefault(name, []).append(os.path.join(d, name))
+                by_pid.setdefault(name, []).append(fs.join(d, name))
     for name, files in sorted(by_pid.items()):
         writer = None
+        sink_f = None
         for f in files:
-            t = pq.read_table(f)
+            with fs.open(f, "rb") as rf:
+                t = pq.read_table(rf)
             if writer is None:
+                sink_f = fs.open(fs.join(build_dir, name), "wb")
                 writer = pq.ParquetWriter(
-                    os.path.join(tmp_dir, name), t.schema,
+                    sink_f, t.schema,
                     compression="zstd", compression_level=1,
                 )
             writer.write_table(t)
             n_rows += t.num_rows
         if writer is not None:
             writer.close()
-    if os.path.isdir(slot_dir):
-        # same-named slot from a crashed run (already swept above unless
-        # it reappeared between the sweep and here): rebuild it
-        shutil.rmtree(slot_dir)
-    os.replace(tmp_dir, slot_dir)
-    os.sync()  # compacted data durable before the record becomes visible
+            sink_f.close()
+    if local:
+        if fs.isdir(slot_dir):
+            # same-named slot from a crashed run (already swept above
+            # unless it reappeared between the sweep and here): rebuild
+            fs.rmtree(slot_dir)
+        fs.replace(build_dir, slot_dir)
+    fs.sync()  # compacted data durable before the record becomes visible
 
     rec = {"stream": stream, "from": start, "to": end,
            "files": len(by_pid), "rows": n_rows}
-    rec_path = os.path.join(
+    rec_path = fs.join(
         out_dir, "_manifest", f"compact-{stream}-{start:05d}-{end:05d}.json")
     tmp = rec_path + ".inprogress"
-    with open(tmp, "w") as f:
+    with fs.open(tmp, "w") as f:
         json.dump(rec, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, rec_path)  # cutover: readers now use the slot
-    _cleanup_covered(out_dir, stream, start, end)
+        fs.fsync(f)
+    fs.replace(tmp, rec_path)  # cutover: readers now use the slot
+    _cleanup_covered(fs, out_dir, stream, start, end)
     rec["compacted"] = True
     return rec
 
@@ -172,10 +188,11 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
 def compact(out_dir: str, streams: list[str] | None = None,
             upto: int | None = None, min_epochs: int = 2) -> list[dict]:
     """Compact every (or the given) stream; returns per-stream reports."""
+    fs, out_dir = get_fs(out_dir)
     if streams is None:
         streams = [
-            n for n in sorted(os.listdir(out_dir))
-            if os.path.isdir(os.path.join(out_dir, n))
+            n for n in fs.listdir(out_dir)
+            if fs.isdir(fs.join(out_dir, n))
             and n not in ("_manifest", "_state")
         ]
     return [compact_stream(out_dir, s, upto=upto, min_epochs=min_epochs)

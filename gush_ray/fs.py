@@ -76,6 +76,9 @@ class LocalFS:
         f.flush()
         os.fsync(f.fileno())
 
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def uri_of(self, path: str) -> str:
         return path
 
@@ -140,6 +143,9 @@ class FsspecFS:
 
     def fsync(self, f) -> None:
         f.flush()
+
+    def getsize(self, path: str) -> int:
+        return self.fs.size(self._strip(path))
 
     def uri_of(self, path: str) -> str:
         return self._uri(path)

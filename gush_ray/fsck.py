@@ -31,6 +31,8 @@ import os
 
 import pyarrow.parquet as pq
 
+from gush_ray.fs import get_fs
+
 # streams whose per-epoch row counts the manifests account for exactly
 _CONSERVED = {
     "changes": lambda p: p.get("inserts", 0) + p.get("updates", 0),
@@ -39,13 +41,13 @@ _CONSERVED = {
 }
 
 
-def _slot_files(base_dir: str, stream: str, slot: str):
-    d = os.path.join(base_dir, stream, slot)
-    if not os.path.isdir(d):
+def _slot_files(fs, base_dir: str, stream: str, slot: str):
+    d = fs.join(base_dir, stream, slot)
+    if not fs.isdir(d):
         return [], []
-    names = sorted(os.listdir(d))
-    parquet = [os.path.join(d, n) for n in names if n.endswith(".parquet")]
-    stray = [os.path.join(d, n) for n in names if ".inprogress" in n]
+    names = fs.listdir(d)
+    parquet = [fs.join(d, n) for n in names if n.endswith(".parquet")]
+    stray = [fs.join(d, n) for n in names if ".inprogress" in n]
     return parquet, stray
 
 
@@ -55,6 +57,7 @@ def audit(out_dir: str) -> dict:
     from gush_ray.sinks.exactly_once import ExactlyOnceSink
     from gush_ray.state.store import snapshot_base_epoch
 
+    fs, out_dir = get_fs(out_dir)
     sink = ExactlyOnceSink(out_dir)
     problems: list[str] = []
     warnings: list[str] = []
@@ -75,8 +78,8 @@ def audit(out_dir: str) -> dict:
             )
 
     streams = [
-        n for n in sorted(os.listdir(out_dir))
-        if os.path.isdir(os.path.join(out_dir, n))
+        n for n in fs.listdir(out_dir)
+        if fs.isdir(fs.join(out_dir, n))
         and n not in ("_manifest", "_state")
     ]
 
@@ -92,7 +95,7 @@ def audit(out_dir: str) -> dict:
         slot = f"epoch={e:05d}"
         for stream in streams:
             covered = e in covered_by.get(stream, ())
-            files, stray = _slot_files(out_dir, stream, slot)
+            files, stray = _slot_files(fs, out_dir, stream, slot)
             for s in stray:
                 problems.append(f"stray temp file in committed slot: {s}")
             if covered:
@@ -106,9 +109,10 @@ def audit(out_dir: str) -> dict:
             rows = 0
             for f in files:
                 try:
-                    rows += pq.read_metadata(f).num_rows
+                    with fs.open(f, "rb") as rf:
+                        rows += pq.read_metadata(rf).num_rows
                     n_files += 1
-                    n_bytes += os.path.getsize(f)
+                    n_bytes += fs.getsize(f)
                 except Exception as exc:
                     problems.append(f"unreadable parquet {f}: {exc}")
             expect = _CONSERVED.get(stream)
@@ -126,10 +130,10 @@ def audit(out_dir: str) -> dict:
     # no future compact run would rebuild under the same name: a silent
     # disk leak unless flagged (compact_stream now sweeps these on entry)
     for stream in streams:
-        sdir = os.path.join(out_dir, stream)
+        sdir = fs.join(out_dir, stream)
         recorded = {compact_slot(a, b)
                     for a, b in compactions.get(stream, [])}
-        for name in sorted(os.listdir(sdir)):
+        for name in fs.listdir(sdir):
             if name.startswith("compact=") and name not in recorded:
                 warnings.append(
                     f"unreferenced compact slot (no record; ignored by "
@@ -152,15 +156,17 @@ def audit(out_dir: str) -> dict:
                 problems.append(
                     f"compaction {stream} {a}-{b} covers uncommitted "
                     f"epochs {sorted(span - committed)}")
-            files, stray = _slot_files(out_dir, stream, compact_slot(a, b))
+            files, stray = _slot_files(fs, out_dir, stream,
+                                       compact_slot(a, b))
             for s in stray:
                 problems.append(f"stray temp file in compacted slot: {s}")
             rows = 0
             for f in files:
                 try:
-                    rows += pq.read_metadata(f).num_rows
+                    with fs.open(f, "rb") as rf:
+                        rows += pq.read_metadata(rf).num_rows
                     n_files += 1
-                    n_bytes += os.path.getsize(f)
+                    n_bytes += fs.getsize(f)
                 except Exception as exc:
                     problems.append(f"unreadable parquet {f}: {exc}")
             expect = _CONSERVED.get(stream)
@@ -179,25 +185,25 @@ def audit(out_dir: str) -> dict:
     resume = sink.last_contiguous_epoch()
     if resume >= 0:
         man = sink.read_manifest(resume)
-        state_dir = os.path.join(out_dir, "_state")
+        state_dir = fs.join(out_dir, "_state")
         for p in man.get("partitions", []):
             snap = p.get("snapshot")
             if not snap:
                 continue
-            if not os.path.exists(snap):
+            if not fs.exists(snap):
                 problems.append(
                     f"resume snapshot missing (epoch {resume}, partition "
                     f"{p.get('partition_id')}): {snap}"
                 )
                 continue
-            with open(snap, "rb") as f:
+            with fs.open(snap, "rb") as f:
                 base = snapshot_base_epoch(f.read(12))
             if base is None:
                 continue  # full frame, self-contained
-            fname = os.path.basename(snap)
+            fname = snap.rstrip("/").rsplit(fs.sep, 1)[-1]
             for ce in range(base, resume):
-                link = os.path.join(state_dir, f"epoch={ce:05d}", fname)
-                if not os.path.exists(link):
+                link = fs.join(state_dir, f"epoch={ce:05d}", fname)
+                if not fs.exists(link):
                     problems.append(
                         f"snapshot chain broken for partition "
                         f"{p.get('partition_id')}: epoch {resume} is a "
