@@ -292,10 +292,6 @@ def run_flagship_only() -> dict:
         "num_cpus": NCPU,
         "flagship_rows_per_sec": round(flag["rows_per_sec"], 1),
         "flagship_rows": flag["rows"],
-        "flagship_join_rows_per_sec": round(flag_join["rows_per_sec"], 1),
-        "flagship_join_rows": flag_join["rows"],
-        "flagship_join_pairs": flag_join["join_pairs"],
-        "flagship_nfa_matches": flag_join["nfa_matches"],
     }
     ray.shutdown()
     return result
