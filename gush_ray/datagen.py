@@ -374,7 +374,7 @@ def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
     })
 
 
-def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v2",
+def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v3",
                          n: int = 60, seed: int = 11) -> str:
     """Materialize the multimodal fixture as parquet at a FIXED path:
     ``media.parquet`` (media_id, blob, true_kind) plus
@@ -445,13 +445,18 @@ def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v2",
     # decode stage must recover true pixel dims from actual entropy-
     # coded data, not just header geometry
     from gush_ray.stages.gif import encode_gif
-    from gush_ray.stages.jpeg import encode_jpeg
+    from gush_ray.stages.jpeg import encode_jpeg, encode_jpeg_progressive
 
-    for j in range(max(4, n // 10)):
+    for j in range(max(6, n // 10)):
         w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
-        if j % 2 == 0:
+        if j % 3 == 0:
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             blobs.append(encode_jpeg(px, quality=85)); kinds.append("jpeg")
+            exp_kind.append("jpeg")
+        elif j % 3 == 1:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blobs.append(encode_jpeg_progressive(px, quality=85))
+            kinds.append("jpeg")
             exp_kind.append("jpeg")
         else:
             pal = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)

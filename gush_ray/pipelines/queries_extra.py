@@ -500,7 +500,7 @@ def q_multimodal_features(sf_dir: str):
     return df.drop(columns=["sum_w"])
 
 
-MEDIA_FIXTURE = "/tmp/gush_ray_media/v2"
+MEDIA_FIXTURE = "/tmp/gush_ray_media/v3"
 VIDEO_FIXTURE = "/tmp/gush_ray_video/v1"
 
 

@@ -1,11 +1,16 @@
-"""Pure-numpy baseline JPEG codec (no native libraries).
+"""Pure-numpy JPEG codec (no native libraries).
 
 Closes the round-2 "honest boundary": JPEG frame GEOMETRY came from a
 header walk while pixel decode raised NotImplementedError. This module
-decodes real pixels for baseline (SOF0) and extended-sequential (SOF1)
-Huffman JPEGs — grayscale or YCbCr with any sampling factors ≤ 4
-(4:4:4, 4:2:0, 4:2:2, ...), restart markers included — and encodes
-4:4:4 / grayscale baseline JPEGs for round-trip tests.
+decodes real pixels for baseline (SOF0), extended-sequential (SOF1) AND
+progressive (SOF2) Huffman JPEGs — grayscale or YCbCr with any sampling
+factors ≤ 4 (4:4:4, 4:2:0, 4:2:2, ...), restart markers, and for
+progressive files both techniques: spectral selection and successive
+approximation (DC/AC first + refinement passes, EOB runs). Encoders for
+both baseline and progressive 4:4:4/grayscale exist for round-trip
+tests; the progressive encoder emits the SAME quantized coefficients as
+the baseline one, so progressive-decode == baseline-decode is an
+independence anchor the tests pin.
 
 Design notes:
 
@@ -23,7 +28,7 @@ Design notes:
   bits in Python (unavoidable without native code; the decode stage is
   an actor-pool `map_batches` stage, so throughput scales with the
   pool).
-* Progressive (SOF2) and arithmetic-coded JPEGs raise
+* Arithmetic-coded / lossless / differential JPEGs raise
   ``NotImplementedError`` — callers (stages/multimodal.DecodeFeatures)
   fall back to the header-walk geometry, which remains the honest
   boundary for those variants. Corrupt streams raise ``ValueError``.
@@ -441,6 +446,224 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            dc_al: int = 1, ac_al: int = 1) -> bytes:
+    """Progressive (SOF2) JPEG with BOTH progressive techniques —
+    spectral selection and successive approximation — from (h, w)
+    grayscale or (h, w, 3) RGB uint8.
+
+    Scan script (the common coarse→fine shape):
+      1. DC first, all components interleaved, Al=dc_al
+      2. per component: AC 1..5 first, Al=ac_al   (coarse preview)
+      3. per component: AC 6..63 first, Al=ac_al
+      4. DC refinement (raw bits), Al=dc_al-1 .. 0
+      5. per component: AC 1..63 refinement, Al=ac_al-1 .. 0
+
+    Encodes the SAME quantized coefficients as :func:`encode_jpeg`, so
+    ``decode_jpeg(encode_jpeg_progressive(px, q)) ==
+    decode_jpeg(encode_jpeg(px, q))`` exactly — the independence anchor
+    the tests pin (the baseline path is validated by pixel round-trips,
+    so a symmetric encode/decode bug here cannot hide)."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        qids = [0]
+    else:
+        ycc = _ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qids = [0, 1, 1]
+    qtabs = [_scaled_quant(QUANT_LUMA, quality),
+             _scaled_quant(QUANT_CHROMA, quality)]
+    comp_scan: list[np.ndarray] = []
+    for plane, qid in zip(planes, qids):
+        blk, _bx, _by = _blocks_of(plane - 128.0)
+        f = np.einsum("ux,nxy,vy->nuv", T, blk, T)
+        q = np.round(f / qtabs[qid][None]).astype(np.int64)
+        comp_scan.append(q.reshape(-1, 64)[:, ZZ])
+    ncomp = len(comp_scan)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    for qid, qt in enumerate(qtabs[: 1 if gray else 2]):
+        seg(0xDB, bytes([qid])
+            + qt.reshape(64)[ZZ].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    seg(0xC2, sof)  # SOF2: progressive
+
+    def emit_scan(scan_comps, ss, se, ah, al, encode_fn):
+        """Two passes: count symbol freqs → build+emit DHT → emit data."""
+        freqs: dict[int, int] = {}
+
+        class Count:
+            def sym(self, s):
+                freqs[s] = freqs.get(s, 0) + 1
+
+            def bits(self, n, v):
+                pass
+
+        encode_fn(Count())
+        codes = None
+        if freqs:
+            bits16, vals, codes = _canonical_codes(_huffman_lengths(freqs))
+            tclass = 0 if ss == 0 else 1
+            seg(0xC4, bytes([(tclass << 4) | 0]) + bytes(bits16)
+                + bytes(v & 0xFF for v in vals))
+
+        bw = _BitWriter()
+
+        class Emit:
+            def sym(self, s):
+                ln, code = codes[s]
+                bw.write(ln, code)
+
+            def bits(self, n, v):
+                if n:
+                    bw.write(n, v & ((1 << n) - 1))
+
+        encode_fn(Emit())
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(bw.flush())
+
+    # ---- scan 1: DC first, interleaved (4:4:4 → one block/comp/MCU)
+    def dc_first(sink, al=dc_al):
+        pred = [0] * ncomp
+        for m in range(comp_scan[0].shape[0]):
+            for ci in range(ncomp):
+                v = int(comp_scan[ci][m, 0]) >> al  # arithmetic shift (DC)
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = _category(diff)
+                sink.sym(s)
+                sink.bits(s, diff if diff >= 0 else diff + (1 << s) - 1)
+
+    emit_scan(list(range(ncomp)), 0, 0, 0, dc_al, dc_first)
+
+    # ---- AC first scans per component, two spectral bands
+    def ac_first(ci, ss, se, al):
+        def fn(sink):
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    sink.sym(nb << 4)
+                    sink.bits(nb, eobrun - (1 << nb))
+                    eobrun = 0
+
+            for blk_v in comp_scan[ci]:
+                r = 0
+                for k in range(ss, se + 1):
+                    cv = int(blk_v[k])
+                    t = (abs(cv) >> al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r >= 16:
+                        sink.sym(0xF0)
+                        r -= 16
+                    tv = t if cv >= 0 else -t
+                    s = _category(tv)
+                    sink.sym((r << 4) | s)
+                    sink.bits(s, tv if tv >= 0 else tv + (1 << s) - 1)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        return fn
+
+    for ci in range(ncomp):
+        emit_scan([ci], 1, 5, 0, ac_al, ac_first(ci, 1, 5, ac_al))
+    for ci in range(ncomp):
+        emit_scan([ci], 6, 63, 0, ac_al, ac_first(ci, 6, 63, ac_al))
+
+    # ---- DC refinement scans (raw bits, no Huffman table)
+    for al in range(dc_al - 1, -1, -1):
+        def dc_refine(sink, al=al):
+            for m in range(comp_scan[0].shape[0]):
+                for ci in range(ncomp):
+                    sink.bits(1, (int(comp_scan[ci][m, 0]) >> al) & 1)
+
+        emit_scan(list(range(ncomp)), 0, 0, al + 1, al, dc_refine)
+
+    # ---- AC refinement scans per component (T.81 G.1.2.3 shape)
+    def ac_refine(ci, ss, se, al):
+        def fn(sink):
+            eobrun = 0
+            pend: list[int] = []  # correction bits awaiting a symbol
+
+            def flush_eob():
+                nonlocal eobrun, pend
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    sink.sym(nb << 4)
+                    sink.bits(nb, eobrun - (1 << nb))
+                    eobrun = 0
+                for b in pend:
+                    sink.bits(1, b)
+                pend = []
+
+            for blk_v in comp_scan[ci]:
+                absv = np.abs(blk_v[ss: se + 1]) >> al
+                eob = 0  # band-relative index past the last new nonzero
+                nz = np.flatnonzero(absv == 1)
+                if len(nz):
+                    eob = int(nz[-1]) + 1
+                r = 0
+                br_bits: list[int] = []
+                for j in range(se - ss + 1):
+                    t = int(absv[j])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and j < eob:
+                        flush_eob()
+                        sink.sym(0xF0)
+                        r -= 16
+                        for b in br_bits:
+                            sink.bits(1, b)
+                        br_bits = []
+                    if t > 1:  # already significant: correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    sink.sym((r << 4) | 1)
+                    sink.bits(1, 0 if int(blk_v[ss + j]) < 0 else 1)
+                    for b in br_bits:
+                        sink.bits(1, b)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    pend.extend(br_bits)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush_eob()
+            flush_eob()
+        return fn
+
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            emit_scan([ci], 1, 63, al + 1, al, ac_refine(ci, 1, 63, al))
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # --------------------------------------------------------------- decode
 
 
@@ -486,16 +709,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(b[17: 17 + cnt])
                 htabs[(tclass, tid)] = _codes_from_dht(bits, vals)
                 b = b[17 + cnt:]
-        elif marker in (0xC0, 0xC1):  # SOF0/1: sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec}
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG not supported")
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/lossless JPEG not supported")
         elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("non-baseline JPEG coding")
         elif marker == 0xDD:  # DRI
@@ -504,14 +729,228 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_tabs = {}
+            scan_comps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si: 3 + 2 * si]
-                scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos + 2 + seg_len, frame, qtabs,
-                                htabs, scan_tabs, restart_interval)
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"]:
+                # sequential: one full-band scan reconstructs directly
+                scan_tabs = {cs: (d, a) for cs, d, a in scan_comps}
+                return _decode_scan(data, pos + 2 + seg_len, frame, qtabs,
+                                    htabs, scan_tabs, restart_interval)
+            _ensure_coef_state(frame)
+            pos = _progressive_scan(
+                data, pos + 2 + seg_len, frame, htabs, scan_comps,
+                ss, se, ah, al, restart_interval,
+            )
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and "coef_ready" in frame:
+        return _reconstruct(frame, qtabs)
     raise ValueError("no JPEG scan data found")
+
+
+def _ensure_coef_state(frame) -> None:
+    """Allocate per-component coefficient planes (scan order) once."""
+    if "coef_ready" in frame:
+        return
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-fw // (8 * hmax))
+    frame["mcuy"] = -(-fh // (8 * vmax))
+    for c in comps:
+        c["bx"] = frame["mcux"] * c["h"]
+        c["by"] = frame["mcuy"] * c["v"]
+        # REDUCED grid for non-interleaved scans: the component's own
+        # sample dims rounded to blocks (T.81 A.2.2), NOT the padded
+        # interleaved MCU grid
+        comp_w = -(-fw * c["h"] // hmax)   # ceil(fw * h / hmax)
+        comp_h = -(-fh * c["v"] // vmax)
+        c["cw"] = -(-comp_w // 8)
+        c["ch"] = -(-comp_h // 8)
+        # integer coefficients: progressive refinement is bit surgery
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int32)
+    frame["coef_ready"] = True
+
+
+def _progressive_scan(data, pos, frame, htabs, scan_comps, ss, se, ah, al,
+                      restart_interval) -> int:
+    """Apply one progressive scan to the coefficient state; returns the
+    stream position after the scan's entropy data."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    for cs, dc_id, ac_id in scan_comps:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        c["dc_t"] = htabs.get((0, dc_id))
+        c["ac_t"] = htabs.get((1, ac_id))
+        scomps.append(c)
+    interleaved = len(scomps) > 1
+    if interleaved and ss != 0:
+        raise ValueError("interleaved AC scan is illegal in progressive")
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    mcu_count = 0
+
+    def maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and mcu_count and \
+                mcu_count % restart_interval == 0:
+            br.align_and_expect_rst(
+                (mcu_count // restart_interval - 1) % 8)
+            pred = {c["id"]: 0 for c in scomps}
+            eobrun = 0
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        if interleaved:
+            units = []
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    mcu = []
+                    for c in scomps:
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                mcu.append(
+                                    (c, (my * c["v"] + byy) * c["bx"]
+                                     + mx * c["h"] + bxx))
+                    units.append(mcu)
+        else:
+            c = scomps[0]
+            units = [[(c, row * c["bx"] + col)]
+                     for row in range(c["ch"]) for col in range(c["cw"])]
+        for mcu in units:
+            maybe_restart()
+            for c, idx in mcu:
+                coef = c["coef"]
+                if ah == 0:  # first DC pass: diff-coded, point-transformed
+                    if c["dc_t"] is None:
+                        raise ValueError("missing DC Huffman table")
+                    s = br.decode_symbol(c["dc_t"])
+                    pred[c["id"]] += _extend(br.receive(s), s)
+                    coef[idx, 0] = pred[c["id"]] << al
+                else:        # refinement: one raw bit per block
+                    if br.read_bit():
+                        coef[idx, 0] |= 1 << al
+            mcu_count += 1
+        return br.pos
+
+    # AC scan: always one component, reduced grid
+    c = scomps[0]
+    if c["ac_t"] is None:
+        raise ValueError("missing AC Huffman table")
+    coef = c["coef"]
+    ac_t = c["ac_t"]
+    p1, m1 = 1 << al, -1 << al
+    for row in range(c["ch"]):
+        for col in range(c["cw"]):
+            maybe_restart()
+            idx = row * c["bx"] + col
+            if ah == 0:  # first AC pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = br.decode_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflow")
+                        v = _extend(br.receive(s), s)
+                        coef[idx, k] = v << al if v >= 0 else -((-v) << al)
+                        k += 1
+            else:        # AC refinement (T.81 G.2 / libjpeg shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.decode_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad size in AC refinement")
+                            newval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            cv = int(coef[idx, k])
+                            if cv != 0:
+                                if br.read_bit() and (cv & p1) == 0:
+                                    coef[idx, k] = cv + (p1 if cv >= 0
+                                                         else m1)
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        coef[idx, k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = int(coef[idx, k])
+                        if cv != 0:
+                            if br.read_bit() and (cv & p1) == 0:
+                                coef[idx, k] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            mcu_count += 1
+    return br.pos
+
+
+def _reconstruct(frame, qtabs) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient state (progressive path; mirrors the sequential tail)."""
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("missing JPEG quant table")
+        coefs = np.zeros((c["by"] * c["bx"], 64), dtype=np.float64)
+        coefs[:, ZZ] = c["coef"].astype(np.float64)  # dezigzag
+        f = coefs.reshape(-1, 8, 8) * qt[None]
+        blk = np.einsum("ux,nuv,vy->nxy", T, f, T)
+        plane = (blk.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8)) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,

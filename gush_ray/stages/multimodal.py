@@ -1,13 +1,16 @@
 """Multimodal (image/audio/video) column stages.
 
 Binary payloads are opaque ``binary`` columns + typed metadata; decode /
-feature-extract are actor-pool ``map_batches`` stages. PNG, BMP and WAV
-decode is REAL (pure-stdlib codecs, :mod:`gush_ray.stages.codecs`);
-JPEG/GIF get REAL frame geometry from a pure header walk (their pixel
-decode needs native libraries absent here, so pixel-statistic feature
-slots stay honestly zero); remaining formats fall back per
-``on_unsupported`` — a deterministic hash-derived fake (so the full
-pipeline stays exercised end-to-end) or a loud ``NotImplementedError``.
+feature-extract are actor-pool ``map_batches`` stages. PNG, BMP, PPM,
+PGM and WAV decode is REAL (pure-stdlib codecs,
+:mod:`gush_ray.stages.codecs`), and so is JPEG (baseline + progressive,
+pure numpy — :mod:`gush_ray.stages.jpeg`) and GIF (LZW,
+:mod:`gush_ray.stages.gif`). The remaining honest boundary:
+arithmetic-coded/lossless JPEG and compressed video fall back to REAL
+header-walk frame geometry with pixel-statistic feature slots zero;
+formats with no codec at all fall back per ``on_unsupported`` — a
+deterministic hash-derived fake (so the full pipeline stays exercised
+end-to-end) or a loud ``NotImplementedError``.
 The decode itself is per-blob by nature; the actor-pool pattern (setup
 once per actor, small batches so wide payloads × concurrency fit the
 worker heap) is the scalable shape.
@@ -152,9 +155,11 @@ class DecodeFeatures:
     ``__init__`` runs once per actor (the pattern a model/codec load
     follows); ``__call__`` decodes each blob by sniffed magic:
 
-    * png/bmp → real pixels → (width, height, image features)
+    * png/bmp/ppm/pgm → real pixels → (width, height, image features)
+    * jpeg (baseline + progressive) / gif → real pixels via the pure
+      numpy/Python codecs; geometry-only header-walk fallback for
+      arithmetic/lossless variants or missing scan data
     * wav → real samples → (n_frames, channels, audio features)
-    * jpeg/gif → real geometry from the header walk (pixel stats 0)
     * anything else → ``on_unsupported``: "fake" (deterministic
       hash-derived, keeps the pipeline exercised) or "error"
       (NotImplementedError — the honest boundary for codecs this
@@ -193,13 +198,14 @@ class DecodeFeatures:
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 n, ch, f = _audio_features(*decode_wav(blob))
                 return n, ch, f, "wav", True
-            # JPEG/GIF: REAL pixel decode (pure-numpy baseline-DCT JPEG,
-            # pure-Python LZW GIF — stages/jpeg.py, stages/gif.py). For
-            # variants those codecs honestly refuse (progressive /
-            # arithmetic JPEG) or streams with parseable headers but
-            # missing/cut scan data, frame GEOMETRY from the header walk
-            # remains real (what resolution filters consume) and the
-            # pixel-statistic feature slots stay 0 — absent, not faked.
+            # JPEG/GIF: REAL pixel decode (pure-numpy DCT JPEG incl.
+            # progressive, pure-Python LZW GIF — stages/jpeg.py,
+            # stages/gif.py). For variants those codecs honestly refuse
+            # (arithmetic-coded / lossless JPEG) or streams with
+            # parseable headers but missing/cut scan data, frame
+            # GEOMETRY from the header walk remains real (what
+            # resolution filters consume) and the pixel-statistic
+            # feature slots stay 0 — absent, not faked.
             if blob.startswith(b"\xff\xd8\xff"):
                 try:
                     from gush_ray.stages.jpeg import decode_jpeg

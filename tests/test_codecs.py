@@ -407,3 +407,38 @@ def test_gif_decode_features_real_pixels():
     w, h, f, kind, ok = DecodeFeatures()._decode_one(encode_gif(img))
     assert (w, h, kind, ok) == (14, 10, "gif", True)
     assert abs(f[1] - 200 / 255.0) < 0.02
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2: spectral selection + successive approximation,
+    DC/AC first + refinement passes, EOB runs) must reconstruct the
+    EXACT pixels of the baseline encoding of the same image — both
+    encoders emit identical quantized coefficients, and the baseline
+    path is independently pinned by pixel round-trips, so a symmetric
+    progressive encode/decode bug cannot hide."""
+    from gush_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                      encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack([np.clip(xx * 3 + yy, 0, 255),
+                       np.clip(255 - xx * 2, 0, 255),
+                       np.clip(yy * 4, 0, 255)], axis=-1).astype(np.uint8)
+    noise = rng.randint(0, 256, size=(33, 31), dtype=np.uint8)
+    for img in (smooth, noise):
+        base = decode_jpeg(encode_jpeg(img, quality=75))
+        for dc_al, ac_al in ((1, 1), (2, 2), (0, 0)):
+            prog = decode_jpeg(encode_jpeg_progressive(
+                img, quality=75, dc_al=dc_al, ac_al=ac_al))
+            assert (base == prog).all(), (dc_al, ac_al)
+
+
+def test_jpeg_progressive_through_decode_features():
+    from gush_ray.stages.jpeg import encode_jpeg_progressive
+    from gush_ray.stages.multimodal import DecodeFeatures
+
+    px = np.full((20, 30, 3), 180, dtype=np.uint8)
+    blob = encode_jpeg_progressive(px, quality=95)
+    w, h, f, kind, ok = DecodeFeatures()._decode_one(blob)
+    assert (w, h, kind, ok) == (30, 20, "jpeg", True)
+    assert abs(f[0] - 180 / 255.0) < 0.02  # real pixel stats, not 0
