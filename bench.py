@@ -221,21 +221,32 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
 
+    # best-of-2 per query: this shared VM's capacity swings 2x within
+    # an hour even when the matmul probe reads calm (round-3 measurement
+    # in BENCH/BASELINE.md), so a single-shot headline is a coin flip;
+    # the better of two back-to-back runs is a far more stable
+    # capability number at ~2x the bench wall time
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries.items():
-        t0 = time.perf_counter()
-        rows[name] = consume(fn(SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows[name] = consume(fn(SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
-    flag = bench_flagship_stream(SF_DIR)
+    flag = min((bench_flagship_stream(SF_DIR) for _ in range(2)),
+               key=lambda r: r["sec"])
     timings["flagship_stream"] = round(flag["sec"], 3)
-    flag_join = bench_flagship_join_stream(SF_DIR)
+    flag_join = min((bench_flagship_join_stream(SF_DIR) for _ in range(2)),
+                    key=lambda r: r["sec"])
     timings["flagship_join_stream"] = round(flag_join["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "gush_ray headline pipelines wall-time",
+        "metric": "gush_ray headline pipelines wall-time (best of 2)",
         "value": total,
         "unit": "sec",
         "queries": timings,
