@@ -188,6 +188,103 @@ GROUP BY user_id
 
 # ----------------------------------------------------------- gopher quality
 
+def q_lm_oov_rate(sf_dir: str):
+    """CCNet-style LM quality filter, integer-exact surface: a bigram LM
+    trained DISTRIBUTED on the deterministic quarter of the corpus
+    (doc_id %% 4 == 0, min_count 2), broadcast once, then every doc
+    scored for bigram out-of-vocabulary counts — the whole
+    train→broadcast→score machinery is SQL-verified because membership
+    counts are integers (stages/lm.py; the continuous perplexity score
+    is the rows-only lm_perplexity)."""
+    import ray
+
+    from gush_ray.stages.lm import score_oov, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_split(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"] % 4 == 0]
+
+    train = docs.map_batches(train_split, batch_format="pandas")
+    lm = train_bigram_lm(train, min_count=2, max_table=5_000_000)
+    lm_ref = ray.put(lm)
+    scored = score_oov(docs, lm_ref, id_cols=("doc_id", "lang"))
+    agg = partial_aggregate(
+        scored, ["lang"],
+        {"n_docs": (None, "count"), "n_bigrams": ("n_bigrams", "sum"),
+         "n_oov": ("n_oov", "sum")},
+    ).to_pandas()
+    agg["n_bigrams"] = agg["n_bigrams"].astype("int64")
+    agg["n_oov"] = agg["n_oov"].astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LM_OOV_RATE = r"""
+WITH docs_w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+  FROM docs_w, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) t
+),
+lm AS (
+  SELECT w1, w2 FROM pairs WHERE doc_id % 4 = 0
+  GROUP BY w1, w2 HAVING count(*) >= 2
+),
+scored AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN lm.w1 IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM pairs p
+  LEFT JOIN lm ON lm.w1 = p.w1 AND lm.w2 = p.w2
+  GROUP BY p.doc_id
+)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(coalesce(sum(s.n_bigrams), 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sum(s.n_oov), 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style continuous score: add-k-smoothed bigram NLL with
+    unigram backoff (stages/lm.py), LM trained on the deterministic
+    quarter of the corpus. Rows-only (float log-likelihoods aren't
+    SQL-hashable); per-doc NLLs are rounded then integer-summed in
+    micro-nats so the per-lang aggregate is order-independent."""
+    import ray
+
+    from gush_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_split(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"] % 4 == 0]
+
+    train = docs.map_batches(train_split, batch_format="pandas")
+    lm = train_bigram_lm(train, min_count=2, max_table=5_000_000)
+    lm_ref = ray.put(lm)
+    scored = score_perplexity(docs, lm_ref, id_cols=("doc_id", "lang"))
+
+    def to_micro(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["nll"].notna()].copy()
+        b["nll_u"] = (b["nll"] * 10_000).round().astype("int64")
+        return b[["lang", "nll_u"]]
+
+    agg = partial_aggregate(
+        scored.map_batches(to_micro, batch_format="pandas"), ["lang"],
+        {"n_docs": (None, "count"), "nll_sum": ("nll_u", "sum")},
+    ).to_pandas()
+    agg["avg_nll"] = (agg["nll_sum"] / (10_000 * agg["n_docs"])).round(3)
+    return (agg.drop(columns=["nll_sum"])
+            .sort_values("lang").reset_index(drop=True))
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality signals per document (word-count bounds,
     mean-word-length bounds, stopword floor) + the pass flag."""
@@ -1168,4 +1265,6 @@ ANALYTIC_QUERIES = {
     "group_mad": (q_group_mad, SQL_GROUP_MAD),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "bm25": (q_bm25, SQL_BM25),
+    "lm_oov_rate": (q_lm_oov_rate, SQL_LM_OOV_RATE),
+    "lm_perplexity": (q_lm_perplexity, None),
 }
