@@ -455,6 +455,38 @@ class Stream:
         return brute_force_topk(self.ds, query_vec, k=k, id_col=id_col,
                                 emb_col=emb_col)
 
+    def train_lm(self, col: str = "text", min_count: int = 2,
+                 max_table: int = 500_000) -> dict:
+        """Terminal: train the CCNet-style bigram LM distributed
+        (stages/lm.py); pass the returned dict (or ``ray.put`` of it)
+        to :meth:`lm_oov` / :meth:`lm_perplexity`."""
+        from gush_ray.stages.lm import train_bigram_lm
+
+        return train_bigram_lm(self.ds, col, min_count=min_count,
+                               max_table=max_table)
+
+    def lm_oov(self, lm, col: str = "text",
+               id_cols: tuple = ("doc_id",)) -> "Stream":
+        """Per-doc bigram out-of-vocabulary counts vs a trained LM."""
+        import ray as _ray
+
+        from gush_ray.stages.lm import score_oov
+
+        ref = lm if not isinstance(lm, dict) else _ray.put(lm)
+        return self._wrap(score_oov(self.ds, ref, col, id_cols))
+
+    def lm_perplexity(self, lm, col: str = "text",
+                      id_cols: tuple = ("doc_id",),
+                      add_k: float = 0.1) -> "Stream":
+        """Per-doc smoothed bigram NLL (CCNet-style quality score)."""
+        import ray as _ray
+
+        from gush_ray.stages.lm import score_perplexity
+
+        ref = lm if not isinstance(lm, dict) else _ray.put(lm)
+        return self._wrap(score_perplexity(self.ds, ref, col, id_cols,
+                                           add_k=add_k))
+
     def normalize_unicode(self, col: str = "text", form: str = "NFC",
                           **kw) -> "Stream":
         """Unicode-normalize a text column (stdlib; pre-dedup step)."""

@@ -249,3 +249,18 @@ def test_stream_kmeans_ann_normalize(ray_session):
     t = Stream.from_arrow(pa.table({"text": ["école"]}))
     norm = t.normalize_unicode().to_pandas()
     assert norm["text"][0] == "école"
+
+
+def test_stream_lm_scoring(sf_dir):
+    from gush_ray.api import Stream
+
+    docs = Stream.from_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    lm = docs.train_lm(min_count=2)
+    oov = docs.lm_oov(lm).to_pandas()
+    assert {"doc_id", "n_bigrams", "n_oov"} <= set(oov.columns)
+    assert (oov["n_oov"] <= oov["n_bigrams"]).all()
+    # trained on the full corpus with min_count=2: mostly in-vocab
+    assert oov["n_oov"].sum() < 0.5 * oov["n_bigrams"].sum()
+    ppl = docs.lm_perplexity(lm).to_pandas()
+    assert ppl["nll"].notna().any() and (ppl["nll"].dropna() > 0).all()
