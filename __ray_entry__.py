@@ -52,7 +52,7 @@ _PRIORITY = [
     "typed_field_extract", "latest_version",
     "deny_filter",
     "hash_join_agg", "salted_join_agg", "windowed_join_agg",
-    "asof_join", "interval_join", "anti_join", "semi_join",
+    "asof_join", "interval_join", "semi_join",
     "left_outer_join_agg",
     "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
     "ann_topk", "ivf_index_ann", "lsh_index_ann_full",
@@ -63,7 +63,7 @@ _PRIORITY = [
     "bm25",
     "heavy_hitters", "approx_distinct_users", "approx_quantiles",
     "exact_quantiles",
-    "running_total", "rollup_counts",
+    "running_total", "rollup_counts", "lm_oov_rate",
     "jsonl_source_agg",
     "multimodal_decode", "frame_sample",
     "bloom_semi_checked",

@@ -307,3 +307,68 @@ def test_delta_chain_restore_with_ttl_tombstones(epochs, cadence, wm_step,
     got = restored.process(len(epochs), probe)["changes"].to_pandas()
     want = live.process(len(epochs), probe)["changes"].to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+# ------------------------------------------- codec property round-trips
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1), quality=st.integers(30, 100),
+    gray=st.booleans(),
+)
+def test_jpeg_roundtrip_bounded_error(w, h, seed, quality, gray):
+    """Any image, any quality: decode(encode(px)) has the right shape
+    and error bounded by the quantization step (DC coefficient quant is
+    the dominant term on random noise)."""
+    from gush_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert out.shape == px.shape
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    assert err <= 96.0  # sanity ceiling: decode is correlated with input
+    if quality >= 95:
+        # near-lossless regime: mean error small even on pure noise
+        assert err <= 12.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1), npal=st.integers(1, 256),
+)
+def test_gif_roundtrip_exact(w, h, seed, npal):
+    """GIF is palette-exact: every palette image round-trips bit-for-bit
+    regardless of size or palette cardinality."""
+    from gush_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(npal, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, npal, size=(h, w))]
+    dec, nf = decode_gif(encode_gif(img))
+    assert nf == 1 and (dec == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 32), h=st.integers(8, 32),
+    seed=st.integers(0, 2**31 - 1), quality=st.integers(40, 95),
+    dc_al=st.integers(0, 2), ac_al=st.integers(0, 2),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, seed, quality,
+                                                   dc_al, ac_al):
+    from gush_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                      encode_jpeg_progressive)
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3),
+                                             dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        px, quality=quality, dc_al=dc_al, ac_al=ac_al))
+    assert (base == prog).all()
