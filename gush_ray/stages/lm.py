@@ -78,17 +78,34 @@ def train_bigram_lm(ds, col: str = "text", min_count: int = 2,
         return df.groupby(["kind", "g"], as_index=False).size().rename(
             columns={"size": "n"})
 
-    counts = partial_aggregate(
+    counts_ds = partial_aggregate(
         ds.map_batches(grams, batch_format="pandas"),
         ["kind", "g"], {"n": ("n", "sum")},
         num_partitions=num_partitions,
+    )
+
+    # prune BEFORE anything reaches the driver: the min_count filter and
+    # a per-block top-max_table cut run distributed, so driver volume is
+    # ≤ num_partitions × 2 × max_table rows — bounded by configuration,
+    # never by corpus vocabulary (the raw distinct-gram table at 10^12
+    # docs is exactly the thing the driver must not hold)
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n"] >= min_count]
+        return (b.sort_values(["n", "g"], ascending=[False, True],
+                              kind="mergesort")
+                .groupby("kind", sort=False).head(max_table))
+
+    counts = counts_ds.map_batches(
+        prune, batch_format="pandas"
     ).to_pandas()
-    counts = counts[counts["n"] >= min_count]
     out: dict = {}
     for kind, key in ((0, "uni"), (1, "bi")):
         sub = counts[counts["kind"] == kind]
-        if len(sub) > max_table:  # bound the broadcast payload
-            sub = sub.nlargest(max_table, "n")
+        if len(sub) > max_table:  # final cut across partitions
+            # deterministic tie-break: (count desc, hash) so equal-count
+            # grams at the boundary don't flap with block layout
+            sub = sub.sort_values(["n", "g"],
+                                  ascending=[False, True]).head(max_table)
         g = sub["g"].to_numpy(dtype=np.uint64)
         n = sub["n"].to_numpy(dtype=np.int64)
         order = np.argsort(g)
