@@ -763,6 +763,52 @@ def q_bloom_semi(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def q_bucketed_join_agg(sf_dir: str):
+    """Shuffle-free bucketed join (stages/bucketed.py): both sides laid
+    out ONCE as hash-bucketed parquet on the join key (the amortized
+    layout cost), then joined as independent per-bucket tasks — zero
+    all-to-all exchange at query time, the repeated-pipeline shape that
+    matters most at 10^12 rows. Oracle-paired: per-nation order
+    counts/revenue must equal the plain SQL join."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    root = f"/tmp/gush_ray_buckets/{_fixture_cache_key(sf_dir, 'orders')}"
+    dir_o = os.path.join(root, "orders")
+    dir_c = os.path.join(root, "customer")
+    if not os.path.exists(os.path.join(dir_o, "_BUCKETS.json")):
+        orders = _read(sf_dir, "orders",
+                       columns=["o_custkey", "o_totalprice"])
+        orders = orders.map_batches(
+            lambda b: b.rename_columns(["custkey", "o_totalprice"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        write_bucketed(orders, dir_o, "custkey", num_buckets=16)
+    if not os.path.exists(os.path.join(dir_c, "_BUCKETS.json")):
+        cust = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+        cust = cust.map_batches(
+            lambda b: b.rename_columns(["custkey", "c_nationkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        write_bucketed(cust, dir_c, "custkey", num_buckets=16)
+    joined = bucketed_join(dir_o, dir_c, on="custkey")
+    agg = partial_aggregate(
+        joined, ["c_nationkey"],
+        {"n_orders": (None, "count"), "revenue": ("o_totalprice", "sum")},
+    ).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values("c_nationkey").reset_index(drop=True)
+
+
+SQL_BUCKETED_JOIN_AGG = """
+SELECT c.c_nationkey, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
 def q_bloom_semi_checked(sf_dir: str):
     """Bloom semi join in its production shape: Bloom prefilter (no
     false negatives) + exact verification join that removes the one-sided
@@ -859,6 +905,7 @@ EXTRA_QUERIES = {
     "approx_distinct_users": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "approx_quantiles": (q_approx_quantiles, SQL_APPROX_QUANTILES),
     "bloom_semi_checked": (q_bloom_semi_checked, SQL_BLOOM_SEMI_CHECKED),
+    "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # rows-only: genuinely non-SQL-expressible (LSH banding / k-means /
