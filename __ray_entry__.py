@@ -53,7 +53,7 @@ _PRIORITY = [
     "deny_filter",
     "hash_join_agg", "salted_join_agg", "windowed_join_agg",
     "asof_join", "interval_join", "semi_join",
-    "left_outer_join_agg",
+    "bucketed_join_agg",
     "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
     "ann_topk", "ivf_index_ann", "lsh_index_ann_full",
     "embedding_pairs_exact",
