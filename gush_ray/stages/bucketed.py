@@ -144,6 +144,60 @@ def bucketed_join(dir_a: str, dir_b: str, on: str):
     return rd.from_arrow_refs(refs)
 
 
+def export_stream_bucketed(job, stream: str, out_dir: str,
+                           key: str = "url") -> dict:
+    """Expose a streaming job's committed output as a bucketed table —
+    WITHOUT rewriting any data: the exactly-once sink already hash-
+    partitions every stream by ``stable_hash(key) % P`` (the engine's
+    one partitioning discipline), which is bit-identical to
+    ``write_bucketed``'s layout hash, so each committed
+    ``part-{pid}.parquet`` is already a bucket fragment. Files are
+    hard-linked (copy fallback) into ``bucket=pid`` dirs and the
+    manifest written last. Downstream bucketed joins/aggregations over
+    the change stream then run with zero shuffle.
+
+    Readers of the export see a SNAPSHOT of the epochs committed at
+    export time (exactly-once isolation carries over: uncommitted
+    epochs are never linked).
+    """
+    import re
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    part_re = re.compile(r"part-(\d+)\.parquet$")
+    n_rows = 0
+    buckets = set()
+    for i, src in enumerate(job.sink.committed_files(stream)):
+        m = part_re.search(src)
+        if not m:
+            raise ValueError(f"unexpected sink file name: {src}")
+        pid = int(m.group(1))
+        d = os.path.join(out_dir, f"bucket={pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f"part-{i:05d}.parquet")
+        try:
+            if os.path.exists(dst):
+                os.remove(dst)
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        n_rows += pq.read_metadata(dst).num_rows
+        buckets.add(pid)
+    manifest = {
+        "key": key,
+        "num_buckets": job.P,
+        "hash": HASH_KIND,
+        "rows": n_rows,
+        "buckets_written": sorted(buckets),
+        "source": {"out_dir": job.out_dir, "stream": stream},
+    }
+    tmp = os.path.join(out_dir, MANIFEST + ".inprogress")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    return manifest
+
+
 def bucketed_group_aggregate(out_dir: str, specs: dict):
     """Grouped aggregation BY THE BUCKETING KEY with zero shuffle: the
     layout already co-locates every row of a key, so each bucket

@@ -101,3 +101,39 @@ def test_crashed_layout_invisible(tmp_path):
     os.makedirs(os.path.join(d, "bucket=00000"))
     with pytest.raises(ValueError, match="not a bucketed table"):
         read_manifest(d)
+
+
+def test_export_stream_bucketed_joins_without_shuffle(tmp_path):
+    """The exactly-once sink's per-partition files ARE bucket fragments
+    (same stable hash): exporting the changes stream as a bucketed table
+    (hard links, no rewrite) lets it join a bucketed dimension with zero
+    shuffle, matching the plain pandas join."""
+    from gush_ray.datagen import write_pages_dir
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.stages.bucketed import export_stream_bucketed
+
+    pages = str(tmp_path / "pages")
+    write_pages_dir(pages, n_urls=300, seed=23, n_epochs=3)
+    job = StreamingJob(pages, str(tmp_path / "out"), run_id="bkt",
+                       num_partitions=8)
+    job.run()
+    changes = job.read_output("changes")
+
+    exp = str(tmp_path / "changes_bucketed")
+    m = export_stream_bucketed(job, "changes", exp, key="url")
+    assert m["num_buckets"] == 8 and m["rows"] == len(changes)
+
+    # dimension keyed by url, bucketed with the SAME layout params
+    dim = pd.DataFrame({"url": changes["url"].unique()})
+    dim["site_len"] = dim["url"].str.len()
+    dim_dir = str(tmp_path / "dim_bucketed")
+    write_bucketed(rd.from_pandas(dim), dim_dir, "url", num_buckets=8)
+
+    got = (bucketed_join(exp, dim_dir, on="url").to_pandas()
+           .sort_values(["url", "version"]).reset_index(drop=True))
+    want = (changes.merge(dim, on="url")
+            .sort_values(["url", "version"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["url", "version", "site_len"]],
+        want[["url", "version", "site_len"]], check_dtype=False)
