@@ -487,6 +487,22 @@ class Stream:
         return self._wrap(score_perplexity(self.ds, ref, col, id_cols,
                                            add_k=add_k))
 
+    def train_bpe(self, col: str = "text", n_merges: int = 200,
+                  max_words: int = 100_000) -> dict:
+        """Terminal: learn a BPE tokenizer from the corpus
+        (stages/bpe.py, word-histogram training)."""
+        from gush_ray.stages.bpe import train_bpe
+
+        return train_bpe(self.ds, col, n_merges=n_merges,
+                         max_words=max_words)
+
+    def tokenize_bpe(self, bpe: dict, col: str = "text",
+                     id_cols: tuple = ("doc_id",), **kw) -> "Stream":
+        """Tokenize with a trained BPE (broadcast once, actor pool)."""
+        from gush_ray.stages.bpe import apply_bpe
+
+        return self._wrap(apply_bpe(self.ds, bpe, col, id_cols, **kw))
+
     def normalize_unicode(self, col: str = "text", form: str = "NFC",
                           **kw) -> "Stream":
         """Unicode-normalize a text column (stdlib; pre-dedup step)."""

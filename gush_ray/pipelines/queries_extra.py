@@ -705,6 +705,32 @@ def q_extract_parity(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """Distributed BPE tokenizer training (word-histogram shape: one
+    combiner shuffle, driver payload bounded by max_words) + broadcast
+    application with per-actor word caches. Rows-only — the merge loop
+    is iterative; losslessness, histogram==corpus training parity and
+    determinism are pinned by tests/test_bpe.py."""
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.bpe import apply_bpe, train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    bpe = train_bpe(docs, n_merges=60, max_words=100_000)
+    toks = apply_bpe(docs, bpe, id_cols=("doc_id", "lang"))
+
+    def drop_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["lang", "n_words", "n_tokens"]]
+
+    agg = partial_aggregate(
+        toks.map_batches(drop_tokens, batch_format="pandas"), ["lang"],
+        {"n_docs": (None, "count"), "n_words": ("n_words", "sum"),
+         "n_tokens": ("n_tokens", "sum")},
+    ).to_pandas()
+    agg["n_words"] = agg["n_words"].astype("int64")
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str):
     """Greedy context-window packing: documents assigned to <=512-token
     bins in deterministic per-partition order (no SQL analog — the
@@ -926,4 +952,5 @@ EXTRA_QUERIES = {
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (q_multimodal_resize, None),
     "pack_sequences": (q_pack_sequences, None),
+    "bpe_tokenize": (q_bpe_tokenize, None),
 }

@@ -1,0 +1,93 @@
+"""Distributed BPE training + application: histogram-equals-corpus
+training, merge quality, lossless round trip, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(9)
+    base = ["streaming", "streams", "windowed", "windows", "window",
+            "watermark", "watermarks", "partition", "partitions",
+            "exactly", "once", "the", "and", "of"]
+    docs = [" ".join(rng.choice(base, size=40)) for _ in range(50)]
+    df = pd.DataFrame({"doc_id": range(50), "text": docs})
+    return rd.from_pandas(df), df
+
+
+def test_train_learns_frequent_pairs(corpus):
+    from gush_ray.stages.bpe import train_bpe
+
+    ds, _df = corpus
+    bpe = train_bpe(ds, n_merges=60)
+    merged_symbols = {a + b for a, b in bpe["merges"]}
+    # shared stems of the vocabulary must emerge as single symbols
+    assert any("wind" in s for s in merged_symbols)
+    assert any("stream" in s for s in merged_symbols)
+
+
+def test_histogram_training_equals_bruteforce(corpus):
+    """Training on the word histogram == training on the raw corpus
+    (BPE pair counts are a pure function of the histogram)."""
+    from collections import Counter
+
+    from gush_ray.stages.bpe import _END, train_bpe
+
+    ds, df = corpus
+    got = train_bpe(ds, n_merges=30)["merges"]
+
+    # brute force on the concatenated corpus
+    cnt = Counter(w for t in df["text"] for w in t.split())
+    seqs = [tuple(w) + (_END,) for w in cnt]
+    freqs = list(cnt.values())
+    merges = []
+    for _ in range(30):
+        pc = Counter()
+        for seq, f in zip(seqs, freqs):
+            for p in zip(seq, seq[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        out_seqs = []
+        for seq in seqs:
+            o, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    o.append(a + b); i += 2
+                else:
+                    o.append(seq[i]); i += 1
+            out_seqs.append(tuple(o))
+        seqs = out_seqs
+    assert got == merges
+
+
+def test_apply_roundtrip_and_compression(corpus):
+    from gush_ray.stages.bpe import apply_bpe, detokenize, train_bpe
+
+    ds, df = corpus
+    bpe = train_bpe(ds, n_merges=80)
+    out = apply_bpe(ds, bpe).to_pandas().sort_values("doc_id")
+    merged = out.merge(df, on="doc_id")
+    for _i, row in merged.iterrows():
+        assert detokenize(list(row["tokens"])) == row["text"]
+    # BPE must compress: far fewer tokens than characters, more than words
+    n_chars = df["text"].str.replace(" ", "").str.len().sum()
+    assert out["n_tokens"].sum() < 0.5 * n_chars
+    assert (out["n_tokens"] >= out["n_words"]).all()
+
+
+def test_train_deterministic(corpus):
+    from gush_ray.stages.bpe import train_bpe
+
+    ds, _df = corpus
+    assert train_bpe(ds, n_merges=40)["merges"] == \
+        train_bpe(ds, n_merges=40)["merges"]
