@@ -354,6 +354,7 @@ class StreamingJob:
         session_gap_us: int = 30 * 60 * 1_000_000,
         mode: str = "tasks",
         dim_df=None,
+        dim_dir: str | None = None,
         dim_key: str = "site",
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
         key_col: str = "url",
@@ -413,9 +414,20 @@ class StreamingJob:
         self.right_dir = (normalize_uri(right_dir)
                           if right_dir is not None else None)
         self.right_raw_ts_col = right_raw_ts_col
+        if dim_df is not None and dim_dir is not None:
+            raise ValueError("pass dim_df (static snapshot) OR dim_dir "
+                             "(evolving per-epoch snapshots), not both")
         self.dim_df = dim_df
+        # evolving dimension snapshots (SCD): dim_dir/epoch=NNNN/ holds
+        # the snapshot that becomes effective AT that epoch; epochs
+        # without a snapshot carry the latest earlier one forward
+        # (dimensions change slowly). Resolution is pure disk state, so
+        # a resumed run joins every epoch against the same snapshot the
+        # uninterrupted run did (parity-tested).
+        self.dim_dir = normalize_uri(dim_dir) if dim_dir else None
         self.dim_key = dim_key
         self._dim_holder = None
+        self._dim_holders_by_path: dict = {}
         self.ckpt_dir = os.path.join(out_dir, "_state")
         self._actors = None
         # running per-partition event-time maxima (watermark inputs);
@@ -781,9 +793,11 @@ class StreamingJob:
         shards = self._group_shards(_shard_files(path))
         if self.dim_df is not None and self._dim_holder is None:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
+        dim_holder = (self._dim_holder_for_epoch(epoch)
+                      if self.dim_dir is not None else self._dim_holder)
         refsets = [
             _map_shard.options(num_returns=1 + self.P).remote(
-                s, self.cfg, self.P, self._dim_holder, self.dim_key,
+                s, self.cfg, self.P, dim_holder, self.dim_key,
                 (self.out_dir, "errors", epoch, i), self.key_col,
                 self.raw_ts_col,
             )
@@ -807,6 +821,27 @@ class StreamingJob:
                 for i, s in enumerate(self._group_shards(_shard_files(rpath)))
             ]
         return epoch, path, shards, refsets, rrefsets
+
+    def _dim_holder_for_epoch(self, epoch: int):
+        """Broadcast holder for the dimension snapshot effective at
+        ``epoch``: the largest ``epoch=NNNN`` dir ≤ epoch under
+        ``dim_dir`` (carry-forward). A snapshot at epoch 0 is REQUIRED —
+        letting early epochs run dimension-less would flip the output
+        schema mid-stream. Memoized per resolved path; each distinct
+        snapshot is ray.put ONCE per run."""
+        for e in range(epoch, -1, -1):
+            d = os.path.join(self.dim_dir, f"epoch={e:04d}")
+            if os.path.isdir(d):
+                if d not in self._dim_holders_by_path:
+                    self._dim_holders_by_path[d] = [
+                        ray.put(pd.read_parquet(d))
+                    ]
+                return self._dim_holders_by_path[d]
+        raise FileNotFoundError(
+            f"dim_dir={self.dim_dir!r} has no snapshot at or before "
+            f"epoch {epoch} (an epoch=0000 snapshot is required so the "
+            f"joined schema is stable from the first epoch)"
+        )
 
     def _run_epoch(self, epoch: int, submitted) -> int:
         prof = os.environ.get("GUSH_PROFILE")
