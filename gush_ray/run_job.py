@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="evict dedup state for keys idle this long in "
                          "event time (bounds state; version counters "
                          "restart for evicted keys)")
+    ap.add_argument("--dim-dir", default=None,
+                    help="evolving dimension snapshots: epoch=NNNN/ "
+                         "parquet dirs become effective at their epoch "
+                         "(carry-forward when absent; epoch 0 required)")
+    ap.add_argument("--window-group-cols", default=None,
+                    help="comma-separated window group columns "
+                         "(default lang,change_kind)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone local runs")
@@ -81,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
         idle_partition_epochs=args.idle_partition_epochs,
+        dim_dir=args.dim_dir,
+        **({"window_group_cols":
+            tuple(args.window_group_cols.split(","))}
+           if args.window_group_cols else {}),
     )
     res = job.run(resume=not args.no_resume)
     summary = {
