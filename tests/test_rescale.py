@@ -1,0 +1,160 @@
+"""Checkpoint rescaling: resume at a different partition count with
+output parity (up- and down-scale), state-loss guards, fsck green."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from gush_ray.datagen import write_clicks_dir, write_pages_dir
+from gush_ray.pipelines.epoch_loop import StreamingJob
+from gush_ray.rescale import rescale_state
+
+
+def _pages(tmp_path, **kw):
+    p = str(tmp_path / "pages")
+    # late_frac=0: the watermark's evolution is then identical under any
+    # partition layout (every epoch-e row sits above every earlier max),
+    # so a rescaled run must reproduce the uninterrupted output EXACTLY.
+    write_pages_dir(p, n_urls=250, seed=71, n_epochs=4, late_frac=0.0, **kw)
+    return p
+
+
+def _outputs(j):
+    out = {}
+    for s in ("changes", "matches", "late"):
+        df = j.read_output(s)
+        cols = sorted(df.columns)
+        out[s] = df[cols].sort_values(cols).reset_index(drop=True) \
+            if len(df) else df
+    # a session closed by a later-arriving row of its key goes to the
+    # "sessions" stream; one closed by the watermark to "sessions_wm".
+    # WHICH of the two closes it depends on watermark pacing (partition-
+    # layout-dependent); the UNION is the event-time-determined output.
+    su = pd.concat([j.read_output("sessions"),
+                    j.read_output("sessions_wm")], ignore_index=True)
+    cols = sorted(su.columns)
+    out["sessions_union"] = su[cols].sort_values(cols).reset_index(
+        drop=True)
+    w = j.read_output("windows")
+    # windows are per-partition ADDITIVE partials: compare aggregated
+    gcols = [c for c in w.columns if c not in ("n", "sum_value")]
+    out["windows"] = (w.groupby(gcols, dropna=False, as_index=False)
+                      .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+                      .sort_values(gcols).reset_index(drop=True))
+    return out
+
+
+@pytest.mark.parametrize("new_p", [8, 2])
+def test_rescale_resume_parity(tmp_path, new_p):
+    """Direct rescale mid-stream: every event-time-determined output
+    matches the uninterrupted run exactly. pattern=None because the
+    NFA's max_partials overflow truncation is the one watermark-PACING-
+    sensitive output and pacing is inherently finer at higher P (see
+    rescale module docstring) — the NFA's exactness under rescale is
+    pinned by the round-trip test below instead."""
+    pages = _pages(tmp_path)
+
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="rsA",
+                      num_partitions=4, pattern=None)
+    ja.run()
+
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="rsB1",
+                      num_partitions=4, pattern=None)
+    jb.run(stop_after=2)
+    rep = rescale_state(str(tmp_path / "b"), new_p, params=jb.params)
+    assert rep["rescaled"] and rep["old_P"] == 4 and rep["new_P"] == new_p
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rsB2",
+                       num_partitions=new_p, pattern=None)
+    jb2.run()
+
+    a, b = _outputs(ja), _outputs(jb2)
+    for s in a:
+        pd.testing.assert_frame_equal(a[s], b[s], check_dtype=False), s
+
+    from gush_ray.fsck import audit
+
+    rep = audit(str(tmp_path / "b"))
+    assert rep["ok"], rep["problems"]
+
+
+def test_rescale_round_trip_full_parity(tmp_path):
+    """4→8→4 round trip mid-stream with the NFA ACTIVE: the per-key
+    state and the reconstructed per-partition maxima return bit-exact,
+    so the continued P=4 run reproduces the uninterrupted P=4 run
+    INCLUDING the watermark-pacing-sensitive NFA output."""
+    pages = _pages(tmp_path)
+
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="rtA",
+                      num_partitions=4)
+    ja.run()
+
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="rtB1",
+                      num_partitions=4)
+    jb.run(stop_after=2)
+    assert rescale_state(str(tmp_path / "b"), 8, params=jb.params)["rescaled"]
+    assert rescale_state(str(tmp_path / "b"), 4, params=jb.params)["rescaled"]
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rtB2",
+                       num_partitions=4)
+    jb2.run()
+    a, b = _outputs(ja), _outputs(jb2)
+    for s in a:
+        pd.testing.assert_frame_equal(a[s], b[s], check_dtype=False), s
+
+
+def test_rescale_with_stream_join(tmp_path):
+    """Join buffers migrate with their keys: rescaled mid-stream join
+    emits the identical pair set."""
+    from gush_ray.state.join_state import JoinSpec
+
+    pages = _pages(tmp_path)
+    clicks = str(tmp_path / "clicks")
+    write_clicks_dir(clicks, n_urls=250, seed=71, clicks_per_epoch=400,
+                     n_epochs=4)
+    HALF_H = 30 * 60 * 1_000_000
+    spec = dict(right_dir=clicks,
+                join_spec=JoinSpec(-HALF_H, HALF_H,
+                                   left_cols=("version",),
+                                   right_cols=("click_id",)))
+
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="rsjA",
+                      num_partitions=4, **spec)
+    ja.run()
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="rsjB1",
+                      num_partitions=4, **spec)
+    jb.run(stop_after=2)
+    rescale_state(str(tmp_path / "b"), 8, params=jb.params)
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rsjB2",
+                       num_partitions=8, **spec)
+    jb2.run()
+    cols = None
+    a = ja.read_output("joined")
+    b = jb2.read_output("joined")
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_rescale_guards(tmp_path):
+    from gush_ray.state.store import StateParams
+
+    pages = _pages(tmp_path)
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="rsgB",
+                      num_partitions=4)
+    jb.run(stop_after=2)
+    # the default pattern leaves NFA partials in state: rescaling with
+    # bare params must refuse rather than silently drop them
+    with pytest.raises(ValueError, match="NFA partial"):
+        rescale_state(str(tmp_path / "b"), 8, params=StateParams())
+    # same P is a no-op
+    assert rescale_state(str(tmp_path / "b"), 4,
+                         params=jb.params) == {
+        "rescaled": False, "old_P": 4, "new_P": 4}
+
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rsgB2",
+                       num_partitions=4)
+    jb2.run()
+    with pytest.raises(ValueError, match="finalized"):
+        rescale_state(str(tmp_path / "b"), 8, params=jb2.params)
