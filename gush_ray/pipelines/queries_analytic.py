@@ -1234,6 +1234,93 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_training_mix_v2(sf_dir: str):
+    """Round-3 composed training-data pipeline: word floor → CCNet-style
+    LM OOV filter (bigram LM trained distributed on the doc_id%4==0
+    slice; drop docs with > 0.5%% out-of-vocabulary bigrams, compared in
+    INTEGERS so the plan stays hash-exact) → exact dedup (min doc_id per
+    md5(text)) → deterministic per-language quota sample. One plan, one
+    SQL oracle — pins that the round-3 LM operator composes with the
+    established cleaning stages."""
+    import hashlib
+
+    import ray
+
+    from gush_ray.stages.corpus import stratified_sample
+    from gush_ray.stages.lm import score_oov, train_bigram_lm
+    from gush_ray.stages.shuffle import partition_map
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    train = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 4 == 0).to_numpy()],
+        batch_format="pandas")
+    lm_ref = ray.put(train_bigram_lm(train, min_count=2,
+                                     max_table=5_000_000))
+    scored = score_oov(docs, lm_ref, id_cols=("doc_id", "lang", "text"))
+
+    def qual(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_words"] = b["text"].fillna("").map(lambda t: len(t.split()))
+        b = b[(b["n_words"] >= 30)
+              & (b["n_oov"] * 200 <= b["n_bigrams"])]
+        b["text_hash"] = b["text"].map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return b[["doc_id", "lang", "n_words", "text_hash"]]
+
+    cleaned = scored.map_batches(qual, batch_format="pandas")
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_hash", "doc_id"], kind="mergesort")
+        return df.groupby("text_hash", sort=False).head(1)
+
+    deduped = partition_map(cleaned, ["text_hash"], keep_min,
+                            num_partitions=8)
+    mix = stratified_sample(deduped, "lang", k=30)
+    return mix.drop_columns(["text_hash"])
+
+
+SQL_TRAINING_MIX_V2 = r"""
+WITH docs_w AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM docs_w, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) t
+),
+lm AS (
+  SELECT w1, w2 FROM pairs WHERE doc_id % 4 = 0
+  GROUP BY w1, w2 HAVING count(*) >= 2
+),
+sc AS (
+  SELECT p.doc_id, count(*) AS nb,
+         sum(CASE WHEN lm.w1 IS NULL THEN 1 ELSE 0 END) AS no
+  FROM pairs p
+  LEFT JOIN lm ON lm.w1 = p.w1 AND lm.w2 = p.w2
+  GROUP BY p.doc_id
+),
+q AS (
+  SELECT d.doc_id, d.lang, d.text, len(d.ws) AS n_words
+  FROM docs_w d LEFT JOIN sc s ON s.doc_id = d.doc_id
+  WHERE len(d.ws) >= 30
+    AND coalesce(s.no, 0) * 200 <= coalesce(s.nb, 0)
+),
+ded AS (
+  SELECT * FROM q
+  QUALIFY row_number()
+    OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, n_words FROM ded
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 30
+"""
+
+
 ANALYTIC_QUERIES = {
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
@@ -1267,4 +1354,5 @@ ANALYTIC_QUERIES = {
     "bm25": (q_bm25, SQL_BM25),
     "lm_oov_rate": (q_lm_oov_rate, SQL_LM_OOV_RATE),
     "lm_perplexity": (q_lm_perplexity, None),
+    "training_mix_v2": (q_training_mix_v2, SQL_TRAINING_MIX_V2),
 }
