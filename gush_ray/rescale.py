@@ -210,19 +210,16 @@ def rescale_state(out_dir: str, new_P: int,
                     setattr(new_states[pid].joiner, side, merged)
             new_states[0].joiner.pairs_emitted += ps.joiner.pairs_emitted
 
-    # the join buffers must stay ts-sorted per partition (the searchsorted
-    # kernel's precondition)
-    if True:
-        import pandas as pd
-
-        for nps in new_states:
-            for side in ("bufL", "bufR"):
-                buf = getattr(nps.joiner, side)
-                if len(buf):
-                    setattr(nps.joiner, side,
-                            buf.sort_values(params.ts_col,
-                                            kind="mergesort")
-                            .reset_index(drop=True))
+    # the join buffers must stay ts-sorted per partition (the
+    # searchsorted kernel's precondition); the probe params always
+    # construct a joiner, so sort unconditionally
+    for nps in new_states:
+        for side in ("bufL", "bufR"):
+            buf = getattr(nps.joiner, side)
+            if len(buf):
+                setattr(nps.joiner, side,
+                        buf.sort_values(params.ts_col, kind="mergesort")
+                        .reset_index(drop=True))
 
     # write FULL snapshot frames for the new layout (atomic per file)
     os.makedirs(os.path.join(state_dir, f"epoch={last:05d}"),
