@@ -89,6 +89,38 @@ def _cleanup_covered(fs, out_dir: str, stream: str, a: int, b: int) -> None:
             fs.rmtree(d)
 
 
+def _merge_partition_local(out_dir: str, build_dir: str, name: str,
+                           files: list[str]) -> int:
+    """Stream-merge one partition's epoch files into the build dir;
+    returns rows written. Footer-cheap: one file in memory at a time."""
+    fs, _ = get_fs(out_dir)
+    writer = None
+    sink_f = None
+    rows = 0
+    for f in files:
+        with fs.open(f, "rb") as rf:
+            t = pq.read_table(rf)
+        if writer is None:
+            sink_f = fs.open(fs.join(build_dir, name), "wb")
+            writer = pq.ParquetWriter(sink_f, t.schema,
+                                      compression="zstd",
+                                      compression_level=1)
+        writer.write_table(t)
+        rows += t.num_rows
+    if writer is not None:
+        writer.close()
+        sink_f.close()
+    return rows
+
+
+try:  # Ray-task form of the merge (used when a session exists)
+    import ray as _ray_mod
+
+    _merge_partition = _ray_mod.remote(_merge_partition_local)
+except ImportError:  # pragma: no cover - ray is always present here
+    _merge_partition = None
+
+
 def compact_stream(out_dir: str, stream: str, upto: int | None = None,
                    min_epochs: int = 2) -> dict:
     """Compact the longest uncompacted prefix-adjacent epoch range of one
@@ -146,23 +178,26 @@ def compact_stream(out_dir: str, stream: str, upto: int | None = None,
         for name in fs.listdir(d):
             if name.endswith(".parquet"):
                 by_pid.setdefault(name, []).append(fs.join(d, name))
-    for name, files in sorted(by_pid.items()):
-        writer = None
-        sink_f = None
-        for f in files:
-            with fs.open(f, "rb") as rf:
-                t = pq.read_table(rf)
-            if writer is None:
-                sink_f = fs.open(fs.join(build_dir, name), "wb")
-                writer = pq.ParquetWriter(
-                    sink_f, t.schema,
-                    compression="zstd", compression_level=1,
-                )
-            writer.write_table(t)
-            n_rows += t.num_rows
-        if writer is not None:
-            writer.close()
-            sink_f.close()
+    # one merge job per partition file name. When a Ray session exists
+    # (in-flight compaction inside run_continuous, or a caller that
+    # initialized Ray) the merges fan out as tasks — at wide P × many
+    # streams the per-partition merges are embarrassingly parallel;
+    # standalone CLI runs without Ray stay serial.
+    jobs = sorted(by_pid.items())
+    try:
+        import ray as _ray
+
+        use_ray = _ray.is_initialized() and len(jobs) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        refs = [_merge_partition.remote(out_dir, build_dir, name, files)
+                for name, files in jobs]
+        n_rows += sum(_ray.get(refs))
+    else:
+        for name, files in jobs:
+            n_rows += _merge_partition_local(out_dir, build_dir, name,
+                                             files)
     if local:
         if fs.isdir(slot_dir):
             # same-named slot from a crashed run (already swept above
