@@ -731,6 +731,44 @@ def q_bpe_tokenize(sf_dir: str):
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """The full CCNet shape (Wenzek et al. 2019): LM perplexity per doc
+    (bigram LM trained on the deterministic quarter), then docs bucketed
+    head/middle/tail by the corpus-wide EXACT perplexity terciles
+    (histogram-refinement quantiles — no global sort), per-lang bucket
+    counts out. Rows-only (log-likelihoods aren't SQL-hashable);
+    deterministic via rounded per-doc NLL and exact tercile cuts."""
+    import ray
+
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.lm import score_perplexity, train_bigram_lm
+    from gush_ray.stages.sketches import exact_quantiles_nosort
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    train = docs.map_batches(
+        lambda b: b[(b["doc_id"] % 4 == 0).to_numpy()],
+        batch_format="pandas")
+    lm_ref = ray.put(train_bigram_lm(train, min_count=2,
+                                     max_table=5_000_000))
+    scored = score_perplexity(docs, lm_ref,
+                              id_cols=("doc_id", "lang")).materialize()
+    cuts = exact_quantiles_nosort(scored, "nll", [1 / 3, 2 / 3])
+    lo, hi = cuts[1 / 3], cuts[2 / 3]
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["nll"].notna()].copy()
+        b["bucket"] = np.where(
+            b["nll"] <= lo, "head",
+            np.where(b["nll"] <= hi, "middle", "tail"))
+        return b[["lang", "bucket"]]
+
+    agg = partial_aggregate(
+        scored.map_batches(bucket, batch_format="pandas"),
+        ["lang", "bucket"], {"n_docs": (None, "count")},
+    ).to_pandas()
+    return agg.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str):
     """Greedy context-window packing: documents assigned to <=512-token
     bins in deterministic per-partition order (no SQL analog — the
@@ -953,4 +991,5 @@ EXTRA_QUERIES = {
     "multimodal_resize": (q_multimodal_resize, None),
     "pack_sequences": (q_pack_sequences, None),
     "bpe_tokenize": (q_bpe_tokenize, None),
+    "ccnet_buckets": (q_ccnet_buckets, None),
 }
