@@ -17,6 +17,11 @@ joins a table written next month without re-bucketing. Layout writes
 are idempotent (temp + atomic rename, same discipline as the
 exactly-once sink) and the manifest is written last, so a crashed
 layout job is invisible to readers and safely re-run.
+
+Storage scope: local / shared-POSIX (NFS) paths today — the layout is
+plain directories + parquet, so extending it through the gush_ray.fs
+URI seam (as the exactly-once sink already is) is mechanical; the
+record-last crash protocol carries over unchanged.
 """
 
 from __future__ import annotations
