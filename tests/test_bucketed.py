@@ -137,3 +137,35 @@ def test_export_stream_bucketed_joins_without_shuffle(tmp_path):
     pd.testing.assert_frame_equal(
         got[["url", "version", "site_len"]],
         want[["url", "version", "site_len"]], check_dtype=False)
+
+
+def test_export_after_compaction(tmp_path):
+    """Compaction rewrites epochs into compact=A-B/part-{pid}.parquet —
+    the per-partition file-name contract survives, so a bucketed export
+    of a compacted stream still buckets correctly."""
+    from gush_ray.compact import compact_stream
+    from gush_ray.datagen import write_pages_dir
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.stages.bucketed import export_stream_bucketed
+
+    pages = str(tmp_path / "pages")
+    write_pages_dir(pages, n_urls=200, seed=29, n_epochs=3)
+    job = StreamingJob(pages, str(tmp_path / "out"), run_id="bc",
+                       num_partitions=4)
+    job.run()
+    changes = job.read_output("changes")
+    compact_stream(str(tmp_path / "out"), "changes")
+
+    exp = str(tmp_path / "exp")
+    m = export_stream_bucketed(job, "changes", exp, key="url")
+    assert m["rows"] == len(changes)
+    # keys still co-located per bucket under the stable hash
+    import numpy as np
+
+    from gush_ray.stages.bucketed import read_bucket
+    from gush_ray.stages.shuffle import stable_hash
+
+    for k in m["buckets_written"]:
+        t = read_bucket(exp, k)
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        assert (stable_hash(urls) % np.uint64(4) == k).all()
