@@ -731,6 +731,41 @@ def q_bpe_tokenize(sf_dir: str):
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data ordering: docs
+    ranked by md5(doc_id) — reproducible across runs/machines, unlike
+    random_shuffle — with the head materialized via per-batch top-k
+    partials (no global sort; only blocks' local top-k rows move).
+    The 100-TB shape: the full ordering is realized lazily (any shard
+    range can be produced by rank-range filters); the query pins the
+    global head against SQL."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["shuffle_key"] = b["doc_id"].map(
+            lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
+        # nsmallest rejects object dtype: hex keys sort lexicographically,
+        # so plain sort + head is the same top-k
+        return b.sort_values("shuffle_key", kind="mergesort").head(100)
+
+    head = docs.map_batches(topk, batch_format="pandas").to_pandas()
+    head = (head.sort_values("shuffle_key", kind="mergesort").head(100)
+            .reset_index(drop=True))
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head[["rank", "doc_id", "lang"]]
+
+
+SQL_GLOBAL_SHUFFLE = """
+SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank,
+       doc_id, lang
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+"""
+
+
 def q_ccnet_buckets(sf_dir: str):
     """The full CCNet shape (Wenzek et al. 2019): LM perplexity per doc
     (bigram LM trained on the deterministic quarter), then docs bucketed
@@ -992,4 +1027,5 @@ EXTRA_QUERIES = {
     "pack_sequences": (q_pack_sequences, None),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "ccnet_buckets": (q_ccnet_buckets, None),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
 }
