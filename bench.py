@@ -67,7 +67,7 @@ def bench_flagship_stream(sf_dir: str) -> dict:
 
     import ray
 
-    pages_dir = ensure_pages(
+    pages_dir = os.environ.get("GRAFT_BENCH_PAGES_DIR") or ensure_pages(
         "/tmp/gush_scale_pages", n_urls=BENCH_PAGES_URLS, seed=77,
         n_epochs=BENCH_PAGES_EPOCHS,
     )
@@ -353,6 +353,35 @@ def run_scaling(repeat: int = 1) -> dict:
     median distinguishes a real regression from noise.
     """
 
+    # stage the INPUT corpus on tmpfs, like the output already is: the
+    # 16-cpu leg reads the same bytes in 1/3 the wall time, so co-tenant
+    # DISK IO taxes it 3x harder and reads as a fake engine defect (the
+    # round-3 run that spread 0.65-0.93 across 8 minutes). On a real
+    # cluster input bandwidth (S3/HDFS) scales with the node count; the
+    # page-cache-resident read measures the ENGINE. Opt out with
+    # GRAFT_SCALING_DISK_INPUT=1 to reproduce the older disk-read runs.
+    from gush_ray.datagen import ensure_pages
+
+    pages_src = ensure_pages(  # idempotent; cached across runs
+        "/tmp/gush_scale_pages", n_urls=SCALING_URLS, seed=77, n_epochs=2)
+    pages_override = None
+    if (not os.environ.get("GRAFT_SCALING_DISK_INPUT")
+            and os.access("/dev/shm", os.W_OK)):
+        import shutil as _sh
+
+        dst = os.path.join("/dev/shm/gush_scale_pages",
+                           os.path.basename(pages_src))
+        if not os.path.exists(os.path.join(dst, "_COMPLETE")):
+            # copy into a temp dir then rename: copytree replicates the
+            # source's _COMPLETE marker mid-copy, so a killed copy could
+            # otherwise pass the completeness check
+            tmp = dst + ".staging"
+            _sh.rmtree(dst, ignore_errors=True)
+            _sh.rmtree(tmp, ignore_errors=True)
+            _sh.copytree(pages_src, tmp)
+            os.replace(tmp, dst)
+        pages_override = dst
+
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -360,6 +389,8 @@ def run_scaling(repeat: int = 1) -> dict:
             GRAFT_BENCH_URLS=str(SCALING_URLS),
             GRAFT_BENCH_EPOCHS="2",
         )
+        if pages_override:
+            env["GRAFT_BENCH_PAGES_DIR"] = pages_override
         for attempt in (1, 2):  # one retry: a 15-min measurement should
             proc = subprocess.run(  # survive a transient host hiccup
                 [sys.executable, os.path.abspath(__file__),
