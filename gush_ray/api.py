@@ -446,6 +446,17 @@ class Stream:
         return self._wrap(kmeans_assign(self.ds, fit["centroids"],
                                         emb_col=emb_col, out_col=out_col))
 
+    def dedup_semantic(self, k: int = 8, eps: float = 0.95,
+                       emb_col: str = "embedding", id_col: str = "vec_id",
+                       **kw) -> "Stream":
+        """SemDeDup (arXiv:2303.09540): k-means the embedding space,
+        drop items whose cosine to a farther-from-centroid clustermate
+        exceeds ``eps``. Returns per-row flags (filter ``keep``)."""
+        from gush_ray.stages.clustering import semdedup
+
+        return self._wrap(semdedup(self.ds, emb_col=emb_col,
+                                   id_col=id_col, k=k, eps=eps, **kw))
+
     def ann_topk(self, query_vec, k: int = 10, emb_col: str = "embedding",
                  id_col: str = "vec_id"):
         """Terminal: exact cosine top-k against a broadcast query

@@ -389,6 +389,28 @@ def q_kmeans_clusters(sf_dir: str):
     return sizes.sort_values("cluster").reset_index(drop=True)
 
 
+def q_semdedup(sf_dir: str):
+    """Semantic dedup (SemDeDup, arXiv:2303.09540) over the embeddings
+    table: k-means the embedding space, then within each cluster drop
+    items whose cosine similarity to a higher-ranked (farther-from-
+    centroid) clustermate exceeds eps. One fit + one assign pass + ONE
+    hash shuffle by cluster; the within-cluster kernel is a chunked
+    matmul. Rows-only (iterative k-means isn't SQL-expressible);
+    distributed == single-process rule pinned by test_clustering.
+    Runs over the planted-dup corpus (original ∪ perturbed copy at
+    cosine ≈ 0.999): every copy lands in its original's cluster and
+    one of each pair is dropped, so n_kept ≈ n/2 per cluster."""
+    from gush_ray.stages.clustering import semdedup
+
+    out = semdedup(_emb_dup_corpus(sf_dir), k=8, eps=0.95, seed=7,
+                   n_iters=10, sample_size=2000,
+                   num_partitions=8).to_pandas()
+    agg = out.groupby("cluster", as_index=False).agg(
+        n=("vec_id", "size"), n_kept=("keep", "sum"))
+    agg["n_kept"] = agg["n_kept"].astype("int64")
+    return agg.sort_values("cluster").reset_index(drop=True)
+
+
 def q_ivf_index_ann(sf_dir: str):
     """ANN with a TRAINED build-once IVF index: spherical-k-means list
     assignment written as list-partitioned parquet; the query reads only
@@ -1019,6 +1041,7 @@ EXTRA_QUERIES = {
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "semdedup": (q_semdedup, None),
     "lang_id": (q_lang_id, None),
     "content_chunks": (q_content_chunks, None),
     "fingerprint": (q_fingerprint, None),

@@ -133,6 +133,94 @@ def kmeans_fit(ds, emb_col: str = "embedding", k: int = 8,
     return {"centroids": C, "inertia": inertia, "iters": iters}
 
 
+def _max_prev_sim(mat: np.ndarray, chunk: int = 1024) -> np.ndarray:
+    """For rank-ordered unit rows, ``out[i] = max_{j<i} mat[i]·mat[j]``
+    (``-1`` for row 0). Chunked upper-triangular matmul: O(m²d) flops but
+    the live temp is bounded at chunk² floats regardless of cluster size
+    (this sandbox is memory-bandwidth-bound — see BENCH minhash notes)."""
+    m = len(mat)
+    out = np.full(m, -1.0)
+    for i0 in range(1, m, chunk):
+        i1 = min(i0 + chunk, m)
+        block = mat[i0:i1]
+        best = np.full(i1 - i0, -1.0)
+        for j0 in range(0, i1, chunk):
+            j1 = min(j0 + chunk, i1)
+            s = block @ mat[j0:j1].T
+            if j1 > i0:  # mask pairs with j >= i (only earlier ranks count)
+                mask = (np.arange(j0, j1)[None, :]
+                        >= np.arange(i0, i1)[:, None])
+                s[mask] = -1.0
+            best = np.maximum(best, s.max(axis=1))
+        out[i0:i1] = best
+    return out
+
+
+def semdedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 8, eps: float = 0.95, num_partitions: int = 16,
+             seed: int = 17, n_iters: int = 10, sample_size: int = 20_000,
+             centroids: np.ndarray | None = None):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embedding space, then within each cluster drop every item
+    whose cosine similarity to a higher-ranked clustermate exceeds
+    ``eps``. Rank = ascending similarity to the cluster centroid (ties by
+    id), so the survivor of each duplicate group is the one FARTHEST from
+    the centroid — the paper's keep-low-centroid-similarity rule, which
+    preferentially retains the cluster's atypical examples.
+
+    Distributed shape: one k-means fit (streaming partials, corpus never
+    shuffles), one assign pass, ONE hash shuffle by cluster id, then a
+    vectorized per-cluster kernel inside ``partition_map`` (O(P) Python
+    calls). Per-cluster flops are O((n/k)²·d) — at corpus scale pick
+    k ∝ √n (the paper uses 50k clusters for LAION) so cluster sizes, and
+    with them the quadratic term, stay bounded.
+
+    Returns a Dataset of ``(id_col, cluster, centroid_sim, max_prev_sim,
+    keep)`` — filter ``keep`` for the deduplicated corpus.
+    """
+    from gush_ray.stages.shuffle import partition_map
+
+    if centroids is None:
+        centroids = kmeans_fit(ds, emb_col=emb_col, k=k, n_iters=n_iters,
+                               seed=seed, sample_size=sample_size
+                               )["centroids"]
+    assigned = kmeans_assign(ds, centroids, emb_col=emb_col)
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(Cn)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "centroid_sim": pd.Series([], dtype="float64"),
+                "max_prev_sim": pd.Series([], dtype="float64"),
+                "keep": pd.Series([], dtype="bool"),
+            })
+        Cw = ray.get(cent_ref)
+        outs = []
+        for c, grp in df.groupby("cluster", sort=True):
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in grp[emb_col]])
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            csim = mat @ Cw[int(c)]
+            ids = grp[id_col].to_numpy()
+            order = np.lexsort((ids, csim))  # ascending csim, ties by id
+            mp = _max_prev_sim(mat[order])
+            outs.append(pd.DataFrame({
+                id_col: ids[order], "cluster": int(c),
+                "centroid_sim": csim[order], "max_prev_sim": mp,
+                "keep": mp <= eps,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return partition_map(assigned, "cluster", per_partition,
+                         num_partitions=num_partitions)
+
+
 def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
                   out_col: str = "cluster"):
     """Add each row's nearest-centroid id (one streaming pass)."""

@@ -251,6 +251,26 @@ def test_stream_kmeans_ann_normalize(ray_session):
     assert norm["text"][0] == "école"
 
 
+def test_stream_dedup_semantic(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(3, 8) * 8
+    rows = []
+    for i in range(60):
+        base = centers[i % 3] + rng.randn(8) * 2.0
+        for j in range(2):  # every item + one near-copy
+            rows.append({"vec_id": 2 * i + j,
+                         "embedding": (base + rng.randn(8) * 1e-4)
+                         .astype("float32").tolist()})
+    s = Stream.from_arrow(pa.Table.from_pylist(rows))
+    out = s.dedup_semantic(k=3, eps=0.999, seed=5,
+                           sample_size=200).to_pandas()
+    assert len(out) == 120
+    # one survivor per near-copy pair (both land in the same cluster)
+    assert int(out["keep"].sum()) == 60
+
+
 def test_stream_lm_scoring(sf_dir):
     from gush_ray.api import Stream
 

@@ -6,7 +6,12 @@ import pandas as pd
 
 import ray.data as rd
 
-from gush_ray.stages.clustering import kmeans_assign, kmeans_fit
+from gush_ray.stages.clustering import (
+    _max_prev_sim,
+    kmeans_assign,
+    kmeans_fit,
+    semdedup,
+)
 
 
 def planted(n_per=300, k=6, d=16, seed=11):
@@ -47,3 +52,96 @@ def test_kmeans_deterministic_and_converging(ray_session):
     # one-iteration fit has (weakly) worse inertia than the converged one
     one = kmeans_fit(ds, k=4, n_iters=1, sample_size=300, seed=9)
     assert a["inertia"] <= one["inertia"] + 1e-9
+
+
+def planted_dups(k=4, d=16, groups_per=20, seed=3):
+    """k well-separated clusters; every 4th item carries two near-copies
+    (1e-4 noise), the rest are far apart within the cluster."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 8
+    rows, truth_groups, vid = [], [], 0
+    for c in range(k):
+        for g in range(groups_per):
+            base = centers[c] + rng.randn(d) * 3.0
+            n_dup = 3 if g % 4 == 0 else 1
+            ids = []
+            for _ in range(n_dup):
+                v = base + rng.randn(d) * 1e-4
+                rows.append({"vec_id": vid,
+                             "embedding": v.astype(np.float32).tolist()})
+                ids.append(vid)
+                vid += 1
+            if n_dup > 1:
+                truth_groups.append(ids)
+    return pd.DataFrame(rows), truth_groups
+
+
+def _brute_semdedup(df, centroids, eps):
+    """Single-process reference of the SemDeDup rule."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    mat = np.stack([np.asarray(v, float) for v in df["embedding"]])
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    assign = np.argmin((-2 * (mat @ C.T)) + (C * C).sum(axis=1), axis=1)
+    keep = {}
+    for c in range(len(C)):
+        sel = np.where(assign == c)[0]
+        sub, ids = matn[sel], df["vec_id"].to_numpy()[sel]
+        csim = sub @ Cn[c]
+        order = np.lexsort((ids, csim))
+        sub, ids = sub[order], ids[order]
+        for i in range(len(sub)):
+            mp = max((float(sub[i] @ sub[j]) for j in range(i)),
+                     default=-1.0)
+            keep[int(ids[i])] = mp <= eps
+    return keep
+
+
+def test_semdedup_matches_brute_force_and_kills_planted_dups(ray_session):
+    df, groups = planted_dups()
+    ds = rd.from_pandas(df).repartition(4)
+    out = semdedup(ds, k=4, eps=0.9999, seed=9, sample_size=500,
+                   num_partitions=4).to_pandas()
+    assert len(out) == len(df)
+    # exact parity with the single-process reference rule
+    fit = kmeans_fit(ds, k=4, n_iters=10, seed=9, sample_size=500)
+    ref = _brute_semdedup(df, fit["centroids"], 0.9999)
+    got = dict(zip(out["vec_id"].astype(int), out["keep"]))
+    assert got == ref
+    # each planted near-copy group keeps exactly one member, and the
+    # survivor is the group's lowest-centroid-similarity item
+    by_id = out.set_index("vec_id")
+    for ids in groups:
+        kept = [i for i in ids if bool(by_id.loc[i, "keep"])]
+        assert len(kept) == 1, (ids, kept)
+        sims = {i: float(by_id.loc[i, "centroid_sim"]) for i in ids}
+        assert kept[0] == min(sims, key=lambda i: (sims[i], i))
+
+
+def test_semdedup_eps_extremes_and_determinism(ray_session):
+    df, _ = planted_dups(k=3, groups_per=10, seed=8)
+    ds = rd.from_pandas(df).repartition(3)
+    hi = semdedup(ds, k=3, eps=1.01, seed=5, sample_size=300).to_pandas()
+    assert hi["keep"].all()  # eps above max cosine keeps everything
+    lo = semdedup(ds, k=3, eps=-1.0, seed=5, sample_size=300).to_pandas()
+    # eps below min cosine keeps exactly one survivor per cluster
+    kept = lo[lo["keep"]].groupby("cluster").size()
+    assert (kept == 1).all() and len(kept) == lo["cluster"].nunique()
+    a = semdedup(ds, k=3, eps=0.999, seed=5, sample_size=300).to_pandas()
+    b = semdedup(ds, k=3, eps=0.999, seed=5, sample_size=300).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_max_prev_sim_chunking_parity():
+    rng = np.random.RandomState(2)
+    mat = rng.randn(700, 8)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    small = _max_prev_sim(mat, chunk=64)
+    big = _max_prev_sim(mat, chunk=4096)
+    assert np.allclose(small, big)
+    ref = np.full(len(mat), -1.0)
+    for i in range(1, len(mat)):
+        ref[i] = (mat[i] @ mat[:i].T).max()
+    assert np.allclose(small, ref)
