@@ -703,9 +703,45 @@ class StreamingJob:
         files in-flight (gush_ray.compact; readers cut over atomically,
         so a concurrent ``read_output`` never sees a partial state).
         Compaction only ever touches durably committed epochs, which a
-        live run never rewrites — no coordination with the epoch loop is
-        needed beyond running it on the driver between polls.
+        live run never rewrites — so it runs on a SIDE thread (at most
+        one in flight; a busy poll loop never waits on a merge). A
+        failed compaction surfaces on the next poll or at exit.
         """
+        import threading
+
+        compact_thread: threading.Thread | None = None
+        compact_error: list[BaseException] = []
+
+        def _compact_raise() -> None:
+            if compact_error:
+                err = compact_error.pop()
+                raise RuntimeError(
+                    "in-flight output compaction failed") from err
+
+        def _compact_kick() -> None:
+            nonlocal compact_thread
+            _compact_raise()
+            if compact_thread is not None and compact_thread.is_alive():
+                return  # one merge in flight; the next progress retries
+
+            def work():
+                from gush_ray.compact import compact
+
+                try:
+                    compact(self.out_dir, min_epochs=compact_every)
+                except BaseException as exc:
+                    compact_error.append(exc)
+
+            compact_thread = threading.Thread(target=work, daemon=True)
+            compact_thread.start()
+
+        def _compact_join() -> None:
+            nonlocal compact_thread
+            if compact_thread is not None:
+                compact_thread.join()
+                compact_thread = None
+            _compact_raise()
+
         files = self._discover_ready(ready_marker)
         start = self._resume_start(resume, files, allow_growth=True)
         if isinstance(start, dict):
@@ -738,9 +774,7 @@ class StreamingJob:
             if progressed:
                 idle_since = time.monotonic()
                 if compact_every:
-                    from gush_ray.compact import compact
-
-                    compact(self.out_dir, min_epochs=compact_every)
+                    _compact_kick()
 
             if os.path.exists(os.path.join(self.pages_dir, stop_marker)):
                 # consume anything that raced in with the stop marker
@@ -748,9 +782,11 @@ class StreamingJob:
                     continue
                 if next_epoch == 0:
                     self._drain_commits()
+                    _compact_join()
                     return {"completed": -1, "empty": True,
                             "finalized": False}
                 self._finalize(next_epoch)
+                _compact_join()
                 if compact_every:
                     from gush_ray.compact import compact
 
@@ -761,6 +797,7 @@ class StreamingJob:
             if (idle_timeout_s is not None
                     and time.monotonic() - idle_since > idle_timeout_s):
                 self._drain_commits()
+                _compact_join()
                 return {"completed": next_epoch - 1, "finalized": False,
                         "idle_timeout": True}
             time.sleep(poll_interval_s)

@@ -216,3 +216,25 @@ def test_continuous_ingestion_with_inflight_compaction(tmp_path):
         a = a[cols].sort_values(cols).reset_index(drop=True)
         b = b[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), stream
+
+
+def test_inflight_compaction_failure_surfaces(tmp_path, monkeypatch):
+    """A failed side-thread compaction must fail the run loudly (the
+    daemon thread's exception is captured and re-raised on the driver),
+    never silently leave the output uncompacted."""
+    src = str(tmp_path / "pages")
+    write_pages_dir(src, n_urls=100, seed=3, n_epochs=3)
+    for e in range(3):
+        open(os.path.join(src, f"epoch={e:04d}", "_READY"), "w").close()
+    open(os.path.join(src, "_END"), "w").close()
+
+    import gush_ray.compact as gc
+
+    def boom(*a, **k):
+        raise ValueError("simulated compaction failure")
+
+    monkeypatch.setattr(gc, "compact", boom)
+    j = StreamingJob(src, str(tmp_path / "out"), run_id="cfail",
+                     num_partitions=2)
+    with pytest.raises(RuntimeError, match="compaction failed"):
+        j.run_continuous(poll_interval_s=0.05, compact_every=1)
