@@ -241,10 +241,225 @@ def _dup_corpus(sf_dir: str):
     return docs.union(mutated)
 
 
+# --------------------------------------------------------------------------
+# DuckDB oracles for the MinHash/SimHash/Jaccard near-dup family.
+#
+# The engine's verification mode (hash_fn="md5", stages/dedup.py
+# md5_hash_strings) hashes every token/shingle with md5-lower64 —
+# exactly DuckDB's md5_number_lower() — so the ENTIRE pipeline
+# (shingle → 64-perm minhash → 16-band LSH → bucket-capped candidate
+# pairs → signature-estimated Jaccard; simhash bit-majority → 4x16-bit
+# banding → hamming; exact n-gram Jaccard verify; connected-component
+# clusters) is reproduced in plain SQL and hash-compared by the driver.
+# The bench path keeps hash_fn="fast" (pd.util.hash_array) — same
+# algorithm, cheaper hash. Permutation constants are baked into the SQL
+# from the same seeded RNG the engine uses.
+# --------------------------------------------------------------------------
+
+_M64 = "18446744073709551616"  # 2^64 (uint64 wraparound in HUGEINT math)
+
+
+def _minhash_perm_values(num_perm: int = 64, seed: int = 1234) -> str:
+    from gush_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    return ", ".join(
+        f"({k}, {int(a[k])}::UBIGINT, {int(b[k])}::UBIGINT)"
+        for k in range(num_perm)
+    )
+
+
+# documents ∪ mutated copies — the SQL twin of _dup_corpus (same word
+# lists: " ".join(words).split() round-trips, words contain no spaces)
+_SQL_DUP_CORPUS = """
+splitdocs AS (
+  SELECT doc_id, coalesce(text,'') AS text,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, w FROM splitdocs
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN text = '' THEN ['mutated']
+              ELSE list_concat(w[1:greatest(len(w)-2,0)],
+                               ['mutated','tail']) END
+  FROM splitdocs
+)"""
+
+# word 3-gram shingles; a doc with <3 words contributes ONE gram (the
+# whole text; '' for an empty doc) — mirrors stages/dedup._batch_grams
+_SQL_GRAMS = """
+grams AS (
+  SELECT doc_id, array_to_string(w[g:g+2], ' ') AS gram
+  FROM corpus, UNNEST(range(1, len(w)-1)) AS t(g)
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, coalesce(array_to_string(w, ' '), '') FROM corpus
+  WHERE len(w) < 3
+)"""
+
+# shingle-hash → (h*a+b) in uint64 wraparound → mod Mersenne-61 → min
+# per (doc, perm); band hash = FNV-style fold of the band's 4 sig rows
+# in k order; buckets capped at 200 ids (deterministic: ordered by id)
+# exactly like _minhash_pairs_partition's max_group
+_SQL_MINHASH_CAND = f"""
+perms(k, a, b) AS (VALUES {{perm_values}}),
+hashes AS (SELECT doc_id, md5_number_lower(gram) AS h FROM grams),
+sigs AS (
+  SELECT doc_id, k,
+         min((h::HUGEINT * a % {_M64} + b) % {_M64}
+             % 2305843009213693951)::UBIGINT AS mh
+  FROM hashes, perms GROUP BY doc_id, k
+),
+band_sigs AS (
+  SELECT doc_id, (k // 4) AS band_id,
+         list_reduce(list(mh::HUGEINT ORDER BY k),
+                     (x, y) -> (x * 1099511628211 + y) % {_M64}) AS band_hash
+  FROM sigs GROUP BY doc_id, (k // 4)
+),
+ranked AS (
+  SELECT band_id, band_hash, doc_id,
+         row_number() OVER (PARTITION BY band_id, band_hash
+                            ORDER BY doc_id) AS rn
+  FROM band_sigs
+),
+cand AS (
+  SELECT DISTINCT ra.doc_id AS doc_a, rb.doc_id AS doc_b
+  FROM ranked ra JOIN ranked rb
+    ON ra.band_id = rb.band_id AND ra.band_hash = rb.band_hash
+   AND ra.rn < rb.rn AND rb.rn <= 200
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+  GROUP BY c.doc_a, c.doc_b
+),
+mh_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+)"""
+# mh_pairs/edges/dgrams are MATERIALIZED: DuckDB otherwise re-inlines
+# the whole minhash prefix at every reference (and every recursion step
+# of the clusters closure) — measured 52s -> 2.7s at sf0.01
+
+_SQL_MINHASH_PREFIX = (
+    "WITH RECURSIVE " + _SQL_DUP_CORPUS.strip() + ",\n"
+    + _SQL_GRAMS.strip() + ",\n"
+    + _SQL_MINHASH_CAND.format(perm_values=_minhash_perm_values()).strip()
+)
+
+SQL_MINHASH_DEDUP = _SQL_MINHASH_PREFIX + """
+SELECT doc_a, doc_b, est_jaccard FROM mh_pairs ORDER BY doc_a, doc_b
+"""
+
+# connected components by transitive closure (UNION dedups → fixpoint);
+# cluster id = min member id — the twin of
+# duplicate_clusters_distributed + cluster_summary
+SQL_MINHASH_CLUSTERS = _SQL_MINHASH_PREFIX + """,
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY node)
+SELECT cluster_id, count(*)::BIGINT AS n_members,
+       min(doc_id) AS keep_doc_id
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+# exact word-3-gram Jaccard of the candidate pairs over DISTINCT gram
+# hashes — the twin of ngram_jaccard_pairs (round_even == np.round)
+SQL_NGRAM_JACCARD = _SQL_MINHASH_PREFIX + """,
+dgrams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5_number_lower(gram) AS h FROM grams),
+gsize AS (SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM mh_pairs p
+  JOIN dgrams ga ON ga.doc_id = p.doc_a
+  JOIN dgrams gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+  GROUP BY p.doc_a, p.doc_b
+),
+jacc AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard,
+         round_even(coalesce(i.i, 0)::DOUBLE
+                    / greatest(1, na.n + nb.n - coalesce(i.i, 0)),
+                    4) AS jaccard
+  FROM mh_pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN gsize na ON na.doc_id = p.doc_a
+  JOIN gsize nb ON nb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard FROM jacc
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+# simhash: per-token md5 hash → per-bit majority vote (ties round UP:
+# 2*s >= cnt, same as simhash_batch) → 64-bit sig → 4x16-bit banding →
+# bucket-capped pairs → hamming ≤ 3
+SQL_SIMHASH_DEDUP = (
+    "WITH " + _SQL_DUP_CORPUS.strip() + ""","""
+    + """
+toks AS (
+  SELECT doc_id,
+         md5_number_lower(unnest(CASE WHEN len(w)=0 THEN ['']
+                                      ELSE w END)) AS h
+  FROM corpus
+),
+bits AS (
+  SELECT doc_id, k, sum(((h >> k) & 1)::BIGINT) AS s, count(*) AS cnt
+  FROM toks, UNNEST(range(0, 64)) AS t(k)
+  GROUP BY doc_id, k
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2*s >= cnt THEN (1::HUGEINT << k::INT)
+                  ELSE 0::HUGEINT END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, c AS chunk_id,
+         (simhash >> (16*c)::INT) & 65535 AS chunk_val
+  FROM sig, UNNEST(range(0, 4)) AS t(c)
+),
+ranked AS (
+  SELECT chunk_id, chunk_val, doc_id,
+         row_number() OVER (PARTITION BY chunk_id, chunk_val
+                            ORDER BY doc_id) AS rn
+  FROM chunks
+),
+cand AS (
+  SELECT DISTINCT ra.doc_id AS doc_a, rb.doc_id AS doc_b
+  FROM ranked ra JOIN ranked rb
+    ON ra.chunk_id = rb.chunk_id AND ra.chunk_val = rb.chunk_val
+   AND ra.rn < rb.rn AND rb.rn <= 200
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY doc_a, doc_b
+""")
+
+
 def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs in verification hash mode (md5 —
+    DuckDB-reproducible, SQL_MINHASH_DEDUP); the bench path runs the
+    same pipeline with hash_fn='fast'."""
     corpus = _dup_corpus(sf_dir)
     pairs = minhash_lsh_pairs(corpus, threshold=0.5, num_perm=64,
-                              num_bands=16, shingle=3)
+                              num_bands=16, shingle=3, hash_fn="md5")
     df = pairs.to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -263,14 +478,16 @@ def q_minhash_clusters(sf_dir: str):
     )
 
     corpus = _dup_corpus(sf_dir)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5, hash_fn="md5")
     clusters = duplicate_clusters_distributed(pairs)
     return cluster_summary(clusters.to_pandas())
 
 
 def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup pairs in verification hash mode (md5 —
+    DuckDB-reproducible, SQL_SIMHASH_DEDUP)."""
     corpus = _dup_corpus(sf_dir)
-    pairs = simhash_near_dup_pairs(corpus, max_hamming=3)
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=3, hash_fn="md5")
     df = pairs.to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -283,8 +500,8 @@ def q_ngram_jaccard(sf_dir: str):
     from gush_ray.stages.dedup import ngram_jaccard_pairs
 
     corpus = _dup_corpus(sf_dir)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
-    out = ngram_jaccard_pairs(corpus, pairs, n=3)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5, hash_fn="md5")
+    out = ngram_jaccard_pairs(corpus, pairs, n=3, hash_fn="md5")
     df = out.filter(expr="jaccard >= 0.5").to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -1033,10 +1250,10 @@ EXTRA_QUERIES = {
     # rolling-hash boundaries / sequential packing / pruned-probe ANN /
     # media decode), each pinned by unit tests instead
     "bloom_semi": (q_bloom_semi, None),
-    "minhash_dedup": (q_minhash_dedup, None),
-    "minhash_clusters": (q_minhash_clusters, None),
-    "simhash_dedup": (q_simhash_dedup, None),
-    "ngram_jaccard": (q_ngram_jaccard, None),
+    "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
+    "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
+    "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH_DEDUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),

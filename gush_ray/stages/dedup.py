@@ -19,7 +19,8 @@ import pyarrow as pa
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _token_hashes(text: str, shingle: int) -> np.ndarray:
+def _token_hashes(text: str, shingle: int,
+                  hash_fn: str = "fast") -> np.ndarray:
     """Word-shingle uint64 hashes (deterministic)."""
     words = text.split()
     if len(words) < shingle:
@@ -29,8 +30,7 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
             " ".join(words[i : i + shingle])
             for i in range(len(words) - shingle + 1)
         ]
-    return pd.util.hash_array(np.asarray(grams, dtype=object),
-                              categorize=False)
+    return _hash_strings(grams, hash_fn)
 
 
 from functools import lru_cache
@@ -63,6 +63,32 @@ def hash_object_chunks(arr: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
     ])
 
 
+def md5_hash_strings(arr) -> np.ndarray:
+    """Oracle-reproducible string hash: equals DuckDB's
+    ``md5_number_lower(s)`` — bytes 8..16 of the md5 digest read
+    little-endian. The point of this mode is that a plain ANSI-SQL
+    oracle (the driver's DuckDB check) can recompute the EXACT same
+    token hashes, making the whole MinHash/SimHash/Jaccard family
+    hash-verifiable instead of rows-only. Slower than
+    :func:`hash_object_chunks` (Python loop over hashlib), so it is the
+    verification mode, not the bench default."""
+    import hashlib
+
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
+def _hash_strings(arr, hash_fn: str) -> np.ndarray:
+    if hash_fn == "fast":
+        return hash_object_chunks(np.asarray(arr, dtype=object))
+    if hash_fn == "md5":
+        return md5_hash_strings(arr)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (want 'fast' or 'md5')")
+
+
 def _batch_grams(texts, shingle: int) -> tuple[list, np.ndarray]:
     """All docs' word-shingle grams concatenated + doc-boundary starts.
     Every doc contributes ≥1 gram (short/empty docs yield one), so the
@@ -93,7 +119,7 @@ _MINHASH_CHUNK_TOKENS = 2048
 
 def minhash_batch(batch: pd.DataFrame, text_col: str = "text",
                   num_perm: int = 64, shingle: int = 3,
-                  seed: int = 1234) -> pd.DataFrame:
+                  seed: int = 1234, hash_fn: str = "fast") -> pd.DataFrame:
     """doc → minhash signature (uint64[num_perm]), vectorized over the
     WHOLE batch: one hash_array call for every doc's grams, then
     ``np.minimum.reduceat`` at doc boundaries (the same pattern as
@@ -106,7 +132,7 @@ def minhash_batch(batch: pd.DataFrame, text_col: str = "text",
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     if n:
         all_grams, bounds = _batch_grams(batch[text_col].fillna(""), shingle)
-        h = hash_object_chunks(np.asarray(all_grams, dtype=object))
+        h = _hash_strings(all_grams, hash_fn)
         d0 = 0
         while d0 < n:
             d1 = d0 + 1  # always take ≥1 doc, even one over the token cap
@@ -234,13 +260,17 @@ def dedup_pairs(pairs_ds, num_partitions: int = 16):
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle: int = 3, threshold: float = 0.7,
-                      seed: int = 1234, num_partitions: int = 16):
+                      seed: int = 1234, num_partitions: int = 16,
+                      hash_fn: str = "fast"):
     """Full MinHash-LSH near-dup pipeline → unique candidate pairs with
-    signature-estimated Jaccard ≥ threshold."""
+    signature-estimated Jaccard ≥ threshold. ``hash_fn="md5"`` switches
+    the gram hash to the DuckDB-reproducible one (md5_hash_strings) so a
+    SQL oracle can verify the pairs bit-exactly."""
     from gush_ray.stages.shuffle import partition_map
 
     sigs = ds.map_batches(
-        lambda b: minhash_batch(b, text_col, num_perm, shingle, seed),
+        lambda b: minhash_batch(b, text_col, num_perm, shingle, seed,
+                                hash_fn),
         batch_format="pandas",
     )
     bands = sigs.map_batches(
@@ -394,16 +424,15 @@ def cluster_summary(clusters: pd.DataFrame) -> pd.DataFrame:
 # ------------------------------------------------------------------ SimHash
 
 def simhash_batch(batch: pd.DataFrame, text_col: str = "text",
-                  out: str = "simhash") -> pd.DataFrame:
+                  out: str = "simhash",
+                  hash_fn: str = "fast") -> pd.DataFrame:
     """64-bit SimHash per doc — fully vectorized over the batch via
     unpackbits + add.reduceat on doc boundaries."""
     texts = batch[text_col].fillna("")
     hashes = []
     bounds = [0]
     for t in texts:
-        h = pd.util.hash_array(
-            np.asarray(t.split() or [""], dtype=object), categorize=False
-        )
+        h = _hash_strings(t.split() or [""], hash_fn)
         hashes.append(h)
         bounds.append(bounds[-1] + len(h))
     all_h = np.concatenate(hashes) if hashes else np.array([], dtype=np.uint64)
@@ -469,13 +498,15 @@ def _simhash_pairs_partition(df: pd.DataFrame, id_col: str,
 
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3, num_partitions: int = 16):
+                           max_hamming: int = 3, num_partitions: int = 16,
+                           hash_fn: str = "fast"):
     """Near-dup via SimHash banding: 4 chunks of 16 bits — any pair within
     hamming distance ≤ 3 shares at least one exact chunk (pigeonhole)."""
     from gush_ray.stages.shuffle import partition_map
 
     sigs = ds.map_batches(
-        lambda b: simhash_batch(b, text_col), batch_format="pandas"
+        lambda b: simhash_batch(b, text_col, hash_fn=hash_fn),
+        batch_format="pandas"
     )
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -507,7 +538,8 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # --------------------------------------------------------- exact n-gram J
 
 def _gram_hash_batch(t: pa.Table, id_col: str, text_col: str,
-                     n: int, out_id: str, grams_col: str) -> pa.Table:
+                     n: int, out_id: str, grams_col: str,
+                     hash_fn: str = "fast") -> pa.Table:
     """doc → sorted unique uint64 word-n-gram hashes, PACKED AS BYTES:
     a binary column survives the Acero hash join as a payload field,
     whereas numpy-array cells become Ray's tensor extension type which
@@ -516,7 +548,8 @@ def _gram_hash_batch(t: pa.Table, id_col: str, text_col: str,
     column infers Arrow null on empty batches, which nondeterministically
     (block-split-dependent) breaks the downstream hash-join finalize."""
     grams = [
-        np.unique(_token_hashes(x if x is not None else "", n)).tobytes()
+        np.unique(_token_hashes(x if x is not None else "", n,
+                                hash_fn)).tobytes()
         for x in t[text_col].to_pylist()
     ]
     return pa.table({out_id: t[id_col].combine_chunks(),
@@ -550,7 +583,8 @@ def candidate_id_ds(pairs_ds, id_col: str, num_partitions: int = 8):
 def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
                         num_partitions: int = 8,
-                        broadcast_ids: bool | None = None):
+                        broadcast_ids: bool | None = None,
+                        hash_fn: str = "fast"):
     """Exact word-n-gram Jaccard verification of candidate pairs WITHOUT
     materializing the corpus anywhere: the corpus is semi-filtered to the
     candidate doc ids, its n-gram hash sets are hash-joined onto the
@@ -599,11 +633,13 @@ def ngram_jaccard_pairs(corpus_ds, pairs_ds, n: int = 3,
     # once, not once per join side
     sub = sub.materialize()
     grams_a = sub.map_batches(
-        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_a", "grams_a"),
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_a",
+                                   "grams_a", hash_fn),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     grams_b = sub.map_batches(
-        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_b", "grams_b"),
+        lambda b: _gram_hash_batch(b, id_col, text_col, n, "doc_b",
+                                   "grams_b", hash_fn),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     j1 = hash_join(pairs_ds, grams_a, on=("doc_a",),
