@@ -699,6 +699,129 @@ SELECT count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok FROM events
 """
 
 
+def _lang_stop_values() -> str:
+    from gush_ray.stages.text import _STOP
+
+    return ", ".join(f"('{lang}', '{w}')"
+                     for lang in sorted(_STOP) for w in _STOP[lang])
+
+
+# stopword-hit scoring, largest-score / largest-lang tie-break, 'und'
+# when no profile hits — the twin of LangIdModel.__call__ (profile
+# membership by string equality == by hash, collision-free here; the
+# Python \w+accents token class equals this explicit RE2 class on the
+# ASCII corpus)
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                   '[0-9a-zéíáóúüßñàè_]+')) AS tok
+  FROM documents
+),
+stop(lang_s, tok) AS (VALUES {{stop_values}}),
+scores AS (
+  SELECT t.doc_id, s.lang_s, count(*) AS score
+  FROM toks t JOIN stop s USING (tok)
+  GROUP BY t.doc_id, s.lang_s
+),
+best AS (
+  SELECT doc_id, lang_s AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang_s DESC) AS rn
+  FROM scores
+),
+pred AS (
+  SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'und') AS lang_pred
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang_pred FROM best WHERE rn = 1) b
+    USING (doc_id)
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS n
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+# winnowing fingerprint = min md5-lower64 over char 5-shingles (docs of
+# <=5 chars hash whole-text; null docs -> 0) — twin of fingerprint_batch
+# in hash_fn="md5" mode
+SQL_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id, lang, substr(text, j, 5) AS gram
+  FROM documents, UNNEST(range(1, len(text) - 3)) AS t(j)
+  WHERE text IS NOT NULL AND len(text) > 5
+  UNION ALL
+  SELECT doc_id, lang, text FROM documents
+  WHERE text IS NOT NULL AND len(text) <= 5
+)
+SELECT doc_id, lang, min(md5_number_lower(gram)) AS fingerprint
+FROM g GROUP BY doc_id, lang
+UNION ALL
+SELECT doc_id, lang, 0::UBIGINT FROM documents WHERE text IS NULL
+ORDER BY doc_id
+"""
+
+
+def _splitmix_cte(src: str, val_cols: str) -> str:
+    """CTE chain computing pandas' int64 hash (the splitmix64 finalizer
+    pandas.core.util.hashing applies to integer arrays — verified
+    value-equal) as column ``x`` over ``src``; uint64 wraparound via
+    32-bit-split multiplication (a direct HUGEINT product overflows)."""
+    m64 = _M64
+
+    def mulmod(m: int) -> str:
+        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
+                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
+
+    return f"""
+h0 AS (SELECT {val_cols},
+              ((doc_id::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
+       FROM {src}),
+h1 AS (SELECT {val_cols}, xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT {val_cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
+       FROM h1),
+h3 AS (SELECT {val_cols}, xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT {val_cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
+       FROM h3),
+h5 AS (SELECT {val_cols}, xor(x, x >> 31) AS x FROM h4)"""
+
+
+# greedy per-partition context-window packing — the twin of
+# pack_sequences: partition = pandas-hash(doc_id) % 16, docs packed in
+# doc_id order by a sequential recursive scan (fill resets are not a
+# window function), bin_id = (part << 32) | local_bin
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         (len(coalesce(text,''))
+          - len(replace(coalesce(text,''), ' ', '')) + 1)::BIGINT
+           AS n_tokens
+  FROM documents
+),{{splitmix}},
+rows_ AS (
+  SELECT doc_id, n_tokens, (x % 16)::BIGINT AS part,
+         row_number() OVER (PARTITION BY x % 16 ORDER BY doc_id) AS rn
+  FROM h5
+),
+rec(part, rn, doc_id, n_tokens, fill, bin) AS (
+  SELECT part, rn, doc_id, n_tokens, n_tokens, 0::BIGINT
+  FROM rows_ WHERE rn = 1
+  UNION ALL
+  SELECT r.part, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN rec.fill + r.n_tokens > 512 THEN r.n_tokens
+              ELSE rec.fill + r.n_tokens END,
+         CASE WHEN rec.fill + r.n_tokens > 512 THEN rec.bin + 1
+              ELSE rec.bin END
+  FROM rec JOIN rows_ r ON r.part = rec.part AND r.rn = rec.rn + 1
+)
+SELECT doc_id, n_tokens, (part * 4294967296 + bin)::BIGINT AS bin_id
+FROM rec ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = SQL_LANG_ID.format(stop_values=_lang_stop_values())
+SQL_PACK_SEQUENCES = SQL_PACK_SEQUENCES.format(
+    splitmix=_splitmix_cte("base", "doc_id, n_tokens"))
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = docs.map_batches(LangIdModel, batch_format="pandas",
@@ -710,8 +833,11 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """Winnowing fingerprints in verification hash mode (md5 —
+    DuckDB-reproducible, SQL_FINGERPRINT); bench path keeps
+    hash_fn='fast'."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    fp = docs.map_batches(lambda b: fingerprint_batch(b),
+    fp = docs.map_batches(lambda b: fingerprint_batch(b, hash_fn="md5"),
                           batch_format="pandas")
 
     def to_out(b: pd.DataFrame) -> pd.DataFrame:
@@ -1259,12 +1385,12 @@ EXTRA_QUERIES = {
     "lsh_index_ann": (q_lsh_index_ann, None),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup": (q_semdedup, None),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "content_chunks": (q_content_chunks, None),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (q_multimodal_resize, None),
-    "pack_sequences": (q_pack_sequences, None),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "ccnet_buckets": (q_ccnet_buckets, None),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),

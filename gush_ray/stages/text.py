@@ -162,7 +162,8 @@ class LangIdModel:
 
 
 def fingerprint_batch(batch: pd.DataFrame, col: str = "text",
-                      shingle: int = 5, out: str = "fingerprint") -> pd.DataFrame:
+                      shingle: int = 5, out: str = "fingerprint",
+                      hash_fn: str = "fast") -> pd.DataFrame:
     """Winnowing-style document fingerprint: min hash over char shingles.
 
     Deterministic (pd.util.hash_array, fixed key); rows with text shorter
@@ -189,9 +190,9 @@ def fingerprint_batch(batch: pd.DataFrame, col: str = "text",
             grams = [s[j : j + shingle] for j in range(len(s) - shingle + 1)]
         all_grams.extend(grams)
         bounds.append(bounds[-1] + len(grams))
-    from gush_ray.stages.dedup import hash_object_chunks
+    from gush_ray.stages.dedup import _hash_strings
 
-    h = hash_object_chunks(np.asarray(all_grams, dtype=object))
+    h = _hash_strings(all_grams, hash_fn)
     fps = np.minimum.reduceat(h, np.asarray(bounds[:-1], dtype=np.int64))
     fps[null_mask] = 0
     batch[out] = fps.astype("uint64")
