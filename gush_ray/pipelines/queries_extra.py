@@ -508,21 +508,125 @@ def q_ngram_jaccard(sf_dir: str):
 
 def _emb_dup_corpus(sf_dir: str):
     """embeddings ∪ slightly-perturbed copies (vec_id + 1_000_000):
-    deterministic ground-truth near-dups at cosine ≈ 0.999."""
+    deterministic ground-truth near-dups at cosine ≈ 0.999.
+
+    Per-dim noise is uniform ±0.01 derived from the pandas int64 hash
+    (splitmix64) of ``vec_id*1024 + dim`` in float64 — keyed by
+    (vec_id, dim) so it is batch-boundary-independent AND exactly
+    reproducible by the DuckDB oracle (_splitmix_cte recomputes the
+    hash; identical float64 op order on both sides)."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def perturb(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
-        out["embedding"] = [
-            (np.asarray(v, dtype=np.float32)
-             + np.random.RandomState(4242 + int(i)).randn(len(v))
-               .astype(np.float32) * 0.01).tolist()
-            for i, v in zip(out["vec_id"], out["embedding"])
-        ]  # noise keyed by vec_id → independent of batch boundaries
+        embs = []
+        for i, v in zip(out["vec_id"], out["embedding"]):
+            v = np.asarray(v, dtype=np.float64)
+            keys = (np.int64(i) * np.int64(1024)
+                    + np.arange(len(v), dtype=np.int64))
+            h = pd.util.hash_array(keys, categorize=False)
+            noise = (h.astype(np.float64) / 2.0**64 - 0.5) * 0.02
+            embs.append((v + noise).tolist())
+        out["embedding"] = embs
         out["vec_id"] = out["vec_id"] + 1_000_000
         return out
 
     return emb.union(emb.map_batches(perturb, batch_format="pandas"))
+
+
+def _lsh_plane_values(n_planes: int = 48, dim: int = 64,
+                      seed: int = 99) -> str:
+    """The engine's seeded hyperplanes as exact SQL DOUBLE literals
+    (repr round-trips float64; DuckDB parses decimal literals with
+    correct rounding)."""
+    from gush_ray.stages.dedup import _lsh_planes
+
+    planes = _lsh_planes(n_planes, dim, seed)
+    return ", ".join(
+        "(%d, [%s])" % (p, ", ".join(repr(float(w)) for w in planes[p]))
+        for p in range(n_planes)
+    )
+
+
+# random-hyperplane LSH near-dup over the perturbed embedding corpus —
+# the twin of embedding_near_dup_pairs: the ±0.01 uniform perturbation
+# is recomputed from the same splitmix64 hash of vec_id*1024+dim
+# (identical float64 op order → bitwise-equal vectors), the 48 seeded
+# hyperplanes are baked in as exact literals, buckets are the 6-bit
+# sign patterns per band, candidate pairs are bucket-capped at 500 and
+# verified with exact cosine >= 0.95 (round_even == np.round)
+SQL_EMBEDDING_NEAR_DUP = None  # assigned below (needs _splitmix helpers)
+
+
+def _build_sql_embedding_near_dup() -> str:
+    m64 = _M64
+
+    def mulmod(m: int) -> str:
+        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
+                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
+
+    cols = "vec_id, d, v"
+    return f"""
+WITH
+dims AS (
+  SELECT vec_id, d, embedding[d+1]::DOUBLE AS v,
+         (vec_id * 1024 + d)::BIGINT AS key
+  FROM embeddings, UNNEST(range(0, 64)) AS t(d)
+),
+h0 AS (SELECT {cols},
+              ((key::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
+       FROM dims),
+h1 AS (SELECT {cols}, xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT {cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
+       FROM h1),
+h3 AS (SELECT {cols}, xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT {cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
+       FROM h3),
+h5 AS (SELECT {cols}, xor(x, x >> 31) AS x FROM h4),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list(v + (x::DOUBLE / 18446744073709551616.0 - 0.5) * 0.02
+              ORDER BY d) AS emb
+  FROM h5 GROUP BY vec_id
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL SELECT vec_id, emb FROM pert
+),
+planes(p, vec) AS (VALUES {_lsh_plane_values()}),
+bits AS (
+  SELECT c.vec_id, p.p // 6 AS band, p.p % 6 AS k,
+         CASE WHEN list_inner_product(c.emb, p.vec) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM corpus c, planes p
+),
+buckets AS (
+  SELECT vec_id, band, sum(bit * (1 << k))::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, band
+),
+ranked AS (
+  SELECT band, bucket, vec_id,
+         row_number() OVER (PARTITION BY band, bucket
+                            ORDER BY vec_id) AS rn
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT ra.vec_id AS doc_a, rb.vec_id AS doc_b
+  FROM ranked ra JOIN ranked rb
+    ON ra.band = rb.band AND ra.bucket = rb.bucket
+   AND ra.rn < rb.rn AND rb.rn <= 500
+)
+SELECT c.doc_a, c.doc_b,
+       round_even(list_cosine_similarity(ca.emb, cb.emb), 4) AS cosine
+FROM cand c
+JOIN corpus ca ON ca.vec_id = c.doc_a
+JOIN corpus cb ON cb.vec_id = c.doc_b
+WHERE list_cosine_similarity(ca.emb, cb.emb) >= 0.95
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _build_sql_embedding_near_dup()
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -652,16 +756,104 @@ def q_ivf_index_ann(sf_dir: str):
     return ivf_index_topk(idx, qvec, k=10, n_probe=16)
 
 
+def _cdc_hash_terms(window: int = 16) -> str:
+    """The rolling polynomial window hash as a closed-form SQL sum:
+    h(j) = sum_i byte[j+i] * P^i (uint64 wraparound) — mod 2^64 is
+    addition/multiplication-homomorphic, so one trailing mod equals
+    numpy's per-op wrap. ASCII corpus: substr chars == utf-8 bytes."""
+    p, m64 = 1099511628211, 1 << 64
+    return " + ".join(
+        f"ascii(substr(text, j+{i}, 1))::HUGEINT * {pow(p, i, m64)}"
+        for i in range(window)
+    )
+
+
+# content-defined chunking, the twin of chunk_documents(hash_fn='md5')
+# + the chunk-hash dedup aggregate: window hash -> candidate
+# boundaries (h % 64 == 0) -> the greedy min/max clamp as a recursive
+# per-candidate scan (f = number of forced max_len splits before each
+# candidate, computed arithmetically), final tail as an accept-always
+# sentinel, short docs (n <= min_len) as a single whole-doc chunk
+SQL_CONTENT_CHUNKS = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, coalesce(text,'') AS text,
+             len(coalesce(text,'')) AS n FROM documents),
+wh AS (
+  SELECT doc_id, j, (({_cdc_hash_terms()}) % {_M64})::UBIGINT AS h
+  FROM d, UNNEST(range(1, n - 14)) AS t(j)
+  WHERE n > 24
+),
+cand0 AS (
+  SELECT doc_id, (j + 15)::BIGINT AS c, FALSE AS is_final
+  FROM wh WHERE h % 64 = 0
+  UNION ALL
+  SELECT doc_id, n::BIGINT, TRUE FROM d WHERE n > 24
+),
+cands AS (
+  SELECT doc_id, c, is_final,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c, is_final) AS rn
+  FROM cand0
+),
+rec(doc_id, rn, start, f, c, accepted) AS (
+  SELECT doc_id, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, FALSE
+  FROM d WHERE n > 24
+  UNION ALL
+  SELECT r.doc_id, cd.rn,
+         CASE WHEN (NOT cd.is_final AND cd.c - (r.start
+                    + greatest(0, (cd.c - r.start - 1) // 256) * 256) >= 24)
+                OR (cd.is_final AND cd.c > r.start
+                    + greatest(0, (cd.c - r.start - 1) // 256) * 256)
+              THEN cd.c
+              ELSE r.start
+                   + greatest(0, (cd.c - r.start - 1) // 256) * 256 END,
+         greatest(0, (cd.c - r.start - 1) // 256),
+         cd.c,
+         (NOT cd.is_final AND cd.c - (r.start
+              + greatest(0, (cd.c - r.start - 1) // 256) * 256) >= 24)
+           OR (cd.is_final AND cd.c > r.start
+               + greatest(0, (cd.c - r.start - 1) // 256) * 256)
+  FROM rec r JOIN cands cd ON cd.doc_id = r.doc_id AND cd.rn = r.rn + 1
+),
+steps AS (
+  SELECT r.doc_id, r.rn, p.start AS prev_start, r.f, r.c, r.accepted
+  FROM rec r JOIN rec p ON p.doc_id = r.doc_id AND p.rn = r.rn - 1
+),
+ends0 AS (
+  SELECT doc_id, (prev_start + i * 256)::BIGINT AS e
+  FROM steps, UNNEST(range(1, f + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, c FROM steps WHERE accepted
+  UNION ALL
+  SELECT doc_id, n::BIGINT FROM d WHERE n > 0 AND n <= 24
+),
+chunks AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+  FROM ends0
+),
+hashed AS (
+  SELECT c.doc_id, (c.e - c.s)::BIGINT AS chunk_len,
+         md5_number_lower(substr(d.text, c.s + 1, c.e - c.s)) AS chunk_hash
+  FROM chunks c JOIN d USING (doc_id)
+)
+SELECT chunk_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_doc,
+       max(chunk_len) AS chunk_len
+FROM hashed GROUP BY chunk_hash ORDER BY chunk_hash
+"""
+
+
 def q_content_chunks(sf_dir: str):
     """Content-defined chunking + chunk-level exact dedup: documents
     explode into rolling-hash-bounded chunks; duplicate chunks collapse
-    by hash (sub-document dedup, the CDC primitive). Rows-only —
-    boundaries are hash-defined, not SQL-expressible."""
+    by hash (sub-document dedup, the CDC primitive). Verification hash
+    mode (md5) — SQL_CONTENT_CHUNKS reproduces boundaries AND chunk
+    hashes; the bench path keeps hash_fn='fast'."""
     from gush_ray.stages.agg import partial_aggregate
     from gush_ray.stages.chunking import chunk_documents
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    chunks = chunk_documents(docs)
+    chunks = chunk_documents(docs, hash_fn="md5")
     agg = partial_aggregate(
         chunks, ["chunk_hash"],
         {"n_copies": (None, "count"), "keep_doc": ("doc_id", "min"),
@@ -760,7 +952,7 @@ ORDER BY doc_id
 """
 
 
-def _splitmix_cte(src: str, val_cols: str) -> str:
+def _splitmix_cte(src: str, val_cols: str, key: str = "doc_id") -> str:
     """CTE chain computing pandas' int64 hash (the splitmix64 finalizer
     pandas.core.util.hashing applies to integer arrays — verified
     value-equal) as column ``x`` over ``src``; uint64 wraparound via
@@ -773,7 +965,7 @@ def _splitmix_cte(src: str, val_cols: str) -> str:
 
     return f"""
 h0 AS (SELECT {val_cols},
-              ((doc_id::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
+              ((({key})::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
        FROM {src}),
 h1 AS (SELECT {val_cols}, xor(x, x >> 30) AS x FROM h0),
 h2 AS (SELECT {val_cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
@@ -1380,13 +1572,13 @@ EXTRA_QUERIES = {
     "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
     "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "embedding_near_dup": (q_embedding_near_dup, None),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "lsh_index_ann": (q_lsh_index_ann, None),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup": (q_semdedup, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "content_chunks": (q_content_chunks, None),
+    "content_chunks": (q_content_chunks, SQL_CONTENT_CHUNKS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (q_multimodal_resize, None),

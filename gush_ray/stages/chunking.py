@@ -61,7 +61,7 @@ def _rolling_boundaries(data: bytes, window: int, modulus: int,
 def chunk_batch(batch: pd.DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", window: int = 16,
                 modulus: int = 64, min_len: int = 24,
-                max_len: int = 256) -> pd.DataFrame:
+                max_len: int = 256, hash_fn: str = "fast") -> pd.DataFrame:
     """1→N explosion: one row per chunk with (id, chunk_idx,
     chunk_start, chunk_len, chunk_hash). The hash is a deterministic
     uint64 over the chunk bytes — the exact-dedup key."""
@@ -78,10 +78,10 @@ def chunk_batch(batch: pd.DataFrame, text_col: str = "text",
             lens.append(end - prev)
             texts.append(data[prev:end])
             prev = end
-    from gush_ray.stages.dedup import hash_object_chunks
+    from gush_ray.stages.dedup import _hash_strings
 
     hashes = (
-        hash_object_chunks(np.asarray(texts, dtype=object))
+        _hash_strings(texts, hash_fn)
         if texts else np.array([], dtype=np.uint64)
     )
     return pd.DataFrame({

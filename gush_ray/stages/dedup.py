@@ -76,8 +76,8 @@ def md5_hash_strings(arr) -> np.ndarray:
 
     out = np.empty(len(arr), dtype=np.uint64)
     for i, s in enumerate(arr):
-        out[i] = int.from_bytes(
-            hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+        data = s if isinstance(s, bytes) else s.encode("utf-8")
+        out[i] = int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
     return out
 
 
