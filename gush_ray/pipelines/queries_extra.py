@@ -6,14 +6,22 @@ Two verification classes live here:
 * **oracle-paired** — the streaming pipeline end-to-end (flagship
   windows, late routing, stream-stream join, extraction byte-parity),
   index ANN at full probe (== exact scan), tolerance-checked sketches,
-  the checked Bloom semi join, and real media decode vs generator
-  ground truth. Their DuckDB SQL reproduces the engine's exact
-  semantics over the SAME fixture parquet (fixed /tmp paths —
-  :func:`ensure_oracle_fixtures`).
-* **rows-only** — genuinely non-SQL-expressible operators (LSH banding,
-  k-means, rolling-hash boundaries, sequential packing, pruned-probe
-  ANN): semantics pinned by unit tests instead (tests/test_dedup.py,
-  tests/test_epoch_loop.py, tests/test_codecs.py).
+  the checked Bloom semi join, real media decode vs generator ground
+  truth, and (round 3) the whole near-dup family in md5 verification
+  hash mode: MinHash-LSH pairs/clusters, SimHash, exact n-gram
+  Jaccard, hyperplane-LSH embedding near-dup, content-defined
+  chunking, winnowing fingerprints, lang-ID and greedy sequence
+  packing. Streaming oracles read the SAME fixture parquet (fixed
+  /tmp paths — :func:`ensure_oracle_fixtures`).
+* **rows-only** — operators whose exact output no SQL can reproduce
+  (iterative training: k-means / semdedup / BPE merges; float NLL
+  sums: lm_perplexity / ccnet_buckets; probabilistic one-sided error:
+  bloom_semi; recall-lossy pruned probes: lsh_ann_topk /
+  lsh_index_ann; binary media decode: multimodal_features / resize).
+  Every one has either a SQL-paired sibling covering the same
+  machinery on a deterministic surface (bpe_token_stats, lm_oov_rate,
+  bloom_semi_checked, lsh_index_ann_full, multimodal_decode) or unit
+  tests pinning the semantics (tests/test_clustering.py).
 
 Each callable is deterministic in ``sf_dir`` (seeded generators, no
 wall-clock): repeated invocations return identical rows.
@@ -1564,9 +1572,10 @@ EXTRA_QUERIES = {
     "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    # rows-only: genuinely non-SQL-expressible (LSH banding / k-means /
-    # rolling-hash boundaries / sequential packing / pruned-probe ANN /
-    # media decode), each pinned by unit tests instead
+    # rows-only entries (None) are the documented honest boundary:
+    # iterative training / float NLL / probabilistic or recall-lossy
+    # surfaces / binary decode — each with a SQL-paired sibling or
+    # unit-test pin (module docstring)
     "bloom_semi": (q_bloom_semi, None),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
