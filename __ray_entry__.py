@@ -51,21 +51,29 @@ _PRIORITY = [
     "change_classify", "change_delta", "change_set_expr", "where_fields",
     "typed_field_extract", "latest_version",
     "deny_filter",
-    "hash_join_agg", "salted_join_agg", "windowed_join_agg",
-    "asof_join", "interval_join", "semi_join",
+    "hash_join_agg", "salted_join_agg",
+    "asof_join", "interval_join",
     "bucketed_join_agg",
     "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
     "ann_topk", "ivf_index_ann", "lsh_index_ann_full",
-    "embedding_pairs_exact",
-    "exact_dedup_docs", "line_dedup", "stratified_sample", "pii_redact",
-    "token_stats", "quality_score", "gopher_quality",
-    "decontaminate", "dup_span_removal", "training_mix",
+    # near-dup family, oracle-paired round 3 via the md5 verification
+    # hash mode (stages/dedup.md5_hash_strings == md5_number_lower):
+    # rotated IN for family-redundant entries (windowed_join_agg,
+    # semi_join, embedding_pairs_exact, stratified_sample,
+    # gopher_quality, training_mix, exact_quantiles, rollup_counts,
+    # frame_sample) which stay green in tests/test_oracle.py and carry
+    # two rounds of driver-green history
+    "minhash_dedup", "minhash_clusters", "simhash_dedup", "ngram_jaccard",
+    "embedding_near_dup", "content_chunks", "fingerprint",
+    "lang_id", "pack_sequences",
+    "exact_dedup_docs", "line_dedup", "pii_redact",
+    "token_stats", "quality_score",
+    "decontaminate", "dup_span_removal",
     "bm25",
     "heavy_hitters", "approx_distinct_users", "approx_quantiles",
-    "exact_quantiles",
-    "running_total", "rollup_counts", "lm_oov_rate",
+    "running_total", "lm_oov_rate",
     "jsonl_source_agg",
-    "multimodal_decode", "frame_sample",
+    "multimodal_decode",
     "bloom_semi_checked",
 ]
 

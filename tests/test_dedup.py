@@ -491,3 +491,27 @@ def test_langid_vectorized_parity():
 
     for i, t in enumerate(docs["text"]):
         assert got.iloc[i] == ref(t), f"row {i}: {got.iloc[i]} != {ref(t)}"
+
+
+def test_md5_hash_mode_matches_duckdb_and_fast_mode_contract():
+    """The md5 verification hash (hash_fn='md5') must equal DuckDB's
+    md5_number_lower on both str and bytes inputs — this equality is
+    what makes every near-dup SQL oracle bit-exact — and the 'fast'
+    mode must stay pd.util.hash_array (the bench path)."""
+    import duckdb
+
+    from gush_ray.stages.dedup import _hash_strings, md5_hash_strings
+
+    vals = ["", "a", "hello world", "naïve häßlich", "x" * 1000]
+    got = md5_hash_strings(vals)
+    con = duckdb.connect()
+    want = [con.execute("select md5_number_lower(?)", [v]).fetchone()[0]
+            for v in vals]
+    assert got.tolist() == want
+    # bytes input (content-defined chunking hashes utf-8 chunk bytes)
+    assert md5_hash_strings([b"hello world"])[0] == got[2]
+    fast = _hash_strings(vals, "fast")
+    assert fast.tolist() == pd.util.hash_array(
+        np.asarray(vals, dtype=object), categorize=False).tolist()
+    with pytest.raises(ValueError):
+        _hash_strings(vals, "sha9000")
