@@ -69,8 +69,8 @@ _PRIORITY = [
     "exact_dedup_docs", "line_dedup", "pii_redact",
     "token_stats", "quality_score",
     "decontaminate", "dup_span_removal",
-    "bm25",
-    "heavy_hitters", "approx_distinct_users", "approx_quantiles",
+    "bm25", "bpe_tokenize",
+    "heavy_hitters", "approx_quantiles",
     "running_total", "lm_oov_rate",
     "jsonl_source_agg",
     "multimodal_decode",

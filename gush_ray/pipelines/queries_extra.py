@@ -14,14 +14,16 @@ Two verification classes live here:
   packing. Streaming oracles read the SAME fixture parquet (fixed
   /tmp paths — :func:`ensure_oracle_fixtures`).
 * **rows-only** — operators whose exact output no SQL can reproduce
-  (iterative training: k-means / semdedup / BPE merges; float NLL
+  (iterative training: k-means / semdedup; float NLL
   sums: lm_perplexity / ccnet_buckets; probabilistic one-sided error:
   bloom_semi; recall-lossy pruned probes: lsh_ann_topk /
   lsh_index_ann; binary media decode: multimodal_features / resize).
   Every one has either a SQL-paired sibling covering the same
-  machinery on a deterministic surface (bpe_token_stats, lm_oov_rate,
+  machinery on a deterministic surface (lm_oov_rate,
   bloom_semi_checked, lsh_index_ann_full, multimodal_decode) or unit
-  tests pinning the semantics (tests/test_clustering.py).
+  tests pinning the semantics (tests/test_clustering.py). BPE is NOT
+  a boundary: SQL_BPE_TOKENIZE unrolls the fixed merge count as
+  generated CTEs and encodes with a recursive CTE.
 
 Each callable is deterministic in ``sf_dir`` (seeded generators, no
 wall-clock): repeated invocations return identical rows.
@@ -1270,12 +1272,130 @@ def q_extract_parity(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def _build_sql_bpe_tokenize(n_merges: int = 60,
+                            max_words: int = 100_000) -> str:
+    """BPE training AND application in plain SQL — the twin of
+    train_bpe + apply_bpe (q_bpe_tokenize).
+
+    Representation: a word's symbol sequence is a chr(31)-separated
+    string wrapped in separators (symbols never contain the separator,
+    so substring search cannot cross symbol boundaries). Each of the
+    ``n_merges`` training iterations is a generated CTE triplet
+    (pair-count → deterministic argmax → replace-all), chained — SQL
+    cannot aggregate over a recursive reference, so the fixed merge
+    count unrolls instead. ``replace()`` is left-to-right
+    non-overlapping, which equals the trainer's single pass; for the
+    encoder, replace-all of the min-rank pair equals _encode_word's
+    one-merge-per-step loop because a merge can only create pairs of
+    HIGHER rank (the merged token postdates its parts), so the
+    min-rank pair never changes mid-sweep. Encoding runs as one
+    recursive CTE over the distinct-word table; the stop is the join
+    failing when no learned pair applies. Every state is MATERIALIZED
+    (60 chained inlined CTEs would blow up planning)."""
+    sep = "chr(31)"
+    parts = [f"""
+words0 AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+hist AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS f FROM words0 GROUP BY w
+  ORDER BY f DESC, w LIMIT {max_words}
+),
+state0 AS MATERIALIZED (
+  SELECT w,
+         {sep} || array_to_string(string_split(w, ''), chr(31))
+               || {sep} || chr(9601) || {sep} AS s,
+         f
+  FROM hist
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+pc{k} AS (
+  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS c
+  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy,
+               f
+        FROM state{p}),
+       UNNEST(range(1, len(sy))) AS t(i)
+  GROUP BY sy[i], sy[i+1]
+),
+best{k} AS MATERIALIZED (
+  SELECT a, b FROM pc{k} WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1
+),
+state{k} AS MATERIALIZED (
+  SELECT st.w,
+         CASE WHEN bb.a IS NOT NULL
+              THEN replace(st.s, chr(31)||bb.a||chr(31)||bb.b||chr(31),
+                           chr(31)||bb.a||bb.b||chr(31))
+              ELSE st.s END AS s,
+         st.f
+  FROM state{p} st LEFT JOIN best{k} bb ON TRUE
+)""")
+    merge_union = "\nUNION ALL\n".join(
+        f"SELECT {k - 1} AS r, a, b FROM best{k}"
+        for k in range(1, n_merges + 1))
+    parts.append(f"""
+merges AS MATERIALIZED ({merge_union}),
+enc(w, s, it) AS (
+  SELECT w, s, 0 FROM state0
+  UNION ALL
+  SELECT e.w,
+         replace(e.s, chr(31)||m.a||chr(31)||m.b||chr(31),
+                 chr(31)||m.a||m.b||chr(31)),
+         e.it + 1
+  FROM enc e
+  JOIN merges m
+    ON m.r = (SELECT min(m2.r) FROM merges m2
+              WHERE position(chr(31)||m2.a||chr(31)||m2.b||chr(31)
+                             IN e.s) > 0)
+),
+encf AS MATERIALIZED (
+  SELECT w, arg_max(s, it) AS s FROM enc GROUP BY w
+),
+wtok AS MATERIALIZED (
+  SELECT w,
+         len(list_filter(string_split(s, chr(31)), x -> x <> ''))::BIGINT
+           AS n_tok
+  FROM encf
+),
+docwords AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(coalesce(text,''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+perdoc AS (
+  SELECT d.doc_id, d.lang,
+         count(dw.w)::BIGINT AS n_words,
+         coalesce(sum(wt.n_tok), 0)::BIGINT AS n_tokens
+  FROM documents d
+  LEFT JOIN docwords dw USING (doc_id)
+  LEFT JOIN wtok wt ON wt.w = dw.w
+  GROUP BY d.doc_id, d.lang
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM perdoc GROUP BY lang ORDER BY lang
+""")
+    return ("WITH RECURSIVE " + parts[0].strip() + ","
+            + ",".join(p.strip() for p in parts[1:-1]) + ","
+            + parts[-1].strip())
+
+
+SQL_BPE_TOKENIZE = _build_sql_bpe_tokenize()
+
+
 def q_bpe_tokenize(sf_dir: str):
     """Distributed BPE tokenizer training (word-histogram shape: one
     combiner shuffle, driver payload bounded by max_words) + broadcast
-    application with per-actor word caches. Rows-only — the merge loop
-    is iterative; losslessness, histogram==corpus training parity and
-    determinism are pinned by tests/test_bpe.py."""
+    application with per-actor word caches. Oracle-paired (round 3):
+    SQL_BPE_TOKENIZE unrolls the 60 training merges as generated CTEs
+    and encodes via a recursive CTE — histogram==corpus training
+    parity and losslessness additionally pinned by tests/test_bpe.py."""
     from gush_ray.stages.agg import partial_aggregate
     from gush_ray.stages.bpe import apply_bpe, train_bpe
 
@@ -1592,7 +1712,7 @@ EXTRA_QUERIES = {
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (q_multimodal_resize, None),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "bpe_tokenize": (q_bpe_tokenize, None),
+    "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "ccnet_buckets": (q_ccnet_buckets, None),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
 }
