@@ -32,4 +32,9 @@ class EngineConfig:
     # --- checkpointing / sink ---
     checkpoint_dir: str = "/tmp/gush_ray_ckpt"
 
+    # --- metrics push (gush.config.yml.sample:7 statsd_host) ---
+    # "host[:port]" for UDP statsd, "file:///path" to append lines
+    # locally, None = disabled (gush_ray/statsd.py)
+    statsd_host: "str | None" = None
+
     extra: dict = field(default_factory=dict)

@@ -366,6 +366,7 @@ class StreamingJob:
         commit_queue_depth: int = 2,
         dedup_ttl_us: int | None = None,
         idle_partition_epochs: int | None = None,
+        statsd: str | None = None,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -398,6 +399,15 @@ class StreamingJob:
         # throughput and object-store headroom allows deeper pipelining
         self.commit_queue_depth = max(1, int(commit_queue_depth))
         self.sink = ExactlyOnceSink(out_dir)
+        # statsd push (the reference's statsd_host knob, wired): lines
+        # go out on the committer thread the moment an epoch commits —
+        # never on the epoch loop's critical path, never raising
+        from gush_ray.statsd import StatsdEmitter
+
+        self._statsd = StatsdEmitter(
+            statsd or self.cfg.statsd_host
+            or self.cfg.extra.get("statsd_host"),
+            prefix=f"gush.{self.run_id}")
         self.params = StateParams(
             key_col=key_col,
             ts_col="ts_us",
@@ -1132,6 +1142,7 @@ class StreamingJob:
                         if callable(p):
                             p = p(x.setdefault("timings", {}))
                         self.sink.commit_epoch(e, wm, p, extra=x)
+                        self._statsd.emit_epoch(e, wm, p, extra=x)
                         self._prune_snapshots(e)
                     except BaseException as exc:  # captured, re-raised on
                         self._commit_error = exc  # the driver thread
