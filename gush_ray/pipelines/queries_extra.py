@@ -16,8 +16,9 @@ Two verification classes live here:
 * **rows-only** — operators whose exact output no SQL can reproduce
   (iterative training: k-means / semdedup; float NLL
   sums: lm_perplexity / ccnet_buckets; probabilistic one-sided error:
-  bloom_semi; recall-lossy pruned probes: lsh_ann_topk /
-  lsh_index_ann; binary media decode: multimodal_features / resize).
+  bloom_semi; binary media decode: multimodal_features / resize
+  — the pruned-probe LSH ANN pair turned out deterministic and is
+  SQL-paired via baked hyperplanes, round 3).
   Every one has either a SQL-paired sibling covering the same
   machinery on a deterministic surface (lm_oov_rate,
   bloom_semi_checked, lsh_index_ann_full, multimodal_decode) or unit
@@ -646,8 +647,52 @@ def q_embedding_near_dup(sf_dir: str):
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# the pruned probe is DETERMINISTIC (seeded hyperplanes, fixed 1-bit
+# multi-probe set), so even the approximate path is SQL-verifiable:
+# bake the 6 seed-17 planes as exact literals, recompute bucket
+# signatures and the probe set in SQL, and take the exact cosine top-k
+# over probed candidates only. Pairs BOTH q_lsh_ann_topk (re-sign per
+# query) and q_lsh_index_ann (bucket-partitioned index read) — the two
+# paths must agree with each other AND with this SQL.
+SQL_LSH_ANN_TOPK = None  # assigned below
+
+
+def _build_sql_lsh_ann_topk() -> str:
+    return f"""
+WITH planes(p, vec) AS (VALUES {_lsh_plane_values(6, 64, 17)}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (
+  SELECT sum(CASE WHEN list_inner_product((SELECT qv FROM q), vec) > 0
+                  THEN (1 << p) ELSE 0 END)::BIGINT AS s
+  FROM planes
+),
+probe AS (
+  SELECT s FROM qsig
+  UNION
+  SELECT xor(s, (1 << b)::BIGINT) FROM qsig, UNNEST(range(0, 6)) AS t(b)
+),
+sigs AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.vec) > 0
+                  THEN (1 << p.p) ELSE 0 END)::BIGINT AS s
+  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding
+),
+sims AS (
+  SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS raw_sim
+  FROM sigs WHERE s IN (SELECT s FROM probe)
+)
+SELECT vec_id, round(raw_sim, 4) AS sim
+FROM sims ORDER BY raw_sim DESC, vec_id LIMIT 10
+"""
+
+
+SQL_LSH_ANN_TOPK = _build_sql_lsh_ann_topk()
+
+
 def q_lsh_ann_topk(sf_dir: str):
-    """Approximate ANN (LSH-bucketed) — scale path of ann_topk."""
+    """Approximate ANN (LSH-bucketed) — scale path of ann_topk.
+    Oracle-paired (round 3): the probe set is deterministic, so
+    SQL_LSH_ANN_TOPK reproduces even the pruned result."""
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
@@ -1702,8 +1747,8 @@ EXTRA_QUERIES = {
     "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "lsh_ann_topk": (q_lsh_ann_topk, None),
-    "lsh_index_ann": (q_lsh_index_ann, None),
+    "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
+    "lsh_index_ann": (q_lsh_index_ann, SQL_LSH_ANN_TOPK),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup": (q_semdedup, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),
