@@ -251,12 +251,73 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+# Shared CTE prefix for the bigram-LM float oracles: training counts
+# by string equality (== the engine's hash lookups, collision-free at
+# this vocabulary), the same add-k/backoff probability formula, and
+# the per-doc NLL rounded to 4 decimals BEFORE anything downstream.
+# The rounding is what makes a float surface hash-checkable: numpy's
+# SIMD log / pairwise mean and DuckDB's libm ln / sequential avg agree
+# to ~1e-15, so the 1e-4 grid collapses both to identical doubles
+# (residual flake risk ~1e-12 per document).
+SQL_LM_SCORED_PREFIX = """
+WITH RECURSIVE
+dwords AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+tuni AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS n FROM (
+    SELECT unnest(w) AS tok FROM dwords WHERE doc_id % 4 = 0
+  ) GROUP BY tok HAVING count(*) >= 2
+),
+tbi AS MATERIALIZED (
+  SELECT a, b, count(*)::BIGINT AS n FROM (
+    SELECT w[i] AS a, w[i+1] AS b
+    FROM dwords, UNNEST(range(1, len(w))) AS t(i)
+    WHERE doc_id % 4 = 0
+  ) GROUP BY a, b HAVING count(*) >= 2
+),
+consts AS MATERIALIZED (
+  SELECT greatest((SELECT count(*) FROM tuni), 1)::DOUBLE AS V,
+         greatest((SELECT coalesce(sum(n), 0) FROM tuni), 1)::DOUBLE AS T
+),
+pairs AS (
+  SELECT d.doc_id, d.lang, w[i] AS a, w[i+1] AS b
+  FROM dwords d, UNNEST(range(1, len(w))) AS t(i)
+),
+probs AS (
+  SELECT p.doc_id, p.lang,
+         CASE WHEN coalesce(cu.n, 0) > 0
+              THEN (coalesce(cb.n, 0) + 0.1) / (cu.n + 0.1 * c.V)
+              ELSE (coalesce(cw.n, 0) + 0.1) / (c.T + 0.1 * c.V) END AS p
+  FROM pairs p
+  CROSS JOIN consts c
+  LEFT JOIN tbi cb ON cb.a = p.a AND cb.b = p.b
+  LEFT JOIN tuni cu ON cu.tok = p.a
+  LEFT JOIN tuni cw ON cw.tok = p.b
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, lang, round_even(avg(-ln(p)), 4) AS nll
+  FROM probs GROUP BY doc_id, lang
+)
+"""
+
+SQL_LM_PERPLEXITY = SQL_LM_SCORED_PREFIX + """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round_even(sum(round_even(nll * 10000, 0)::BIGINT)
+                  / (10000.0 * count(*)), 3) AS avg_nll
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style continuous score: add-k-smoothed bigram NLL with
     unigram backoff (stages/lm.py), LM trained on the deterministic
-    quarter of the corpus. Rows-only (float log-likelihoods aren't
-    SQL-hashable); per-doc NLLs are rounded then integer-summed in
-    micro-nats so the per-lang aggregate is order-independent."""
+    quarter of the corpus. Oracle-paired (round 3): per-doc NLLs are
+    rounded to 4 decimals then integer-summed in micro-nats, which
+    makes the float surface hash-checkable (SQL_LM_PERPLEXITY)."""
     import ray
 
     from gush_ray.stages.lm import score_perplexity, train_bigram_lm
@@ -1353,6 +1414,6 @@ ANALYTIC_QUERIES = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "bm25": (q_bm25, SQL_BM25),
     "lm_oov_rate": (q_lm_oov_rate, SQL_LM_OOV_RATE),
-    "lm_perplexity": (q_lm_perplexity, None),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "training_mix_v2": (q_training_mix_v2, SQL_TRAINING_MIX_V2),
 }

@@ -13,18 +13,20 @@ Two verification classes live here:
   chunking, winnowing fingerprints, lang-ID and greedy sequence
   packing. Streaming oracles read the SAME fixture parquet (fixed
   /tmp paths — :func:`ensure_oracle_fixtures`).
-* **rows-only** — operators whose exact output no SQL can reproduce
-  (iterative training: k-means / semdedup; float NLL
-  sums: lm_perplexity / ccnet_buckets; probabilistic one-sided error:
-  bloom_semi; binary media decode: multimodal_features / resize
-  — the pruned-probe LSH ANN pair turned out deterministic and is
-  SQL-paired via baked hyperplanes, round 3).
-  Every one has either a SQL-paired sibling covering the same
-  machinery on a deterministic surface (lm_oov_rate,
-  bloom_semi_checked, lsh_index_ann_full, multimodal_decode) or unit
-  tests pinning the semantics (tests/test_clustering.py). BPE is NOT
-  a boundary: SQL_BPE_TOKENIZE unrolls the fixed merge count as
-  generated CTEs and encodes with a recursive CTE.
+* **rows-only** — the five operators whose exact output no SQL can
+  reproduce: k-means / semdedup (iterative Lloyd partials are
+  batch-boundary-dependent in float ulps even engine-side),
+  bloom_semi (one-sided probabilistic error by design), and
+  multimodal_features / resize (binary decode; a fixture oracle would
+  be circular). Each has a SQL-paired sibling covering the same
+  machinery on a deterministic surface (bloom_semi_checked,
+  multimodal_decode) or unit tests pinning the semantics
+  (tests/test_clustering.py). NOT boundaries after round 3: BPE
+  train+apply (merge count unrolls as generated CTEs + recursive
+  encode), pruned-probe LSH ANN (deterministic seeded planes), and
+  the bigram-LM float surfaces lm_perplexity / ccnet_buckets (per-doc
+  NLL rounds to a 1e-4 grid before aggregation, collapsing numpy-vs-
+  libm log differences).
 
 Each callable is deterministic in ``sf_dir`` (seeded generators, no
 wall-clock): repeated invocations return identical rows.
@@ -1496,6 +1498,30 @@ ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
 """
 
 
+SQL_CCNET_BUCKETS = None  # assigned below (imports the LM prefix)
+
+
+def _build_sql_ccnet_buckets() -> str:
+    from gush_ray.pipelines.queries_analytic import SQL_LM_SCORED_PREFIX
+
+    # tercile cuts: exact_quantiles_nosort implements DuckDB
+    # quantile_disc semantics by construction, so the SQL cut IS the
+    # engine's cut; buckets compare the same rounded per-doc NLLs
+    return SQL_LM_SCORED_PREFIX + """,
+cuts AS (SELECT quantile_disc(nll, 1.0/3) AS lo,
+                quantile_disc(nll, 2.0/3) AS hi FROM scored)
+SELECT lang,
+       CASE WHEN nll <= (SELECT lo FROM cuts) THEN 'head'
+            WHEN nll <= (SELECT hi FROM cuts) THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM scored GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+SQL_CCNET_BUCKETS = _build_sql_ccnet_buckets()
+
+
 def q_ccnet_buckets(sf_dir: str):
     """The full CCNet shape (Wenzek et al. 2019): LM perplexity per doc
     (bigram LM trained on the deterministic quarter), then docs bucketed
@@ -1758,6 +1784,6 @@ EXTRA_QUERIES = {
     "multimodal_resize": (q_multimodal_resize, None),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
-    "ccnet_buckets": (q_ccnet_buckets, None),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
 }
