@@ -52,10 +52,16 @@ _PRIORITY = [
     "typed_field_extract", "latest_version",
     "deny_filter",
     "hash_join_agg", "salted_join_agg",
-    "asof_join", "interval_join",
+    # interval_join's semantics stay driver-covered via stream_join's
+    # oracle (same SQL family); lsh_index_ann (PRUNED probe, paired in
+    # round 3 via baked hyperplanes) is strictly stronger evidence than
+    # the full-probe anchor it replaces; ccnet_buckets is the flagship
+    # CCNet shape (LM perplexity terciles), paired via micro-nat
+    # rounding. Rotated-out entries stay green in tests/test_oracle.py.
+    "asof_join", "ccnet_buckets",
     "bucketed_join_agg",
     "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
-    "ann_topk", "ivf_index_ann", "lsh_index_ann_full",
+    "ann_topk", "ivf_index_ann", "lsh_index_ann",
     # near-dup family, oracle-paired round 3 via the md5 verification
     # hash mode (stages/dedup.md5_hash_strings == md5_number_lower):
     # rotated IN for family-redundant entries (windowed_join_agg,
