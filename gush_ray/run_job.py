@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--window-group-cols", default=None,
                     help="comma-separated window group columns "
                          "(default lang,change_kind)")
+    ap.add_argument("--statsd", default=None,
+                    help="push per-epoch metrics as statsd lines: "
+                         "'host[:port]' (UDP), 'file:///path', or unset "
+                         "to disable (gush_ray/statsd.py)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone local runs")
@@ -89,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
                       if args.dedup_ttl_sec else None),
         idle_partition_epochs=args.idle_partition_epochs,
         dim_dir=args.dim_dir,
+        statsd=args.statsd,
         **({"window_group_cols":
             tuple(args.window_group_cols.split(","))}
            if args.window_group_cols else {}),
