@@ -13,15 +13,16 @@ Two verification classes live here:
   chunking, winnowing fingerprints, lang-ID and greedy sequence
   packing. Streaming oracles read the SAME fixture parquet (fixed
   /tmp paths — :func:`ensure_oracle_fixtures`).
-* **rows-only** — the five operators whose exact output no SQL can
+* **rows-only** — the four operators whose exact output no SQL can
   reproduce: k-means / semdedup (iterative Lloyd partials are
-  batch-boundary-dependent in float ulps even engine-side),
-  bloom_semi (one-sided probabilistic error by design), and
-  multimodal_features / resize (binary decode; a fixture oracle would
-  be circular). Each has a SQL-paired sibling covering the same
-  machinery on a deterministic surface (bloom_semi_checked,
-  multimodal_decode) or unit tests pinning the semantics
-  (tests/test_clustering.py). NOT boundaries after round 3: BPE
+  batch-boundary-dependent in float ulps even engine-side) and
+  multimodal_features / resize (decoder-implementation outputs; a
+  fixture oracle would be circular — multimodal_decode's
+  generator-ground-truth fixture covers the decode machinery). Each
+  has a SQL-paired sibling on a deterministic surface or unit tests
+  pinning the semantics (tests/test_clustering.py). Even bloom_semi
+  is paired (round 3): the filter is deterministic for a fixed input,
+  so the SQL rebuilds its exact bit set. NOT boundaries after round 3: BPE
   train+apply (merge count unrolls as generated CTEs + recursive
   encode), pruned-probe LSH ANN (deterministic seeded planes), and
   the bigram-LM float surfaces lm_perplexity / ccnet_buckets (per-doc
@@ -1578,13 +1579,75 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(with_counts, "n_tokens", budget=512)
 
 
+def _build_sql_bloom_semi() -> str:
+    """The Bloom filter is deterministic for a fixed input (probes =
+    pandas-int64-hash + splitmix64-derived second hash,
+    Kirsch-Mitzenmacher double hashing into 2^16 bits), so even the
+    'probabilistic' semi join is SQL-reproducible bit for bit: rebuild
+    the set-bit positions from the key subset in SQL, keep a doc iff
+    none of its 5 probe positions is missing."""
+    m64 = _M64
+
+    def mulmod(m: int) -> str:
+        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
+                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
+
+    def chain(src: str, cols: str, tag: str) -> str:
+        return f"""
+{tag}1 AS (SELECT {cols}, xor(x, x >> 30) AS x FROM {src}),
+{tag}2 AS (SELECT {cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
+           FROM {tag}1),
+{tag}3 AS (SELECT {cols}, xor(x, x >> 27) AS x FROM {tag}2),
+{tag}4 AS (SELECT {cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
+           FROM {tag}3),
+{tag}5 AS (SELECT {cols}, xor(x, x >> 31) AS x FROM {tag}4)"""
+
+    return f"""
+WITH
+d0 AS (SELECT doc_id, lang,
+              ((doc_id::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
+       FROM documents),
+{chain('d0', 'doc_id, lang', 'a').strip()},
+h1t AS (SELECT doc_id, lang, x AS h1 FROM a5),
+b0 AS (SELECT doc_id, lang, h1, h1 AS x FROM h1t),
+{chain('b0', 'doc_id, lang, h1', 'b').strip()},
+hh AS (SELECT doc_id, lang, h1, (x | 1) AS h2 FROM b5),
+probes AS (
+  SELECT doc_id, lang,
+         (((h1::HUGEINT + (i::HUGEINT * h2 % {m64})) % {m64})
+          % 65536)::BIGINT AS idx
+  FROM hh, UNNEST(range(0, 5)) AS t(i)
+),
+bits AS MATERIALIZED (
+  SELECT DISTINCT idx FROM probes WHERE doc_id % 3 = 0
+),
+miss AS (
+  SELECT DISTINCT doc_id FROM probes
+  WHERE idx NOT IN (SELECT idx FROM bits)
+),
+kept AS (
+  SELECT d.doc_id, d.lang, (d.doc_id % 3 = 0) AS is_member
+  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM miss)
+)
+SELECT lang, count(*)::BIGINT AS n_kept,
+       sum(is_member::BIGINT)::BIGINT AS n_true,
+       (count(*) - sum(is_member::BIGINT))::BIGINT AS n_false_pos
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_BLOOM_SEMI = _build_sql_bloom_semi()
+
+
 def q_bloom_semi(sf_dir: str):
     """Bloom-filter semi join (scale path of the exact broadcast semi
     filter): build a Bloom over a deterministic key subset (doc_id % 3
     == 0), filter the corpus through it, and report per-lang kept
     counts alongside the exact ground truth — n_false_pos quantifies
-    the filter's one-sided error (rows-only: fpp is probabilistic by
-    design; the bound is pinned by test)."""
+    the filter's one-sided error. Oracle-paired (round 3): the filter
+    is deterministic for a fixed input, so SQL_BLOOM_SEMI rebuilds the
+    exact bit set and membership (the fpp BOUND stays pinned by
+    test)."""
     import pyarrow.compute as pc
 
     from gush_ray.stages.sketches import bloom_semi_filter, build_bloom
@@ -1767,7 +1830,7 @@ EXTRA_QUERIES = {
     # iterative training / float NLL / probabilistic or recall-lossy
     # surfaces / binary decode — each with a SQL-paired sibling or
     # unit-test pin (module docstring)
-    "bloom_semi": (q_bloom_semi, None),
+    "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
     "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH_DEDUP),
