@@ -80,7 +80,10 @@ _PRIORITY = [
     "running_total", "lm_oov_rate",
     "jsonl_source_agg",
     "multimodal_decode",
-    "bloom_semi_checked",
+    # bloom_semi over bloom_semi_checked: the round-3 oracle rebuilds
+    # the filter's exact bit set (strictly stronger than prefilter+
+    # verify); the checked sibling stays green in tests/test_oracle.py
+    "bloom_semi",
 ]
 
 
