@@ -585,7 +585,7 @@ s AS (SELECT vec_id,
              list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
                AS raw_sim
       FROM embeddings)
-SELECT vec_id, round(raw_sim, 4) AS sim
+SELECT vec_id, round_even(raw_sim, 4) AS sim
 FROM s ORDER BY raw_sim DESC, vec_id LIMIT 10
 """
 
@@ -1031,8 +1031,8 @@ def q_embedding_pairs_exact(sf_dir: str):
 
 SQL_EMBEDDING_PAIRS_EXACT = """
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 4) AS cosine
+       round_even(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.3

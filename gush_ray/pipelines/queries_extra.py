@@ -273,6 +273,34 @@ def _dup_corpus(sf_dir: str):
 _M64 = "18446744073709551616"  # 2^64 (uint64 wraparound in HUGEINT math)
 
 
+def _splitmix_mulmod(m: int) -> str:
+    """``x * m mod 2^64`` over a UBIGINT column ``x`` via 32-bit-split
+    multiplication — a direct HUGEINT product of two near-2^64 values
+    overflows INT128. THE one implementation of this arithmetic: every
+    oracle that mirrors pandas' int64 hash (== the splitmix64
+    finalizer) or the Bloom double-hash goes through here, so an edge
+    fix cannot desynchronize one oracle from the engine (review
+    finding: three hand copies)."""
+    return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
+            f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {_M64}")
+
+
+def _splitmix_steps(src: str, cols: str, tag: str) -> str:
+    """CTE chain applying the splitmix64 finalizer to column ``x`` of
+    ``src`` (UBIGINT in, UBIGINT out in ``{tag}5``), carrying ``cols``
+    through unchanged."""
+    return f"""
+{tag}1 AS (SELECT {cols}, xor(x, x >> 30) AS x FROM {src}),
+{tag}2 AS (SELECT {cols},
+           ({_splitmix_mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
+           FROM {tag}1),
+{tag}3 AS (SELECT {cols}, xor(x, x >> 27) AS x FROM {tag}2),
+{tag}4 AS (SELECT {cols},
+           ({_splitmix_mulmod(0x94D049BB133111EB)})::UBIGINT AS x
+           FROM {tag}3),
+{tag}5 AS (SELECT {cols}, xor(x, x >> 31) AS x FROM {tag}4)"""
+
+
 def _minhash_perm_values(num_perm: int = 64, seed: int = 1234) -> str:
     from gush_ray.stages.dedup import _perm_params
 
@@ -574,11 +602,6 @@ SQL_EMBEDDING_NEAR_DUP = None  # assigned below (needs _splitmix helpers)
 
 def _build_sql_embedding_near_dup() -> str:
     m64 = _M64
-
-    def mulmod(m: int) -> str:
-        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
-                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
-
     cols = "vec_id, d, v"
     return f"""
 WITH
@@ -590,13 +613,7 @@ dims AS (
 h0 AS (SELECT {cols},
               ((key::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
        FROM dims),
-h1 AS (SELECT {cols}, xor(x, x >> 30) AS x FROM h0),
-h2 AS (SELECT {cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
-       FROM h1),
-h3 AS (SELECT {cols}, xor(x, x >> 27) AS x FROM h2),
-h4 AS (SELECT {cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
-       FROM h3),
-h5 AS (SELECT {cols}, xor(x, x >> 31) AS x FROM h4),
+{_splitmix_steps('h0', cols, 'h').strip()},
 pert AS (
   SELECT vec_id + 1000000 AS vec_id,
          list(v + (x::DOUBLE / 18446744073709551616.0 - 0.5) * 0.02
@@ -684,7 +701,7 @@ sims AS (
   SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS raw_sim
   FROM sigs WHERE s IN (SELECT s FROM probe)
 )
-SELECT vec_id, round(raw_sim, 4) AS sim
+SELECT vec_id, round_even(raw_sim, 4) AS sim
 FROM sims ORDER BY raw_sim DESC, vec_id LIMIT 10
 """
 
@@ -911,6 +928,23 @@ def q_content_chunks(sf_dir: str):
     from gush_ray.stages.chunking import chunk_documents
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def guard_ascii(b: pd.DataFrame) -> pd.DataFrame:
+        # the SQL twin hashes CHARACTERS (ascii(substr), len) while the
+        # engine chunks utf-8 BYTES — identical only on ASCII text. The
+        # engine itself is byte-correct on any corpus; the VERIFICATION
+        # query makes its equivalence assumption checkable instead of
+        # silently wrong if the fixture ever gains accents (review
+        # finding)
+        bad = ~b["text"].fillna("").map(str.isascii)
+        if bad.any():
+            ids = b.loc[bad, "doc_id"].head(5).tolist()
+            raise ValueError(
+                f"content_chunks oracle assumes ASCII text (chars == "
+                f"utf-8 bytes); non-ASCII docs found, e.g. {ids}")
+        return b
+
+    docs = docs.map_batches(guard_ascii, batch_format="pandas")
     chunks = chunk_documents(docs, hash_fn="md5")
     agg = partial_aggregate(
         chunks, ["chunk_hash"],
@@ -959,13 +993,13 @@ def _lang_stop_values() -> str:
 # stopword-hit scoring, largest-score / largest-lang tie-break, 'und'
 # when no profile hits — the twin of LangIdModel.__call__ (profile
 # membership by string equality == by hash, collision-free here; the
-# Python \w+accents token class equals this explicit RE2 class on the
-# ASCII corpus)
+# token alphabet is text.LANGID_TOKEN_CHARS, defined once and CLOSED so
+# Python re and RE2 agree by construction on ANY corpus)
 SQL_LANG_ID = f"""
 WITH toks AS (
   SELECT doc_id, lang,
          unnest(regexp_extract_all(lower(coalesce(text,'')),
-                                   '[0-9a-zéíáóúüßñàè_]+')) AS tok
+                                   '[{{token_chars}}]+')) AS tok
   FROM documents
 ),
 stop(lang_s, tok) AS (VALUES {{stop_values}}),
@@ -1013,25 +1047,12 @@ ORDER BY doc_id
 def _splitmix_cte(src: str, val_cols: str, key: str = "doc_id") -> str:
     """CTE chain computing pandas' int64 hash (the splitmix64 finalizer
     pandas.core.util.hashing applies to integer arrays — verified
-    value-equal) as column ``x`` over ``src``; uint64 wraparound via
-    32-bit-split multiplication (a direct HUGEINT product overflows)."""
-    m64 = _M64
-
-    def mulmod(m: int) -> str:
-        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
-                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
-
+    value-equal) as column ``x`` over ``src``; delegates the chain to
+    :func:`_splitmix_steps` (one implementation for every oracle)."""
     return f"""
 h0 AS (SELECT {val_cols},
-              ((({key})::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
-       FROM {src}),
-h1 AS (SELECT {val_cols}, xor(x, x >> 30) AS x FROM h0),
-h2 AS (SELECT {val_cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
-       FROM h1),
-h3 AS (SELECT {val_cols}, xor(x, x >> 27) AS x FROM h2),
-h4 AS (SELECT {val_cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
-       FROM h3),
-h5 AS (SELECT {val_cols}, xor(x, x >> 31) AS x FROM h4)"""
+              ((({key})::HUGEINT % {_M64} + {_M64}) % {_M64})::UBIGINT AS x
+       FROM {src}),{_splitmix_steps('h0', val_cols, 'h')}"""
 
 
 # greedy per-partition context-window packing — the twin of
@@ -1067,7 +1088,10 @@ FROM rec ORDER BY doc_id
 """
 
 
-SQL_LANG_ID = SQL_LANG_ID.format(stop_values=_lang_stop_values())
+from gush_ray.stages.text import LANGID_TOKEN_CHARS as _LANGID_CHARS
+
+SQL_LANG_ID = SQL_LANG_ID.format(stop_values=_lang_stop_values(),
+                                 token_chars=_LANGID_CHARS)
 SQL_PACK_SEQUENCES = SQL_PACK_SEQUENCES.format(
     splitmix=_splitmix_cte("base", "doc_id, n_tokens"))
 
@@ -1320,6 +1344,23 @@ def q_extract_parity(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+# replace-to-fixpoint passes per training merge: each pass at least
+# halves the back-to-back occurrences the previous scan skipped, so 6
+# passes cover 2^6 adjacent repeats — far beyond any word in a corpus
+# with ~60-char words
+_BPE_REPLACE_PASSES = 6
+
+
+def _nested_replace(s_expr: str, a_expr: str, b_expr: str,
+                    passes: int = _BPE_REPLACE_PASSES) -> str:
+    pat = f"chr(31)||{a_expr}||chr(31)||{b_expr}||chr(31)"
+    rep = f"chr(31)||{a_expr}||{b_expr}||chr(31)"
+    out = s_expr
+    for _ in range(passes):
+        out = f"replace({out}, {pat}, {rep})"
+    return out
+
+
 def _build_sql_bpe_tokenize(n_merges: int = 60,
                             max_words: int = 100_000) -> str:
     """BPE training AND application in plain SQL — the twin of
@@ -1329,17 +1370,22 @@ def _build_sql_bpe_tokenize(n_merges: int = 60,
     string wrapped in separators (symbols never contain the separator,
     so substring search cannot cross symbol boundaries). Each of the
     ``n_merges`` training iterations is a generated CTE triplet
-    (pair-count → deterministic argmax → replace-all), chained — SQL
-    cannot aggregate over a recursive reference, so the fixed merge
-    count unrolls instead. ``replace()`` is left-to-right
-    non-overlapping, which equals the trainer's single pass; for the
-    encoder, replace-all of the min-rank pair equals _encode_word's
-    one-merge-per-step loop because a merge can only create pairs of
-    HIGHER rank (the merged token postdates its parts), so the
-    min-rank pair never changes mid-sweep. Encoding runs as one
-    recursive CTE over the distinct-word table; the stop is the join
-    failing when no learned pair applies. Every state is MATERIALIZED
-    (60 chained inlined CTEs would blow up planning)."""
+    (pair-count → deterministic argmax → replace-to-fixpoint), chained
+    — SQL cannot aggregate over a recursive reference, so the fixed
+    merge count unrolls instead.
+
+    replace() subtlety (review finding): a match consumes its TRAILING
+    separator, so the immediately following back-to-back occurrence of
+    the same pair is skipped in that scan ('abab' with merge (a,b):
+    one pass yields [ab,a,b], the trainer's sweep yields [ab,ab]).
+    The training step therefore nests replace() ``_BPE_REPLACE_PASSES``
+    times — each pass merges every non-skipped occurrence, at least
+    halving the misses, and merged tokens can only form HIGHER-rank
+    pairs, so the fixpoint equals the trainer's single left-to-right
+    sweep. The encoder needs no nesting: its recursive CTE re-applies
+    the min-rank pair until the join fails, reaching the same fixpoint
+    one pass at a time. Every state is MATERIALIZED (60 chained
+    inlined CTEs would blow up planning)."""
     sep = "chr(31)"
     parts = [f"""
 words0 AS MATERIALIZED (
@@ -1376,8 +1422,7 @@ best{k} AS MATERIALIZED (
 state{k} AS MATERIALIZED (
   SELECT st.w,
          CASE WHEN bb.a IS NOT NULL
-              THEN replace(st.s, chr(31)||bb.a||chr(31)||bb.b||chr(31),
-                           chr(31)||bb.a||bb.b||chr(31))
+              THEN {_nested_replace('st.s', 'bb.a', 'bb.b')}
               ELSE st.s END AS s,
          st.f
   FROM state{p} st LEFT JOIN best{k} bb ON TRUE
@@ -1585,32 +1630,18 @@ def _build_sql_bloom_semi() -> str:
     Kirsch-Mitzenmacher double hashing into 2^16 bits), so even the
     'probabilistic' semi join is SQL-reproducible bit for bit: rebuild
     the set-bit positions from the key subset in SQL, keep a doc iff
-    none of its 5 probe positions is missing."""
+    none of its 5 probe positions is missing. Both hash stages go
+    through the shared :func:`_splitmix_steps` chain."""
     m64 = _M64
-
-    def mulmod(m: int) -> str:
-        return (f"((x >> 32)::HUGEINT * {m % 2**32} % 4294967296 "
-                f"* 4294967296 + (x & 4294967295)::HUGEINT * {m}) % {m64}")
-
-    def chain(src: str, cols: str, tag: str) -> str:
-        return f"""
-{tag}1 AS (SELECT {cols}, xor(x, x >> 30) AS x FROM {src}),
-{tag}2 AS (SELECT {cols}, ({mulmod(0xBF58476D1CE4E5B9)})::UBIGINT AS x
-           FROM {tag}1),
-{tag}3 AS (SELECT {cols}, xor(x, x >> 27) AS x FROM {tag}2),
-{tag}4 AS (SELECT {cols}, ({mulmod(0x94D049BB133111EB)})::UBIGINT AS x
-           FROM {tag}3),
-{tag}5 AS (SELECT {cols}, xor(x, x >> 31) AS x FROM {tag}4)"""
-
     return f"""
 WITH
 d0 AS (SELECT doc_id, lang,
               ((doc_id::HUGEINT % {m64} + {m64}) % {m64})::UBIGINT AS x
        FROM documents),
-{chain('d0', 'doc_id, lang', 'a').strip()},
+{_splitmix_steps('d0', 'doc_id, lang', 'a').strip()},
 h1t AS (SELECT doc_id, lang, x AS h1 FROM a5),
 b0 AS (SELECT doc_id, lang, h1, h1 AS x FROM h1t),
-{chain('b0', 'doc_id, lang, h1', 'b').strip()},
+{_splitmix_steps('b0', 'doc_id, lang, h1', 'b').strip()},
 hh AS (SELECT doc_id, lang, h1, (x | 1) AS h2 FROM b5),
 probes AS (
   SELECT doc_id, lang,

@@ -66,6 +66,14 @@ def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 # Tiny per-language stopword profiles for the heuristic language id.
+# The lang-ID token alphabet, CLOSED and shared verbatim with the SQL
+# oracle (queries_extra.SQL_LANG_ID): an open-ended \w matches unicode
+# letters RE2 does not (review finding: 'não' tokenized as one token in
+# Python but split by the SQL, so the baked pt stopword could never
+# join). Digits + lowercase ASCII + underscore + every accented letter
+# appearing in the stop profiles or the synthetic generators.
+LANGID_TOKEN_CHARS = "0-9a-z_éíáóúüßñàèãçêõïô"
+
 _STOP = {
     "en": ("the", "and", "of", "to", "a", "in", "is"),
     "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
@@ -117,7 +125,7 @@ class LangIdModel:
     def __init__(self):
         import re
 
-        self.token_re = re.compile(r"[\wéíáóúüßñàè]+", re.U)
+        self.token_re = re.compile(f"[{LANGID_TOKEN_CHARS}]+")
         # langs ascending; ties resolve to the LARGEST lang string
         # (the original max((score, lang)) tie-break)
         self.langs = sorted(_STOP)

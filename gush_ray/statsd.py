@@ -31,7 +31,12 @@ import socket
 
 def parse_target(target: str | None):
     """``None`` | ``file:///path`` | ``host[:port]`` → sender callable
-    or None. The callable takes a list of statsd lines."""
+    or None. The callable takes a list of statsd lines.
+
+    A malformed target fails LOUDLY here, at job construction — it is
+    a config error, not a runtime condition (review finding: the
+    ``file:/path`` single-slash typo used to surface as a bare
+    ``int('/path')`` ValueError deep inside ``__init__``)."""
     if not target:
         return None
     if target.startswith("file://"):
@@ -46,16 +51,34 @@ def parse_target(target: str | None):
 
         return send_file
     host, _, port = target.partition(":")
-    addr = (host, int(port) if port else 8125)
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.setblocking(False)
+    if (not host or "/" in target or "://" in target
+            or (port and not port.isdigit())):
+        raise ValueError(
+            f"statsd target {target!r} is not 'host[:port]' or "
+            f"'file:///path'")
+    # Resolve ONCE at setup: sendto() with a hostname does a blocking
+    # getaddrinfo per datagram — on a slow/down resolver that stalls
+    # the committer thread and backs the epoch loop up through the
+    # commit queue (review finding). connect() also pins the route, so
+    # each send is a pure non-blocking syscall. Resolution failure at
+    # setup disables metrics (the never-stall contract outranks them).
+    try:
+        infos = socket.getaddrinfo(host, int(port) if port else 8125,
+                                   type=socket.SOCK_DGRAM)
+        family, socktype, proto, _cname, addr = infos[0]
+        sock = socket.socket(family, socktype, proto)
+        sock.connect(addr)
+        sock.setblocking(False)
+    except OSError:
+        return None
 
     def send_udp(lines: list[str]) -> None:
         try:
-            sock.sendto("\n".join(lines).encode("utf-8"), addr)
+            sock.send("\n".join(lines).encode("utf-8"))
         except OSError:
             pass  # unreachable daemon == metrics dropped, never an error
 
+    send_udp.close = sock.close  # deterministic cleanup (StatsdEmitter)
     return send_udp
 
 
@@ -104,6 +127,15 @@ class StatsdEmitter:
     @property
     def enabled(self) -> bool:
         return self._send is not None
+
+    def close(self) -> None:
+        """Release the UDP socket (no-op for file/disabled targets);
+        CPython's GC would close it anyway, this makes it
+        deterministic for long-lived drivers constructing many jobs."""
+        close = getattr(self._send, "close", None)
+        if close is not None:
+            close()
+        self._send = None
 
     def emit_epoch(self, epoch: int, watermark_us, parts: list[dict],
                    extra: dict | None = None) -> None:

@@ -91,3 +91,47 @@ def test_train_deterministic(corpus):
     ds, _df = corpus
     assert train_bpe(ds, n_merges=40)["merges"] == \
         train_bpe(ds, n_merges=40)["merges"]
+
+
+def test_sql_oracle_handles_back_to_back_pair_occurrences(tmp_path):
+    """Regression (round-3 review): replace() consumes the trailing
+    separator, skipping the immediately following occurrence of the
+    merged pair — 'abab' words diverged the SQL trainer from
+    train_bpe's sweep until the replace-to-fixpoint nesting. Pin the
+    SQL against the engine on a corpus built to hit exactly that."""
+    import duckdb
+
+    from gush_ray.pipelines.queries_extra import _build_sql_bpe_tokenize
+    from gush_ray.stages.bpe import _encode_word, train_bpe
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "lang": ["en"] * 8,
+        # 'abab'/'ababab' have back-to-back (a,b) occurrences INSIDE a
+        # word; repetition gives the pairs count >= 2 so they merge
+        "text": ["abab ababab zq", "abab ababab", "abab zq",
+                 "ababab", "aaaa", "aaaa aaa", "zq zq", "abab aaaa"],
+    })
+    pq_path = tmp_path / "documents.parquet"
+    df.to_parquet(pq_path)
+
+    ds = rd.from_pandas(df)
+    bpe = train_bpe(ds, n_merges=12, max_words=1000)
+    rows = []
+    for _, r in df.iterrows():
+        words = r["text"].split()
+        ntok = sum(len(_encode_word(w, bpe["ranks"])) for w in words)
+        rows.append((r["lang"], 1, len(words), ntok))
+    want = (pd.DataFrame(rows, columns=["lang", "n_docs", "n_words",
+                                        "n_tokens"])
+            .groupby("lang", as_index=False).sum())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq_path}'")
+    got = con.execute(_build_sql_bpe_tokenize(n_merges=12,
+                                              max_words=1000)).fetchdf()
+    pd.testing.assert_frame_equal(
+        want.astype({c: "int64" for c in ["n_docs", "n_words",
+                                          "n_tokens"]}),
+        got.astype({c: "int64" for c in ["n_docs", "n_words",
+                                         "n_tokens"]}))

@@ -515,3 +515,34 @@ def test_md5_hash_mode_matches_duckdb_and_fast_mode_contract():
         np.asarray(vals, dtype=object), categorize=False).tolist()
     with pytest.raises(ValueError):
         _hash_strings(vals, "sha9000")
+
+
+def test_langid_accented_tokens_match_sql_oracle(tmp_path):
+    """Regression (round-3 review): the SQL token class omitted 'ã' —
+    a letter in the baked pt stopword 'não' — so accented corpora
+    diverged Python-vs-SQL. Both sides now share the CLOSED alphabet
+    text.LANGID_TOKEN_CHARS; pin parity on an accent-heavy corpus."""
+    import duckdb
+
+    from gush_ray.pipelines.queries_extra import SQL_LANG_ID
+    from gush_ray.stages.text import LangIdModel
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": ["pt", "pt", "en", "de", "es", "fr"],
+        "text": ["o que é uma não coisa", "não não não é",
+                 "the and of naïve-émü", "der die und das ist",
+                 "el la los que", ""],
+    })
+    pred = LangIdModel()(df)
+    want = (pred.groupby(["lang", "lang_pred"], as_index=False)
+            .agg(n=("doc_id", "size"))
+            .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    assert ("pt", "pt") in set(zip(want["lang"], want["lang_pred"]))
+    p = tmp_path / "documents.parquet"
+    df.to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    got = con.execute(SQL_LANG_ID).fetchdf()
+    pd.testing.assert_frame_equal(want.astype({"n": "int64"}),
+                                  got.astype({"n": "int64"}))

@@ -66,10 +66,24 @@ def test_disabled_and_unreachable_never_raise():
     # unreachable UDP target: fire-and-forget, never an error
     em = StatsdEmitter("127.0.0.1:1")
     em.emit_epoch(0, 0, [{"rows_in": 1}])
+    em.close()
+    em.emit_epoch(0, 0, [{"rows_in": 1}])  # closed == disabled, no-op
     # unwritable file target: swallowed
     bad = StatsdEmitter("file:///no/such/dir/metrics.txt")
     bad.emit_epoch(0, 0, [{"rows_in": 1}])
     assert parse_target("") is None
+    # UNRESOLVABLE hostname disables metrics at setup (the never-stall
+    # contract: resolution happens once here, never per datagram)
+    assert parse_target("no-such-host.invalid:8125") is None
+
+
+def test_malformed_targets_fail_loudly_at_construction():
+    """A config typo must raise a CLEAR error at parse time, not a bare
+    int() ValueError from inside job construction (review finding:
+    'file:/path' single-slash parsed as host 'file', port '/path')."""
+    for bad in ("file:/tmp/m.txt", "host:abc", "http://x:1", ":8125"):
+        with pytest.raises(ValueError, match="statsd target"):
+            parse_target(bad)
 
 
 def test_streaming_job_pushes_per_epoch_metrics(ray_session, tmp_path):
