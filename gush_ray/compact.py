@@ -92,17 +92,40 @@ def _cleanup_covered(fs, out_dir: str, stream: str, a: int, b: int) -> None:
 def _merge_partition_local(out_dir: str, build_dir: str, name: str,
                            files: list[str]) -> int:
     """Stream-merge one partition's epoch files into the build dir;
-    returns rows written. Footer-cheap: one file in memory at a time."""
+    returns rows written. Footer-cheap: one file in memory at a time.
+
+    Schema drift across epochs (a column appearing mid-stream flows
+    through the engine into later epochs' output) must not break
+    compaction: the target schema is the permissive unification of all
+    footers — a footer-only pre-pass, no data read — and each file is
+    promoted to it (absent columns → nulls, widened types cast) before
+    writing. A live stream whose producer adds a column therefore
+    stays compactable forever."""
+    import pyarrow as pa
+
     fs, _ = get_fs(out_dir)
+    schemas = []
+    for f in files:
+        with fs.open(f, "rb") as rf:
+            schemas.append(pq.read_schema(rf))
+    schema = pa.unify_schemas(schemas, promote_options="permissive")
     writer = None
     sink_f = None
     rows = 0
     for f in files:
         with fs.open(f, "rb") as rf:
             t = pq.read_table(rf)
+        if t.schema != schema:
+            cols = [
+                t[fld.name].cast(fld.type)
+                if fld.name in t.column_names
+                else pa.nulls(t.num_rows, fld.type)
+                for fld in schema
+            ]
+            t = pa.table(dict(zip(schema.names, cols)), schema=schema)
         if writer is None:
             sink_f = fs.open(fs.join(build_dir, name), "wb")
-            writer = pq.ParquetWriter(sink_f, t.schema,
+            writer = pq.ParquetWriter(sink_f, schema,
                                       compression="zstd",
                                       compression_level=1)
         writer.write_table(t)

@@ -238,3 +238,40 @@ def test_inflight_compaction_failure_surfaces(tmp_path, monkeypatch):
                      num_partitions=2)
     with pytest.raises(RuntimeError, match="compaction failed"):
         j.run_continuous(poll_interval_s=0.05, compact_every=1)
+
+
+def test_compaction_survives_schema_drift(tmp_path, ray_session):
+    """A column appearing mid-stream (producer schema evolution) flows
+    through the engine into later epochs' output files; compaction must
+    unify the footers and promote older files (absent column -> nulls)
+    instead of dying on ParquetWriter's schema check — a live stream
+    whose producer adds a column must stay compactable forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    write_pages_dir(src, n_urls=100, seed=3, n_epochs=2)
+    e1 = os.path.join(src, "epoch=0001")
+    for f in os.listdir(e1):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(e1, f))
+            t = t.append_column("new_col", pa.array(["x"] * t.num_rows))
+            pq.write_table(t, os.path.join(e1, f))
+
+    j = StreamingJob(src, out, run_id="drift", num_partitions=2)
+    j.run()
+    before = j.read_output("changes")
+    from gush_ray.compact import compact
+
+    reports = compact(out, min_epochs=2)
+    assert any(r.get("compacted") for r in reports)
+    after = j.read_output("changes")
+    assert len(after) == len(before)
+    assert "new_col" in after.columns
+    # epoch-1 rows keep their values, epoch-0 rows are null-promoted
+    assert after["new_col"].notna().sum() == before["new_col"].notna().sum() > 0
+    cols = sorted(set(before.columns))
+    a = before[cols].sort_values(cols).reset_index(drop=True)
+    b = after[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
