@@ -135,3 +135,44 @@ def test_sql_oracle_handles_back_to_back_pair_occurrences(tmp_path):
                                           "n_tokens"]}),
         got.astype({c: "int64" for c in ["n_docs", "n_words",
                                          "n_tokens"]}))
+
+
+def test_nested_replace_equals_trainer_sweep_property():
+    """Property pin for the SQL training step's core claim: iterating
+    separator-delimited replace() to fixpoint (6 passes) equals the
+    trainer's one left-to-right non-overlapping sweep, for ANY symbol
+    sequence and merge pair. Python str.replace has exactly DuckDB
+    replace()'s left-to-right non-overlap semantics, so this pins the
+    SQL behavior without a database."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    SEP = "\x1f"
+
+    def sweep(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @given(st.lists(st.sampled_from(["a", "b", "ab", "ba"]),
+                    min_size=1, max_size=40),
+           st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"),
+                            ("ab", "a"), ("a", "ab"), ("ab", "ab")]))
+    @settings(max_examples=300, deadline=None)
+    def check(syms, pair):
+        a, b = pair
+        s = SEP + SEP.join(syms) + SEP
+        pat = SEP + a + SEP + b + SEP
+        rep = SEP + a + b + SEP
+        for _ in range(6):
+            s = s.replace(pat, rep)
+        got = [x for x in s.split(SEP) if x]
+        assert got == sweep(syms, a, b), (syms, pair)
+
+    check()
