@@ -107,10 +107,10 @@ class Stream:
         return self._wrap(self.ds.select_columns(cols))
 
     def with_ts_us(self, ts_col: str, out: str = "ts_us") -> "Stream":
+        from gush_ray.stages.windows import ts_to_us
+
         return self.map_batches(
-            lambda b: b.append_column(
-                out, b[ts_col].combine_chunks().cast(pa.int64())
-            )
+            lambda b: b.append_column(out, ts_to_us(b[ts_col]))
         )
 
     def extract_text(self, html_col: str = "html", out_col: str = "text",

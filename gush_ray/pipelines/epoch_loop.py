@@ -173,9 +173,11 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
             )
         batch = batch.drop_columns(["text_extracted", "extract_ok"])
     batch = deny_filter_batch(batch, cfg)
-    batch = batch.append_column(
-        "ts_us", batch[raw_ts_col].combine_chunks().cast(pa.int64())
-    )
+    from gush_ray.stages.windows import ts_to_us
+
+    # precision-aware: a producer switching to timestamp[ns] mid-stream
+    # must not inflate event time 1000x (ts_to_us normalizes to µs)
+    batch = batch.append_column("ts_us", ts_to_us(batch[raw_ts_col]))
 
     if dim_holder is not None:
         import pyarrow.compute as pc
@@ -1274,8 +1276,12 @@ class StreamingJob:
             tabs = [t for t in tabs if t.num_rows]
             if not tabs:
                 return pd.DataFrame()
+            # "permissive" also unifies numeric/temporal WIDTH drift
+            # (e.g. a producer switching warc_ts to timestamp[ns]
+            # mid-stream — the passthrough column keeps each epoch's
+            # storage type); "default" only adds missing columns
             return pa.concat_tables(
-                tabs, promote_options="default"
+                tabs, promote_options="permissive"
             ).to_pandas()
         raise RuntimeError(
             f"read_output({stream!r}): listed files kept vanishing "

@@ -61,9 +61,12 @@ def _read(sf_dir: str, name: str, columns=None):
 
 
 def _ts_us(ds, ts_col: str, out: str):
-    """Append int64 microseconds column (oracle pairs with epoch_us())."""
+    """Append int64 microseconds column (oracle pairs with epoch_us());
+    precision-aware via stages.windows.ts_to_us."""
+    from gush_ray.stages.windows import ts_to_us
+
     return ds.map_batches(
-        lambda b: b.append_column(out, b[ts_col].combine_chunks().cast(pa.int64())),
+        lambda b: b.append_column(out, ts_to_us(b[ts_col])),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 

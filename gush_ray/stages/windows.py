@@ -23,8 +23,20 @@ from gush_ray.stages.shuffle import partition_map
 
 
 def ts_to_us(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Event time → int64 MICROSECONDS, whatever the storage precision.
+
+    A bare int64 cast reads a timestamp's raw ticks: a producer that
+    switches to timestamp[ns] mid-stream would silently inflate event
+    time 1000x, jump the watermark past every later µs row and
+    late-route the whole stream (round-3 drift probe). Normalize to µs
+    first; sub-µs precision truncates (µs is the engine's event-time
+    resolution — documented, loud in tests, never silent corruption)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        import pyarrow.compute as pc
+
+        arr = pc.cast(arr, pa.timestamp("us", tz=arr.type.tz), safe=False)
     return arr.cast(pa.int64())
 
 

@@ -1,6 +1,7 @@
 """End-to-end streaming job: correctness vs batch oracle + exactly-once
 kill/resume parity (SURVEY.md §5 graft test plan)."""
 
+import os
 import shutil
 
 import pandas as pd
@@ -522,3 +523,46 @@ def test_resume_parity_from_every_kill_point(pages_dir, tmp_path):
         assert r3.get("already_done") or r3["completed"] == n_epochs - 1
         pd.testing.assert_frame_equal(
             want, norm(j3.read_output("changes"), cols)), k
+
+
+def test_timestamp_precision_drift_does_not_corrupt_event_time(
+        tmp_path, ray_session):
+    """Regression (round-3 drift probe): a producer switching warc_ts
+    from timestamp[us] to timestamp[ns] mid-stream used to inflate
+    event time 1000x through the bare int64 cast — the watermark
+    jumped past every later microsecond row (silently late-routing the
+    whole stream) and the mixed-type passthrough column broke
+    read_output's concat. ts_to_us now normalizes precision; outputs
+    must equal a run over the same data stored uniformly in [us]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gush_ray.datagen import write_pages_dir
+
+    src_us = str(tmp_path / "pages_us")
+    write_pages_dir(src_us, n_urls=80, seed=9, n_epochs=2)
+    src_ns = str(tmp_path / "pages_ns")
+    shutil.copytree(src_us, src_ns)
+    e1 = os.path.join(src_ns, "epoch=0001")
+    for f in os.listdir(e1):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(e1, f))
+            i = t.column_names.index("warc_ts")
+            t = t.set_column(i, "warc_ts",
+                             t["warc_ts"].cast(pa.timestamp("ns")))
+            pq.write_table(t, os.path.join(e1, f))
+
+    ja = StreamingJob(src_us, str(tmp_path / "out_us"), run_id="us",
+                      num_partitions=2)
+    ra = ja.run()
+    jb = StreamingJob(src_ns, str(tmp_path / "out_ns"), run_id="ns",
+                      num_partitions=2)
+    rb = jb.run()
+    assert ra["watermark_us"] == rb["watermark_us"]  # not 1000x off
+    for stream in ("changes", "windows", "sessions", "matches"):
+        a = ja.read_output(stream)
+        b = jb.read_output(stream)
+        cols = sorted(set(a.columns) - {"warc_ts"})
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True)), stream
