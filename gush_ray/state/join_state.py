@@ -59,6 +59,23 @@ class JoinSpec:
             raise ValueError(
                 f"low_us {self.low_us} > high_us {self.high_us}"
             )
+        # output columns live in ONE namespace (_assemble builds a dict):
+        # a name shared by both sides would silently overwrite the left
+        # payload with right values — and de-sync the empty-epoch schema,
+        # which declares the duplicate twice (round-3 review finding).
+        # Fail loudly at construction instead.
+        dup = set(self.left_cols) & set(self.right_cols)
+        if dup:
+            raise ValueError(
+                f"left_cols and right_cols share output names {sorted(dup)};"
+                f" rename one side (the join output has one flat namespace)"
+            )
+        reserved = {"l_ts_us", "r_ts_us"}
+        bad = reserved & (set(self.left_cols) | set(self.right_cols))
+        if bad:
+            raise ValueError(
+                f"payload columns {sorted(bad)} collide with the join's "
+                f"timestamp output columns")
 
 
 class StreamJoinState:

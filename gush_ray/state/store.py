@@ -167,6 +167,14 @@ class PartitionState:
         atomically to deterministic names, so they are already correct).
         """
         if epoch in self._epoch_cache:
+            # replay: a retried caller re-ingested this epoch's fragments
+            # (the seen-sets were popped on first processing) — discard
+            # them, or every replay would pin an epoch of Arrow tables in
+            # the actor forever (round-3 review finding)
+            self._frag_buf.pop(epoch, None)
+            self._frag_seen.pop(epoch, None)
+            self._rfrag_buf.pop(epoch, None)
+            self._rfrag_seen.pop(epoch, None)
             return self._epoch_cache[epoch]["metrics"]
         from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
@@ -222,12 +230,20 @@ class PartitionState:
             rtab = pa.concat_tables(rfrags, promote_options="default")
             new_r = rtab.select(r_cols).to_pandas()
             # a right row is only unjoinable once NO buffered-or-future
-            # left row can pair with it — the same retention bound the
-            # prune applies (r.ts - low < wm), NOT plain r.ts < wm: with
-            # a negative low bound a below-watermark right row can still
-            # match an already-buffered left row
+            # left row can pair with it. Future lefts (ts >= wm) need
+            # r.ts - low >= wm; buffered lefts can still pair a
+            # below-that row, so the admission threshold is
+            # wm + min(low, 0): with low <= 0 that salvages
+            # below-watermark rows for buffered lefts (pinned by
+            # test_stream_join), and with low > 0 it admits every
+            # non-late row — the old uniform r.ts - low >= wm cut
+            # silently dropped on-time rows whose only partners were
+            # already buffered (round-3 review finding). Admitted rows
+            # join against bufL in process_epoch; ones past the
+            # retention bound leave the buffer at the next prune.
             on_time = (new_r[p.ts_col].to_numpy().astype(np.int64)
-                       - self.joiner.spec.low_us) >= self.watermark_us
+                       - min(self.joiner.spec.low_us, 0)
+                       ) >= self.watermark_us
             n_r_late = int((~on_time).sum())
             if n_r_late:
                 new_r = new_r[on_time].reset_index(drop=True)
@@ -283,6 +299,14 @@ class PartitionState:
         tt = {}
         t0 = time.perf_counter()
         df = table.select(self._state_columns(table)).to_pandas()
+        kc = df[p.key_col]
+        if kc.dtype.kind == "f" and kc.isna().any():
+            # float-NaN keys corrupt EVERY keyed stage (nan != nan:
+            # dict lookups miss, version arithmetic casts invalid,
+            # session segmentation splits per row — round-3 review
+            # finding). Normalize ONCE at the boundary to object/None,
+            # which every stage already handles as a null key.
+            df[p.key_col] = kc.astype(object).where(kc.notna(), None)
         n_in = len(df)
         tt["p_pandas"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -323,7 +347,10 @@ class PartitionState:
             (ver_get(k, -1) for k in df[p.key_col]),
             dtype=np.int64, count=len(df),
         )
-        occ = df.groupby(p.key_col, sort=False).cumcount().to_numpy()
+        # dropna=False: the default silently drops null-key rows from the
+        # cumcount (NaN occ → invalid int64 cast → garbage versions)
+        occ = df.groupby(
+            p.key_col, sort=False, dropna=False).cumcount().to_numpy()
         version = (prev_ver + 1 + occ).astype(np.int64)
         df = df.assign(
             version=version,
@@ -469,6 +496,17 @@ class PartitionState:
         p = self.p
         if not len(df):
             return _sessions_table([], p.key_col)
+        kc = df[p.key_col]
+        if kc.dtype.kind == "f" and kc.isna().any():
+            # float-NaN keys break segmentation: NaN != NaN makes
+            # ne(shift) split EVERY NaN row into its own session (each
+            # merging against the same stored session, double-counting)
+            # and the sessions dict accrues unmergeable float-nan keys
+            # (round-3 review finding). Object-dtype None compares
+            # equal-to-itself under ne(), so normalize up front; the
+            # object path below then handles it like any null key.
+            df = df.copy()
+            df[p.key_col] = kc.astype(object).where(kc.notna(), None)
         us = df[p.ts_col].astype("int64")
         new_key = df[p.key_col].ne(df[p.key_col].shift())
         gap_break = us.diff() > p.session_gap_us
@@ -479,6 +517,14 @@ class PartitionState:
             .agg(["min", "max", "size"])
             .reset_index()
         )
+        pk = per[p.key_col]
+        if pk.dtype.kind == "f" and pk.isna().any():
+            # groupby COERCES an object key of numeric values back to
+            # float64 (None -> nan), so the normalization above must
+            # re-apply to the grouped keys too or the first/last masks
+            # split nan groups and the dict accrues nan keys
+            per = per.copy()
+            per[p.key_col] = pk.astype(object).where(pk.notna(), None)
         keys = per[p.key_col].to_numpy()
         if keys.dtype == object:
             # normalize NaN keys to None (see window-accumulator note) —
@@ -494,6 +540,13 @@ class PartitionState:
         sizes = per["size"].to_numpy().astype(np.int64)
         first_mask = per[p.key_col].ne(per[p.key_col].shift()).to_numpy()
         last_mask = per[p.key_col].ne(per[p.key_col].shift(-1)).to_numpy()
+        # ne() treats a NULL key as equal to shift()'s NaN fill, so a
+        # null-key group at either END of the batch got neither mask —
+        # its open session silently vanished (found extending the
+        # round-3 float-NaN review finding). The fill rows are
+        # boundaries by definition.
+        first_mask[0] = True
+        last_mask[-1] = True
 
         stored = [self.sessions.get(k) for k in keys[first_mask]]
         has_prev = np.array([s is not None for s in stored], dtype=bool)
@@ -685,10 +738,24 @@ class PartitionState:
     def _apply_small(self, st: dict) -> None:
         self.win = st["win"]
         self.sessions = st["sessions"]
-        if self.nfa is not None and st["nfa"] is not None:
-            self.nfa.restore(st["nfa"])
-        if self.joiner is not None and st.get("join") is not None:
-            self.joiner.restore(st["join"])
+        # a restore is a ROLLBACK: when the frame carries no section for
+        # a configured component (written before the pattern/join_spec
+        # existed), the live buffers must still reset — keeping them
+        # would let post-snapshot NFA partials / join buffers survive
+        # the rollback and replay epochs against already-advanced state
+        # (round-3 review finding)
+        if self.nfa is not None:
+            if st["nfa"] is not None:
+                self.nfa.restore(st["nfa"])
+            else:
+                self.nfa.restore({"partials": {}, "truncated": 0})
+        if self.joiner is not None:
+            if st.get("join") is not None:
+                self.joiner.restore(st["join"])
+            else:
+                self.joiner.restore(
+                    {"bufL": {}, "bufR": {}, "n_l": 0, "n_r": 0,
+                     "pairs_emitted": 0})
         self.watermark_us = st["watermark_us"]
         self.max_ts_us = st["max_ts_us"]
         # .get: pre-TTL frames lack these keys
@@ -784,6 +851,12 @@ def restore_state_from_chain(ps: PartitionState, snapshot_in: str,
     return base
 
 
+def _string_if_null(arr: pa.Array) -> pa.Array:
+    """All-None columns infer pa.null(); cast to string (the type the
+    empty-table arms declare) so epoch part schemas never drift."""
+    return arr.cast(pa.string()) if pa.types.is_null(arr.type) else arr
+
+
 def _windows_table(rows, group_cols, value_col) -> pa.Table:
     names = [*group_cols, "window_id", "n", "sum_value"]
     if not rows:
@@ -792,7 +865,13 @@ def _windows_table(rows, group_cols, value_col) -> pa.Table:
         arrays += [pa.array([], type=pa.float64())]
         return pa.table(dict(zip(names, arrays)))
     cols = list(zip(*rows))
-    data = {c: pa.array(list(cols[i])) for i, c in enumerate(group_cols)}
+    # an epoch whose group values are ALL None (every dim key
+    # unmatched) would infer pa.null() and drift the schema across
+    # epoch part files (round-3 review finding) — fall back to string,
+    # the type of every other epoch's group column; non-null values
+    # keep their inferred type (keys may be int)
+    data = {c: _string_if_null(pa.array(list(cols[i])))
+            for i, c in enumerate(group_cols)}
     k = len(group_cols)
     data["window_id"] = pa.array(list(cols[k]), type=pa.int64())
     data["n"] = pa.array(list(cols[k + 1]), type=pa.int64())
@@ -815,7 +894,8 @@ def _sessions_table(rows, key_col) -> pa.Table:
     keys, starts, ends, ns = zip(*rows)
     return pa.table(
         {
-            key_col: pa.array(list(keys)),
+            # same all-None inference hazard as _windows_table's groups
+            key_col: _string_if_null(pa.array(list(keys))),
             "session_start_us": pa.array(list(starts), type=pa.int64()),
             "session_end_us": pa.array(list(ends), type=pa.int64()),
             "n_events": pa.array(list(ns), type=pa.int64()),
@@ -881,15 +961,11 @@ class StateStoreActor:
 
     def snapshot_to(self, path: str) -> str:
         blob = self.ps.snapshot_bytes()
-        import os
-
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.inprogress-{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
-        import os as _os
-
-        _os.replace(tmp, path)
+        os.replace(tmp, path)
         return path
 
     def restore_from(self, path: str, epoch: "int | None" = None) -> None:

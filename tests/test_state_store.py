@@ -218,3 +218,76 @@ def test_nfa_truncation_surfaced_in_metrics():
     ps2 = mk(pattern=pat, window_size_us=100_000)
     ps2.restore_bytes(ps.snapshot_bytes())
     assert ps2.nfa.truncated == ps.nfa.truncated
+
+
+def test_replay_does_not_leak_ingested_fragments(tmp_path):
+    """Regression (round-3 review): replaying a cached epoch re-ingests
+    fragments (seen-sets were popped on first processing) and the
+    cached early-return never discarded them — a long-lived actor
+    retained an epoch of Arrow tables per retry forever."""
+    ps = mk()
+    t = tbl([{"url": "a", "ts_us": 10, "lang": "en"}])
+    ps.ingest(0, 1, t)
+    m1 = ps.process_epoch_to(0, str(tmp_path))
+    assert not ps._frag_buf
+    ps.ingest(0, 1, t)  # retried caller replays the same fragment
+    m2 = ps.process_epoch_to(0, str(tmp_path))
+    assert m2 == m1
+    assert not ps._frag_buf, "replayed fragments must not accumulate"
+    assert not ps._frag_seen
+
+
+def test_sessions_with_float_nan_keys():
+    """Regression (round-3 review): float-NaN keys split every row into
+    its own session via NaN != NaN and accrued unmergeable float-nan
+    dict keys; they now normalize to None like object-dtype nulls."""
+    ps = mk(key_col="uid")
+    out = ps.process(0, tbl([
+        {"uid": float("nan"), "ts_us": 10, "lang": "en"},
+        {"uid": float("nan"), "ts_us": 20, "lang": "en"},
+        {"uid": 1.0, "ts_us": 30, "lang": "en"},
+    ]))
+    assert out is not None
+    # ONE open session for the null key (rows 10,20 within gap 50),
+    # one for key 1.0 — and no float-nan keys in the dict
+    keys = list(ps.sessions)
+    assert None in keys
+    import math
+
+    assert not any(isinstance(k, float) and math.isnan(k) for k in keys)
+    assert ps.sessions[None][2] == 2  # n_events for the null-key session
+    # versioning must count null-key rows too: cumcount's default
+    # dropna=True yielded NaN occ → invalid int64 cast → garbage versions
+    ch = out["changes"].to_pandas().sort_values("ts_us")
+    assert list(ch["version"]) == [0, 1, 0]
+    assert list(ch["change_kind"]) == ["insert", "update", "insert"]
+
+
+def test_restore_rollback_resets_unsnapshotted_join_and_nfa():
+    """Regression (round-3 review): restoring a frame that carries no
+    nfa/join section (written before the pattern/join_spec existed)
+    must RESET the live buffers — a rollback that keeps post-snapshot
+    NFA partials / join buffers replays epochs against already-advanced
+    state."""
+    from gush_ray.state.join_state import JoinSpec, StreamJoinState
+
+    pat = Pattern(
+        steps=(Step("a", "lang", "en"), Step("b", "lang", "de")),
+        within_us=1000, key="url", ts_col="ts_us", id_col="ts_us",
+    )
+    ps = mk(pattern=pat, join_spec=JoinSpec(-100, 100))
+    blob_before = ps.snapshot_bytes()
+    st = ps._decode(blob_before)
+    st["nfa"] = None
+    st.pop("join", None)
+    import pickle
+
+    bare = pickle.dumps(st)
+    # advance live state past the snapshot
+    ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    ps.joiner.bufL = pd.DataFrame(
+        {"url": ["a"], "ts_us": [10], "version": [1]})
+    assert ps.nfa.partials or ps.joiner is not None
+    ps.restore_bytes(bare)
+    assert ps.nfa.partials == {}, "NFA partials must not survive rollback"
+    assert len(ps.joiner.bufL) == 0 and len(ps.joiner.bufR) == 0

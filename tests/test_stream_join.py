@@ -34,7 +34,9 @@ def test_incremental_join_equals_batch_with_pruning():
     LOW, HIGH = -50, 80
     ldf = _mk(rng, 300, 12, 1000)
     rdf = _mk(rng, 300, 12, 1000)
-    spec = JoinSpec(LOW, HIGH, left_cols=("pay",), right_cols=("pay",))
+    # one flat output namespace: duplicate payload names now rejected
+    # (round-3 review finding), so carry only the left payload here
+    spec = JoinSpec(LOW, HIGH, left_cols=("pay",), right_cols=())
 
     # epochs split by event time; wm before epoch e = min ts of epoch e
     bounds = [0, 300, 650, 10**9]
@@ -337,3 +339,45 @@ def test_right_stream_extraction_and_dead_letter(
     assert len(errs_l) > 0
     joined = job.read_output("joined")
     assert {"url", "l_ts_us", "r_ts_us"} <= set(joined.columns)
+
+
+def test_joinspec_rejects_colliding_output_names():
+    """The join output is one flat namespace — a payload name on both
+    sides used to silently overwrite the left values with the right's
+    (and drift the empty-epoch schema); now loud at construction."""
+    with pytest.raises(ValueError, match="share output names"):
+        JoinSpec(-10, 10, left_cols=("pay",), right_cols=("pay",))
+    with pytest.raises(ValueError, match="timestamp output"):
+        JoinSpec(-10, 10, left_cols=("l_ts_us",))
+
+
+def test_positive_low_bound_right_rows_join_buffered_lefts():
+    """Regression (round-3 review): with low_us > 0 the admission cut
+    r.ts - low >= wm dropped NON-late right rows whose only partners
+    were already-buffered lefts; the threshold is wm + min(low, 0).
+    Incremental join over epochs must equal the batch brute force for
+    a strictly positive window too."""
+    rng = np.random.RandomState(11)
+    LOW, HIGH = 10, 100
+    ldf = _mk(rng, 300, 12, 1000)
+    rdf = _mk(rng, 300, 12, 1000)
+    spec = JoinSpec(LOW, HIGH, left_cols=(), right_cols=())
+    bounds = [0, 300, 650, 10**9]
+    st = StreamJoinState("k", "ts_us", spec)
+    got = []
+    for e in range(3):
+        lo, hi = bounds[e], bounds[e + 1]
+        new_l = ldf[(ldf.ts_us >= lo) & (ldf.ts_us < hi)]
+        new_r_df = rdf[(rdf.ts_us >= lo) & (rdf.ts_us < hi)]
+        wm = lo
+        # mirror store._process_join's admission with the fixed cut
+        ts = new_r_df["ts_us"].to_numpy()
+        new_r_df = new_r_df[(ts - min(LOW, 0)) >= wm]
+        got.append(st.process_epoch(new_l, new_r_df))
+        st.prune(wm)
+    got = pd.concat(got, ignore_index=True)
+    want = brute_pairs(ldf, rdf, "k", "ts_us", "ts_us", LOW, HIGH)
+    assert len(got) == len(want)
+    assert sorted(zip(got["k"], got["l_ts_us"], got["r_ts_us"])) == sorted(
+        zip(want["k"], want["ts_us_l"].astype(np.int64),
+            want["ts_us_r"].astype(np.int64)))
