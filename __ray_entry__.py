@@ -78,7 +78,12 @@ _PRIORITY = [
     "bm25", "bpe_tokenize",
     "heavy_hitters", "approx_quantiles",
     "running_total", "lm_oov_rate",
-    "jsonl_source_agg",
+    # warc_roundtrip replaces jsonl_source_agg as the source-format
+    # representative (round 3): the WARC byte-identity round trip (the
+    # domain's native Common-Crawl container, record-per-gzip-member)
+    # is strictly stronger evidence than the JSONL aggregate; the JSONL
+    # entry stays green in tests/test_oracle.py
+    "warc_roundtrip",
     "multimodal_decode",
     # bloom_semi over bloom_semi_checked: the round-3 oracle rebuilds
     # the filter's exact bit set (strictly stronger than prefilter+

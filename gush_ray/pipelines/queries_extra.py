@@ -46,6 +46,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from gush_ray.datagen import ensure_pages
+from gush_ray.sources.warc import WARC_FIXTURE
 from gush_ray.stages.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -86,11 +87,13 @@ def ensure_oracle_fixtures() -> None:
     """Materialize every fixed-path fixture the oracle SQL reads
     (idempotent, seconds when cold, no Ray needed)."""
     from gush_ray.datagen import ensure_media_fixture, ensure_video_fixture
+    from gush_ray.sources.warc import ensure_warc_fixture
 
     ensure_pages(n_urls=2_000, seed=7)
     _ensure_clicks()
     ensure_media_fixture()
     ensure_video_fixture()
+    ensure_warc_fixture()
 
 
 # The streaming pipeline's exact batch semantics, as SQL over the same
@@ -1344,6 +1347,75 @@ def q_extract_parity(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source byte-identity (the Common Crawl container format):
+    pages → write_warc_dir (record-per-gzip-member shards) → read_warc
+    (one parse task per shard) must reproduce every
+    (url, warc_ts, html, lang) row exactly. html is compared through
+    the md5 verification hash (stages/dedup.md5_hash_strings ==
+    DuckDB md5_number_lower, unit-pinned), so the oracle check is
+    byte-level, not just row counts."""
+    from gush_ray.sources.warc import ensure_warc_fixture, read_warc
+    from gush_ray.stages.dedup import md5_hash_strings
+
+    root = ensure_warc_fixture()
+    ds = read_warc(os.path.join(root, "warc"))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"],
+            "ts_us": b["warc_ts"].cast(pa.int64()),
+            "lang": b["lang"],
+            "html_h": pa.array(
+                md5_hash_strings(b["html"].to_pylist()), pa.uint64()),
+        })
+
+    df = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return df.sort_values(["url", "ts_us", "html_h"]).reset_index(drop=True)
+
+
+def q_wet_roundtrip(sf_dir: str):
+    """WET (extracted-text conversion records) round trip: text comes
+    back VERBATIM including the null-vs-empty distinction (nulls are
+    marked records, see sources/warc.write_wet_dir)."""
+    from gush_ray.sources.warc import ensure_warc_fixture, read_wet
+
+    root = ensure_warc_fixture()
+    ds = read_wet(os.path.join(root, "wet"))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"],
+            "ts_us": b["warc_ts"].cast(pa.int64()),
+            "text": b["text"],
+        })
+
+    df = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return df.sort_values(["url", "ts_us"]).reset_index(drop=True)
+
+
+# the truth parquet is written by the SAME ensure_warc_fixture call the
+# query uses; decode(html) is safe because every generated page is
+# valid UTF-8 (render_html encodes utf-8; the malformed variant is
+# ASCII) — real crawl data would hash raw bytes instead
+SQL_WARC_ROUNDTRIP = f"""
+SELECT url, epoch_us(warc_ts) AS ts_us, lang,
+       md5_number_lower(decode(html)) AS html_h
+FROM read_parquet('{WARC_FIXTURE}/truth.parquet')
+ORDER BY url, ts_us, html_h
+"""
+
+SQL_WET_ROUNDTRIP = f"""
+SELECT url, epoch_us(warc_ts) AS ts_us, text
+FROM read_parquet('{WARC_FIXTURE}/truth.parquet')
+ORDER BY url, ts_us
+"""
+
+
 # replace-to-fixpoint passes per training merge: each pass at least
 # halves the back-to-back occurrences the previous scan skipped, so 6
 # passes cover 2^6 adjacent repeats — far beyond any word in a corpus
@@ -1849,6 +1921,8 @@ EXTRA_QUERIES = {
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "ivf_index_ann": (q_ivf_index_ann, _SQL_ANN_TOPK),
     "lsh_index_ann_full": (q_lsh_index_ann_full, _SQL_ANN_TOPK),
     "approx_distinct_users": (q_approx_distinct, SQL_APPROX_DISTINCT),
