@@ -69,7 +69,12 @@ _PRIORITY = [
     # gopher_quality, training_mix, exact_quantiles, rollup_counts,
     # frame_sample) which stay green in tests/test_oracle.py and carry
     # two rounds of driver-green history
-    "minhash_dedup", "minhash_clusters", "simhash_dedup", "ngram_jaccard",
+    # kmeans_exact (round 3) gives the clustering family its first
+    # driver-checked row — the integer-exact fit whose ENTIRE iterative
+    # training replays in SQL; simhash_dedup rotates out (the near-dup
+    # signature family keeps minhash_dedup + ngram_jaccard +
+    # embedding_near_dup) and stays green in tests/test_oracle.py
+    "minhash_dedup", "minhash_clusters", "kmeans_exact", "ngram_jaccard",
     "embedding_near_dup", "content_chunks", "fingerprint",
     "lang_id", "pack_sequences",
     "exact_dedup_docs", "line_dedup", "pii_redact",

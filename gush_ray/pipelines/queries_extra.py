@@ -776,8 +776,10 @@ def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means over the embeddings table: full-data Lloyd
     (per-batch (cluster, n, sumvec, sse) partials — the corpus never
     shuffles), then one assign pass; returns per-cluster sizes. Rows-only
-    (iterative centroids aren't SQL-expressible); deterministic via
-    sorted partial folds."""
+    (FLOAT centroids aren't SQL-reproducible — a DuckDB SUM cannot
+    replay numpy's summation order); the integer-exact sibling
+    ``kmeans_exact`` pairs the same iterative-training machinery with a
+    bit-exact oracle. Deterministic via sorted partial folds."""
     from gush_ray.stages.clustering import kmeans_assign, kmeans_fit
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -786,6 +788,103 @@ def q_kmeans_clusters(sf_dir: str):
     sizes = out.groupby("cluster", as_index=False).size()
     sizes.columns = ["cluster", "n"]
     return sizes.sort_values("cluster").reset_index(drop=True)
+
+
+def q_kmeans_exact(sf_dir: str):
+    """Integer-exact distributed k-means (clustering.kmeans_fit_exact):
+    embeddings quantize to int64 once, then seeding, assignment and
+    centroid updates are all integer arithmetic with SQL-expressible
+    tie-breaks — so the ENTIRE iterative fit (greedy farthest-point
+    init + 5 Lloyd steps + final assignment) is replayed bit-exactly by
+    a static DuckDB oracle (SQL_KMEANS_EXACT: the init unrolls as CTE
+    steps, each Lloyd step as assign/mean CTE pairs — the BPE
+    fixed-loop-unroll technique). This closes the kmeans verification
+    gap the float path (q_kmeans_clusters) documents: float centroids
+    aren't SQL-reproducible, floor-divided integer ones are.
+    Returns per-cluster (cluster, n, sse, centroid_key)."""
+    from gush_ray.stages.clustering import (kmeans_exact_summary,
+                                            kmeans_fit_exact)
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fit = kmeans_fit_exact(emb, k=8, n_iters=5)
+    return kmeans_exact_summary(emb, fit["centroids"])
+
+
+def _gen_sql_kmeans_exact(k: int = 8, n_iters: int = 5,
+                          scale: int = 1 << 20) -> str:
+    """Static SQL replaying kmeans_fit_exact + kmeans_exact_summary.
+
+    Generated, not hand-written: the greedy init unrolls as k seed CTEs
+    (max distance-to-chosen, ties to the lexicographically smallest
+    vector — DuckDB list comparison IS lexicographic), each Lloyd step
+    as an assignment CTE (row_number over (d2, cluster)) plus a
+    floor-divided integer mean CTE; empty clusters COALESCE to their
+    previous centroid. All arithmetic is int64/hugeint-exact, so the
+    oracle is bit-identical to the engine, not tolerance-checked.
+    Integer floor division (a - ((a % n) + n) % n) // n == numpy
+    floor_divide for negative sums (pinned in test_clustering)."""
+
+    def d2e(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, len({a})), "
+                f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
+
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, "
+        f"list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(round_even(x * {scale}.0, 0) AS BIGINT)) AS ev "
+        f"FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT ev FROM e ORDER BY ev LIMIT 1)",
+        # seed distances live in a running LEAST chain; lambdas cannot
+        # hold subqueries, so each one-row seed CTE cross-joins in
+        f"d0 AS MATERIALIZED (SELECT e.vec_id, e.ev, {d2e('e.ev', 's.sv')}"
+        f" AS d2 FROM e CROSS JOIN (SELECT ev AS sv FROM s0) s)",
+    ]
+    for s in range(1, k):
+        ctes.append(f"s{s} AS MATERIALIZED (SELECT ev FROM d{s-1} "
+                    f"ORDER BY d2 DESC, ev ASC LIMIT 1)")
+        if s < k - 1:
+            ctes.append(
+                f"d{s} AS MATERIALIZED (SELECT d.vec_id, d.ev, "
+                f"LEAST(d.d2, {d2e('d.ev', 's.sv')}) AS d2 FROM d{s-1} d "
+                f"CROSS JOIN (SELECT ev AS sv FROM s{s}) s)")
+    union = " UNION ALL ".join(
+        f"SELECT {j} AS cluster, ev FROM s{j}" for j in range(k))
+    ctes.append(f"c0 AS MATERIALIZED ({union})")
+    for t in range(n_iters):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, ev, cluster FROM ("
+            f"SELECT x.*, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cluster) AS rn "
+            f"FROM (SELECT e.vec_id, e.ev, c.cluster, "
+            f"{d2e('e.ev', 'c.ev')} AS d2 "
+            f"FROM e CROSS JOIN c{t} c) x) WHERE rn = 1)")
+        ctes.append(
+            f"m{t} AS (SELECT cluster, list(fd ORDER BY dim) AS ev FROM ("
+            f"SELECT cluster, dim, (s - ((s % n) + n) % n) // n AS fd "
+            f"FROM (SELECT cluster, i AS dim, sum(ev[i]) AS s, "
+            f"count(*) AS n "
+            f"FROM a{t}, UNNEST(generate_series(1, len(ev))) AS u(i) "
+            f"GROUP BY cluster, i)) GROUP BY cluster)")
+        ctes.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT c.cluster, "
+            f"COALESCE(m.ev, c.ev) AS ev "
+            f"FROM c{t} c LEFT JOIN m{t} m USING (cluster))")
+    ctes.append(
+        f"fin AS (SELECT vec_id, cluster, d2 FROM ("
+        f"SELECT x.*, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2, cluster) AS rn "
+        f"FROM (SELECT e.vec_id, c.cluster, {d2e('e.ev', 'c.ev')} AS d2 "
+        f"FROM e CROSS JOIN c{n_iters} c) x) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT f.cluster, count(*) AS n, CAST(sum(f.d2) AS DOUBLE) AS sse,
+       any_value(kk.ckey) AS centroid_key
+FROM fin f JOIN (SELECT cluster,
+                        md5_number_lower(array_to_string(ev, ',')) AS ckey
+                 FROM c{n_iters}) kk USING (cluster)
+GROUP BY f.cluster ORDER BY f.cluster""")
+
+
+SQL_KMEANS_EXACT = _gen_sql_kmeans_exact()
 
 
 def q_semdedup(sf_dir: str):
@@ -1943,6 +2042,7 @@ EXTRA_QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "lsh_index_ann": (q_lsh_index_ann, SQL_LSH_ANN_TOPK),
+    "kmeans_exact": (q_kmeans_exact, SQL_KMEANS_EXACT),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup": (q_semdedup, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),

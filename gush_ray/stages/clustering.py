@@ -133,6 +133,180 @@ def kmeans_fit(ds, emb_col: str = "embedding", k: int = 8,
     return {"centroids": C, "inertia": inertia, "iters": iters}
 
 
+# --------------------------------------------------- integer-exact Lloyd
+#
+# kmeans_fit above is the scale path; its centroids are float means whose
+# ulps depend on batch boundaries (sorted folds make the FIT deterministic
+# but not SQL-reproducible — a DuckDB SUM cannot replay numpy's summation
+# order). This variant closes that gap: quantize the embeddings to int64
+# once, then keep EVERY quantity integer — distances are exact integer
+# sums (order-free: integer addition commutes), centroids are
+# floor-divided integer means, seeding is greedy farthest-point with
+# lexicographic tie-breaks. A static SQL oracle replays the whole fit
+# bit-exactly (queries_extra.SQL_KMEANS_EXACT). Same distributed shape
+# as kmeans_fit: per-batch partials only, the corpus never moves and the
+# driver folds k×d integers.
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _quant_matrix(batch, emb_col: str, scale: int) -> np.ndarray:
+    """list<float> column → (n, d) int64 matrix: round-half-even of
+    value×scale (== DuckDB round_even(x*scale, 0)). Exact for
+    |value|·scale < 2^52."""
+    m = _to_matrix(batch[emb_col])
+    return np.rint(m * float(scale)).astype(np.int64)
+
+
+def _int_d2(m: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) exact integer squared distances (loop over k keeps the
+    temp at n×d instead of n×k×d)."""
+    out = np.empty((len(m), len(C)), dtype=np.int64)
+    for j in range(len(C)):
+        diff = m - C[j]
+        out[:, j] = np.einsum("nd,nd->n", diff, diff)
+    return out
+
+
+def _lex_smaller(a: np.ndarray, b: np.ndarray) -> bool:
+    return tuple(a.tolist()) < tuple(b.tolist())
+
+
+def kmeans_fit_exact(ds, emb_col: str = "embedding", k: int = 8,
+                     n_iters: int = 5, scale: int = 1 << 20) -> dict:
+    """Integer-exact k-means (see block comment): returns
+    ``{"centroids": (k, d) int64, "scale": scale}``.
+
+    Deterministic tie-breaks throughout, chosen to be SQL-expressible:
+    seed 0 is the lexicographically smallest quantized vector; each
+    farthest-point step takes max distance-to-chosen, ties to the
+    lexicographically smallest candidate vector; assignment takes
+    argmin (d2, cluster); empty clusters keep their previous centroid.
+    Runs exactly ``n_iters`` Lloyd steps (no float tolerance test —
+    early exit would reintroduce a float surface).
+    """
+    import pyarrow as pa  # noqa: F401  (batch_format contract)
+
+    # pass 0: lexicographically smallest vector
+    def minvec(batch) -> pd.DataFrame:
+        m = _quant_matrix(batch, emb_col, scale)
+        if not len(m):
+            return pd.DataFrame({"vec": pd.Series([], dtype=object)})
+        i = np.lexsort(m.T[::-1])[0]
+        return pd.DataFrame({"vec": [m[i].tobytes()]})
+
+    parts = ds.map_batches(minvec, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    vecs = [np.frombuffer(b, dtype=np.int64) for b in parts["vec"]]
+    seed = min(vecs, key=lambda v: tuple(v.tolist()))
+    seeds = [seed]
+
+    for _ in range(k - 1):
+        seed_ref = ray.put(np.stack(seeds))
+
+        def far(batch) -> pd.DataFrame:
+            m = _quant_matrix(batch, emb_col, scale)
+            if not len(m):
+                return pd.DataFrame({"d2": pd.Series([], dtype="int64"),
+                                     "vec": pd.Series([], dtype=object)})
+            S = ray.get(seed_ref)
+            d2 = _int_d2(m, S).min(axis=1)
+            best = d2.max()
+            cand = m[d2 == best]
+            pick = cand[np.lexsort(cand.T[::-1])[0]]
+            return pd.DataFrame({"d2": [int(best)], "vec": [pick.tobytes()]})
+
+        p = ds.map_batches(far, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        best_d2, best_vec = -1, None
+        for d2v, b in zip(p["d2"].tolist(), p["vec"]):
+            v = np.frombuffer(b, dtype=np.int64)
+            if d2v > best_d2 or (d2v == best_d2 and _lex_smaller(v, best_vec)):
+                best_d2, best_vec = d2v, v
+        seeds.append(best_vec)
+
+    C = np.stack(seeds)
+    k = len(C)
+    for _ in range(n_iters):
+        cent_ref = ray.put(C)
+
+        def partials(batch) -> pd.DataFrame:
+            m = _quant_matrix(batch, emb_col, scale)
+            if not len(m):
+                return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64"),
+                                     "vec": pd.Series([], dtype=object)})
+            Cw = ray.get(cent_ref)
+            assign = np.argmin(_int_d2(m, Cw), axis=1)  # ties → low cluster
+            rows = []
+            for c in np.unique(assign):
+                sel = assign == c
+                rows.append({"cluster": int(c), "n": int(sel.sum()),
+                             "vec": m[sel].sum(axis=0).tobytes()})
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        newC = C.copy()
+        for c, grp in parts.groupby("cluster", sort=True):
+            # integer partial fold: exact, hence order-independent — no
+            # sorted-fold dance needed, unlike the float path above
+            s = np.sum(np.stack([np.frombuffer(b, dtype=np.int64)
+                                 for b in grp["vec"]]), axis=0)
+            n_c = int(grp["n"].sum())
+            if n_c > 0:
+                newC[c] = np.floor_divide(s, n_c)
+        C = newC
+    return {"centroids": C, "scale": scale}
+
+
+def kmeans_exact_summary(ds, centroids: np.ndarray,
+                         emb_col: str = "embedding",
+                         scale: int = 1 << 20) -> pd.DataFrame:
+    """Final assignment under the fitted integer centroids → per-cluster
+    ``(cluster, n, sse, centroid_key)``; sse is the exact integer SSE
+    converted to float64 once at the end (int→double rounds half-even
+    identically in numpy and DuckDB), centroid_key is the md5 bridge
+    hash of the comma-joined centroid (== md5_number_lower in SQL).
+    Clusters with zero assigned points are omitted (the SQL GROUP BY
+    does the same)."""
+    from gush_ray.stages.dedup import md5_hash_strings
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cent_ref = ray.put(C)
+
+    def parts(batch) -> pd.DataFrame:
+        m = _quant_matrix(batch, emb_col, scale)
+        if not len(m):
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sse": pd.Series([], dtype="int64")})
+        Cw = ray.get(cent_ref)
+        d2 = _int_d2(m, Cw)
+        assign = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(m)), assign]
+        rows = []
+        for c in np.unique(assign):
+            sel = assign == c
+            rows.append({"cluster": int(c), "n": int(sel.sum()),
+                         "sse": int(best[sel].sum())})
+        return pd.DataFrame(rows)
+
+    parts_df = ds.map_batches(parts, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    agg = parts_df.groupby("cluster", as_index=False).agg(
+        n=("n", "sum"), sse_i=("sse", "sum"))
+    keys = md5_hash_strings(
+        [",".join(str(int(v)) for v in C[c]) for c in agg["cluster"]])
+    out = pd.DataFrame({
+        "cluster": agg["cluster"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "sse": agg["sse_i"].astype("float64"),
+        "centroid_key": keys.astype(np.uint64),
+    })
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def _max_prev_sim(mat: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """For rank-ordered unit rows, ``out[i] = max_{j<i} mat[i]·mat[j]``
     (``-1`` for row 0). Chunked upper-triangular matmul: O(m²d) flops but

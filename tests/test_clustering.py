@@ -145,3 +145,73 @@ def test_max_prev_sim_chunking_parity():
     for i in range(1, len(mat)):
         ref[i] = (mat[i] @ mat[:i].T).max()
     assert np.allclose(small, ref)
+
+
+def test_kmeans_exact_block_layout_invariant(ray_session):
+    """The integer fit must be a pure function of the row SET: integer
+    partial folds commute exactly, so different block layouts (and
+    therefore different partial groupings and arrival orders) yield
+    IDENTICAL centroids — the property that makes the SQL oracle
+    possible."""
+    from gush_ray.stages.clustering import kmeans_exact_summary, kmeans_fit_exact
+
+    df = planted(n_per=100, k=4, seed=13)
+    a = kmeans_fit_exact(rd.from_pandas(df).repartition(1), k=4, n_iters=4)
+    b = kmeans_fit_exact(rd.from_pandas(df).repartition(7), k=4, n_iters=4)
+    c = kmeans_fit_exact(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(3),
+        k=4, n_iters=4)
+    assert np.array_equal(a["centroids"], b["centroids"])
+    assert np.array_equal(a["centroids"], c["centroids"])
+    s1 = kmeans_exact_summary(rd.from_pandas(df).repartition(5),
+                              a["centroids"])
+    assert int(s1["n"].sum()) == len(df)
+    assert s1["cluster"].is_unique
+
+
+def test_kmeans_exact_matches_sequential_reference(ray_session):
+    """Distributed passes == a sequential numpy replay of the same
+    integer semantics (seeding, argmin ties, floor-divided means)."""
+    from gush_ray.stages.clustering import kmeans_fit_exact
+
+    df = planted(n_per=60, k=3, seed=21)
+    K, T, SCALE = 3, 4, 1 << 20
+    got = kmeans_fit_exact(rd.from_pandas(df).repartition(4),
+                           k=K, n_iters=T, scale=SCALE)["centroids"]
+
+    mq = np.rint(np.stack([np.asarray(v, dtype=np.float64)
+                           for v in df["embedding"]]) * float(SCALE)
+                 ).astype(np.int64)
+    seeds = [mq[np.lexsort(mq.T[::-1])[0]]]
+    for _ in range(K - 1):
+        d2 = np.min(np.stack([((mq - s) ** 2).sum(1) for s in seeds],
+                             axis=1), axis=1)
+        cand = mq[d2 == d2.max()]
+        seeds.append(cand[np.lexsort(cand.T[::-1])[0]])
+    C = np.stack(seeds)
+    for _ in range(T):
+        d2 = np.stack([((mq - c) ** 2).sum(1) for c in C], axis=1)
+        a = np.argmin(d2, axis=1)
+        newC = C.copy()
+        for c in range(K):
+            sel = a == c
+            if sel.sum():
+                newC[c] = np.floor_divide(mq[sel].sum(0), int(sel.sum()))
+        C = newC
+    assert np.array_equal(got, C)
+
+
+def test_sql_floor_div_formula_matches_numpy():
+    """The oracle's (s - ((s % n) + n) % n) // n must equal numpy
+    floor_divide for NEGATIVE sums too (DuckDB % follows the dividend's
+    sign and // truncates; the mod adjustment makes the numerator an
+    exact multiple, so truncation == floor)."""
+    import duckdb
+
+    vals = [(-7, 3), (7, 3), (-6, 3), (-1, 5), (1, 5), (0, 3),
+            (-(1 << 40) - 1, 977)]
+    rows = ", ".join(f"({a}, {n})" for a, n in vals)
+    got = [r[0] for r in duckdb.sql(
+        f"SELECT (a - ((a % n) + n) % n) // n FROM (VALUES {rows}) t(a, n)"
+    ).fetchall()]
+    assert got == [int(np.floor_divide(a, n)) for a, n in vals]
