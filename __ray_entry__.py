@@ -74,8 +74,13 @@ _PRIORITY = [
     # training replays in SQL; simhash_dedup rotates out (the near-dup
     # signature family keeps minhash_dedup + ngram_jaccard +
     # embedding_near_dup) and stays green in tests/test_oracle.py
+    # semdedup_exact (round 3) pairs the full SemDeDup pipeline
+    # (iterative exact k-means + exact rational cosine pruning) and
+    # replaces embedding_near_dup as the embedding-space near-dup
+    # representative (strictly stronger evidence; the LSH-bucketed
+    # hyperplane path stays green in tests/test_oracle.py)
     "minhash_dedup", "minhash_clusters", "kmeans_exact", "ngram_jaccard",
-    "embedding_near_dup", "content_chunks", "fingerprint",
+    "semdedup_exact", "content_chunks", "fingerprint",
     "lang_id", "pack_sequences",
     "exact_dedup_docs", "line_dedup", "pii_redact",
     "token_stats", "quality_score",

@@ -810,24 +810,27 @@ def q_kmeans_exact(sf_dir: str):
     return kmeans_exact_summary(emb, fit["centroids"])
 
 
-def _gen_sql_kmeans_exact(k: int = 8, n_iters: int = 5,
-                          scale: int = 1 << 20) -> str:
-    """Static SQL replaying kmeans_fit_exact + kmeans_exact_summary.
+def _d2e(a: str, b: str) -> str:
+    """Exact integer squared distance between two BIGINT-list columns."""
+    return (f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
 
-    Generated, not hand-written: the greedy init unrolls as k seed CTEs
-    (max distance-to-chosen, ties to the lexicographically smallest
-    vector — DuckDB list comparison IS lexicographic), each Lloyd step
-    as an assignment CTE (row_number over (d2, cluster)) plus a
-    floor-divided integer mean CTE; empty clusters COALESCE to their
-    previous centroid. All arithmetic is int64/hugeint-exact, so the
-    oracle is bit-identical to the engine, not tolerance-checked.
-    Integer floor division (a - ((a % n) + n) % n) // n == numpy
-    floor_divide for negative sums (pinned in test_clustering)."""
 
-    def d2e(a: str, b: str) -> str:
-        return (f"list_sum(list_transform(generate_series(1, len({a})), "
-                f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
-
+def _kmeans_exact_ctes(k: int, n_iters: int, scale: int) -> list[str]:
+    """The CTE chain replaying clustering.kmeans_fit_exact: quantize →
+    greedy farthest-point init unrolled as k seed CTEs (max
+    distance-to-chosen, ties to the lexicographically smallest vector —
+    DuckDB list comparison IS lexicographic) → each Lloyd step as an
+    assignment CTE (row_number over (d2, cluster)) plus a floor-divided
+    integer mean CTE; empty clusters COALESCE to their previous
+    centroid. All arithmetic is int64/hugeint-exact, so oracles built
+    on this chain are bit-identical to the engine, not
+    tolerance-checked. Integer floor division
+    (a - ((a % n) + n) % n) // n == numpy floor_divide for negative
+    sums (pinned in test_clustering). Ends with ``fin``
+    (vec_id, ev, cluster, d2 under the final centroids ``c{n_iters}``).
+    """
+    d2e = _d2e
     ctes = [
         f"e AS MATERIALIZED (SELECT vec_id, "
         f"list_transform(embedding::DOUBLE[], "
@@ -870,11 +873,22 @@ def _gen_sql_kmeans_exact(k: int = 8, n_iters: int = 5,
             f"COALESCE(m.ev, c.ev) AS ev "
             f"FROM c{t} c LEFT JOIN m{t} m USING (cluster))")
     ctes.append(
-        f"fin AS (SELECT vec_id, cluster, d2 FROM ("
+        f"fin AS MATERIALIZED (SELECT vec_id, ev, cluster, d2 FROM ("
         f"SELECT x.*, row_number() OVER (PARTITION BY vec_id "
         f"ORDER BY d2, cluster) AS rn "
-        f"FROM (SELECT e.vec_id, c.cluster, {d2e('e.ev', 'c.ev')} AS d2 "
+        f"FROM (SELECT e.vec_id, e.ev, c.cluster, "
+        f"{d2e('e.ev', 'c.ev')} AS d2 "
         f"FROM e CROSS JOIN c{n_iters} c) x) WHERE rn = 1)")
+    return ctes
+
+
+def _gen_sql_kmeans_exact(k: int = 8, n_iters: int = 5,
+                          scale: int = 1 << 20) -> str:
+    """Per-cluster summary over the exact-fit chain (the kmeans_exact
+    oracle): (cluster, n, sse, centroid_key) — sse is the exact integer
+    SSE cast to DOUBLE once (rounds half-even, same as numpy),
+    centroid_key is md5_number_lower of the comma-joined centroid."""
+    ctes = _kmeans_exact_ctes(k, n_iters, scale)
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT f.cluster, count(*) AS n, CAST(sum(f.d2) AS DOUBLE) AS sse,
        any_value(kk.ckey) AS centroid_key
@@ -885,6 +899,65 @@ GROUP BY f.cluster ORDER BY f.cluster""")
 
 
 SQL_KMEANS_EXACT = _gen_sql_kmeans_exact()
+
+
+def q_semdedup_exact(sf_dir: str):
+    """Integer-exact SemDeDup (clustering.semdedup_exact): clusters from
+    the exact k-means fit, rank-by-centroid-cosine and the eps test both
+    exact rational arithmetic — the full pipeline (iterative fit +
+    cosine pruning) replays in one static SQL (SQL_SEMDEDUP_EXACT).
+    Pairs the machinery the float ``semdedup`` query documents as
+    rows-only. Returns (vec_id, cluster, keep) per row. eps = 2/5: the
+    synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51), so the paper's 0.95 would never exercise the drop path —
+    0.4 makes the oracle check cover BOTH branches."""
+    from gush_ray.stages.clustering import semdedup_exact
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup_exact(emb, k=8, eps=(2, 5), n_iters=5).to_pandas()
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _gen_sql_semdedup_exact(k: int = 8, n_iters: int = 5,
+                            scale: int = 1 << 14,
+                            eps: tuple[int, int] = (2, 5)) -> str:
+    """SemDeDup over the exact-fit chain. Sign-aware rational cosine
+    comparisons: rank key = a·|a|/max(nx,1) cross-multiplied in hugeint
+    (strictly monotone in cos); the eps test is
+    b > 0 AND b²·den² > num²·nx_i·nx_j. scale 2^14 bounds every product
+    under hugeint (see clustering.semdedup_exact docstring)."""
+    num, den = eps
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, len({a})), "
+                f"i -> {a}[i]*{b}[i]))")
+
+    ctes = _kmeans_exact_ctes(k, n_iters, scale)
+    ctes.append(
+        f"nrm AS MATERIALIZED (SELECT f.vec_id, f.cluster, f.ev, "
+        f"{dot('f.ev', 'f.ev')} AS nx, {dot('f.ev', 'c.ev')} AS a "
+        f"FROM fin f JOIN c{n_iters} c USING (cluster))")
+    ctes.append(
+        "pr AS (SELECT x.vec_id AS xid, y.vec_id AS yid, "
+        "x.nx AS xn, y.nx AS yn, "
+        "CAST(x.a AS HUGEINT)*abs(x.a)*GREATEST(y.nx, 1) AS kx, "
+        "CAST(y.a AS HUGEINT)*abs(y.a)*GREATEST(x.nx, 1) AS ky, "
+        f"{dot('x.ev', 'y.ev')} AS b "
+        "FROM nrm x JOIN nrm y ON y.cluster = x.cluster "
+        "AND y.vec_id <> x.vec_id)")
+    ctes.append(
+        "drops AS (SELECT DISTINCT xid AS vec_id FROM pr "
+        "WHERE (ky < kx OR (ky = kx AND yid < xid)) AND b > 0 "
+        f"AND CAST(b AS HUGEINT)*b*{den * den} > "
+        f"{num * num}*CAST(xn AS HUGEINT)*yn)")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT n.vec_id, n.cluster, d.vec_id IS NULL AS keep
+FROM nrm n LEFT JOIN drops d USING (vec_id)
+ORDER BY n.vec_id""")
+
+
+SQL_SEMDEDUP_EXACT = _gen_sql_semdedup_exact()
 
 
 def q_semdedup(sf_dir: str):
@@ -2043,6 +2116,7 @@ EXTRA_QUERIES = {
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "lsh_index_ann": (q_lsh_index_ann, SQL_LSH_ANN_TOPK),
     "kmeans_exact": (q_kmeans_exact, SQL_KMEANS_EXACT),
+    "semdedup_exact": (q_semdedup_exact, SQL_SEMDEDUP_EXACT),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup": (q_semdedup, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),

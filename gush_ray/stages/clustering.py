@@ -307,6 +307,103 @@ def kmeans_exact_summary(ds, centroids: np.ndarray,
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def semdedup_exact(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 8, eps: tuple[int, int] = (19, 20),
+                   n_iters: int = 5, scale: int = 1 << 14,
+                   num_partitions: int = 8,
+                   centroids: np.ndarray | None = None):
+    """Integer-exact SemDeDup sibling (verification variant of
+    :func:`semdedup`; same keep-low-centroid-similarity rule but every
+    comparison is exact rational arithmetic, so a static SQL oracle
+    replays it bit-for-bit — queries_extra.SQL_SEMDEDUP_EXACT):
+
+    * clusters come from :func:`kmeans_fit_exact` (integer centroids),
+    * rank within a cluster = ascending exact cosine to the centroid
+      (key ``a·|a| / max(nx, 1)`` with ``a = x·c``, ``nx = x·x`` — a
+      strictly monotone transform of cos, compared by hugeint
+      cross-multiplication), ties by id,
+    * drop ``i`` iff ANY earlier-ranked ``j`` has
+      ``cos(i, j) > eps_num/eps_den``, tested exactly as
+      ``b > 0 and b²·den² > num²·nx_i·nx_j`` (``b = x_i·x_j``).
+
+    ``scale`` defaults to 2^14 (not the fit's 2^20) so every cross
+    product stays inside hugeint on the SQL side; the dedup decisions
+    are simply DEFINED at that quantization. Contract: per-dim
+    ``|value|·scale < 2^25`` keeps all int64 dots exact. O(m²)
+    Python-int pair tests per cluster — the scale path is
+    :func:`semdedup`. Returns a Dataset of ``(id_col, cluster, keep)``.
+    """
+    from fractions import Fraction
+
+    from gush_ray.stages.shuffle import partition_map
+
+    num, den = eps
+    if centroids is None:
+        centroids = kmeans_fit_exact(ds, emb_col=emb_col, k=k,
+                                     n_iters=n_iters, scale=scale
+                                     )["centroids"]
+    C = np.asarray(centroids, dtype=np.int64)
+    cent_ref = ray.put(C)
+
+    import pyarrow as pa
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _quant_matrix(batch, emb_col, scale)
+        if not len(m):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "ev": pa.array([], pa.list_(pa.int64())),
+            })
+        Cw = ray.get(cent_ref)
+        a = np.argmin(_int_d2(m, Cw), axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a),
+            "ev": pa.array(list(m), pa.list_(pa.int64())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="bool"),
+            })
+        Cw = ray.get(cent_ref)
+        outs = []
+        for c, grp in df.groupby("cluster", sort=True):
+            vs = [np.asarray(v, dtype=np.int64) for v in grp["ev"]]
+            ids = [int(i) for i in grp[id_col]]
+            cen = Cw[int(c)]
+            a = [int(v @ cen) for v in vs]
+            nx = [int(v @ v) for v in vs]
+            order = sorted(
+                range(len(vs)),
+                key=lambda i: (Fraction(a[i] * abs(a[i]),
+                                        nx[i] if nx[i] else 1), ids[i]))
+            keep = {}
+            for pos, i in enumerate(order):
+                ok = True
+                for j in order[:pos]:
+                    b = int(vs[i] @ vs[j])
+                    if b > 0 and b * b * den * den > num * num * nx[i] * nx[j]:
+                        ok = False
+                        break
+                keep[ids[i]] = ok
+            outs.append(pd.DataFrame({
+                id_col: ids, "cluster": int(c),
+                "keep": [keep[i] for i in ids],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return partition_map(assigned, "cluster", per_part,
+                         num_partitions=num_partitions)
+
+
 def _max_prev_sim(mat: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """For rank-ordered unit rows, ``out[i] = max_{j<i} mat[i]·mat[j]``
     (``-1`` for row 0). Chunked upper-triangular matmul: O(m²d) flops but

@@ -215,3 +215,36 @@ def test_sql_floor_div_formula_matches_numpy():
         f"SELECT (a - ((a % n) + n) % n) // n FROM (VALUES {rows}) t(a, n)"
     ).fetchall()]
     assert got == [int(np.floor_divide(a, n)) for a, n in vals]
+
+
+def test_semdedup_exact_planted_dups_and_sql_parity(ray_session):
+    """semdedup_exact kills planted near-copies (one survivor per dup
+    group) AND the distributed result equals the generated SQL oracle
+    replayed over the same rows in DuckDB — the parity that lets the
+    driver verify the whole pipeline (values ~25 keep |v|·2^14 < 2^25,
+    inside the integer-dot contract). eps 9999/10000 sits between the
+    planted-copy cosine (~1-1e-9) and the within-cluster cross-base
+    cosines, like the float test's 0.9999."""
+    import duckdb
+
+    from gush_ray.pipelines.queries_extra import _gen_sql_semdedup_exact
+    from gush_ray.stages.clustering import semdedup_exact
+
+    df, truth = planted_dups(k=3, groups_per=12, seed=6)
+    got = semdedup_exact(
+        rd.from_pandas(df).repartition(5), k=3, eps=(9999, 10000), n_iters=4,
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # every planted dup group loses all but exactly one member
+    keep_of = dict(zip(got["vec_id"], got["keep"]))
+    for ids in truth:
+        assert sum(keep_of[i] for i in ids) == 1, ids
+    assert (~got["keep"]).sum() == sum(len(g) - 1 for g in truth)
+
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    want = con.sql(
+        _gen_sql_semdedup_exact(k=3, n_iters=4, eps=(9999, 10000))
+    ).df().sort_values("vec_id").reset_index(drop=True)
+    assert got["keep"].tolist() == want["keep"].tolist()
+    assert got["cluster"].tolist() == want["cluster"].tolist()
