@@ -1588,21 +1588,23 @@ ORDER BY url, ts_us
 """
 
 
-# replace-to-fixpoint passes per training merge: each pass at least
-# halves the back-to-back occurrences the previous scan skipped, so 6
-# passes cover 2^6 adjacent repeats — far beyond any word in a corpus
-# with ~60-char words
-_BPE_REPLACE_PASSES = 6
+def _sweep_replace(s_expr: str, a_expr: str, b_expr: str) -> str:
+    """ONE replace() == one left-to-right greedy merge sweep.
 
-
-def _nested_replace(s_expr: str, a_expr: str, b_expr: str,
-                    passes: int = _BPE_REPLACE_PASSES) -> str:
-    pat = f"chr(31)||{a_expr}||chr(31)||{b_expr}||chr(31)"
-    rep = f"chr(31)||{a_expr}||{b_expr}||chr(31)"
-    out = s_expr
-    for _ in range(passes):
-        out = f"replace({out}, {pat}, {rep})"
-    return out
+    Each symbol is rendered as chr(30)||sym||chr(31) (open/close
+    brackets, both outside any word alphabet: Python str.split treats
+    \\x1c-\\x1f as whitespace, so corpus words can never contain them,
+    and chr(30) never appears inside a symbol). Adjacent pattern
+    occurrences therefore share NO characters, so replace()'s
+    left-to-right non-overlapping scan visits exactly the occurrences
+    the trainer's sweep merges — including back-to-back repeats and
+    self-pair runs (a,a), where the older single-separator encoding
+    consumed the shared boundary and mis-paired odd runs
+    ('aaaaa' → [aa,a,aa] instead of the sweep's [aa,aa,a]; caught by
+    the hypothesis property in tests/test_bpe.py)."""
+    pat = f"chr(30)||{a_expr}||chr(31)||chr(30)||{b_expr}||chr(31)"
+    rep = f"chr(30)||{a_expr}||{b_expr}||chr(31)"
+    return f"replace({s_expr}, {pat}, {rep})"
 
 
 def _build_sql_bpe_tokenize(n_merges: int = 60,
@@ -1610,27 +1612,24 @@ def _build_sql_bpe_tokenize(n_merges: int = 60,
     """BPE training AND application in plain SQL — the twin of
     train_bpe + apply_bpe (q_bpe_tokenize).
 
-    Representation: a word's symbol sequence is a chr(31)-separated
-    string wrapped in separators (symbols never contain the separator,
-    so substring search cannot cross symbol boundaries). Each of the
+    Representation: each symbol renders as chr(30)||sym||chr(31)
+    (see _sweep_replace — the bracket pair makes ONE replace() per
+    merge EXACTLY the trainer's left-to-right greedy sweep, with no
+    fixpoint nesting and no self-pair mis-pairing). Each of the
     ``n_merges`` training iterations is a generated CTE triplet
-    (pair-count → deterministic argmax → replace-to-fixpoint), chained
-    — SQL cannot aggregate over a recursive reference, so the fixed
+    (pair-count → deterministic argmax → sweep-replace), chained —
+    SQL cannot aggregate over a recursive reference, so the fixed
     merge count unrolls instead.
 
-    replace() subtlety (review finding): a match consumes its TRAILING
-    separator, so the immediately following back-to-back occurrence of
-    the same pair is skipped in that scan ('abab' with merge (a,b):
-    one pass yields [ab,a,b], the trainer's sweep yields [ab,ab]).
-    The training step therefore nests replace() ``_BPE_REPLACE_PASSES``
-    times — each pass merges every non-skipped occurrence, at least
-    halving the misses, and merged tokens can only form HIGHER-rank
-    pairs, so the fixpoint equals the trainer's single left-to-right
-    sweep. The encoder needs no nesting: its recursive CTE re-applies
-    the min-rank pair until the join fails, reaching the same fixpoint
-    one pass at a time. Every state is MATERIALIZED (60 chained
-    inlined CTEs would blow up planning)."""
-    sep = "chr(31)"
+    The encoder's recursive CTE replaces ALL occurrences of the
+    min-rank pair present, then recurses; that equals the engine's
+    one-occurrence-at-a-time loop (_encode_word) because merging an
+    occurrence of the min-rank pair can neither create another pair
+    of rank ≤ that rank (new pairs involve the merged token, created
+    later ⇒ higher rank) nor destroy a non-overlapping occurrence,
+    and overlapping self-pair runs resolve left-to-right in both.
+    Every state is MATERIALIZED (60 chained inlined CTEs would blow
+    up planning)."""
     parts = [f"""
 words0 AS MATERIALIZED (
   SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''),
@@ -1644,8 +1643,9 @@ hist AS MATERIALIZED (
 ),
 state0 AS MATERIALIZED (
   SELECT w,
-         {sep} || array_to_string(string_split(w, ''), chr(31))
-               || {sep} || chr(9601) || {sep} AS s,
+         chr(30) || array_to_string(string_split(w, ''),
+                                    chr(31) || chr(30))
+                 || chr(31) || chr(30) || chr(9601) || chr(31) AS s,
          f
   FROM hist
 )"""]
@@ -1654,7 +1654,9 @@ state0 AS MATERIALIZED (
         parts.append(f"""
 pc{k} AS (
   SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS c
-  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy,
+  FROM (SELECT list_filter(string_split(replace(s, chr(30), ''),
+                                        chr(31)),
+                           x -> x <> '') AS sy,
                f
         FROM state{p}),
        UNNEST(range(1, len(sy))) AS t(i)
@@ -1666,7 +1668,7 @@ best{k} AS MATERIALIZED (
 state{k} AS MATERIALIZED (
   SELECT st.w,
          CASE WHEN bb.a IS NOT NULL
-              THEN {_nested_replace('st.s', 'bb.a', 'bb.b')}
+              THEN {_sweep_replace('st.s', 'bb.a', 'bb.b')}
               ELSE st.s END AS s,
          st.f
   FROM state{p} st LEFT JOIN best{k} bb ON TRUE
@@ -1680,22 +1682,23 @@ enc(w, s, it) AS (
   SELECT w, s, 0 FROM state0
   UNION ALL
   SELECT e.w,
-         replace(e.s, chr(31)||m.a||chr(31)||m.b||chr(31),
-                 chr(31)||m.a||m.b||chr(31)),
+         replace(e.s,
+                 chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31),
+                 chr(30)||m.a||m.b||chr(31)),
          e.it + 1
   FROM enc e
   JOIN merges m
     ON m.r = (SELECT min(m2.r) FROM merges m2
-              WHERE position(chr(31)||m2.a||chr(31)||m2.b||chr(31)
-                             IN e.s) > 0)
+              WHERE position(chr(30)||m2.a||chr(31)||chr(30)||m2.b
+                             ||chr(31) IN e.s) > 0)
 ),
 encf AS MATERIALIZED (
   SELECT w, arg_max(s, it) AS s FROM enc GROUP BY w
 ),
 wtok AS MATERIALIZED (
   SELECT w,
-         len(list_filter(string_split(s, chr(31)), x -> x <> ''))::BIGINT
-           AS n_tok
+         len(list_filter(string_split(replace(s, chr(30), ''), chr(31)),
+                         x -> x <> ''))::BIGINT AS n_tok
   FROM encf
 ),
 docwords AS (

@@ -94,23 +94,30 @@ def test_train_deterministic(corpus):
 
 
 def test_sql_oracle_handles_back_to_back_pair_occurrences(tmp_path):
-    """Regression (round-3 review): replace() consumes the trailing
-    separator, skipping the immediately following occurrence of the
-    merged pair — 'abab' words diverged the SQL trainer from
-    train_bpe's sweep until the replace-to-fixpoint nesting. Pin the
-    SQL against the engine on a corpus built to hit exactly that."""
+    """Regression (round-3 review, twice): replace() over the old
+    single-separator encoding consumed the trailing separator, skipping
+    the immediately following occurrence of the merged pair ('abab'
+    diverged) — and the replace-to-fixpoint nesting that patched a≠b
+    pairs still MIS-PAIRED self-pair runs ('aaaaa' fixpointed to
+    [aa,a,aa] where the trainer sweeps to [aa,aa,a]; 'aaaaaa' then
+    diverges in n_tokens once (aa,aa) merges). The bracketed
+    chr(30)/chr(31) encoding makes one replace() exactly the sweep.
+    Pin the SQL against the engine on a corpus built to hit both."""
     import duckdb
 
     from gush_ray.pipelines.queries_extra import _build_sql_bpe_tokenize
     from gush_ray.stages.bpe import _encode_word, train_bpe
 
     df = pd.DataFrame({
-        "doc_id": np.arange(8, dtype=np.int64),
-        "lang": ["en"] * 8,
+        "doc_id": np.arange(10, dtype=np.int64),
+        "lang": ["en"] * 10,
         # 'abab'/'ababab' have back-to-back (a,b) occurrences INSIDE a
-        # word; repetition gives the pairs count >= 2 so they merge
+        # word; repetition gives the pairs count >= 2 so they merge.
+        # 'aaaaa'/'aaaaaa' are odd/even self-pair runs — the sweep
+        # pairs them strictly left-to-right
         "text": ["abab ababab zq", "abab ababab", "abab zq",
-                 "ababab", "aaaa", "aaaa aaa", "zq zq", "abab aaaa"],
+                 "ababab", "aaaa", "aaaa aaa", "zq zq", "abab aaaa",
+                 "aaaaa aaaaaa", "aaaaaa aaaaa aaaa"],
     })
     pq_path = tmp_path / "documents.parquet"
     df.to_parquet(pq_path)
@@ -137,42 +144,91 @@ def test_sql_oracle_handles_back_to_back_pair_occurrences(tmp_path):
                                          "n_tokens"]}))
 
 
-def test_nested_replace_equals_trainer_sweep_property():
-    """Property pin for the SQL training step's core claim: iterating
-    separator-delimited replace() to fixpoint (6 passes) equals the
-    trainer's one left-to-right non-overlapping sweep, for ANY symbol
-    sequence and merge pair. Python str.replace has exactly DuckDB
-    replace()'s left-to-right non-overlap semantics, so this pins the
-    SQL behavior without a database."""
+OPEN, CLOSE = "\x1e", "\x1f"
+
+
+def _render(syms):
+    return "".join(OPEN + s + CLOSE for s in syms)
+
+
+def _parse(s):
+    return [x for x in s.replace(OPEN, "").split(CLOSE) if x]
+
+
+def _sweep(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bracketed_replace_equals_trainer_sweep_property():
+    """Property pin for the SQL training step's core claim: with each
+    symbol rendered chr(30)||sym||chr(31), ONE replace() equals the
+    trainer's left-to-right non-overlapping sweep, for ANY symbol
+    sequence and merge pair — including self-pairs (a,a), which the
+    older single-separator fixpoint encoding mis-paired (hypothesis
+    found ['ab']*5 with merge (ab,ab)). Python str.replace has exactly
+    DuckDB replace()'s left-to-right non-overlap semantics, so this
+    pins the SQL behavior without a database."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
-
-    SEP = "\x1f"
-
-    def sweep(syms, a, b):
-        out, i = [], 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        return out
 
     @given(st.lists(st.sampled_from(["a", "b", "ab", "ba"]),
                     min_size=1, max_size=40),
            st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"),
-                            ("ab", "a"), ("a", "ab"), ("ab", "ab")]))
-    @settings(max_examples=300, deadline=None)
+                            ("ab", "a"), ("a", "ab"), ("ab", "ab"),
+                            ("ba", "ba"), ("b", "b")]))
+    @settings(max_examples=400, deadline=None)
     def check(syms, pair):
         a, b = pair
-        s = SEP + SEP.join(syms) + SEP
-        pat = SEP + a + SEP + b + SEP
-        rep = SEP + a + b + SEP
-        for _ in range(6):
-            s = s.replace(pat, rep)
-        got = [x for x in s.split(SEP) if x]
-        assert got == sweep(syms, a, b), (syms, pair)
+        got = _parse(_render(syms).replace(
+            OPEN + a + CLOSE + OPEN + b + CLOSE, OPEN + a + b + CLOSE))
+        assert got == _sweep(syms, a, b), (syms, pair)
+
+    check()
+
+
+def test_sql_encoder_equals_engine_encode_property():
+    """Property pin for the SQL ENCODER's claim: replacing ALL
+    occurrences of the min-rank pair present (one bracketed replace),
+    then recursing, equals the engine's one-occurrence-at-a-time
+    greedy loop (_encode_word) — merging a min-rank occurrence can
+    neither create a pair of rank ≤ it nor destroy a non-overlapping
+    occurrence, and overlapping self-pair runs resolve left-to-right
+    in both."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gush_ray.stages.bpe import _END, _encode_word, train_bpe
+
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=8),
+                    min_size=2, max_size=12),
+           st.integers(min_value=1, max_value=10))
+    @settings(max_examples=100, deadline=None)
+    def check(words, n_merges):
+        df = pd.DataFrame({"doc_id": range(len(words)),
+                           "text": words})
+        bpe = train_bpe(rd.from_pandas(df), n_merges=n_merges,
+                        max_words=1000)
+        ranks = bpe["ranks"]
+        for w in set(words):
+            # SQL-mirror: replace-all of the min-rank pair, recurse
+            syms = list(w) + [_END]
+            s = _render(syms)
+            while True:
+                present = [(r, a, b) for (a, b), r in ranks.items()
+                           if OPEN + a + CLOSE + OPEN + b + CLOSE in s]
+                if not present:
+                    break
+                _, a, b = min(present)
+                s = s.replace(OPEN + a + CLOSE + OPEN + b + CLOSE,
+                              OPEN + a + b + CLOSE)
+            assert _parse(s) == _encode_word(w, ranks), (w, ranks)
 
     check()
