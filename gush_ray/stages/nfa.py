@@ -174,6 +174,14 @@ class NFARunner:
         # diagnosable (the truncation itself is deterministic but would
         # otherwise be unobservable)
         self.truncated: int = 0
+        # keys whose partials changed / were dropped since the last
+        # snapshot frame — lets delta frames carry O(touched keys)
+        # instead of re-pickling every live run (state/store.py
+        # _small_delta_state). Marking is conservative: a key visited by
+        # the event loop counts as dirty even if no run advanced (an
+        # unchanged upsert is harmless; missing a change is not).
+        self._dirty: set = set()
+        self._closed: set = set()
 
     def process_sorted(self, df: pd.DataFrame) -> pd.DataFrame:
         """Feed events (already sorted by (key, ts) within the partition);
@@ -226,6 +234,7 @@ class NFARunner:
         for i in idxs:
             k = keys[i]
             t = int(ts[i])
+            self._dirty.add(k)
             plist = self.partials.get(k)
             if plist is None:
                 plist = self.partials[k] = []
@@ -451,6 +460,7 @@ class NFARunner:
             for i in range(len(ins_rows)):
                 k = ins_keys_batch[i]
                 t = int(ins_ts_batch[i])
+                self._dirty.add(k)
                 plist = self.partials.get(k)
                 if plist is None:
                     plist = self.partials[k] = []
@@ -468,11 +478,15 @@ class NFARunner:
                 if watermark_us - p.start_us <= self.pattern.within_us
             ]
             if alive:
-                self.partials[k] = alive
+                if len(alive) != len(plist):
+                    self.partials[k] = alive
+                    self._dirty.add(k)
             else:
                 dead.append(k)
         for k in dead:
             del self.partials[k]
+            self._closed.add(k)
+            self._dirty.discard(k)
 
     def state(self) -> dict:
         # partials serialize as plain tuples: pickling dataclass
@@ -480,6 +494,8 @@ class NFARunner:
         # measurable share of snapshot/restore time at millions of live
         # runs (one open run per url under the flagship insert→update
         # pattern)
+        self._dirty = set()
+        self._closed = set()  # a full frame is the new chain baseline
         return {
             "partials": {
                 k: [(p.step_idx, p.start_us, p.captured, p.last_us,
@@ -488,6 +504,31 @@ class NFARunner:
             },
             "truncated": self.truncated,
         }
+
+    def state_delta(self) -> dict:
+        """Keys touched since the last frame, as upserts (the key's FULL
+        current run list — runs are small per key) + tombstones for keys
+        whose runs all expired. Consumed by store.py apply_delta_bytes →
+        apply_state_delta."""
+        ups = {
+            k: [(p.step_idx, p.start_us, p.captured, p.last_us,
+                 p.dead_us) for p in self.partials[k]]
+            for k in self._dirty if k in self.partials
+        }
+        tomb = [k for k in self._closed if k not in self.partials]
+        self._dirty = set()
+        self._closed = set()
+        return {"upserts": ups, "tombstones": tomb,
+                "truncated": self.truncated}
+
+    def apply_state_delta(self, st: dict) -> None:
+        for k, pl in st["upserts"].items():
+            self.partials[k] = [_Partial(*t) for t in pl]
+        for k in st["tombstones"]:
+            self.partials.pop(k, None)
+        self.truncated = st["truncated"]
+        self._dirty = set()
+        self._closed = set()
 
     def restore(self, st: dict) -> None:
         parts = st["partials"]
@@ -500,6 +541,8 @@ class NFARunner:
                 for k, pl in parts.items()
             }
         self.truncated = st.get("truncated", 0)
+        self._dirty = set()
+        self._closed = set()
 
 
 def match_pattern_batch(ds, pattern: Pattern, num_partitions: int = 32):

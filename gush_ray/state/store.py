@@ -121,6 +121,16 @@ class PartitionState:
         # counters would diverge from an uninterrupted run's)
         self._dirty: set = set()
         self._evicted: set = set()
+        # same dirty/closed tracking for the keyed SMALL sections: open
+        # windows and sessions are watermark-bounded in TIME, but their
+        # key population is the ACTIVE-horizon set (every key with an
+        # open window/session), which at web scale is ~horizon/epoch
+        # times larger than the per-epoch touched set — a delta frame
+        # carries only touched keys + tombstones for closed ones
+        self._win_dirty: set = set()
+        self._win_closed: set = set()
+        self._sess_dirty: set = set()
+        self._sess_closed: set = set()
         # last watermark at which a TTL sweep ran (amortization: the
         # sweep scans the whole dict, so it runs at most once per TTL/8
         # of watermark progress; snapshotted so a resumed run keeps the
@@ -421,6 +431,7 @@ class PartitionState:
                 slot = self.win.setdefault(key, [0, 0.0])
                 slot[0] += int(cnt)
                 slot[1] += float(s)
+                self._win_dirty.add(key)
 
         tt["p_win"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -584,16 +595,16 @@ class PartitionState:
             zip(keys[nb], adj_start[nb], maxs[nb], adj_n[nb])
         )
         # keep the last session of each key open
-        self.sessions.update(
-            dict(
-                zip(
-                    keys[last_mask],
-                    zip(adj_start[last_mask].tolist(),
-                        maxs[last_mask].tolist(),
-                        adj_n[last_mask].tolist()),
-                )
+        open_upd = dict(
+            zip(
+                keys[last_mask],
+                zip(adj_start[last_mask].tolist(),
+                    maxs[last_mask].tolist(),
+                    adj_n[last_mask].tolist()),
             )
         )
+        self.sessions.update(open_upd)
+        self._sess_dirty.update(open_upd)
         return _sessions_table(
             [(k, int(s), int(e), int(n)) for k, s, e, n in closed],
             p.key_col,
@@ -628,12 +639,16 @@ class PartitionState:
             if w_end <= wm:
                 win_rows.append((*groups, wid, cnt, s))
                 del self.win[key]
+                self._win_closed.add(key)
+                self._win_dirty.discard(key)
 
         sess_rows = []
         for key, (s, e, n) in list(self.sessions.items()):
             if e + self.p.session_gap_us < wm:
                 sess_rows.append((key, s, e, n))
                 del self.sessions[key]
+                self._sess_closed.add(key)
+                self._sess_dirty.discard(key)
 
         if self.nfa is not None and wm > NEG_INF:
             self.nfa.prune(wm)
@@ -661,10 +676,10 @@ class PartitionState:
     #                         decompressing the payload)
 
     def _small_state(self) -> dict:
-        """The watermark-bounded state sections — small at steady state
-        (open windows/sessions/NFA partials/join buffers are pruned as
-        the watermark advances), so every delta carries them in full."""
-        return {
+        """The watermark-bounded state sections, in FULL — what a GZS1
+        base frame carries. Building a full frame resets the keyed
+        delta tracking (the frame IS the new chain baseline)."""
+        st = {
             "win": self.win,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
@@ -674,6 +689,44 @@ class PartitionState:
             "ttl_sweep_wm": self._ttl_sweep_wm,
             "evicted_total": self.evicted_total,
         }
+        self._win_dirty = set()
+        self._win_closed = set()
+        self._sess_dirty = set()
+        self._sess_closed = set()
+        return st
+
+    def _small_delta_state(self) -> dict:
+        """The keyed small sections as upserts+tombstones since the last
+        frame. Open windows/sessions are watermark-bounded in TIME, but
+        their key population is the ACTIVE-horizon set — with a 30-min
+        gap and 10-s epochs that is ~180x the per-epoch touched set, so
+        carrying them full in every delta re-pickled the whole horizon.
+        NFA partials delta the same way (stages/nfa.py state_delta).
+        Join buffers stay FULL per frame: they are DataFrames bounded by
+        the join window's TIME span (rows outside it are pruned), not by
+        the key population, so their steady-state size is already
+        epoch-scale; a key would need row-level tracking to delta."""
+        st = {
+            "win_upserts": {k: self.win[k] for k in self._win_dirty
+                            if k in self.win},
+            "win_tombstones": [k for k in self._win_closed
+                               if k not in self.win],
+            "sess_upserts": {k: self.sessions[k] for k in self._sess_dirty
+                             if k in self.sessions},
+            "sess_tombstones": [k for k in self._sess_closed
+                                if k not in self.sessions],
+            "nfa_delta": self.nfa.state_delta() if self.nfa else None,
+            "join": self.joiner.state() if self.joiner else None,
+            "watermark_us": self.watermark_us,
+            "max_ts_us": self.max_ts_us,
+            "ttl_sweep_wm": self._ttl_sweep_wm,
+            "evicted_total": self.evicted_total,
+        }
+        self._win_dirty = set()
+        self._win_closed = set()
+        self._sess_dirty = set()
+        self._sess_closed = set()
+        return st
 
     @staticmethod
     def _compress(raw: bytes, magic: bytes, head: bytes = b"") -> bytes:
@@ -696,10 +749,12 @@ class PartitionState:
         return self._compress(raw, self._SNAP_MAGIC)
 
     def delta_bytes(self, base_epoch: int) -> bytes:
-        """An incremental frame: dedup upserts for keys touched since the
-        last frame + the full small sections. Restoring epoch e means
-        applying the FULL frame at ``base_epoch`` then every delta up to
-        e in order (see :func:`snapshot_base_epoch` for chain walking)."""
+        """An incremental frame: upserts+tombstones for keys touched
+        since the last frame, in every keyed section (dedup dicts, open
+        windows, open sessions, NFA partials) + the time-bounded join
+        buffers in full. Restoring epoch e means applying the FULL frame
+        at ``base_epoch`` then every delta up to e in order (see
+        :func:`snapshot_base_epoch` for chain walking)."""
         import struct
 
         dirty = self._dirty
@@ -713,7 +768,7 @@ class PartitionState:
                 "dedup_tombstones": [k for k in self._evicted
                                      if k not in self.last_ts],
             }
-            | self._small_state()
+            | self._small_delta_state()
         )
         self._dirty = set()
         self._evicted = set()
@@ -735,21 +790,14 @@ class PartitionState:
             )
         return pickle.loads(blob)
 
-    def _apply_small(self, st: dict) -> None:
-        self.win = st["win"]
-        self.sessions = st["sessions"]
-        # a restore is a ROLLBACK: when the frame carries no section for
-        # a configured component (written before the pattern/join_spec
-        # existed), the live buffers must still reset — keeping them
-        # would let post-snapshot NFA partials / join buffers survive
-        # the rollback and replay epochs against already-advanced state
-        # (round-3 review finding)
-        if self.nfa is not None:
-            if st["nfa"] is not None:
-                self.nfa.restore(st["nfa"])
-            else:
-                self.nfa.restore({"partials": {}, "truncated": 0})
+    def _apply_join_and_scalars(self, st: dict) -> None:
         if self.joiner is not None:
+            # a restore is a ROLLBACK: when the frame carries no section
+            # for a configured component (written before the join_spec
+            # existed), the live buffers must still reset — keeping them
+            # would let post-snapshot join buffers survive the rollback
+            # and replay epochs against already-advanced state
+            # (round-3 review finding)
             if st.get("join") is not None:
                 self.joiner.restore(st["join"])
             else:
@@ -762,6 +810,25 @@ class PartitionState:
         self._ttl_sweep_wm = st.get("ttl_sweep_wm", NEG_INF)
         self.evicted_total = st.get("evicted_total", 0)
 
+    def _apply_small(self, st: dict) -> None:
+        self.win = st["win"]
+        self.sessions = st["sessions"]
+        # rollback semantics as for the joiner above
+        if self.nfa is not None:
+            if st["nfa"] is not None:
+                self.nfa.restore(st["nfa"])
+            else:
+                self.nfa.restore({"partials": {}, "truncated": 0})
+        self._apply_join_and_scalars(st)
+
+    def _reset_delta_tracking(self) -> None:
+        self._dirty = set()
+        self._evicted = set()
+        self._win_dirty = set()
+        self._win_closed = set()
+        self._sess_dirty = set()
+        self._sess_closed = set()
+
     def restore_bytes(self, blob: bytes) -> None:
         if blob[:4] == self._DELTA_MAGIC:
             raise ValueError(
@@ -772,8 +839,7 @@ class PartitionState:
         self.last_ts = st["last_ts"]
         self.version = st["version"]
         self._apply_small(st)
-        self._dirty = set()
-        self._evicted = set()
+        self._reset_delta_tracking()
         # a restore is a rollback: caches for epochs processed AFTER the
         # snapshot must not survive it, or a resumed run would skip
         # re-applying the uncommitted epoch (cached metrics, no state);
@@ -793,9 +859,23 @@ class PartitionState:
         for k in st.get("dedup_tombstones", ()):
             self.last_ts.pop(k, None)
             self.version.pop(k, None)
-        self._apply_small(st)
-        self._dirty = set()
-        self._evicted = set()
+        if "win" in st:
+            # legacy delta frame: small sections carried in full
+            self._apply_small(st)
+        else:
+            self.win.update(st["win_upserts"])
+            for k in st["win_tombstones"]:
+                self.win.pop(k, None)
+            self.sessions.update(st["sess_upserts"])
+            for k in st["sess_tombstones"]:
+                self.sessions.pop(k, None)
+            if self.nfa is not None and st["nfa_delta"] is not None:
+                # nfa_delta None means the chain was written without a
+                # pattern — the base full frame already reset the live
+                # buffers (rollback semantics), nothing to apply here
+                self.nfa.apply_state_delta(st["nfa_delta"])
+            self._apply_join_and_scalars(st)
+        self._reset_delta_tracking()
         self._epoch_cache = {}
 
     def restore_chain(self, blobs: list) -> None:

@@ -335,3 +335,112 @@ def test_dedup_ttl_mode_parity(tmp_path):
     b = ja.read_output("changes")[cols].sort_values(cols).reset_index(
         drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_delta_sections_carry_only_touched_keys():
+    """Keyed SMALL sections (open windows/sessions/NFA partials) delta
+    too: with a large ACTIVE horizon (watermark held back, so nothing
+    closes), an epoch touching 2 keys writes a frame that carries 2
+    keys per section — not the whole horizon re-pickled."""
+    ps = PartitionState(0, params(session_gap_us=10**12,
+                                  window_size_us=10**12))
+    ps.process(0, tbl([
+        {"url": f"u{i}", "ts_us": 10 + i, "lang": "en"}
+        for i in range(500)
+    ]))
+    ps.advance_watermark(5)  # holds every window/session/run open
+    full = ps.snapshot_bytes()
+
+    ps.process(1, tbl([
+        {"url": "u0", "ts_us": 50_000, "lang": "en"},
+        {"url": "new", "ts_us": 50_001, "lang": "en"},
+    ]))
+    ps.advance_watermark(6)
+    delta = ps.delta_bytes(0)
+    st = ps._decode(delta)
+    assert set(st["sess_upserts"]) == {"u0", "new"}
+    assert st["sess_tombstones"] == []
+    # u0's second event opens window (en, wid) — same wid key as epoch 0
+    assert all(k[0] == "en" for k in st["win_upserts"])
+    assert len(st["win_upserts"]) <= 2
+    # "new"'s A event appends a run; u0's B event only EMITS (skip-mode
+    # keeps the old partial untouched) so the fast path may omit it
+    assert {"new"} <= set(st["nfa_delta"]["upserts"]) <= {"u0", "new"}
+    assert len(delta) < len(full) / 10
+
+    # chain restore still exact
+    fresh = PartitionState(0, params(session_gap_us=10**12,
+                                     window_size_us=10**12))
+    fresh.restore_chain([full, delta])
+    assert fresh.sessions == ps.sessions
+    assert fresh.win == ps.win
+    assert fresh.nfa.partials == ps.nfa.partials
+
+
+def test_delta_section_tombstones_on_close():
+    """Windows/sessions closed by the watermark and NFA run lists that
+    expire must tombstone in the next delta — without them a chain
+    restore resurrects closed state."""
+    ps = PartitionState(0, params())
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "b", "ts_us": 20, "lang": "de"},
+    ]))
+    ps.advance_watermark(5)
+    full = ps.snapshot_bytes()
+
+    # watermark sweeps past everything: windows+sessions close, NFA
+    # partials expire (within_us=500)
+    ps.advance_watermark(10_000)
+    delta = ps.delta_bytes(0)
+    st = ps._decode(delta)
+    assert st["win_upserts"] == {} and st["sess_upserts"] == {}
+    assert set(st["sess_tombstones"]) == {"a", "b"}
+    assert len(st["win_tombstones"]) == 2
+    assert set(st["nfa_delta"]["tombstones"]) == {"a", "b"}
+
+    fresh = PartitionState(0, params())
+    fresh.restore_chain([full, delta])
+    assert fresh.win == {} and fresh.sessions == {}
+    assert fresh.nfa.partials == {}
+
+
+def test_legacy_full_section_delta_frames_still_apply():
+    """Frames written by the pre-keyed-delta format (small sections in
+    full under 'win'/'sessions'/'nfa') must still restore — a resume can
+    cross the upgrade boundary mid-chain."""
+    import pickle
+    import struct
+
+    ps = PartitionState(0, params())
+    ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    ps.advance_watermark(5)
+    full = ps.snapshot_bytes()
+
+    ps.process(1, tbl([{"url": "a", "ts_us": 200, "lang": "en"},
+                       {"url": "z", "ts_us": 210, "lang": "de"}]))
+    ps.advance_watermark(6)
+    # hand-build an OLD-format delta: dedup upserts + full sections
+    raw = pickle.dumps({
+        "dedup_last_ts": dict(ps.last_ts),
+        "dedup_version": dict(ps.version),
+        "dedup_tombstones": [],
+        "win": dict(ps.win),
+        "sessions": dict(ps.sessions),
+        "nfa": ps.nfa.state(),
+        "join": None,
+        "watermark_us": ps.watermark_us,
+        "max_ts_us": ps.max_ts_us,
+        "ttl_sweep_wm": ps._ttl_sweep_wm,
+        "evicted_total": ps.evicted_total,
+    })
+    legacy = PartitionState._compress(raw, PartitionState._DELTA_MAGIC,
+                                      head=struct.pack("<Q", 0))
+
+    fresh = PartitionState(0, params())
+    fresh.restore_chain([full, legacy])
+    assert fresh.last_ts == ps.last_ts
+    assert fresh.version == ps.version
+    assert fresh.win == ps.win
+    assert fresh.sessions == ps.sessions
+    assert fresh.nfa.partials == ps.nfa.partials
