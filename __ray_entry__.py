@@ -79,7 +79,13 @@ _PRIORITY = [
     # replaces embedding_near_dup as the embedding-space near-dup
     # representative (strictly stronger evidence; the LSH-bucketed
     # hyperplane path stays green in tests/test_oracle.py)
-    "minhash_dedup", "minhash_clusters", "kmeans_exact", "ngram_jaccard",
+    # streaming_near_dup (round 3, second wave) replaces
+    # minhash_clusters in the slot: the STREAMING MinHash/LSH operator
+    # (bucket-partitioned second exchange inside the CEP loop,
+    # state/neardup.py) covers both the streaming-state and the
+    # near-dup-family axes in one driver row; the clusters entry keeps
+    # its SQL pair and stays green in tests/test_oracle.py
+    "minhash_dedup", "streaming_near_dup", "kmeans_exact", "ngram_jaccard",
     "semdedup_exact", "content_chunks", "fingerprint",
     "lang_id", "pack_sequences",
     "exact_dedup_docs", "line_dedup", "pii_redact",

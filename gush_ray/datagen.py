@@ -92,6 +92,7 @@ def gen_pages(
     malformed_frac: float = 0.01,
     n_epochs: int = 4,
     span_us: int = 4 * 3600 * 1_000_000,
+    near_dup_groups: int | None = None,
 ) -> tuple[pa.Table, np.ndarray]:
     """Return (pages table sorted by assigned epoch then warc_ts, epoch ids).
 
@@ -137,8 +138,22 @@ def gen_pages(
     n = len(url_idx)
 
     # texts: base text per url, mutated per version
-    base_words = rng.randint(20, 120, size=n_urls)
-    base_texts = [_gen_text(rng, int(w)) for w in base_words]
+    if near_dup_groups:
+        # near-dup corpus mode: urls come in groups of ``near_dup_groups``
+        # sharing one base text, each member differing only in a 2-word
+        # url-specific tail — cross-url shingle Jaccard ~0.9 inside a
+        # group, ~0 across groups (the streaming/batch near-dup
+        # operators' ground truth). RNG draws on this branch only, so
+        # the default corpus (and every cached fixture) is unchanged.
+        G = near_dup_groups
+        n_groups = -(-n_urls // G)
+        g_words = rng.randint(30, 90, size=n_groups)
+        g_texts = [_gen_text(rng, int(w)) for w in g_words]
+        base_texts = [f"{g_texts[u // G]} tail{u} mark{u % 7}"
+                      for u in range(n_urls)]
+    else:
+        base_words = rng.randint(20, 120, size=n_urls)
+        base_texts = [_gen_text(rng, int(w)) for w in base_words]
     texts = [
         base_texts[u] if v == 0 else f"{base_texts[u]} [rev {v}]"
         for u, v in zip(url_idx, ver)
@@ -322,6 +337,25 @@ def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         write_pages_dir(out, n_urls=n_urls, seed=seed, n_epochs=n_epochs, **kw)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+# fixed-path fixture for the streaming near-dup operator + its SQL
+# oracle (both sides must read the same parquet bytes; the oracle SQL is
+# a static string, so the path is a constant, not sf_dir-derived)
+NEARDUP_PAGES_FIXTURE = "/tmp/gush_ray_neardup_pages/u600_s11_e4_g3_v1"
+
+
+def ensure_neardup_pages() -> str:
+    """Pages stream whose urls form groups of 3 sharing a base text
+    (cross-url near-dups; gen_pages(near_dup_groups=3))."""
+    out = NEARDUP_PAGES_FIXTURE
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_dir(out, n_urls=600, seed=11, n_epochs=4,
+                        near_dup_groups=3)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -38,6 +38,7 @@ _CONSERVED = {
     "changes": lambda p: p.get("inserts", 0) + p.get("updates", 0),
     "late": lambda p: p.get("late_rows", 0),
     "matches": lambda p: p.get("matches", 0),
+    "near_dups": lambda p: p.get("near_dup_rows", 0),
 }
 
 

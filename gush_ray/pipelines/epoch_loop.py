@@ -123,7 +123,8 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
                dim_key: str = "site",
                errors_sink: tuple | None = None,
                key_col: str = "url",
-               raw_ts_col: str = "warc_ts") -> list:
+               raw_ts_col: str = "warc_ts",
+               neardup_spec=None) -> list:
     """Stateless map side: read one shard group, extract, filter,
     (optionally) broadcast-join the dimension snapshot, partition.
 
@@ -212,7 +213,24 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         "rows_read": n_read,
         "parse_errors": int(n_errors),
     }
-    return [meta] + frags
+    if neardup_spec is None:
+        return [meta] + frags
+    # streaming near-dup: a SECOND keyed exchange rides the same map
+    # task — band rows route by bucket hash (state/neardup.bucket_part),
+    # NOT by url, so all arrivals of one LSH bucket meet on one
+    # partition (the operator's partitioning assumption). Band-row
+    # timestamps mirror rows already counted in max_ts, so the
+    # watermark bookkeeping is unchanged.
+    from gush_ray.state.neardup import band_rows_batch, bucket_part
+
+    bdf = band_rows_batch(batch, neardup_spec, key_col=key_col)
+    btab = pa.Table.from_pandas(bdf, preserve_index=False)
+    bpart = bucket_part(bdf["band_id"].to_numpy(),
+                        bdf["band_hash"].to_numpy(), P)
+    nfrags: list = [None] * P
+    for pid in np.unique(bpart):
+        nfrags[int(pid)] = btab.filter(pa.array(bpart == pid))
+    return [meta] + frags + nfrags
 
 
 @ray.remote
@@ -225,6 +243,7 @@ def _reduce_partition(
     params: StateParams,
     frag_keys: list[int],
     rfrag_keys: list[int],
+    nfrag_keys: list[int],
     watermark_us: int,
     *tables,
     prev_done=None,
@@ -266,12 +285,16 @@ def _reduce_partition(
     try:
         t_restore = time.perf_counter()
         n_left = len(frag_keys)
+        n_right = len(rfrag_keys)
         for key, t in zip(frag_keys, tables[:n_left]):
             if t is not None and t.num_rows:
                 ps.ingest(epoch, key, t)
-        for key, t in zip(rfrag_keys, tables[n_left:]):
+        for key, t in zip(rfrag_keys, tables[n_left:n_left + n_right]):
             if t is not None and t.num_rows:
                 ps.ingest_right(epoch, key, t)
+        for key, t in zip(nfrag_keys, tables[n_left + n_right:]):
+            if t is not None and t.num_rows:
+                ps.ingest_neardup(epoch, key, t)
         t_ingest = time.perf_counter()
         metrics = ps.process_epoch_to(epoch, out_dir)
         t_process = time.perf_counter()
@@ -363,6 +386,7 @@ class StreamingJob:
         raw_ts_col: str = "warc_ts",
         right_dir: str | None = None,
         join_spec=None,
+        neardup_spec=None,
         right_raw_ts_col: str = "ts",
         snapshot_full_every: int = 8,
         commit_queue_depth: int = 2,
@@ -375,6 +399,11 @@ class StreamingJob:
             raise ValueError(
                 "stream-stream join needs BOTH right_dir and join_spec"
             )
+        if neardup_spec is not None and mode != "tasks":
+            # the band exchange rides the tasks-mode fragment protocol;
+            # actor mode's process_epoch_tables_lr has no third fragment
+            # space (deliberate: tasks mode is the scale path)
+            raise ValueError("streaming near-dup requires mode='tasks'")
         from gush_ray.fs import normalize_uri
 
         self.key_col = key_col
@@ -420,6 +449,7 @@ class StreamingJob:
             pattern=pattern,
             allowed_lateness_us=self.cfg.allowed_lateness_us,
             join_spec=join_spec,
+            neardup_spec=neardup_spec,
             snapshot_full_every=snapshot_full_every,
             dedup_ttl_us=dedup_ttl_us,
         )
@@ -844,11 +874,13 @@ class StreamingJob:
             self._dim_holder = [ray.put(self.dim_df)]  # broadcast ONCE
         dim_holder = (self._dim_holder_for_epoch(epoch)
                       if self.dim_dir is not None else self._dim_holder)
+        ndspec = self.params.neardup_spec
+        nr = 1 + self.P + (self.P if ndspec is not None else 0)
         refsets = [
-            _map_shard.options(num_returns=1 + self.P).remote(
+            _map_shard.options(num_returns=nr).remote(
                 s, self.cfg, self.P, dim_holder, self.dim_key,
                 (self.out_dir, "errors", epoch, i), self.key_col,
-                self.raw_ts_col,
+                self.raw_ts_col, ndspec,
             )
             for i, s in enumerate(shards)
         ]
@@ -981,9 +1013,13 @@ class StreamingJob:
                     # sums could collide and drop a distinct shard)
                     list(range(len(metas))),
                     list(range(len(rmetas))),
+                    (list(range(len(metas)))
+                     if self.params.neardup_spec is not None else []),
                     watermark,
                     *[rs[1 + pid] for rs in refsets],
                     *[rs[1 + pid] for rs in rrefsets],
+                    *([rs[1 + self.P + pid] for rs in refsets]
+                      if self.params.neardup_spec is not None else []),
                     prev_done=self._reduce_tail[pid],
                 )
                 for pid in range(self.P)

@@ -94,6 +94,9 @@ def ensure_oracle_fixtures() -> None:
     ensure_media_fixture()
     ensure_video_fixture()
     ensure_warc_fixture()
+    from gush_ray.datagen import ensure_neardup_pages
+
+    ensure_neardup_pages()
 
 
 # The streaming pipeline's exact batch semantics, as SQL over the same
@@ -225,6 +228,110 @@ SELECT lang, count(*) AS rows,
 FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet')
 GROUP BY lang ORDER BY lang
 """
+
+
+def _sql_streaming_near_dup() -> str:
+    """DuckDB twin of the STREAMING near-dup operator
+    (state/neardup.py) over the fixed near-dup pages fixture: the
+    arrival semantics (per-epoch (url, ts) dedup + watermark late drop,
+    P=1 so the watermark is the running event-time max, exactly like
+    SQL_PAGES_FLAGSHIP), the md5-mode MinHash banding (the same
+    perm/gram/fold expressions as _SQL_MINHASH_CAND), and the
+    first-arrival bucket-ownership rule: the owner of an LSH bucket is
+    its first row by (epoch, ts_us, url); every later row whose url
+    differs emits one near_dups row per hit band."""
+    from gush_ray.datagen import NEARDUP_PAGES_FIXTURE
+
+    return f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, coalesce(text, '') AS text,
+         CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{NEARDUP_PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+uniq AS (SELECT url, ts_us, text, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT epoch, max(mx) OVER (ORDER BY epoch) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch)
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+),
+docs AS (
+  SELECT url, ts_us, epoch,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS w
+  FROM flagged WHERE ts_us >= wm_prev
+),
+grams AS (
+  SELECT url, ts_us, epoch, array_to_string(w[g:g+2], ' ') AS gram
+  FROM docs, UNNEST(range(1, len(w)-1)) AS t(g)
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT url, ts_us, epoch, coalesce(array_to_string(w, ' '), '')
+  FROM docs WHERE len(w) < 3
+),
+perms(k, a, b) AS (VALUES {_minhash_perm_values()}),
+hashes AS (
+  SELECT url, ts_us, epoch, md5_number_lower(gram) AS h FROM grams),
+sigs AS (
+  SELECT url, ts_us, epoch, k,
+         min((h::HUGEINT * a % {_M64} + b) % {_M64}
+             % 2305843009213693951)::UBIGINT AS mh
+  FROM hashes, perms GROUP BY url, ts_us, epoch, k
+),
+band_sigs AS MATERIALIZED (
+  SELECT url, ts_us, epoch, (k // 4) AS band_id,
+         list_reduce(list(mh::HUGEINT ORDER BY k),
+                     (x, y) -> (x * 1099511628211 + y) % {_M64}
+                     ) AS band_hash
+  FROM sigs GROUP BY url, ts_us, epoch, (k // 4)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band_id, band_hash
+                               ORDER BY epoch, ts_us, url) AS rn
+  FROM band_sigs
+),
+owner AS (
+  SELECT band_id, band_hash, url AS o_url, ts_us AS o_ts
+  FROM ranked WHERE rn = 1
+)
+SELECT r.url, r.ts_us, r.band_id,
+       o.o_url AS dup_of, o.o_ts AS dup_of_ts
+FROM ranked r
+JOIN owner o ON o.band_id = r.band_id AND o.band_hash = r.band_hash
+WHERE r.url <> o.o_url
+ORDER BY r.url, r.ts_us, r.band_id
+"""
+
+
+def q_streaming_near_dup(sf_dir: str):
+    """Streaming MinHash/LSH near-dup detection inside the CEP loop:
+    band rows ride a SECOND keyed exchange (bucket-partitioned —
+    state/neardup.py documents the assumption), bucket-owner state lives
+    in the partition snapshots, hits land exactly-once on the
+    ``near_dups`` stream. md5 verification hash mode; num_partitions=1
+    so the watermark is SQL-expressible (same rationale as
+    q_pages_flagship; bucket routing itself is P-independent and
+    multi-P/kill-resume behavior is pinned by
+    tests/test_neardup_stream.py)."""
+    from gush_ray.datagen import ensure_neardup_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.neardup import NearDupSpec
+
+    pages_dir = ensure_neardup_pages()
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1,
+                       neardup_spec=NearDupSpec(hash_fn="md5"))
+    job.run()
+    nd = job.read_output("near_dups")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return nd.sort_values(["url", "ts_us", "band_id"]).reset_index(
+        drop=True)
 
 
 def _fixture_cache_key(sf_dir: str, table: str = "embeddings") -> str:
@@ -2106,6 +2213,7 @@ EXTRA_QUERIES = {
     "bucketed_join_agg": (q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "streaming_near_dup": (q_streaming_near_dup, _sql_streaming_near_dup()),
     # rows-only entries (None) are the documented honest boundary:
     # iterative training / float NLL / probabilistic or recall-lossy
     # surfaces / binary decode — each with a SQL-paired sibling or

@@ -63,7 +63,7 @@ from gush_ray.state.store import (
 _CONSERVED_TOTALS = (
     "rows_in", "replays_dropped", "stale_dropped", "late_rows",
     "inserts", "updates", "matches", "joined_rows", "right_rows_in",
-    "right_late",
+    "right_late", "near_dup_rows",
 )
 
 
@@ -78,6 +78,12 @@ def _probe_join_spec():
     from gush_ray.state.join_state import JoinSpec
 
     return JoinSpec(0, 0)
+
+
+def _probe_neardup_spec():
+    from gush_ray.state.neardup import NearDupSpec
+
+    return NearDupSpec()
 
 
 def _key_part(key, new_P: int) -> int:
@@ -124,6 +130,7 @@ def rescale_state(out_dir: str, new_P: int,
         pattern=params.pattern or _probe_pattern(),
         allowed_lateness_us=params.allowed_lateness_us,
         join_spec=params.join_spec or _probe_join_spec(),
+        neardup_spec=params.neardup_spec or _probe_neardup_spec(),
         snapshot_full_every=params.snapshot_full_every,
         dedup_ttl_us=params.dedup_ttl_us,
     )
@@ -165,6 +172,13 @@ def rescale_state(out_dir: str, new_P: int,
         raise ValueError(
             "checkpoint holds stream-join buffers but no join_spec was "
             "passed — rescaling would silently drop them; call "
+            "rescale_state with the job's StateParams"
+        )
+    if params.neardup_spec is None and any(
+            ps.neardup.buckets for ps in old_states):
+        raise ValueError(
+            "checkpoint holds near-dup bucket state but no neardup_spec "
+            "was passed — rescaling would silently drop it; call "
             "rescale_state with the job's StateParams"
         )
 
@@ -209,6 +223,17 @@ def rescale_state(out_dir: str, new_P: int,
                     merged = pd.concat([tgt, sub], ignore_index=True)
                     setattr(new_states[pid].joiner, side, merged)
             new_states[0].joiner.pairs_emitted += ps.joiner.pairs_emitted
+        if ps.neardup is not None:
+            from gush_ray.state.neardup import bucket_part
+
+            # buckets re-route by the SAME pure function the map phase
+            # uses (band exchange), so a resumed run's fragments land on
+            # the partition that now owns the bucket
+            for bk, owner in ps.neardup.buckets.items():
+                pid = int(bucket_part(bk[0], bk[1], new_P)[()])
+                new_states[pid].neardup.buckets[bk] = owner
+            new_states[0].neardup.evicted_total += (
+                ps.neardup.evicted_total)
 
     # the join buffers must stay ts-sorted per partition (the
     # searchsorted kernel's precondition); the probe params always

@@ -64,6 +64,11 @@ class StateParams:
     # stream-stream interval join against a second keyed event stream
     # (state/join_state.JoinSpec); left side = the emitted change rows
     join_spec: "object | None" = None
+    # streaming MinHash/LSH near-dup detection over arriving rows
+    # (state/neardup.NearDupSpec); band rows arrive via a SECOND keyed
+    # exchange (bucket-partitioned, not url-partitioned — the operator's
+    # documented partitioning assumption, see state/neardup.py)
+    neardup_spec: "object | None" = None
     # incremental snapshots (tasks mode): write a FULL state frame every
     # K epochs and small DELTA frames in between. The url-keyed dedup
     # dicts hold one entry per key EVER seen (the dominant, ever-growing
@@ -111,6 +116,12 @@ class PartitionState:
             )
         else:
             self.joiner = None
+        if params.neardup_spec is not None:
+            from gush_ray.state.neardup import NearDupState
+
+            self.neardup = NearDupState(params.neardup_spec)
+        else:
+            self.neardup = None
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
         # dedup-dict keys touched since the last snapshot frame — the
@@ -146,6 +157,10 @@ class PartitionState:
         # space from the left stream's shard indices)
         self._rfrag_buf: dict[int, list] = {}
         self._rfrag_seen: dict[int, set] = {}
+        # band-row fragments of the streaming near-dup exchange (third
+        # key space; bucket-partitioned)
+        self._nfrag_buf: dict[int, list] = {}
+        self._nfrag_seen: dict[int, set] = {}
 
     # -------------------------------------------- direct-exchange ingest
 
@@ -168,6 +183,16 @@ class PartitionState:
         seen.add(frag_key)
         self._rfrag_buf.setdefault(epoch, []).append(table)
 
+    def ingest_neardup(self, epoch: int, frag_key: int,
+                       table: pa.Table) -> None:
+        """Buffer one band-row fragment of the streaming near-dup
+        exchange (idempotent, same retry contract as :meth:`ingest`)."""
+        seen = self._nfrag_seen.setdefault(epoch, set())
+        if frag_key in seen:
+            return
+        seen.add(frag_key)
+        self._nfrag_buf.setdefault(epoch, []).append(table)
+
     def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
         """Sort + process everything ingested for ``epoch`` and write this
         partition's output files idempotently; returns metrics.
@@ -185,6 +210,8 @@ class PartitionState:
             self._frag_seen.pop(epoch, None)
             self._rfrag_buf.pop(epoch, None)
             self._rfrag_seen.pop(epoch, None)
+            self._nfrag_buf.pop(epoch, None)
+            self._nfrag_seen.pop(epoch, None)
             return self._epoch_cache[epoch]["metrics"]
         from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
@@ -214,8 +241,47 @@ class PartitionState:
         if self.joiner is not None:
             metrics = dict(metrics)
             metrics.update(self._process_join(epoch, base_dir, changes_t))
+        if self.neardup is not None:
+            metrics = dict(metrics)
+            metrics.update(self._process_neardup(epoch, base_dir))
         self._epoch_cache[epoch] = {"metrics": metrics}
         return metrics
+
+    def _process_neardup(self, epoch: int, base_dir: str) -> dict:
+        """Streaming near-dup step: this epoch's band rows (routed here
+        by bucket hash) probe/extend the bucket-owner map; hits land on
+        the ``near_dups`` stream. Runs at the RESTORED watermark, like
+        the V1 late filter."""
+        from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+        p = self.p
+        nfrags = self._nfrag_buf.pop(epoch, [])
+        self._nfrag_seen.pop(epoch, None)
+        if nfrags:
+            ntab = pa.concat_tables(nfrags, promote_options="default")
+            ndf = ntab.to_pandas()
+        else:
+            ndf = pd.DataFrame(
+                {p.key_col: [], p.ts_col: [], "band_id": [],
+                 "band_hash": []})
+        out = self.neardup.process(ndf, self.watermark_us,
+                                   p.key_col, p.ts_col)
+        if len(out):
+            out_t = pa.Table.from_pandas(out, preserve_index=False)
+        else:
+            # typed empty part: an untyped empty pandas frame would give
+            # this epoch's file null columns and drift the stream schema
+            out_t = pa.table({
+                p.key_col: pa.array([], type=pa.string()),
+                p.ts_col: pa.array([], type=pa.int64()),
+                "band_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.string()),
+                "dup_of_ts": pa.array([], type=pa.int64()),
+            })
+        ExactlyOnceSink.write_part(base_dir, "near_dups", epoch,
+                                   self.pid, out_t)
+        return {"near_dup_rows": int(len(out)),
+                "neardup_buckets": int(len(self.neardup.buckets))}
 
     def _process_join(self, epoch: int, base_dir: str,
                       changes_t: "pa.Table | None") -> dict:
@@ -652,6 +718,8 @@ class PartitionState:
 
         if self.nfa is not None and wm > NEG_INF:
             self.nfa.prune(wm)
+        if self.neardup is not None:
+            self.neardup.prune(wm)
         if self.joiner is not None and wm > NEG_INF:
             self.joiner.prune(wm)
 
@@ -683,6 +751,7 @@ class PartitionState:
             "win": self.win,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
+            "neardup": self.neardup.state() if self.neardup else None,
             "join": self.joiner.state() if self.joiner else None,
             "watermark_us": self.watermark_us,
             "max_ts_us": self.max_ts_us,
@@ -716,6 +785,8 @@ class PartitionState:
             "sess_tombstones": [k for k in self._sess_closed
                                 if k not in self.sessions],
             "nfa_delta": self.nfa.state_delta() if self.nfa else None,
+            "neardup_delta": (self.neardup.state_delta()
+                              if self.neardup else None),
             "join": self.joiner.state() if self.joiner else None,
             "watermark_us": self.watermark_us,
             "max_ts_us": self.max_ts_us,
@@ -819,6 +890,13 @@ class PartitionState:
                 self.nfa.restore(st["nfa"])
             else:
                 self.nfa.restore({"partials": {}, "truncated": 0})
+        if self.neardup is not None:
+            if st.get("neardup") is not None:
+                self.neardup.restore(st["neardup"])
+            else:
+                # frame written before the spec existed: rollback resets
+                # the live bucket map (same rule as the NFA/joiner)
+                self.neardup.restore({"buckets": {}})
         self._apply_join_and_scalars(st)
 
     def _reset_delta_tracking(self) -> None:
@@ -874,6 +952,9 @@ class PartitionState:
                 # pattern — the base full frame already reset the live
                 # buffers (rollback semantics), nothing to apply here
                 self.nfa.apply_state_delta(st["nfa_delta"])
+            if (self.neardup is not None
+                    and st.get("neardup_delta") is not None):
+                self.neardup.apply_state_delta(st["neardup_delta"])
             self._apply_join_and_scalars(st)
         self._reset_delta_tracking()
         self._epoch_cache = {}
