@@ -518,18 +518,21 @@ def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v3",
     return tmp_root
 
 
-def ensure_video_fixture(tmp_root: str = "/tmp/gush_ray_video/v1",
-                         n: int = 12, seed: int = 19,
+def ensure_video_fixture(tmp_root: str = "/tmp/gush_ray_video/v2",
+                         n: int = 12, n_avi: int = 6, seed: int = 19,
                          every_k: int = 5) -> str:
     """Materialize the video fixture as parquet at a FIXED path:
     ``video.parquet`` (media_id, blob) plus ``expected.parquet`` with the
     generator's per-clip ground truth (n_frames, width, height,
-    n_sampled at ``every_k``). The truncated clip is EXCLUDED from
-    expected: a Y4M cut mid-frame fails decode atomically and the
-    sampling stage drops the whole clip (dead-letter analog, pinned by
-    tests) — the oracle sees only decodable clips."""
+    n_sampled at ``every_k``). v2 adds ``n_avi`` MJPEG-in-AVI clips
+    (half grayscale, half RGB — the COMPRESSED video path through the
+    numpy JPEG codec, stages/avi.py). Truncated clips (one Y4M, one AVI)
+    are EXCLUDED from expected: a clip cut mid-frame fails decode
+    atomically and the sampling stage drops it whole (dead-letter
+    analog, pinned by tests) — the oracle sees only decodable clips."""
     import pyarrow.parquet as _pq
 
+    from gush_ray.stages.avi import encode_avi_mjpeg
     from gush_ray.stages.codecs import encode_y4m
 
     marker = os.path.join(tmp_root, "_COMPLETE")
@@ -544,7 +547,15 @@ def ensure_video_fixture(tmp_root: str = "/tmp/gush_ray_video/v1",
         frames = rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8)
         blobs.append(encode_y4m(frames, (25, 1)))
         exp.append((i, nf, w, h, -(-nf // every_k)))
-    blobs.append(blobs[0][: len(blobs[0]) // 2])  # truncated clip
+    for j in range(n_avi):
+        nf = int(rng.randint(6, 30))
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        shape = (nf, h, w) if j % 2 == 0 else (nf, h, w, 3)
+        frames = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        blobs.append(encode_avi_mjpeg(frames, (30, 1)))
+        exp.append((n + j, nf, w, h, -(-nf // every_k)))
+    blobs.append(blobs[0][: len(blobs[0]) // 2])  # truncated Y4M clip
+    blobs.append(blobs[n][: len(blobs[n]) // 2])  # truncated AVI clip
     _pq.write_table(
         pa.table({"media_id": pa.array(range(len(blobs)), type=pa.int64()),
                   "blob": pa.array(blobs, type=pa.binary())}),
@@ -566,7 +577,9 @@ def ensure_video_fixture(tmp_root: str = "/tmp/gush_ray_video/v1",
 
 def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
     """Deterministic video fixture: real Y4M grayscale clips of varying
-    frame counts (plus one truncated clip) as opaque binary blobs."""
+    frame counts (plus one truncated clip) as opaque binary blobs.
+    (MJPEG-AVI clips live in ensure_video_fixture's v2 parquet; this
+    in-memory table keeps the original Y4M-only shape for unit tests.)"""
     from gush_ray.stages.codecs import encode_y4m
 
     rng = np.random.RandomState(seed)

@@ -1422,7 +1422,7 @@ def q_multimodal_features(sf_dir: str):
 
 
 MEDIA_FIXTURE = "/tmp/gush_ray_media/v3"
-VIDEO_FIXTURE = "/tmp/gush_ray_video/v1"
+VIDEO_FIXTURE = "/tmp/gush_ray_video/v2"
 
 
 def q_multimodal_decode(sf_dir: str):

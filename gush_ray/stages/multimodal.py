@@ -4,9 +4,11 @@ Binary payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract are actor-pool ``map_batches`` stages. PNG, BMP, PPM,
 PGM and WAV decode is REAL (pure-stdlib codecs,
 :mod:`gush_ray.stages.codecs`), and so is JPEG (baseline + progressive,
-pure numpy — :mod:`gush_ray.stages.jpeg`) and GIF (LZW,
-:mod:`gush_ray.stages.gif`). The remaining honest boundary:
-arithmetic-coded/lossless JPEG and compressed video fall back to REAL
+pure numpy — :mod:`gush_ray.stages.jpeg`), GIF (LZW,
+:mod:`gush_ray.stages.gif`) and MJPEG-in-AVI video
+(:mod:`gush_ray.stages.avi`). The remaining honest boundary:
+arithmetic-coded/lossless JPEG and inter-frame compressed video
+(H.26x/VP9/AV1) fall back to REAL
 header-walk frame geometry with pixel-statistic feature slots zero;
 formats with no codec at all fall back per ``on_unsupported`` — a
 deterministic hash-derived fake (so the full pipeline stays exercised
@@ -47,6 +49,7 @@ _SNIFF_RULES = (
     ("png", b"\x89PNG", 0),
     ("riff", b"RIFF", 0),
     ("wav", b"WAVE", 8),
+    ("avi", b"AVI ", 8),
     ("y4m", b"YUV4MPEG2", 0),
     ("ppm", b"P6", 0),
     ("pgm", b"P5", 0),
@@ -314,9 +317,11 @@ class ResizeImages:
 
 
 class SampleFrames:
-    """Actor-pool video frame-sampling stage over REAL frames (Y4M, the
-    one video container parseable with stdlib — compressed formats need
-    native codecs and raise/fake per ``on_unsupported``).
+    """Actor-pool video frame-sampling stage over REAL frames: Y4M
+    (uncompressed, stdlib parse) and MJPEG-in-AVI (compressed; frames
+    decode through the repo's numpy JPEG codec — stages/avi.py). Other
+    compressed formats (inter-frame codecs) need native decoders and
+    raise/fake per ``on_unsupported``.
 
     1→N transform: each video row explodes into one row per SAMPLED
     frame (every ``every_k``-th), carrying the id columns plus
@@ -344,9 +349,13 @@ class SampleFrames:
                     features=[])
         for i, v in enumerate(blobs):
             data = (v.as_py() if v.is_valid else b"") or b""
-            if data.startswith(b"YUV4MPEG2"):
+            is_avi = data[:4] == b"RIFF" and data[8:12] == b"AVI "
+            if data.startswith(b"YUV4MPEG2") or is_avi:
+                from gush_ray.stages.avi import decode_avi_mjpeg
+
                 try:
-                    frames, _fps = decode_y4m(data)
+                    frames, _fps = (decode_avi_mjpeg(data) if is_avi
+                                    else decode_y4m(data))
                 except ValueError:
                     continue  # malformed: dropped (dead-letter analog)
                 for fi in range(0, len(frames), self.every_k):
@@ -360,9 +369,10 @@ class SampleFrames:
                     rows["features"].append(f)
             elif self.on_unsupported == "error":
                 raise NotImplementedError(
-                    "compressed video needs native codecs not present "
-                    "in this environment; plug a decoder into "
-                    "SampleFrames.__call__"
+                    "inter-frame compressed video (H.26x/VP9/AV1) needs "
+                    "native codecs not present in this environment; "
+                    "Y4M and MJPEG-AVI decode natively — plug other "
+                    "decoders into SampleFrames.__call__"
                 )
             else:
                 w, h, f = _fake_decode(data)

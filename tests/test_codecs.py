@@ -238,7 +238,9 @@ def test_multimodal_resize_and_frame_sample_queries():
     assert not r[r["blob_kind"] == "wav"]["resized"].any()
 
     fs = q_frame_sample("/root/testdata/sf0.001")
-    assert len(fs) == 12                  # truncated clip produced no rows
+    # 12 Y4M + 6 MJPEG-AVI decodable clips; the two truncated clips
+    # (one of each container) produced no rows
+    assert len(fs) == 18
     assert (fs["n_sampled"] == (fs["n_frames"] + 4) // 5).all()
 
 
@@ -442,3 +444,58 @@ def test_jpeg_progressive_through_decode_features():
     w, h, f, kind, ok = DecodeFeatures()._decode_one(blob)
     assert (w, h, kind, ok) == (30, 20, "jpeg", True)
     assert abs(f[0] - 180 / 255.0) < 0.02  # real pixel stats, not 0
+
+
+def test_avi_mjpeg_roundtrip_matches_bare_jpeg():
+    """MJPEG-AVI frames decode EXACTLY like the bare JPEG round trip —
+    the container adds no pixel drift (stages/avi.py)."""
+    from gush_ray.stages.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from gush_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    for shape in ((6, 13, 17), (4, 9, 21, 3)):  # gray + RGB
+        fr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        frames, fps = decode_avi_mjpeg(encode_avi_mjpeg(fr, (30, 1)))
+        assert fps == (30, 1) and len(frames) == shape[0]
+        for i, f in enumerate(frames):
+            assert (f == decode_jpeg(encode_jpeg(fr[i]))).all()
+
+
+def test_avi_mjpeg_truncation_and_garbage_atomic():
+    from gush_ray.stages.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    fr = np.zeros((3, 8, 8), dtype=np.uint8)
+    data = encode_avi_mjpeg(fr)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"garbage")
+
+
+def test_avi_sniff_and_sample_frames():
+    """The video sampling stage decodes MJPEG-AVI through the real JPEG
+    codec; a truncated AVI is dropped whole (dead-letter analog)."""
+    import pyarrow as pa
+
+    from gush_ray.stages.avi import encode_avi_mjpeg
+    from gush_ray.stages.multimodal import SampleFrames, sniff_blob_batch
+
+    rng = np.random.RandomState(9)
+    fr = rng.randint(0, 256, size=(11, 10, 12), dtype=np.uint8)
+    good = encode_avi_mjpeg(fr, (25, 1))
+    batch = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "blob": pa.array([good, good[: len(good) // 3]],
+                         type=pa.binary()),
+    })
+    sn = sniff_blob_batch(batch, blob_col="blob")
+    assert sn["blob_kind"].to_pylist()[0] == "avi"
+    out = SampleFrames(blob_col="blob", every_k=4,
+                       on_unsupported="error")(batch)
+    df = out.to_pandas()
+    assert df["media_id"].unique().tolist() == [0]
+    assert len(df) == -(-11 // 4)
+    assert (df["n_frames"] == 11).all()
+    assert (df["width"] == 12).all() and (df["height"] == 10).all()
