@@ -172,6 +172,52 @@ def bench_flagship_join_stream(sf_dir: str) -> dict:
             "join_pairs": n_pairs, "nfa_matches": n_matches}
 
 
+def bench_flagship_neardup_stream(sf_dir: str) -> dict:
+    """Flagship variant with the STREAMING near-dup operator active:
+    minhash banding in the map phase, the second (bucket-keyed)
+    exchange, and the bucket-owner state — measured end to end over a
+    near-dup-shaped pages corpus (url groups of 3 share a base text),
+    fast hash mode. Records what the operator costs ON TOP of the base
+    pipeline, not just its parity."""
+    import ray
+
+    from gush_ray.datagen import ensure_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.neardup import NearDupSpec
+
+    pages_dir = ensure_pages(
+        "/tmp/gush_scale_pages_nd", n_urls=BENCH_PAGES_URLS, seed=78,
+        n_epochs=BENCH_PAGES_EPOCHS, near_dup_groups=3,
+    )
+    _warm_cache(sf_dir, [pages_dir])
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=32,
+                       neardup_spec=NearDupSpec(hash_fn="fast"))
+
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = 0
+    n_dups = 0
+    for e in job.sink.committed_epochs():
+        for pm in job.sink.read_manifest(e)["partitions"]:
+            n_rows += pm.get("rows_in", 0)
+            n_dups += pm.get("near_dup_rows", 0)
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "near_dup_rows": n_dups}
+
+
 def _minhash_dedup_fast(sf_dir: str):
     """q_minhash_dedup's pipeline with the production (fast) gram hash —
     the bench measures the vectorized partition scan, not the md5
@@ -257,6 +303,10 @@ def run_bench() -> dict:
     flag_join = min((bench_flagship_join_stream(SF_DIR) for _ in range(2)),
                     key=lambda r: r["sec"])
     timings["flagship_join_stream"] = round(flag_join["sec"], 3)
+    flag_nd = min(
+        (bench_flagship_neardup_stream(SF_DIR) for _ in range(2)),
+        key=lambda r: r["sec"])
+    timings["flagship_neardup_stream"] = round(flag_nd["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -273,6 +323,9 @@ def run_bench() -> dict:
         "flagship_join_rows": flag_join["rows"],
         "flagship_join_pairs": flag_join["join_pairs"],
         "flagship_nfa_matches": flag_join["nfa_matches"],
+        "flagship_neardup_rows_per_sec": round(flag_nd["rows_per_sec"], 1),
+        "flagship_neardup_rows": flag_nd["rows"],
+        "flagship_near_dup_hits": flag_nd["near_dup_rows"],
     }
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the
