@@ -20,6 +20,15 @@ import os
 import sys
 
 
+def _neardup_spec(args):
+    if not (args.neardup or args.neardup_ttl_sec):
+        return None
+    from gush_ray.state.neardup import NearDupSpec
+
+    return NearDupSpec(ttl_us=(args.neardup_ttl_sec * 1_000_000
+                               if args.neardup_ttl_sec else None))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="gush-ray streaming CEP job")
     ap.add_argument("--pages-dir", required=True)
@@ -46,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--window-group-cols", default=None,
                     help="comma-separated window group columns "
                          "(default lang,change_kind)")
+    ap.add_argument("--neardup", action="store_true",
+                    help="streaming MinHash/LSH near-dup detection over "
+                         "arriving pages (near_dups output stream; "
+                         "tasks mode only — state/neardup.py)")
+    ap.add_argument("--neardup-ttl-sec", type=int, default=None,
+                    help="evict near-dup bucket owners idle this long "
+                         "in event time (bounds bucket state to the "
+                         "active horizon; implies --neardup)")
     ap.add_argument("--statsd", default=None,
                     help="push per-epoch metrics as statsd lines: "
                          "'host[:port]' (UDP), 'file:///path', or unset "
@@ -94,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         idle_partition_epochs=args.idle_partition_epochs,
         dim_dir=args.dim_dir,
         statsd=args.statsd,
+        neardup_spec=_neardup_spec(args),
         **({"window_group_cols":
             tuple(args.window_group_cols.split(","))}
            if args.window_group_cols else {}),
@@ -109,8 +127,9 @@ def main(argv: list[str] | None = None) -> int:
                 .ParquetFile(f).metadata.num_rows
                 for f in job.sink.committed_files(s)
             )
-            for s in ("changes", "windows", "sessions", "sessions_wm",
-                      "matches", "late")
+            for s in (("changes", "windows", "sessions", "sessions_wm",
+                       "matches", "late")
+                      + (("near_dups",) if _neardup_spec(args) else ()))
         },
     }
     print(json.dumps(summary))
