@@ -446,6 +446,153 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def _ll_predict(plane: np.ndarray, y: int, x: int, default: int,
+                predictor: int) -> int:
+    """T.81 H.1 lossless prediction. The first sample predicts the
+    midpoint default; the rest of the first line uses predictor 1
+    (left); the first column uses predictor 2 (above); elsewhere the
+    scan-selected predictor over Ra=left, Rb=above, Rc=above-left.
+    Shared by encoder and decoder — one definition, exact round trip."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {predictor}")
+
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 4,
+                         point_transform: int = 0) -> bytes:
+    """Lossless JPEG (T.81 process 14, SOF3): Huffman-coded prediction
+    differences, NO DCT/quantization — ``decode_jpeg(encode_jpeg_lossless
+    (px)) == px >> point_transform << point_transform`` exactly.
+    Components are stored as-is (no color transform: lossless means
+    lossless), precision 8 (uint8 input) or up to 16 (uint16 input).
+    Canonical per-image Huffman table, same machinery as baseline."""
+    px = np.asarray(pixels)
+    if px.dtype == np.uint8:
+        prec = 8
+    elif px.dtype == np.uint16:
+        prec = max(2, int(px.max()).bit_length()) if px.size else 16
+    else:
+        raise ValueError("lossless JPEG input must be uint8 or uint16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    pt = point_transform
+    if not 0 <= pt < prec:
+        raise ValueError("point_transform must be in [0, precision)")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ncomp = 1 if gray else px.shape[2]
+    planes = [
+        (px if gray else px[:, :, ci]).astype(np.int64) >> pt
+        for ci in range(ncomp)
+    ]
+    default = 1 << (prec - pt - 1)
+
+    # pass 1: diffs (mod 2^16, T.81 H.1.2.1) + symbol frequencies
+    diffs = np.empty((h, w, ncomp), dtype=np.int64)
+    freq: dict[int, int] = {}
+    for ci, plane in enumerate(planes):
+        for y in range(h):
+            for x in range(w):
+                d = (int(plane[y, x])
+                     - _ll_predict(plane, y, x, default, predictor))
+                d &= 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                diffs[y, x, ci] = d
+                s = 16 if d == 32768 else _category(d)
+                freq[s] = freq.get(s, 0) + 1
+    bits, vals, codes = _canonical_codes(_huffman_lengths(freq))
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):  # MCU order: one sample per comp
+                d = int(diffs[y, x, ci])
+                s = 16 if d == 32768 else _category(d)
+                ln, code = codes[s]
+                bw.write(ln, code)
+                if s and s != 16:  # SSSS=16 carries no extra bits
+                    vv = d if d >= 0 else d + (1 << s) - 1
+                    bw.write(s, vv)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, no quant table
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(v & 0xFF for v in vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0/Al=Pt
+    seg(0xDA, sos)
+    out.extend(entropy)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _decode_lossless_scan(data: bytes, pos: int, frame: dict, htabs: dict,
+                          scan_tabs: dict, predictor: int,
+                          pt: int) -> np.ndarray:
+    """SOF3 scan: per-sample Huffman diff decode + prediction. Per-blob
+    Python loop by nature (each sample's prediction depends on the
+    previous decode) — fine for the actor-pool decode stage's small
+    media blobs; this is a correctness codec, not a throughput kernel."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    prec = frame["prec"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components")
+    ncomp = len(comps)
+    tabs = []
+    for c in comps:
+        dc_id, _ = scan_tabs[c["id"]]
+        tabs.append(htabs[(0, dc_id)])
+    default = 1 << (prec - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    br = _BitReader(data, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                s = br.decode_symbol(tabs[ci])
+                if s == 16:
+                    d = 32768
+                else:
+                    d = _extend(br.receive(s), s) if s else 0
+                pred = _ll_predict(planes[ci], y, x, default, predictor)
+                planes[ci][y, x] = (pred + d) & 0xFFFF
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    stack = (planes[0] if ncomp == 1
+             else np.stack(planes, axis=-1)) << pt
+    return stack.astype(dtype)
+
+
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
                             dc_al: int = 1, ac_al: int = 1) -> bytes:
     """Progressive (SOF2) JPEG with BOTH progressive techniques —
@@ -669,9 +816,11 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w, 3) RGB uint8 (or (h, w) for grayscale files) from baseline
-    / extended-sequential Huffman JPEG bytes. Progressive or arithmetic
-    coding raises NotImplementedError (header-walk geometry remains the
-    caller's fallback); corrupt data raises ValueError."""
+    / extended-sequential / progressive Huffman JPEG bytes; SOF3
+    lossless decodes to the stored components exactly (uint16 for
+    precision > 8). Arithmetic coding raises NotImplementedError
+    (header-walk geometry remains the caller's fallback); corrupt data
+    raises ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -718,10 +867,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                               "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
+        elif marker == 0xC3:  # SOF3 lossless (Huffman)
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
+                     "progressive": False, "lossless": True}
         elif marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "differential/lossless JPEG not supported")
-        elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+                "differential JPEG not supported")
+        elif marker in (0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("non-baseline JPEG coding")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -735,6 +893,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_comps.append((cs, tt >> 4, tt & 0x0F))
             ss, se, ahal = body[1 + 2 * ns: 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if frame.get("lossless"):
+                if restart_interval:
+                    raise NotImplementedError(
+                        "lossless JPEG with restart intervals")
+                scan_tabs = {cs: (d, a) for cs, d, a in scan_comps}
+                return _decode_lossless_scan(
+                    data, pos + 2 + seg_len, frame, htabs, scan_tabs,
+                    predictor=ss, pt=al)
             if not frame["progressive"]:
                 # sequential: one full-band scan reconstructs directly
                 scan_tabs = {cs: (d, a) for cs, d, a in scan_comps}

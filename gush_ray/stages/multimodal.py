@@ -4,10 +4,10 @@ Binary payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract are actor-pool ``map_batches`` stages. PNG, BMP, PPM,
 PGM and WAV decode is REAL (pure-stdlib codecs,
 :mod:`gush_ray.stages.codecs`), and so is JPEG (baseline + progressive,
-pure numpy — :mod:`gush_ray.stages.jpeg`), GIF (LZW,
-:mod:`gush_ray.stages.gif`) and MJPEG-in-AVI video
-(:mod:`gush_ray.stages.avi`). The remaining honest boundary:
-arithmetic-coded/lossless JPEG and inter-frame compressed video
+pure numpy — :mod:`gush_ray.stages.jpeg`: baseline + progressive +
+SOF3 lossless), GIF (LZW, :mod:`gush_ray.stages.gif`) and MJPEG-in-AVI
+video (:mod:`gush_ray.stages.avi`). The remaining honest boundary:
+arithmetic-coded JPEG and inter-frame compressed video
 (H.26x/VP9/AV1) fall back to REAL
 header-walk frame geometry with pixel-statistic feature slots zero;
 formats with no codec at all fall back per ``on_unsupported`` — a

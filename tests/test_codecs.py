@@ -499,3 +499,46 @@ def test_avi_sniff_and_sample_frames():
     assert len(df) == -(-11 // 4)
     assert (df["n_frames"] == 11).all()
     assert (df["width"] == 12).all() and (df["height"] == 10).all()
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """SOF3 lossless: decode(encode(px)) == px bit-exact for every
+    predictor, gray + RGB, uint8 + uint16 (no color transform, no DCT)."""
+    from gush_ray.stages.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.RandomState(11)
+    cases = [rng.randint(0, 256, size=(14, 19), dtype=np.uint8),
+             rng.randint(0, 256, size=(7, 9, 3), dtype=np.uint8),
+             rng.randint(0, 4096, size=(8, 8), dtype=np.uint16),
+             np.full((5, 5), 200, dtype=np.uint8)]
+    for px in cases:
+        for pred in range(1, 8):
+            out = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+            assert out.dtype == px.dtype and (out == px).all(), pred
+
+
+def test_jpeg_lossless_point_transform_and_errors():
+    from gush_ray.stages.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, size=(10, 6), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(px, point_transform=3))
+    assert (out == (px >> 3) << 3).all()
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(px, predictor=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(px.astype(np.float64))
+    blob = encode_jpeg_lossless(px)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) - 10])  # truncated entropy data
+
+
+def test_jpeg_lossless_through_decode_features():
+    from gush_ray.stages.jpeg import encode_jpeg_lossless
+    from gush_ray.stages.multimodal import DecodeFeatures
+
+    px = np.full((12, 25, 3), 64, dtype=np.uint8)
+    w, h, f, kind, ok = DecodeFeatures()._decode_one(
+        encode_jpeg_lossless(px))
+    assert (w, h, kind, ok) == (25, 12, "jpeg", True)
+    assert abs(f[0] - 64 / 255.0) < 1e-6  # lossless: exact mean
