@@ -225,6 +225,16 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
 
     bdf = band_rows_batch(batch, neardup_spec, key_col=key_col)
     btab = pa.Table.from_pandas(bdf, preserve_index=False)
+    if btab.num_rows:
+        # every doc repeats its url in num_bands rows — dictionary-encode
+        # the key column so the exchange ships each url's bytes once per
+        # (fragment, url), not once per band row (at web scale the band
+        # exchange is the operator's dominant shuffle volume). The reduce
+        # casts back to plain strings before sorting (categorical sort
+        # order is code order, not lexicographic — store.py).
+        ki = btab.schema.get_field_index(key_col)
+        btab = btab.set_column(
+            ki, key_col, btab.column(key_col).dictionary_encode())
     bpart = bucket_part(bdf["band_id"].to_numpy(),
                         bdf["band_hash"].to_numpy(), P)
     nfrags: list = [None] * P

@@ -260,6 +260,13 @@ class PartitionState:
         if nfrags:
             ntab = pa.concat_tables(nfrags, promote_options="default")
             ndf = ntab.to_pandas()
+            if isinstance(ndf[p.key_col].dtype, pd.CategoricalDtype):
+                # the exchange ships the key dictionary-encoded (repeated
+                # once per band row otherwise); decode BEFORE sorting —
+                # pandas sorts categoricals by code order, which is
+                # per-fragment insertion order, not the lexicographic
+                # (ts, key) tie-break the SQL oracle reproduces
+                ndf[p.key_col] = ndf[p.key_col].astype(object)
         else:
             ndf = pd.DataFrame(
                 {p.key_col: [], p.ts_col: [], "band_id": [],

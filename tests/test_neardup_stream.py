@@ -295,3 +295,41 @@ def test_rescale_guard_on_dropped_spec(tmp_path, ray_session):
     bare = StateParams(key_col="url", ts_col="ts_us", pattern=None)
     with pytest.raises(ValueError, match="near-dup"):
         rescale_state(str(tmp_path / "b"), 4, params=bare)
+
+
+def test_continuous_mode_matches_batch_run(tmp_path, ray_session):
+    """Live-tailed ingestion (run_continuous with _READY markers)
+    produces the identical near_dups stream as the batch run over the
+    same epochs — the operator rides the shared reduce path."""
+    import os
+    import shutil as sh
+    import threading
+    import time as _time
+
+    src = _pages(tmp_path)
+    jb = StreamingJob(src, str(tmp_path / "bo"), run_id="ndcB",
+                      num_partitions=3, neardup_spec=NearDupSpec())
+    jb.run(resume=False)
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+
+    def writer():
+        for e in range(4):
+            _time.sleep(0.3)
+            name = f"epoch={e:04d}"
+            sh.copytree(os.path.join(src, name),
+                        os.path.join(live, name + ".tmp"))
+            os.rename(os.path.join(live, name + ".tmp"),
+                      os.path.join(live, name))
+            open(os.path.join(live, name, "_READY"), "w").close()
+        open(os.path.join(live, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    jl = StreamingJob(live, str(tmp_path / "lo"), run_id="ndcL",
+                      num_partitions=3, neardup_spec=NearDupSpec())
+    res = jl.run_continuous(poll_interval_s=0.1)
+    t.join()
+    assert res["finalized"]
+    pd.testing.assert_frame_equal(_nd_sorted(jb), _nd_sorted(jl))
