@@ -225,21 +225,24 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
 
     bdf = band_rows_batch(batch, neardup_spec, key_col=key_col)
     btab = pa.Table.from_pandas(bdf, preserve_index=False)
-    if btab.num_rows:
-        # every doc repeats its url in num_bands rows — dictionary-encode
-        # the key column so the exchange ships each url's bytes once per
-        # (fragment, url), not once per band row (at web scale the band
-        # exchange is the operator's dominant shuffle volume). The reduce
-        # casts back to plain strings before sorting (categorical sort
-        # order is code order, not lexicographic — store.py).
-        ki = btab.schema.get_field_index(key_col)
-        btab = btab.set_column(
-            ki, key_col, btab.column(key_col).dictionary_encode())
     bpart = bucket_part(bdf["band_id"].to_numpy(),
                         bdf["band_hash"].to_numpy(), P)
+    ki = btab.schema.get_field_index(key_col)
     nfrags: list = [None] * P
     for pid in np.unique(bpart):
-        nfrags[int(pid)] = btab.filter(pa.array(bpart == pid))
+        frag = btab.filter(pa.array(bpart == pid))
+        # every doc repeats its url in up to num_bands rows per fragment
+        # — dictionary-encode the key column AFTER the per-partition
+        # filter, so each fragment ships only ITS urls' bytes once (an
+        # encode before the filter would serialize the shard's FULL url
+        # dictionary into all P fragments: worse than plain strings when
+        # P > num_bands). Arrow filter keeps dictionaries uncompacted,
+        # so re-encoding the filtered plain column is the compact form.
+        # The reduce casts back to plain strings before sorting
+        # (categorical sort order is code order, not lexicographic —
+        # store.py).
+        nfrags[int(pid)] = frag.set_column(
+            ki, key_col, frag.column(key_col).dictionary_encode())
     return [meta] + frags + nfrags
 
 

@@ -21,12 +21,16 @@ import sys
 
 
 def _neardup_spec(args):
-    if not (args.neardup or args.neardup_ttl_sec):
+    # `is not None`: --neardup-ttl-sec 0 means "evict the moment the
+    # watermark passes", the OPPOSITE of unset — a falsy check would
+    # silently disable the operator and unbound the state
+    if not (args.neardup or args.neardup_ttl_sec is not None):
         return None
     from gush_ray.state.neardup import NearDupSpec
 
     return NearDupSpec(ttl_us=(args.neardup_ttl_sec * 1_000_000
-                               if args.neardup_ttl_sec else None))
+                               if args.neardup_ttl_sec is not None
+                               else None))
 
 
 def main(argv: list[str] | None = None) -> int:

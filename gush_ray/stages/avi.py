@@ -120,7 +120,15 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray],
                 if scale and rate:
                     fps = (rate, scale)
             elif fourcc[2:4] in (b"dc", b"db"):
-                frames.append(decode_jpeg(buf[pos + 8:body_end]))
+                try:
+                    frames.append(decode_jpeg(buf[pos + 8:body_end]))
+                except NotImplementedError as exc:
+                    # honor the ValueError-only contract: a frame coded
+                    # beyond the JPEG codec's support (e.g. arithmetic)
+                    # must dead-letter the CLIP, not crash the stage
+                    raise ValueError(
+                        f"unsupported MJPEG frame coding: {exc}"
+                    ) from exc
             pos = body_end + (size & 1)
 
     walk(data, 12, 8 + declared)

@@ -570,10 +570,18 @@ def _decode_lossless_scan(data: bytes, pos: int, frame: dict, htabs: dict,
         raise NotImplementedError(
             "lossless JPEG with subsampled components")
     ncomp = len(comps)
+    if any(c["id"] not in scan_tabs for c in comps):
+        raise NotImplementedError(
+            "non-interleaved (multi-scan) lossless JPEG not supported")
     tabs = []
     for c in comps:
         dc_id, _ = scan_tabs[c["id"]]
-        tabs.append(htabs[(0, dc_id)])
+        tab = htabs.get((0, dc_id))
+        if tab is None:
+            # mirror the baseline path's guard: a KeyError would escape
+            # the decode stage's (ValueError, NotImplementedError) net
+            raise ValueError("missing JPEG Huffman table")
+        tabs.append(tab)
     default = 1 << (prec - pt - 1)
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
     br = _BitReader(data, pos)

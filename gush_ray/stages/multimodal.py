@@ -115,14 +115,18 @@ def _image_features(px: np.ndarray) -> tuple[int, int, np.ndarray]:
         px3 = px
     h, w = px3.shape[:2]
     gray = px3.mean(axis=2)
+    # dtype-aware full-scale: >8-bit pixels (16-bit lossless JPEG) must
+    # still land in the documented [0, 1] feature range — dividing a
+    # uint16 plane by 255 would put pixel stats up to 257x off scale
+    fullscale = 65535.0 if px3.dtype == np.uint16 else 255.0
     f = np.array(
         [
-            px3[:, :, 0].mean() / 255.0,
-            px3[:, :, 1].mean() / 255.0,
-            px3[:, :, 2].mean() / 255.0,
-            gray.std() / 255.0,
-            gray.min() / 255.0,
-            gray.max() / 255.0,
+            px3[:, :, 0].mean() / fullscale,
+            px3[:, :, 1].mean() / fullscale,
+            px3[:, :, 2].mean() / fullscale,
+            gray.std() / fullscale,
+            gray.min() / fullscale,
+            gray.max() / fullscale,
             min(w / max(h, 1), 4.0) / 4.0,
             1.0,  # modality tag: image
         ],

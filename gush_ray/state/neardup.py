@@ -90,9 +90,6 @@ class NearDupSpec:
             )
 
 
-NEARDUP_SCHEMA_COLS = ("band_id", "band_hash")
-
-
 def band_rows_batch(table: pa.Table, spec: NearDupSpec,
                     key_col: str = "url",
                     ts_col: str = "ts_us") -> pd.DataFrame:
@@ -181,7 +178,14 @@ class NearDupState:
             ts = df[ts_col].to_numpy().astype(np.int64)
             df = df[ts >= watermark_us]
         if len(df):
-            df = df.drop_duplicates([key_col, ts_col, "band_id"])
+            # band_hash in the dedup subset: only EXACT replay rows may
+            # collapse (all four columns equal → any survivor is the
+            # same row, so fragment-concat order cannot matter). Two
+            # rows sharing (url, ts) with DIFFERENT texts both probe —
+            # note the SQL oracle assumes text is functionally dependent
+            # on (url, ts), which the fixtures guarantee.
+            df = df.drop_duplicates(
+                [key_col, ts_col, "band_id", "band_hash"])
             df = df.sort_values([ts_col, key_col], kind="mergesort")
         if not len(df):
             return pd.DataFrame({key_col: [], ts_col: [], "band_id": [],

@@ -542,3 +542,33 @@ def test_jpeg_lossless_through_decode_features():
         encode_jpeg_lossless(px))
     assert (w, h, kind, ok) == (25, 12, "jpeg", True)
     assert abs(f[0] - 64 / 255.0) < 1e-6  # lossless: exact mean
+
+
+def test_uint16_lossless_features_stay_in_unit_range():
+    """>8-bit pixels normalize by their dtype full-scale (review fix:
+    /255 put 16-bit stats up to 257x out of the documented [0,1])."""
+    from gush_ray.stages.jpeg import encode_jpeg_lossless
+    from gush_ray.stages.multimodal import DecodeFeatures
+
+    px = np.full((8, 8), 40000, dtype=np.uint16)
+    _w, _h, f, _k, ok = DecodeFeatures()._decode_one(
+        encode_jpeg_lossless(px))
+    assert ok and abs(f[0] - 40000 / 65535.0) < 1e-6
+    assert (f[:6] <= 1.0).all()
+
+
+def test_avi_unsupported_frame_coding_dead_letters():
+    """A frame coded beyond the JPEG codec (progressive is fine,
+    arithmetic is not) raises ValueError — the clip dead-letters instead
+    of crashing the sampling stage (review fix)."""
+    import struct
+
+    from gush_ray.stages.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    good = encode_avi_mjpeg(np.zeros((2, 8, 8), dtype=np.uint8))
+    # corrupt the first frame's SOF0 marker into SOF9 (arithmetic)
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    bad = good[:sof] + b"\xff\xc9" + good[sof + 2:]
+    with pytest.raises(ValueError, match="unsupported MJPEG"):
+        decode_avi_mjpeg(bad)

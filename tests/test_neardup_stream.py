@@ -333,3 +333,17 @@ def test_continuous_mode_matches_batch_run(tmp_path, ray_session):
     t.join()
     assert res["finalized"]
     pd.testing.assert_frame_equal(_nd_sorted(jb), _nd_sorted(jl))
+
+
+def test_cli_ttl_zero_enables_and_bounds():
+    """--neardup-ttl-sec 0 means evict-at-watermark, not 'unset'
+    (review fix: a falsy check disabled the operator entirely)."""
+    import argparse
+
+    from gush_ray.run_job import _neardup_spec
+
+    ns = argparse.Namespace(neardup=False, neardup_ttl_sec=0)
+    spec = _neardup_spec(ns)
+    assert spec is not None and spec.ttl_us == 0
+    assert _neardup_spec(
+        argparse.Namespace(neardup=False, neardup_ttl_sec=None)) is None
