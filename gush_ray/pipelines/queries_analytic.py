@@ -574,6 +574,40 @@ GROUP BY event_type
 """
 
 
+def q_jsonl_gz_source_agg(sf_dir: str):
+    """Compressed-JSONL source (the common webtext interchange shape:
+    one .jsonl.gz per shard): events → gzip JSONL → ``read_jsonl``
+    (transparent arrow-stream decompression) → grouped aggregate; the
+    oracle aggregates the ORIGINAL parquet, so matching proves the
+    compress/parse roundtrip is value-exact. The zstd path is pinned by
+    tests/test_sources_sketches.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gush_ray.sources.formats import read_jsonl, roundtrip_table_jsonl
+
+    path = _fixture_path(sf_dir, "events.jsonl.gz")
+    if not os.path.exists(path):
+        tab = pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type",
+                                     "value"])
+        roundtrip_table_jsonl(tab.sort_by("event_id"), path)
+    ds = read_jsonl(path, columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cents", pa.array(np.floor(v * 100).astype(np.int64))
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_aggregate(
+        ds, ["event_type"],
+        {"n": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
 def q_csv_source_agg(sf_dir: str):
     """CSV source roundtrip: documents metadata → deterministic CSV →
     ``sources.read_csv`` → grouped aggregate; oracle over the original
@@ -1392,6 +1426,7 @@ ANALYTIC_QUERIES = {
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "token_df": (q_token_df, SQL_TOKEN_DF),
     "jsonl_source_agg": (q_jsonl_source_agg, SQL_JSONL_SOURCE_AGG),
+    "jsonl_gz_source_agg": (q_jsonl_gz_source_agg, SQL_JSONL_SOURCE_AGG),
     "csv_source_agg": (q_csv_source_agg, SQL_CSV_SOURCE_AGG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),

@@ -43,9 +43,33 @@ def _project(ds, columns: list[str] | None):
     )
 
 
+_COMPRESSION_SUFFIXES = {".gz": "gzip", ".zst": "zstd", ".zstd": "zstd"}
+
+
+def _sniff_compression(path: str) -> str | None:
+    """Compression codec from the file suffix (for a directory: from the
+    first file inside — mixed-codec dirs are not a thing this supports)."""
+    p = path
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            if files:
+                p = os.path.join(root, sorted(files)[0])
+                break
+    for suf, codec in _COMPRESSION_SUFFIXES.items():
+        if p.endswith(suf):
+            return codec
+    return None
+
+
 def read_jsonl(path: str, columns: list[str] | None = None, **kw):
     """Newline-delimited JSON source (arrow JSON reader under the hood:
-    vectorized parse, no per-row Python)."""
+    vectorized parse, no per-row Python). ``.gz`` / ``.zst`` files
+    decompress transparently (the common webtext interchange shapes —
+    decompression is streamed per file by Arrow, so block sizes stay
+    bounded by the DECOMPRESSED read, not the file size)."""
+    codec = _sniff_compression(path)
+    if codec and "arrow_open_stream_args" not in kw:
+        kw["arrow_open_stream_args"] = {"compression": codec}
     ds = rd.read_json(path, **_size_blocks(path), **kw)
     return _project(ds, columns)
 
@@ -70,15 +94,23 @@ def write_csv(ds, path: str) -> str:
 
 def roundtrip_table_jsonl(table: pa.Table, path: str) -> str:
     """Deterministically materialize an Arrow table as a single JSONL
-    file (test/fixture helper — row order preserved)."""
+    file (test/fixture helper — row order preserved). A ``.gz`` /
+    ``.zst`` suffix compresses with that codec (arrow streams)."""
     import json
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     cols = table.column_names
-    with open(path, "w") as f:
-        for row in table.to_pylist():
-            f.write(json.dumps({c: row[c] for c in cols},
-                               sort_keys=False) + "\n")
+    payload = "".join(
+        json.dumps({c: row[c] for c in cols}, sort_keys=False) + "\n"
+        for row in table.to_pylist()
+    ).encode()
+    codec = _sniff_compression(path)
+    if codec:
+        with pa.CompressedOutputStream(path, codec) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
     return path
 
 

@@ -193,3 +193,29 @@ def test_grouped_exact_quantiles_match_reference(ray_session):
             want = xs[_disc_rank(len(xs), q)]
             have = got[(got["g"] == g) & (got["q"] == q)]["value"].iloc[0]
             assert have == want, (g, q, have, want)
+
+
+def test_jsonl_compressed_roundtrips(tmp_path, ray_session):
+    """gzip AND zstd JSONL round-trip value-exact through the arrow
+    stream codecs; the plain reader stays byte-compatible."""
+    import pyarrow as pa
+
+    from gush_ray.sources.formats import read_jsonl, roundtrip_table_jsonl
+
+    tab = pa.table({
+        "k": ["a", "b", "a", "c"],
+        "v": [1.5, -2.25, 3.0, 0.125],
+        "n": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    frames = {}
+    for name in ("t.jsonl", "t.jsonl.gz", "t.jsonl.zst"):
+        p = str(tmp_path / name)
+        roundtrip_table_jsonl(tab, p)
+        df = read_jsonl(p).to_pandas().sort_values("n").reset_index(
+            drop=True)
+        frames[name] = df[["k", "v", "n"]]
+    pd.testing.assert_frame_equal(frames["t.jsonl"], frames["t.jsonl.gz"])
+    pd.testing.assert_frame_equal(frames["t.jsonl"], frames["t.jsonl.zst"])
+    assert frames["t.jsonl"]["v"].tolist() == [1.5, -2.25, 3.0, 0.125]
+    # the .gz file really is gzip bytes, not a misnamed plain file
+    assert open(str(tmp_path / "t.jsonl.gz"), "rb").read(2) == b"\x1f\x8b"
