@@ -539,6 +539,75 @@ FROM m
 """
 
 
+# ------------------------------------------------- robots.txt filtering
+
+_ROBOTS_FIXTURE = {
+    # one robots.txt per site class: prefix rules + a wildcard/$ rule +
+    # an allow-everything group (empty Disallow) — covering each RFC
+    # 9309 semantics branch the stage implements
+    "site0000.example.org": ("User-agent: *\n"
+                             "Disallow: /p/1\n"
+                             "Allow: /p/12\n"),
+    "site0001.example.org": ("User-agent: specialbot\n"
+                             "Disallow: /\n"
+                             "User-agent: *\n"
+                             "Disallow: /p/\n"
+                             "Allow: /p/*2$\n"),
+    "site0002.example.org": "User-agent: *\nDisallow:\n",
+}
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt (RFC 9309) URL filtering: deterministic urls built
+    from documents rows spread over three sites whose robots rules
+    exercise prefix matching, wildcard+$ anchoring, longest-match-wins
+    with Allow on ties, the empty-Disallow group, and user-agent group
+    selection — the oracle re-derives every decision as SQL CASE logic
+    over the same constants (stages/robots.py)."""
+    from gush_ray.stages.robots import RobotsFilter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "url": ("https://site000" + (b["doc_id"] % 3).astype(str)
+                    + ".example.org/p/" + (b["doc_id"] % 100).astype(str)),
+        })
+
+    urls = docs.map_batches(build, batch_format="pandas")
+    out = urls.map_batches(
+        RobotsFilter,
+        fn_constructor_kwargs={"rules_by_site": _ROBOTS_FIXTURE},
+        batch_format="pyarrow", concurrency=2, num_cpus=1,
+    )
+    return out.select_columns(["doc_id", "url", "allowed"])
+
+
+SQL_ROBOTS_FILTER = """
+WITH m AS (
+  SELECT doc_id,
+         'https://site000' || CAST(doc_id % 3 AS VARCHAR)
+         || '.example.org/p/' || CAST(doc_id % 100 AS VARCHAR) AS url,
+         '/p/' || CAST(doc_id % 100 AS VARCHAR) AS p,
+         doc_id % 3 AS site
+  FROM documents
+)
+SELECT doc_id, url,
+  CASE site
+    -- site0: Disallow /p/1 (len 4) vs Allow /p/12 (len 5): longer wins
+    WHEN 0 THEN (NOT starts_with(p, '/p/1')) OR starts_with(p, '/p/12')
+    -- site1: '*' group applies (we are not specialbot):
+    -- Disallow /p/ (len 3) vs Allow /p/*2$ (len 6): the anchored
+    -- wildcard wins wherever it matches
+    WHEN 1 THEN regexp_matches(p, '^/p/.*2$')
+    -- site2: empty Disallow = no rule = everything allowed
+    ELSE TRUE
+  END AS allowed
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- exact dedup
 
 def q_exact_dedup_docs(sf_dir: str):
@@ -1376,6 +1445,7 @@ CORE_QUERIES = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "repeat_scrub": (q_repeat_scrub, SQL_REPEAT_SCRUB),

@@ -135,3 +135,29 @@ def test_redact_batch_patterns():
     assert out[2] == "call <PHONE> today"
     assert out[3] == "order <NUM> shipped"
     assert out[4] is None
+
+
+def test_robots_filter_stage_semantics():
+    """RFC 9309 decisions through the vectorized stage: prefix rules,
+    wildcard+$ anchor, longest-match with Allow on ties, unknown sites
+    pass, bare-host urls default to path '/', drop mode filters."""
+    import pyarrow as pa
+
+    from gush_ray.stages.robots import RobotsFilter
+
+    rules = {"a.org": "User-agent: *\nDisallow: /x\nAllow: /x/ok\n",
+             "b.org": "User-agent: *\nDisallow: /*private$\n"}
+    t = pa.table({"url": [
+        "https://a.org/x/1",        # disallowed (/x)
+        "https://a.org/x/ok/2",     # allowed (longer Allow wins)
+        "https://a.org/y",          # no matching rule
+        "https://b.org/docs/private",   # anchored wildcard hits
+        "https://b.org/private/page",   # $ anchor does NOT hit
+        "https://b.org",            # bare host → path '/'
+        "https://c.org/x/1",        # unknown site → allowed
+    ]})
+    out = RobotsFilter(rules)(t)
+    assert out["allowed"].to_pylist() == [
+        False, True, True, False, True, True, True]
+    kept = RobotsFilter(rules, drop=True)(t)
+    assert kept.num_rows == 5
