@@ -48,7 +48,7 @@ _PRIORITY = [
     "nfa_match",
     "tumbling_count", "tumbling_avg", "sliding_avg", "session_count",
     "global_count",
-    "change_classify", "change_delta", "change_set_expr", "where_fields",
+    "change_classify", "change_delta", "where_fields",
     "typed_field_extract", "latest_version",
     "deny_filter",
     "hash_join_agg", "salted_join_agg",
@@ -60,6 +60,17 @@ _PRIORITY = [
     # rounding. Rotated-out entries stay green in tests/test_oracle.py.
     "asof_join", "ccnet_buckets",
     "bucketed_join_agg",
+    # web-graph / URL / data-mixing families (round 3, fifth wave):
+    # pagerank is integer-exact (bit-identical to an unrolled SQL CTE
+    # chain), url_canonical_dedup's oracle independently reimplements
+    # the 5-rule canonicalization in DuckDB string/list functions, and
+    # dsir_select pairs via the micro-nat integer-sum trick. They
+    # rotate out change_set_expr (change family keeps 4 driver reps),
+    # ngram_jaccard (near-dup family keeps 3) and fingerprint
+    # (content_chunks keeps the rolling-hash family) — all three stay
+    # green in tests/test_oracle.py. link_extract/link_components stay
+    # outside the 50 (same fixture + graph as pagerank).
+    "pagerank", "url_canonical_dedup", "dsir_select",
     "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
     "ann_topk", "ivf_index_ann", "lsh_index_ann",
     # near-dup family, oracle-paired round 3 via the md5 verification
@@ -85,8 +96,8 @@ _PRIORITY = [
     # state/neardup.py) covers both the streaming-state and the
     # near-dup-family axes in one driver row; the clusters entry keeps
     # its SQL pair and stays green in tests/test_oracle.py
-    "minhash_dedup", "streaming_near_dup", "kmeans_exact", "ngram_jaccard",
-    "semdedup_exact", "content_chunks", "fingerprint",
+    "minhash_dedup", "streaming_near_dup", "kmeans_exact",
+    "semdedup_exact", "content_chunks",
     "lang_id", "pack_sequences",
     "exact_dedup_docs", "line_dedup", "pii_redact",
     "token_stats", "quality_score",
@@ -112,11 +123,13 @@ def _all_query_entries() -> dict[str, tuple]:
     from gush_ray.pipelines.queries import CORE_QUERIES
     from gush_ray.pipelines.queries_analytic import ANALYTIC_QUERIES
     from gush_ray.pipelines.queries_extra import EXTRA_QUERIES
+    from gush_ray.pipelines.queries_web import WEB_QUERIES
 
     merged: dict[str, tuple] = {}
     merged.update(CORE_QUERIES)
     merged.update(ANALYTIC_QUERIES)
     merged.update(EXTRA_QUERIES)
+    merged.update(WEB_QUERIES)
     out: dict[str, tuple] = {}
     for name in _PRIORITY:
         out[name] = merged[name]

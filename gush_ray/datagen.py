@@ -594,3 +594,112 @@ def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
         "media_id": pa.array(range(len(blobs)), type=pa.int64()),
         "blob": pa.array(blobs, type=pa.binary()),
     })
+
+
+# ---------------------------------------------------------------------------
+# web-graph + URL fixtures (round 3, fifth wave)
+# ---------------------------------------------------------------------------
+
+# fixed paths: the SQL oracles are static strings reading the same bytes
+LINK_FIXTURE = "/tmp/gush_ray_links/v1"
+URL_FIXTURE = "/tmp/gush_ray_urls/v1"
+
+
+def gen_linked_pages(n_urls: int = 900, seed: int = 23,
+                     max_links: int = 6) -> pa.Table:
+    """Pages whose html carries ``<a href>`` anchors — the link-graph
+    fixture (page_id, url, html).
+
+    Deterministic in all arguments. Each page links to 0..max_links
+    targets drawn from the url universe (self-links and duplicate links
+    allowed — PageRank treats a duplicate as double weight, same as the
+    SQL oracle); ~15% of anchors point at EXTERNAL urls outside the node
+    set (they appear in link extraction but drop out of the graph via
+    the node join). A ``<link href>`` stylesheet decoy per page pins
+    that extraction matches only ``<a href="``.
+    """
+    rng = np.random.RandomState(seed)
+    urls = _url_universe(rng, n_urls)
+    n_links = rng.randint(0, max_links + 1, size=n_urls)
+    htmls = []
+    for i in range(n_urls):
+        k = int(n_links[i])
+        anchors = []
+        for j in range(k):
+            if rng.rand() < 0.15:
+                ext = int(rng.randint(0, 50))
+                dst = f"https://external{ext:02d}.example.net/e/{ext}"
+            else:
+                dst = urls[int(rng.randint(0, n_urls))]
+            anchors.append(f'<a href="{dst}">link{j}</a>')
+        htmls.append(
+            f'<!DOCTYPE html><html><head><title>{urls[i]}</title>'
+            f'<link href="/static/site.css" rel="stylesheet"></head>'
+            f"<body><article>page {i}</article>"
+            f'<nav>{"".join(anchors)}</nav></body></html>'.encode()
+        )
+    return pa.table({
+        "page_id": pa.array(range(n_urls), type=pa.int64()),
+        "url": pa.array(urls.tolist(), type=pa.string()),
+        "html": pa.array(htmls, type=pa.binary()),
+    })
+
+
+def ensure_link_fixture(tmp_root: str = LINK_FIXTURE) -> str:
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(tmp_root, exist_ok=True)
+        pq.write_table(gen_linked_pages(), os.path.join(tmp_root,
+                                                        "pages.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tmp_root
+
+
+def gen_messy_urls(n_base: int = 800, seed: int = 29,
+                   variants: int = 3) -> pa.Table:
+    """Messy-URL fixture (uid, raw_url): each of ``n_base`` canonical
+    urls appears as ``variants`` surface forms differing in host/scheme
+    case, an explicit default port, a fragment, query-parameter order,
+    and a trailing slash — all canonicalizing back to the same string
+    under :func:`gush_ray.stages.web.canonicalize_urls`' rule set.
+    """
+    rng = np.random.RandomState(seed)
+    uids, raws = [], []
+    uid = 0
+    for i in range(n_base):
+        scheme = "https" if i % 3 else "http"
+        host = f"site{i % 97:03d}.example.org"
+        path = f"/d{i % 7}/page{i}" if i % 5 else f"/page{i}"
+        params = [f"a={i % 5}", f"b={i % 3}"][: (i % 3)]
+        for v in range(variants):
+            s, h, p, q = scheme, host, path, list(params)
+            if rng.rand() < 0.5:  # scheme/host case noise
+                s = s.upper() if rng.rand() < 0.5 else s
+                h = "".join(c.upper() if rng.rand() < 0.4 else c
+                            for c in h)
+            if rng.rand() < 0.4:  # explicit default port
+                h += ":443" if scheme == "https" else ":80"
+            if rng.rand() < 0.4 and q:
+                q = q[::-1]  # unsorted params
+            frag = f"#sec{int(rng.randint(0, 9))}" if rng.rand() < 0.3 else ""
+            trail = "/" if rng.rand() < 0.3 else ""
+            qs = "?" + "&".join(q) if q else ""
+            uids.append(uid)
+            raws.append(f"{s}://{h}{p}{trail}{qs}{frag}")
+            uid += 1
+    return pa.table({
+        "uid": pa.array(uids, type=pa.int64()),
+        "raw_url": pa.array(raws, type=pa.string()),
+    })
+
+
+def ensure_url_fixture(tmp_root: str = URL_FIXTURE) -> str:
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(tmp_root, exist_ok=True)
+        pq.write_table(gen_messy_urls(), os.path.join(tmp_root,
+                                                      "urls.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tmp_root

@@ -97,6 +97,9 @@ def ensure_oracle_fixtures() -> None:
     from gush_ray.datagen import ensure_neardup_pages
 
     ensure_neardup_pages()
+    from gush_ray.pipelines.queries_web import ensure_web_fixtures
+
+    ensure_web_fixtures()
 
 
 # The streaming pipeline's exact batch semantics, as SQL over the same

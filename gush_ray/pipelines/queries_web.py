@@ -1,0 +1,367 @@
+"""Web-graph / URL / data-mixing queries (round-3 fifth wave), each
+oracle-paired:
+
+* ``link_extract`` — anchor (``<a href``) targets out of raw html bytes;
+  the oracle recomputes the edge list with ``regexp_extract_all``.
+* ``pagerank`` — integer-exact damped PageRank over the extracted link
+  graph (stages/web.pagerank); the oracle unrolls the iterations as a
+  generated CTE chain over the SAME int64 floor-division arithmetic, so
+  the match is bit-exact, not tolerance-based.
+* ``link_components`` — undirected connected components over the link
+  graph via the distributed min-label propagation
+  (stages/dedup.duplicate_clusters_distributed); the oracle is the
+  classic recursive-CTE reachability min.
+* ``url_canonical_dedup`` — canonical-URL grouping under the documented
+  rule set (stages/web.canonicalize_urls); the oracle reimplements every
+  rule in DuckDB string/list functions (independent implementation, not
+  a shared helper).
+* ``dsir_select`` — DSIR-style importance resampling (hashed-unigram
+  bucket distributions, target = ``lang='en'`` docs) with per-bucket
+  log-ratios rounded to integer micro-nats BEFORE the per-doc sum, so
+  numpy-vs-libm ``ln`` ulp differences collapse and the per-doc weights
+  are exact int64 (same trick as the bigram-LM oracles).
+
+Reference parity note: the reference (simao/gush) is a pure CDC/CEP
+engine with no web-graph or data-mixing surface; these operators belong
+to the graft brief's LLM-training-data families.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from gush_ray.datagen import (
+    LINK_FIXTURE,
+    URL_FIXTURE,
+    ensure_link_fixture,
+    ensure_url_fixture,
+)
+from gush_ray.stages.web import (
+    canonicalize_batch,
+    extract_links_batch,
+    pagerank,
+)
+
+# ---------------------------------------------------------------------------
+# link extraction
+# ---------------------------------------------------------------------------
+
+_LINK_PARQUET = f"{LINK_FIXTURE}/pages.parquet"
+_URL_PARQUET = f"{URL_FIXTURE}/urls.parquet"
+
+
+def _read_links():
+    ensure_link_fixture()
+    return rd.read_parquet(_LINK_PARQUET, override_num_blocks=8)
+
+
+def q_link_extract(sf_dir: str):
+    """(src_url, dst_url) anchor edge list (external targets included)."""
+    ds = _read_links().map_batches(
+        lambda b: extract_links_batch(b.select(["url", "html"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: b.rename_columns(["src_url", "dst_url"]),
+        batch_format="pyarrow")
+
+
+SQL_LINK_EXTRACT = f"""
+SELECT url AS src_url,
+       unnest(regexp_extract_all(decode(html), '<a href="([^"]*)"', 1))
+         AS dst_url
+FROM read_parquet('{_LINK_PARQUET}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# the internal edge list (page_id → page_id), shared by pagerank and
+# the components query; external hrefs drop out at the node join
+# ---------------------------------------------------------------------------
+
+def _edge_dataset():
+    from gush_ray.stages.joins import hash_join
+
+    pages = _read_links()
+
+    def links(b: pa.Table) -> pa.Table:
+        out = extract_links_batch(
+            b.select(["page_id", "html"]).rename_columns(["url", "html"]))
+        return out.rename_columns(["src", "dst_url"])
+
+    edges_raw = pages.map_batches(links, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    nodes = pages.map_batches(
+        lambda b: b.select(["url", "page_id"]).rename_columns(
+            ["dst_url", "dst"]),
+        batch_format="pyarrow")
+    edges = hash_join(edges_raw, nodes, on="dst_url").map_batches(
+        lambda b: b[["src", "dst"]], batch_format="pandas")
+    return edges.materialize(), pages
+
+
+_SQL_GRAPH_BASE = f"""
+pages AS MATERIALIZED (
+  SELECT page_id, url, decode(html) AS h
+  FROM read_parquet('{_LINK_PARQUET}')),
+links AS (
+  SELECT page_id AS src,
+         unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS dst_url
+  FROM pages),
+edges AS MATERIALIZED (
+  SELECT l.src AS src, p.page_id AS dst
+  FROM links l JOIN pages p ON p.url = l.dst_url)
+"""
+
+_PR_ITERS = 8
+_PR_SCALE = 10**12
+
+
+def q_pagerank(sf_dir: str):
+    """Integer-exact PageRank, 8 iterations, d=0.85, micro-rank units."""
+    edges, pages = _edge_dataset()
+    nodes = pages.map_batches(lambda b: b[["page_id"]].rename(
+        columns={"page_id": "node"}), batch_format="pandas")
+    pr = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE)
+    return pr.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+def _sql_pagerank() -> str:
+    n_nodes = 900  # gen_linked_pages default — fixture-fixed, like the
+    # baked hyperplane literals of the LSH oracles; a size change would
+    # fail the row-count gate immediately
+    r0 = _PR_SCALE // n_nodes
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    ctes = [f"pr0 AS (SELECT page_id, {r0}::BIGINT AS r FROM pages)"]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+pr{k} AS MATERIALIZED (
+  SELECT n.page_id AS page_id,
+         {base}::BIGINT + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM pages n LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.r // d.d) AS c
+    FROM pr{k-1} p
+    JOIN edges e ON e.src = p.page_id
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.dst = n.page_id)""")
+    chain = ",".join(ctes)
+    return f"""
+WITH {_SQL_GRAPH_BASE},
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+{chain}
+SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM pr{_PR_ITERS}
+"""
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+def q_link_components(sf_dir: str):
+    """Undirected connected components; component_id = min page_id."""
+    from gush_ray.stages.dedup import duplicate_clusters_distributed
+    from gush_ray.stages.joins import hash_join
+
+    edges, pages = _edge_dataset()
+    comps = duplicate_clusters_distributed(edges, a_col="src", b_col="dst")
+    nodes = pages.map_batches(
+        lambda b: b[["page_id"]].rename(columns={"page_id": "doc_id"}),
+        batch_format="pandas")
+    joined = hash_join(nodes, comps, on="doc_id", join_type="left_outer")
+
+    def out(b: pd.DataFrame) -> pd.DataFrame:
+        comp = b["cluster_id"].fillna(b["doc_id"]).astype(np.int64)
+        return pd.DataFrame({"page_id": b["doc_id"].to_numpy(),
+                             "component_id": comp.to_numpy()})
+
+    return joined.map_batches(out, batch_format="pandas")
+
+
+SQL_LINK_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_GRAPH_BASE},
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges),
+cc AS (
+  SELECT page_id AS node, page_id AS lab FROM pages
+  UNION
+  SELECT u.b, cc.lab FROM cc JOIN und u ON u.a = cc.node)
+SELECT node AS page_id, MIN(lab) AS component_id FROM cc GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def q_url_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup groups: (canon_url, n_variants, keeper_uid)."""
+    from gush_ray.stages.agg import partial_aggregate
+
+    ensure_url_fixture()
+    ds = rd.read_parquet(_URL_PARQUET, override_num_blocks=8)
+    canon = ds.map_batches(canonicalize_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return partial_aggregate(canon, ["canon_url"],
+                             {"n_variants": (None, "count"),
+                              "keeper_uid": ("uid", "min")})
+
+
+# independent SQL reimplementation of the 5 canonicalization rules
+# (stages/web.canonicalize_urls docstring); positional regex groups here,
+# named groups engine-side — RE2 semantics both ways
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH u AS (SELECT uid, raw_url FROM read_parquet('{_URL_PARQUET}')),
+g AS (SELECT uid, regexp_extract(raw_url,
+        '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$',
+        ['scheme','auth','path','query','frag']) AS m FROM u),
+hp AS (SELECT uid, m,
+        regexp_extract(m.auth, '^([^:]*)(:.*)?$', ['h','p']) AS a FROM g),
+parts AS (
+  SELECT uid,
+    lower(m.scheme) AS scheme,
+    lower(a.h) AS host,
+    CASE WHEN (lower(m.scheme)='http'  AND a.p=':80')
+           OR (lower(m.scheme)='https' AND a.p=':443')
+         THEN '' ELSE a.p END AS port,
+    CASE WHEN m.path='' THEN '/'
+         WHEN m.path='/' THEN '/'
+         ELSE regexp_replace(m.path, '/$', '') END AS path,
+    CASE WHEN m.query='' THEN ''
+         ELSE '?' || array_to_string(
+                list_sort(string_split(substr(m.query, 2), '&')), '&')
+    END AS query
+  FROM hp)
+SELECT scheme || '://' || host || port || path || query AS canon_url,
+       count(*) AS n_variants,
+       min(uid) AS keeper_uid
+FROM parts
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed-unigram feature buckets
+_DSIR_TOPN = 100
+
+
+def q_dsir_select(sf_dir: str):
+    """Top-100 docs by DSIR importance weight (target = lang='en').
+
+    Per-bucket log-ratio ``ln(p_target/p_raw)`` (add-1 smoothed) is
+    rounded half-even to integer micro-nats; per-doc weight is the exact
+    int64 sum of its tokens' bucket ratios. Distributed shape: token
+    explode → bucket-count partial agg (target + raw in one pass); the
+    B=256 ratio table broadcasts (fixed-size, corpus-independent); per-doc
+    weights partial-agg by doc; top-N via per-batch partials + one
+    single-partition final cut.
+    """
+    from gush_ray.pipelines.queries import _read
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.dedup import md5_hash_strings
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "is_tgt": (b["lang"] == "en"),
+            "tok": b["text"].str.split(" "),
+        }).explode("tok")
+        bucket = (md5_hash_strings(df["tok"].to_numpy())
+                  % np.uint64(_DSIR_B)).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "bucket": bucket,
+                             "t": df["is_tgt"].to_numpy().astype(np.int64)})
+
+    toks = docs.map_batches(explode, batch_format="pandas").materialize()
+    counts = partial_aggregate(
+        toks, ["bucket"], {"raw": (None, "count"), "tgt": ("t", "sum")},
+    ).to_pandas()  # B=256 rows — fixed-size, corpus-independent
+
+    full = pd.DataFrame({"bucket": np.arange(_DSIR_B, dtype=np.int64)})
+    counts = full.merge(counts, on="bucket", how="left").fillna(0)
+    rc = counts["raw"].to_numpy(np.int64)
+    tc = counts["tgt"].to_numpy(np.int64)
+    r_tot, t_tot = int(rc.sum()), int(tc.sum())
+    num = (tc + 1) * (r_tot + _DSIR_B)
+    den = (rc + 1) * (t_tot + _DSIR_B)
+    # np.round is half-even == DuckDB round_even; the 1e6 grid collapses
+    # numpy-vs-libm ln ulp differences (bigram-LM oracle precedent)
+    ratio_micro = np.round(
+        np.log(num.astype(np.float64) / den.astype(np.float64)) * 1e6
+    ).astype(np.int64)
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        w = ratio_micro[b["bucket"].to_numpy(np.int64)]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "weight_micro": w})
+
+    weights = partial_aggregate(
+        toks.map_batches(weigh, batch_format="pandas"),
+        ["doc_id"], {"weight_micro": ("weight_micro", "sum")})
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "weight_micro": pd.Series(dtype="int64")})
+        return b.sort_values(["weight_micro", "doc_id"],
+                             ascending=[False, True]).head(_DSIR_TOPN)
+
+    partials = weights.map_batches(topk, batch_format="pandas")
+    return partials.repartition(1).map_batches(topk, batch_format="pandas")
+
+
+SQL_DSIR_SELECT = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+bt AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ((md5_number_lower(tok) % {_DSIR_B}) + {_DSIR_B}) % {_DSIR_B}
+           AS bucket
+  FROM toks),
+rawc AS (SELECT bucket, count(*) AS c FROM bt GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*) AS c FROM bt WHERE lang='en'
+         GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM bt) AS r,
+               (SELECT count(*) FROM bt WHERE lang='en') AS t),
+ratio AS MATERIALIZED (
+  SELECT g.range AS bucket,
+         CAST(round_even(ln(
+             ((COALESCE(tc.c, 0) + 1) * (tot.r + {_DSIR_B}))::DOUBLE
+           / ((COALESCE(rc.c, 0) + 1) * (tot.t + {_DSIR_B}))::DOUBLE)
+           * 1000000.0, 0) AS BIGINT) AS ratio_micro
+  FROM range(0, {_DSIR_B}) g
+  LEFT JOIN rawc rc ON rc.bucket = g.range
+  LEFT JOIN tgtc tc ON tc.bucket = g.range
+  CROSS JOIN tot)
+SELECT bt.doc_id, CAST(SUM(r.ratio_micro) AS BIGINT) AS weight_micro
+FROM bt JOIN ratio r ON r.bucket = bt.bucket
+GROUP BY bt.doc_id
+ORDER BY weight_micro DESC, doc_id
+LIMIT {_DSIR_TOPN}
+"""
+
+
+def ensure_web_fixtures() -> None:
+    ensure_link_fixture()
+    ensure_url_fixture()
+
+
+WEB_QUERIES = {
+    "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "link_components": (q_link_components, SQL_LINK_COMPONENTS),
+    "url_canonical_dedup": (q_url_canonical_dedup,
+                            SQL_URL_CANONICAL_DEDUP),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+}

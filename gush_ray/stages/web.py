@@ -1,0 +1,274 @@
+"""Web-graph and URL-normalization operators over Common-Crawl-style
+pages: anchor (href) extraction, URL canonicalization, integer-exact
+PageRank and link-graph connected components.
+
+All operators are Arrow-vectorized per batch and oracle-reproducible:
+
+* **link extraction** — ``<a href="...">`` targets pulled out of the
+  raw html bytes with one vectorized split (no per-row regex loop);
+  the DuckDB oracle recomputes the identical edge list with
+  ``regexp_extract_all(decode(html), ...)``.
+* **URL canonicalization** — a fixed, documented rule set (lowercase
+  scheme+host, strip default port, drop fragment, sort query params,
+  normalize the path's trailing slash) applied with pyarrow compute
+  kernels end to end (``extract_regex`` → list ops → ``binary_join``);
+  every rule is expressible in DuckDB string/list functions, so
+  canonical-URL dedup is hash-verifiable.
+* **PageRank** — damping and rank arithmetic in scaled int64
+  ("micro-rank" units, scale 1e12) with floor division, so the
+  distributed fit is bit-identical to an unrolled SQL CTE chain: no
+  float accumulation order to diverge. Dangling-node mass is dropped
+  (documented; both sides identical). The iteration is hash-join +
+  partial-aggregate shaped — ranks and edges never land on the driver,
+  only the node count does.
+
+Reference parity note: gush (the reference, 644-LoC Scala CDC engine)
+has no web-graph operators; these belong to the graft brief's
+LLM-training-data surface (SURVEY.md §2 "beyond-reference" families).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# link extraction
+# ---------------------------------------------------------------------------
+
+_A_HREF = '<a href="'
+
+
+def _html_as_string(html: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    try:
+        return html.cast(pa.string())
+    except pa.ArrowInvalid:  # non-utf8 bytes: row-wise cold path
+        py = [
+            v.decode("utf-8", errors="replace") if v is not None else None
+            for v in html.to_pylist()
+        ]
+        return pa.array(py, type=pa.string())
+
+
+def extract_links_table(tbl: pa.Table, html_col: str = "html",
+                        url_col: str = "url") -> pa.Table:
+    """(url, html) rows → exploded (src_url, dst_url) edge rows.
+
+    Vectorized: one ``split_pattern`` on the anchor-prefix, one flatten,
+    one ``max_splits=1`` split on the closing quote. Duplicate hrefs are
+    kept (a page linking twice contributes two edges — PageRank treats
+    the multi-edge as double weight, same as the SQL oracle's
+    ``regexp_extract_all``). Rows with null html contribute no edges.
+    """
+    as_str = _html_as_string(tbl[html_col])
+    parts = pc.split_pattern(as_str, _A_HREF)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    # drop the first element of every list (the text before the first
+    # anchor, or the whole page when there is none)
+    offsets = parts.offsets.to_numpy(zero_copy_only=False)
+    keep = np.ones(len(flat), dtype=bool)
+    starts = offsets[:-1][offsets[:-1] < len(flat)]
+    keep[starts] = False
+    keep_idx = np.nonzero(keep)[0]
+    tails = flat.take(pa.array(keep_idx))
+    srcs = tbl[url_col].combine_chunks().take(pa.array(parents[keep_idx]))
+    # the href value is everything up to the closing quote
+    upto_quote = pc.split_pattern(tails, '"', max_splits=1)
+    dsts = pc.list_element(upto_quote, 0)
+    return pa.table({"src_url": srcs, "dst_url": dsts})
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage form of :func:`extract_links_table`."""
+    return extract_links_table(batch)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# one regex, shared semantics with the SQL oracle (positional groups
+# there, named groups here — RE2 both sides)
+_URL_RE = (
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<auth>[^/?#]+)"
+    r"(?P<path>[^?#]*)(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
+)
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def _sorted_query(query: pa.Array) -> pa.Array:
+    """'?b=2&a=1' → '?a=1&b=2' (missing/empty queries → '').
+
+    Vectorized: strip '?', split on '&', lexsort the flattened params by
+    (row, value), rebuild the list array on the unchanged offsets, and
+    ``binary_join`` back — no per-row Python. ``extract_regex`` yields
+    ``''`` (not null) for an unmatched optional group, so '' means "no
+    query"; a bare '?' canonicalizes to '?' (kept, both sides).
+    """
+    has_q = pc.not_equal(pc.fill_null(query, ""), "")
+    bare = pc.utf8_slice_codeunits(pc.fill_null(query, "?"), 1)
+    parts = pc.split_pattern(bare, "&")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.values.to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    order = np.lexsort((flat, parents))
+    sorted_list = pa.ListArray.from_arrays(parts.offsets,
+                                           pa.array(flat[order],
+                                                    type=pa.string()))
+    joined = pc.binary_join(sorted_list, "&")
+    rebuilt = pc.binary_join_element_wise("?", joined, "")
+    return pc.if_else(has_q, rebuilt, "")
+
+
+def canonicalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Apply the canonical-URL rule set. Rules (and the SQL mirror):
+
+    1. scheme and host lowercased
+    2. default port stripped (``:80`` for http, ``:443`` for https)
+    3. fragment dropped
+    4. query parameters sorted bytewise (separator ``&``; '?' kept only
+       when a query exists)
+    5. empty path → ``/``; otherwise one trailing ``/`` stripped unless
+       the path is exactly ``/``
+
+    URLs that don't match ``scheme://authority...`` pass through
+    unchanged (null-safe).
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, _URL_RE)
+    matched = pc.is_valid(m)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    auth = pc.struct_field(m, "auth")
+    path = pc.struct_field(m, "path")
+    query = pc.struct_field(m, "query")
+
+    # authority → host[:port]; host lowercased, default port stripped
+    # (an unmatched optional group extracts as '', so '' == "no port")
+    hp = pc.extract_regex(auth, r"^(?P<h>[^:]*)(?P<p>:.*)?$")
+    host = pc.utf8_lower(pc.struct_field(hp, "h"))
+    port_raw = pc.struct_field(hp, "p")
+    is_default = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port_raw, ":80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port_raw, ":443")),
+    )
+    port = pc.if_else(is_default, "", port_raw)
+
+    # path normalization: '' → '/', '/' stays, else one trailing '/'
+    # stripped (regex replace — same expression as the SQL mirror)
+    empty_path = pc.equal(path, "")
+    is_root = pc.equal(path, "/")
+    stripped = pc.replace_substring_regex(path, "/$", "",
+                                          max_replacements=1)
+    norm_path = pc.if_else(
+        empty_path, "/", pc.if_else(is_root, path, stripped))
+
+    q = _sorted_query(query)
+    rebuilt = pc.binary_join_element_wise(
+        scheme, "://", host, port, norm_path, q, "")
+    return pc.if_else(matched, rebuilt, urls)
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "raw_url",
+                       out_col: str = "canon_url") -> pa.Table:
+    """map_batches stage: add the canonical form of ``url_col``."""
+    return batch.append_column(out_col, canonicalize_urls(batch[url_col]))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact, distributed join/agg shape)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # micro-rank units: 1.0 of rank mass == PR_SCALE
+
+
+def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
+             damp_num: int = 85, damp_den: int = 100,
+             node_col: str = "node", src_col: str = "src",
+             dst_col: str = "dst"):
+    """Integer-exact PageRank over a Dataset edge list.
+
+    ``r0(v) = scale // N``;
+    ``r_{k+1}(v) = (den-num)*scale // (den*N)
+                   + num * Σ_{(u,v)∈E} (r_k(u) // outdeg(u)) // den``.
+
+    All arithmetic is int64 floor division on positive values, so the
+    result is bit-identical to the unrolled SQL CTE chain regardless of
+    batch boundaries or summation order. Mass entering dangling nodes
+    (outdeg 0) is dropped, same both sides.
+
+    Scale shape: outdeg is a partial-agg shuffle; each iteration is one
+    hash join (edges×ranks on src) + one partial-agg (sum by dst) + one
+    left join back to nodes — ranks and edges stay distributed; the
+    driver holds only the node count. ``ranks`` is materialized per
+    iteration (the checkpoint a 10^12-edge run would persist to parquet
+    between iterations; see the resumable-output note in SURVEY §7).
+    """
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+
+    n_nodes = int(nodes.count())
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty node set")
+    r0 = scale // n_nodes
+    base = ((damp_den - damp_num) * scale) // (damp_den * n_nodes)
+
+    # trailing repartitions after partial_aggregate are load-bearing:
+    # map_groups emits schema-LESS empty blocks for empty partitions and
+    # the Acero hash join rejects a schemaless side (same gotcha as
+    # dedup.duplicate_clusters_distributed)
+    deg = partial_aggregate(
+        edges, [src_col], {"outdeg": (None, "count")}).repartition(4)
+    edges_deg = hash_join(edges, deg, on=src_col).materialize()
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({src_col: b[node_col].to_numpy(),
+                             "r": np.full(len(b), r0, dtype=np.int64)})
+
+    ranks = nodes.map_batches(init, batch_format="pandas").materialize()
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({dst_col: pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        c = b["r"].to_numpy(np.int64) // b["outdeg"].to_numpy(np.int64)
+        return pd.DataFrame({dst_col: b[dst_col].to_numpy(), "c": c})
+
+    for _ in range(iters):
+        joined = hash_join(edges_deg, ranks, on=src_col)
+        sums = partial_aggregate(
+            joined.map_batches(contrib, batch_format="pandas"),
+            [dst_col], {"c": ("c", "sum")},
+        ).repartition(4)
+
+        def renamed(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({src_col: pd.Series(dtype="int64"),
+                                     "c": pd.Series(dtype="int64")})
+            return b.rename(columns={dst_col: src_col})
+
+        def next_rank(b: pd.DataFrame) -> pd.DataFrame:
+            c = b["c"].fillna(0).to_numpy(np.int64)
+            r = base + (damp_num * c) // damp_den
+            return pd.DataFrame({src_col: b[src_col].to_numpy(),
+                                 "r": r.astype(np.int64)})
+
+        ranks = hash_join(
+            ranks.map_batches(lambda b: b[[src_col]], batch_format="pandas"),
+            sums.map_batches(renamed, batch_format="pandas"),
+            on=src_col, join_type="left_outer",
+        ).map_batches(next_rank, batch_format="pandas").materialize()
+
+    def out(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={src_col: node_col, "r": "rank_micro"})
+
+    return ranks.map_batches(out, batch_format="pandas")

@@ -14,11 +14,12 @@ from gush_ray.pipelines.queries_extra import (
     EXTRA_QUERIES,
     ensure_oracle_fixtures,
 )
+from gush_ray.pipelines.queries_web import WEB_QUERIES
 
 PAIRED_QUERIES = {
     name: (fn, sql)
     for name, (fn, sql) in {**CORE_QUERIES, **ANALYTIC_QUERIES,
-                            **EXTRA_QUERIES}.items()
+                            **EXTRA_QUERIES, **WEB_QUERIES}.items()
     if sql
 }
 # several extra-query oracles read fixed-path fixture parquet

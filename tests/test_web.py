@@ -1,0 +1,145 @@
+"""Web-graph / URL / DSIR operators (stages/web.py, pipelines/queries_web).
+
+Engine-vs-SQL parity for every paired query runs in test_oracle.py;
+here: unit semantics (canonicalization rule table, extraction vs a
+regex reference, PageRank vs an independent integer reference) and
+fixture invariants.
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gush_ray.datagen import gen_linked_pages, gen_messy_urls
+from gush_ray.stages.web import (
+    PR_SCALE,
+    canonicalize_urls,
+    extract_links_table,
+    pagerank,
+)
+
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("https://SiteA.Example.org:443/p/1?b=2&a=1#frag",
+     "https://sitea.example.org/p/1?a=1&b=2"),
+    ("HTTP://host.com:80/", "http://host.com/"),
+    ("https://host.com", "https://host.com/"),
+    ("http://host.com:8080/a/b/", "http://host.com:8080/a/b"),
+    ("http://host.com/a?x=1", "http://host.com/a?x=1"),
+    ("http://host.com/a?", "http://host.com/a?"),
+    ("https://h.io/p#only-frag", "https://h.io/p"),
+    ("https://h.io:443/", "https://h.io/"),
+    ("http://h.io:443/x", "http://h.io:443/x"),  # 443 not http default
+    ("not a url", "not a url"),  # pass-through
+]
+
+
+def test_canonicalize_rule_table():
+    raw = pa.array([c[0] for c in CANON_CASES] + [None])
+    got = canonicalize_urls(raw).to_pylist()
+    assert got == [c[1] for c in CANON_CASES] + [None]
+
+
+def test_canonicalize_idempotent():
+    raw = pa.array([c[0] for c in CANON_CASES])
+    once = canonicalize_urls(raw)
+    twice = canonicalize_urls(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+def test_extract_links_matches_regex_reference():
+    tbl = gen_linked_pages(n_urls=120, seed=5)
+    got = extract_links_table(tbl).to_pydict()
+    want = []
+    for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        for dst in re.findall(r'<a href="([^"]*)"', html.decode()):
+            want.append((url, dst))
+    assert list(zip(got["src_url"], got["dst_url"])) == want
+    # the <link href> stylesheet decoy must never match
+    assert "/static/site.css" not in set(got["dst_url"])
+
+
+def test_extract_links_null_and_linkless_rows():
+    tbl = pa.table({
+        "url": ["a", "b", "c"],
+        "html": [b"<p>none</p>", None, b'<a href="x">l</a>'],
+    })
+    got = extract_links_table(tbl).to_pydict()
+    assert got == {"src_url": ["c"], "dst_url": ["x"]}
+
+
+def _pagerank_reference(edges, n_nodes, iters, scale=PR_SCALE):
+    """Independent int64 reference (plain dict loop)."""
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n_nodes for v in range(n_nodes)}
+    base = (15 * scale) // (100 * n_nodes)
+    for _ in range(iters):
+        sums = {v: 0 for v in range(n_nodes)}
+        for s, d in edges:
+            sums[d] += r[s] // outdeg[s]
+        r = {v: base + (85 * sums[v]) // 100 for v in range(n_nodes)}
+    return r
+
+
+@pytest.mark.parametrize("edges,n", [
+    ([(0, 1), (1, 0)], 2),                       # 2-cycle
+    ([(0, 1), (1, 2), (2, 0), (0, 2)], 3),       # cycle + chord
+    ([(0, 1), (0, 1), (2, 2)], 4),               # multi-edge, self-loop,
+                                                 # dangling node 1→, iso 3
+])
+def test_pagerank_matches_integer_reference(edges, n):
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    got = pagerank(edges_ds, nodes_ds, iters=5).to_pandas()
+    got = dict(zip(got["node"], got["rank_micro"]))
+    want = _pagerank_reference(edges, n, iters=5)
+    assert got == want
+
+
+def test_pagerank_mass_bound():
+    # total rank never exceeds the injected mass (floor division and
+    # dangling-node drop only ever lose mass)
+    tbl = gen_linked_pages(n_urls=60, seed=9)
+    links = extract_links_table(tbl)
+    id_of = dict(zip(tbl["url"].to_pylist(), tbl["page_id"].to_pylist()))
+    edges = [
+        (id_of[s], id_of[d])
+        for s, d in zip(links["src_url"].to_pylist(),
+                        links["dst_url"].to_pylist())
+        if d in id_of
+    ]
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": range(60)}))
+    got = pagerank(edges_ds, nodes_ds, iters=4).to_pandas()
+    assert len(got) == 60
+    assert got["rank_micro"].min() > 0
+    assert got["rank_micro"].sum() <= PR_SCALE
+
+
+def test_messy_url_fixture_groups_of_three():
+    tbl = gen_messy_urls(n_base=50, seed=29)
+    canon = canonicalize_urls(tbl["raw_url"]).to_pylist()
+    counts = pd.Series(canon).value_counts()
+    assert len(counts) == 50
+    assert (counts == 3).all()
+
+
+def test_dsir_weights_deterministic(sf_dir):
+    from gush_ray.pipelines.queries_web import q_dsir_select
+
+    a = q_dsir_select(sf_dir).to_pandas()
+    b = q_dsir_select(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == 100
+    # weights sorted descending within the selected set
+    assert a["weight_micro"].is_monotonic_decreasing
