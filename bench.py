@@ -218,6 +218,16 @@ def bench_flagship_neardup_stream(sf_dir: str) -> dict:
             "near_dup_rows": n_dups}
 
 
+def _dsir_select_fast(sf_dir: str):
+    """q_dsir_select's pipeline with the production (fast) token hash —
+    the bench measures the explode → bucket-count → broadcast-ratio →
+    per-doc-weight → top-k pipeline, not the md5 verification hash the
+    oracle-paired query entry uses."""
+    from gush_ray.pipelines.queries_web import q_dsir_select
+
+    return q_dsir_select(sf_dir, hash_fn="fast")
+
+
 def _minhash_dedup_fast(sf_dir: str):
     """q_minhash_dedup's pipeline with the production (fast) gram hash —
     the bench measures the vectorized partition scan, not the md5
@@ -270,6 +280,8 @@ def run_bench() -> dict:
         # Bench runs the FAST hash path; the registered query now uses
         # the md5 verification hash (same pipeline, oracle-matchable)
         "minhash_dedup": _minhash_dedup_fast,
+        # data-mixing family (round-3 fifth wave), fast hash path
+        "dsir_select": _dsir_select_fast,
     }
 
     _warm_cache(SF_DIR)

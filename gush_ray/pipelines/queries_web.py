@@ -253,7 +253,7 @@ _DSIR_B = 256  # hashed-unigram feature buckets
 _DSIR_TOPN = 100
 
 
-def q_dsir_select(sf_dir: str):
+def q_dsir_select(sf_dir: str, hash_fn: str = "md5"):
     """Top-100 docs by DSIR importance weight (target = lang='en').
 
     Per-bucket log-ratio ``ln(p_target/p_raw)`` (add-1 smoothed) is
@@ -263,10 +263,14 @@ def q_dsir_select(sf_dir: str):
     B=256 ratio table broadcasts (fixed-size, corpus-independent); per-doc
     weights partial-agg by doc; top-N via per-batch partials + one
     single-partition final cut.
+
+    ``hash_fn='md5'`` is the oracle-verification mode (DuckDB can
+    recompute the token buckets); ``'fast'`` is the bench/production
+    path (same pipeline, vectorized hashing).
     """
     from gush_ray.pipelines.queries import _read
     from gush_ray.stages.agg import partial_aggregate
-    from gush_ray.stages.dedup import md5_hash_strings
+    from gush_ray.stages.dedup import _hash_strings
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
@@ -276,7 +280,7 @@ def q_dsir_select(sf_dir: str):
             "is_tgt": (b["lang"] == "en"),
             "tok": b["text"].str.split(" "),
         }).explode("tok")
-        bucket = (md5_hash_strings(df["tok"].to_numpy())
+        bucket = (_hash_strings(df["tok"].to_numpy(), hash_fn)
                   % np.uint64(_DSIR_B)).astype(np.int64)
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "bucket": bucket,
