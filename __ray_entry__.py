@@ -103,7 +103,12 @@ _PRIORITY = [
     "token_stats", "quality_score",
     "decontaminate", "dup_span_removal",
     "bm25", "bpe_tokenize",
-    "heavy_hitters", "approx_quantiles",
+    # streaming_frontier (round 3, fifth wave): the streaming url-
+    # frontier operator (link rows on their own keyed exchange,
+    # seen-map state, state/frontier.py) — rotated in for
+    # approx_quantiles (the sketch family keeps heavy_hitters; the
+    # quantile pair stays green in tests/test_oracle.py)
+    "heavy_hitters", "streaming_frontier",
     "running_total", "lm_oov_rate",
     # warc_roundtrip replaces jsonl_source_agg as the source-format
     # representative (round 3): the WARC byte-identity round trip (the

@@ -93,6 +93,7 @@ def gen_pages(
     n_epochs: int = 4,
     span_us: int = 4 * 3600 * 1_000_000,
     near_dup_groups: int | None = None,
+    link_frontier: bool = False,
 ) -> tuple[pa.Table, np.ndarray]:
     """Return (pages table sorted by assigned epoch then warc_ts, epoch ids).
 
@@ -182,6 +183,31 @@ def gen_pages(
         else render_html(u, t, lg)
         for u, t, lg, bad in zip(url_strs, texts, langs, malformed)
     ]
+    if link_frontier:
+        # frontier mode: splice <a href> anchors into every well-formed
+        # page (before the footer — the <article> extraction regex is
+        # untouched, so extract parity holds). Targets are a PURE
+        # function of (url index, version, link slot) — no RNG draws, so
+        # the default corpus and every cached fixture are unchanged.
+        # k=0..3 links per row; self-targets skipped (a page never
+        # discovers itself; state/frontier.py drops them anyway).
+        def _anchors(i: int, v: int) -> bytes:
+            k = (i * 7 + v) % 4
+            parts = []
+            for j in range(k):
+                t = ((i + 1) * 2654435761 + v * 1_000_003
+                     + j * 40503) % n_urls
+                if t == i:
+                    continue
+                parts.append(f'<a href="{urls[t]}">l{j}</a>')
+            return ("<nav>" + "".join(parts) + "</nav>").encode()
+
+        htmls = [
+            h if bad else h.replace(b"<footer>",
+                                    _anchors(int(u), int(v)) + b"<footer>",
+                                    1)
+            for h, u, v, bad in zip(htmls, url_idx, ver, malformed)
+        ]
 
     order = np.lexsort((ts_us, epoch))
     table = pa.table(
@@ -356,6 +382,25 @@ def ensure_neardup_pages() -> str:
     if not os.path.exists(marker):
         write_pages_dir(out, n_urls=600, seed=11, n_epochs=4,
                         near_dup_groups=3)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+# fixed-path fixture for the streaming frontier operator + its SQL
+# oracle (both sides read the same parquet bytes; the oracle SQL is a
+# static string, so the path is a constant, not sf_dir-derived)
+FRONTIER_PAGES_FIXTURE = "/tmp/gush_ray_frontier_pages/u600_s13_e4_v1"
+
+
+def ensure_frontier_pages() -> str:
+    """Pages stream whose well-formed html carries deterministic
+    ``<a href>`` anchors (gen_pages(link_frontier=True))."""
+    out = FRONTIER_PAGES_FIXTURE
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_dir(out, n_urls=600, seed=13, n_epochs=4,
+                        link_frontier=True)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -39,6 +39,7 @@ _CONSERVED = {
     "late": lambda p: p.get("late_rows", 0),
     "matches": lambda p: p.get("matches", 0),
     "near_dups": lambda p: p.get("near_dup_rows", 0),
+    "frontier": lambda p: p.get("frontier_rows", 0),
 }
 
 

@@ -124,7 +124,8 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
                errors_sink: tuple | None = None,
                key_col: str = "url",
                raw_ts_col: str = "warc_ts",
-               neardup_spec=None) -> list:
+               neardup_spec=None,
+               frontier_spec=None) -> list:
     """Stateless map side: read one shard group, extract, filter,
     (optionally) broadcast-join the dimension snapshot, partition.
 
@@ -158,8 +159,12 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
     n_errors = 0
     if "html" in batch.column_names:
         # pages schema: html→text extraction + dead-letter side output;
-        # any other keyed event table streams through unchanged
-        batch = extract_text_batch(batch, out_col="text_extracted")
+        # any other keyed event table streams through unchanged. The
+        # frontier section needs the raw html past this point (anchor
+        # extraction runs on FILTERED survivors), so html is kept and
+        # dropped after link rows are built, just before partitioning.
+        batch = extract_text_batch(batch, out_col="text_extracted",
+                                   drop_html=(frontier_spec is None))
         batch, errors = split_errors(batch)
         n_errors = errors.num_rows
         if errors_sink is not None and errors.num_rows:
@@ -195,6 +200,27 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         for col, arr in dim_attrs.items():
             batch = batch.append_column(col, arr.take(idx))
 
+    # streaming frontier: link rows from the FILTERED batch (its html
+    # column, kept above for this purpose) ride their own keyed exchange
+    # routed by hash(dst_url) — the discovered url owns the state, see
+    # state/frontier.py. html is dropped before the url exchange so the
+    # main fragments are byte-identical to a frontier-less run.
+    ffrags: "list | None" = None
+    if frontier_spec is not None:
+        from gush_ray.state.frontier import link_rows_batch
+
+        fdf = link_rows_batch(batch, frontier_spec, key_col=key_col,
+                              ts_col="ts_us")
+        if "html" in batch.column_names:
+            batch = batch.drop_columns(["html"])
+        ffrags = [None] * P
+        if len(fdf):
+            fpart = (stable_hash(fdf["dst_url"].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+            ftab = pa.Table.from_pandas(fdf, preserve_index=False)
+            for pid in np.unique(fpart):
+                ffrags[int(pid)] = ftab.filter(pa.array(fpart == pid))
+
     h = stable_hash(batch[key_col].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)
     ts = batch["ts_us"].to_numpy(zero_copy_only=False)
@@ -214,7 +240,7 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         "parse_errors": int(n_errors),
     }
     if neardup_spec is None:
-        return [meta] + frags
+        return [meta] + frags + (ffrags if ffrags is not None else [])
     # streaming near-dup: a SECOND keyed exchange rides the same map
     # task — band rows route by bucket hash (state/neardup.bucket_part),
     # NOT by url, so all arrivals of one LSH bucket meet on one
@@ -243,7 +269,7 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         # store.py).
         nfrags[int(pid)] = frag.set_column(
             ki, key_col, frag.column(key_col).dictionary_encode())
-    return [meta] + frags + nfrags
+    return [meta] + frags + nfrags + (ffrags if ffrags is not None else [])
 
 
 @ray.remote
@@ -257,6 +283,7 @@ def _reduce_partition(
     frag_keys: list[int],
     rfrag_keys: list[int],
     nfrag_keys: list[int],
+    ffrag_keys: list[int],
     watermark_us: int,
     *tables,
     prev_done=None,
@@ -305,9 +332,14 @@ def _reduce_partition(
         for key, t in zip(rfrag_keys, tables[n_left:n_left + n_right]):
             if t is not None and t.num_rows:
                 ps.ingest_right(epoch, key, t)
-        for key, t in zip(nfrag_keys, tables[n_left + n_right:]):
+        n_nd = len(nfrag_keys)
+        for key, t in zip(nfrag_keys,
+                          tables[n_left + n_right:n_left + n_right + n_nd]):
             if t is not None and t.num_rows:
                 ps.ingest_neardup(epoch, key, t)
+        for key, t in zip(ffrag_keys, tables[n_left + n_right + n_nd:]):
+            if t is not None and t.num_rows:
+                ps.ingest_frontier(epoch, key, t)
         t_ingest = time.perf_counter()
         metrics = ps.process_epoch_to(epoch, out_dir)
         t_process = time.perf_counter()
@@ -400,6 +432,7 @@ class StreamingJob:
         right_dir: str | None = None,
         join_spec=None,
         neardup_spec=None,
+        frontier_spec=None,
         right_raw_ts_col: str = "ts",
         snapshot_full_every: int = 8,
         commit_queue_depth: int = 2,
@@ -417,6 +450,9 @@ class StreamingJob:
             # actor mode's process_epoch_tables_lr has no third fragment
             # space (deliberate: tasks mode is the scale path)
             raise ValueError("streaming near-dup requires mode='tasks'")
+        if frontier_spec is not None and mode != "tasks":
+            # same fragment-protocol constraint as the band exchange
+            raise ValueError("streaming frontier requires mode='tasks'")
         from gush_ray.fs import normalize_uri
 
         self.key_col = key_col
@@ -463,6 +499,7 @@ class StreamingJob:
             allowed_lateness_us=self.cfg.allowed_lateness_us,
             join_spec=join_spec,
             neardup_spec=neardup_spec,
+            frontier_spec=frontier_spec,
             snapshot_full_every=snapshot_full_every,
             dedup_ttl_us=dedup_ttl_us,
         )
@@ -888,12 +925,14 @@ class StreamingJob:
         dim_holder = (self._dim_holder_for_epoch(epoch)
                       if self.dim_dir is not None else self._dim_holder)
         ndspec = self.params.neardup_spec
-        nr = 1 + self.P + (self.P if ndspec is not None else 0)
+        fspec = self.params.frontier_spec
+        nr = (1 + self.P + (self.P if ndspec is not None else 0)
+              + (self.P if fspec is not None else 0))
         refsets = [
             _map_shard.options(num_returns=nr).remote(
                 s, self.cfg, self.P, dim_holder, self.dim_key,
                 (self.out_dir, "errors", epoch, i), self.key_col,
-                self.raw_ts_col, ndspec,
+                self.raw_ts_col, ndspec, fspec,
             )
             for i, s in enumerate(shards)
         ]
@@ -1028,11 +1067,19 @@ class StreamingJob:
                     list(range(len(rmetas))),
                     (list(range(len(metas)))
                      if self.params.neardup_spec is not None else []),
+                    (list(range(len(metas)))
+                     if self.params.frontier_spec is not None else []),
                     watermark,
                     *[rs[1 + pid] for rs in refsets],
                     *[rs[1 + pid] for rs in rrefsets],
                     *([rs[1 + self.P + pid] for rs in refsets]
                       if self.params.neardup_spec is not None else []),
+                    # frontier fragments follow the band fragments in the
+                    # map task's return list (offset skips them if present)
+                    *([rs[1 + self.P
+                          + (self.P if self.params.neardup_spec is not None
+                             else 0) + pid] for rs in refsets]
+                      if self.params.frontier_spec is not None else []),
                     prev_done=self._reduce_tail[pid],
                 )
                 for pid in range(self.P)

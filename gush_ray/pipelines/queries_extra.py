@@ -97,6 +97,9 @@ def ensure_oracle_fixtures() -> None:
     from gush_ray.datagen import ensure_neardup_pages
 
     ensure_neardup_pages()
+    from gush_ray.datagen import ensure_frontier_pages
+
+    ensure_frontier_pages()
     from gush_ray.pipelines.queries_web import ensure_web_fixtures
 
     ensure_web_fixtures()
@@ -335,6 +338,79 @@ def q_streaming_near_dup(sf_dir: str):
     shutil.rmtree(out_dir, ignore_errors=True)
     return nd.sort_values(["url", "ts_us", "band_id"]).reset_index(
         drop=True)
+
+
+def _sql_streaming_frontier() -> str:
+    """DuckDB twin of the STREAMING url-frontier operator
+    (state/frontier.py) over the fixed linked-pages fixture: arrival
+    semantics (extraction survivors, P=1 restored-watermark late drop —
+    same wm/flagged shape as SQL_PAGES_FLAGSHIP), anchor extraction via
+    ``regexp_extract_all`` (the batch ``link_extract`` oracle's
+    expression), per-epoch exact-replay collapse as a DISTINCT over
+    link rows, and the first-discovery rule: the frontier row for a
+    url is its first link arrival by (epoch, ts_us, src_url);
+    self-links never discover."""
+    from gush_ray.datagen import FRONTIER_PAGES_FIXTURE
+
+    return f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, decode(html) AS h,
+         CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{FRONTIER_PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+wm AS (
+  SELECT epoch, max(mx) OVER (ORDER BY epoch) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch)
+),
+flagged AS (
+  SELECT p.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM pages p LEFT JOIN wm w ON w.epoch = p.epoch - 1
+),
+links AS (
+  SELECT epoch, ts_us, url AS src_url,
+         unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS dst_url
+  FROM flagged WHERE ts_us >= wm_prev
+),
+uniq AS (
+  SELECT DISTINCT epoch, ts_us, src_url, dst_url FROM links
+  WHERE dst_url <> src_url
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dst_url
+                               ORDER BY epoch, ts_us, src_url) AS rn
+  FROM uniq
+)
+SELECT dst_url AS url, ts_us, src_url AS discovered_from
+FROM ranked WHERE rn = 1
+ORDER BY url
+"""
+
+
+def q_streaming_frontier(sf_dir: str):
+    """Streaming url-frontier discovery inside the CEP loop: link rows
+    extracted from arriving pages' html ride their own keyed exchange
+    (dst-url-partitioned — state/frontier.py documents the assumption),
+    the seen-map lives in the partition snapshots, first discoveries
+    land exactly-once on the ``frontier`` stream. num_partitions=1 so
+    the watermark is SQL-expressible (same rationale as
+    q_pages_flagship; dst routing itself is P-independent and
+    multi-P/kill-resume behavior is pinned by
+    tests/test_frontier_stream.py)."""
+    from gush_ray.datagen import ensure_frontier_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.frontier import FrontierSpec
+
+    pages_dir = ensure_frontier_pages()
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1, frontier_spec=FrontierSpec())
+    job.run()
+    fr = job.read_output("frontier")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return fr.sort_values(["url"]).reset_index(drop=True)
 
 
 def _fixture_cache_key(sf_dir: str, table: str = "embeddings") -> str:
@@ -2217,6 +2293,7 @@ EXTRA_QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "streaming_near_dup": (q_streaming_near_dup, _sql_streaming_near_dup()),
+    "streaming_frontier": (q_streaming_frontier, _sql_streaming_frontier()),
     # rows-only entries (None) are the documented honest boundary:
     # iterative training / float NLL / probabilistic or recall-lossy
     # surfaces / binary decode — each with a SQL-paired sibling or

@@ -63,7 +63,7 @@ from gush_ray.state.store import (
 _CONSERVED_TOTALS = (
     "rows_in", "replays_dropped", "stale_dropped", "late_rows",
     "inserts", "updates", "matches", "joined_rows", "right_rows_in",
-    "right_late", "near_dup_rows",
+    "right_late", "near_dup_rows", "frontier_rows",
 )
 
 
@@ -84,6 +84,12 @@ def _probe_neardup_spec():
     from gush_ray.state.neardup import NearDupSpec
 
     return NearDupSpec()
+
+
+def _probe_frontier_spec():
+    from gush_ray.state.frontier import FrontierSpec
+
+    return FrontierSpec()
 
 
 def _key_part(key, new_P: int) -> int:
@@ -131,6 +137,7 @@ def rescale_state(out_dir: str, new_P: int,
         allowed_lateness_us=params.allowed_lateness_us,
         join_spec=params.join_spec or _probe_join_spec(),
         neardup_spec=params.neardup_spec or _probe_neardup_spec(),
+        frontier_spec=params.frontier_spec or _probe_frontier_spec(),
         snapshot_full_every=params.snapshot_full_every,
         dedup_ttl_us=params.dedup_ttl_us,
     )
@@ -178,6 +185,13 @@ def rescale_state(out_dir: str, new_P: int,
             ps.neardup.buckets for ps in old_states):
         raise ValueError(
             "checkpoint holds near-dup bucket state but no neardup_spec "
+            "was passed — rescaling would silently drop it; call "
+            "rescale_state with the job's StateParams"
+        )
+    if params.frontier_spec is None and any(
+            ps.frontier.seen for ps in old_states):
+        raise ValueError(
+            "checkpoint holds frontier seen-state but no frontier_spec "
             "was passed — rescaling would silently drop it; call "
             "rescale_state with the job's StateParams"
         )
@@ -234,6 +248,13 @@ def rescale_state(out_dir: str, new_P: int,
                 new_states[pid].neardup.buckets[bk] = owner
             new_states[0].neardup.evicted_total += (
                 ps.neardup.evicted_total)
+        if ps.frontier is not None:
+            # seen entries re-route by the url-hash rule the map phase's
+            # link exchange uses (stable_hash(dst_url) % P == _key_part)
+            for u, first in ps.frontier.seen.items():
+                new_states[_key_part(u, new_P)].frontier.seen[u] = first
+            new_states[0].frontier.evicted_total += (
+                ps.frontier.evicted_total)
 
     # the join buffers must stay ts-sorted per partition (the
     # searchsorted kernel's precondition); the probe params always

@@ -33,6 +33,18 @@ def _neardup_spec(args):
                                else None))
 
 
+def _frontier_spec(args):
+    # same `is not None` rule as _neardup_spec: --frontier-ttl-sec 0 is
+    # "evict at the watermark", not "disabled"
+    if not (args.frontier or args.frontier_ttl_sec is not None):
+        return None
+    from gush_ray.state.frontier import FrontierSpec
+
+    return FrontierSpec(ttl_us=(args.frontier_ttl_sec * 1_000_000
+                                if args.frontier_ttl_sec is not None
+                                else None))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="gush-ray streaming CEP job")
     ap.add_argument("--pages-dir", required=True)
@@ -67,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="evict near-dup bucket owners idle this long "
                          "in event time (bounds bucket state to the "
                          "active horizon; implies --neardup)")
+    ap.add_argument("--frontier", action="store_true",
+                    help="streaming url-frontier discovery over arriving "
+                         "pages' anchors (frontier output stream; tasks "
+                         "mode only — state/frontier.py)")
+    ap.add_argument("--frontier-ttl-sec", type=int, default=None,
+                    help="evict frontier seen-entries idle this long in "
+                         "event time (bounds state; an evicted url "
+                         "re-emits if rediscovered; implies --frontier)")
     ap.add_argument("--statsd", default=None,
                     help="push per-epoch metrics as statsd lines: "
                          "'host[:port]' (UDP), 'file:///path', or unset "
@@ -116,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         dim_dir=args.dim_dir,
         statsd=args.statsd,
         neardup_spec=_neardup_spec(args),
+        frontier_spec=_frontier_spec(args),
         **({"window_group_cols":
             tuple(args.window_group_cols.split(","))}
            if args.window_group_cols else {}),
@@ -133,7 +154,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             for s in (("changes", "windows", "sessions", "sessions_wm",
                        "matches", "late")
-                      + (("near_dups",) if _neardup_spec(args) else ()))
+                      + (("near_dups",) if _neardup_spec(args) else ())
+                      + (("frontier",) if _frontier_spec(args) else ()))
         },
     }
     print(json.dumps(summary))

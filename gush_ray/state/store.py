@@ -69,6 +69,11 @@ class StateParams:
     # exchange (bucket-partitioned, not url-partitioned — the operator's
     # documented partitioning assumption, see state/neardup.py)
     neardup_spec: "object | None" = None
+    # streaming URL-frontier discovery over arriving pages' anchors
+    # (state/frontier.FrontierSpec); link rows arrive via their own
+    # keyed exchange routed by hash(dst_url) — the discovered url, not
+    # the discovering page (see state/frontier.py)
+    frontier_spec: "object | None" = None
     # incremental snapshots (tasks mode): write a FULL state frame every
     # K epochs and small DELTA frames in between. The url-keyed dedup
     # dicts hold one entry per key EVER seen (the dominant, ever-growing
@@ -122,6 +127,12 @@ class PartitionState:
             self.neardup = NearDupState(params.neardup_spec)
         else:
             self.neardup = None
+        if params.frontier_spec is not None:
+            from gush_ray.state.frontier import FrontierState
+
+            self.frontier = FrontierState(params.frontier_spec)
+        else:
+            self.frontier = None
         self.watermark_us: int = NEG_INF
         self.max_ts_us: int = NEG_INF
         # dedup-dict keys touched since the last snapshot frame — the
@@ -161,6 +172,10 @@ class PartitionState:
         # key space; bucket-partitioned)
         self._nfrag_buf: dict[int, list] = {}
         self._nfrag_seen: dict[int, set] = {}
+        # link-row fragments of the streaming frontier exchange (fourth
+        # key space; dst-url-partitioned)
+        self._ffrag_buf: dict[int, list] = {}
+        self._ffrag_seen: dict[int, set] = {}
 
     # -------------------------------------------- direct-exchange ingest
 
@@ -193,6 +208,16 @@ class PartitionState:
         seen.add(frag_key)
         self._nfrag_buf.setdefault(epoch, []).append(table)
 
+    def ingest_frontier(self, epoch: int, frag_key: int,
+                        table: pa.Table) -> None:
+        """Buffer one link-row fragment of the streaming frontier
+        exchange (idempotent, same retry contract as :meth:`ingest`)."""
+        seen = self._ffrag_seen.setdefault(epoch, set())
+        if frag_key in seen:
+            return
+        seen.add(frag_key)
+        self._ffrag_buf.setdefault(epoch, []).append(table)
+
     def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
         """Sort + process everything ingested for ``epoch`` and write this
         partition's output files idempotently; returns metrics.
@@ -212,6 +237,8 @@ class PartitionState:
             self._rfrag_seen.pop(epoch, None)
             self._nfrag_buf.pop(epoch, None)
             self._nfrag_seen.pop(epoch, None)
+            self._ffrag_buf.pop(epoch, None)
+            self._ffrag_seen.pop(epoch, None)
             return self._epoch_cache[epoch]["metrics"]
         from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
@@ -244,8 +271,43 @@ class PartitionState:
         if self.neardup is not None:
             metrics = dict(metrics)
             metrics.update(self._process_neardup(epoch, base_dir))
+        if self.frontier is not None:
+            metrics = dict(metrics)
+            metrics.update(self._process_frontier(epoch, base_dir))
         self._epoch_cache[epoch] = {"metrics": metrics}
         return metrics
+
+    def _process_frontier(self, epoch: int, base_dir: str) -> dict:
+        """Streaming frontier step: this epoch's link rows (routed here
+        by dst-url hash) probe/extend the seen-map; first discoveries
+        land on the ``frontier`` stream. Runs at the RESTORED watermark,
+        like the V1 late filter and the near-dup section."""
+        from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+        p = self.p
+        ffrags = self._ffrag_buf.pop(epoch, [])
+        self._ffrag_seen.pop(epoch, None)
+        if ffrags:
+            fdf = pa.concat_tables(
+                ffrags, promote_options="default").to_pandas()
+        else:
+            fdf = pd.DataFrame({"dst_url": pd.Series(dtype=object),
+                                p.ts_col: pd.Series(dtype="int64"),
+                                "src_url": pd.Series(dtype=object)})
+        out = self.frontier.process(fdf, self.watermark_us, p.ts_col)
+        if len(out):
+            out_t = pa.Table.from_pandas(out, preserve_index=False)
+        else:
+            # typed empty part (schema drift guard, as for near_dups)
+            out_t = pa.table({
+                "url": pa.array([], type=pa.string()),
+                p.ts_col: pa.array([], type=pa.int64()),
+                "discovered_from": pa.array([], type=pa.string()),
+            })
+        ExactlyOnceSink.write_part(base_dir, "frontier", epoch,
+                                   self.pid, out_t)
+        return {"frontier_rows": int(len(out)),
+                "frontier_seen": int(len(self.frontier.seen))}
 
     def _process_neardup(self, epoch: int, base_dir: str) -> dict:
         """Streaming near-dup step: this epoch's band rows (routed here
@@ -727,6 +789,8 @@ class PartitionState:
             self.nfa.prune(wm)
         if self.neardup is not None:
             self.neardup.prune(wm)
+        if self.frontier is not None:
+            self.frontier.prune(wm)
         if self.joiner is not None and wm > NEG_INF:
             self.joiner.prune(wm)
 
@@ -759,6 +823,7 @@ class PartitionState:
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
             "neardup": self.neardup.state() if self.neardup else None,
+            "frontier": self.frontier.state() if self.frontier else None,
             "join": self.joiner.state() if self.joiner else None,
             "watermark_us": self.watermark_us,
             "max_ts_us": self.max_ts_us,
@@ -794,6 +859,8 @@ class PartitionState:
             "nfa_delta": self.nfa.state_delta() if self.nfa else None,
             "neardup_delta": (self.neardup.state_delta()
                               if self.neardup else None),
+            "frontier_delta": (self.frontier.state_delta()
+                               if self.frontier else None),
             "join": self.joiner.state() if self.joiner else None,
             "watermark_us": self.watermark_us,
             "max_ts_us": self.max_ts_us,
@@ -904,6 +971,11 @@ class PartitionState:
                 # frame written before the spec existed: rollback resets
                 # the live bucket map (same rule as the NFA/joiner)
                 self.neardup.restore({"buckets": {}})
+        if self.frontier is not None:
+            if st.get("frontier") is not None:
+                self.frontier.restore(st["frontier"])
+            else:
+                self.frontier.restore({"seen": {}})
         self._apply_join_and_scalars(st)
 
     def _reset_delta_tracking(self) -> None:
@@ -934,6 +1006,10 @@ class PartitionState:
         self._frag_seen = {}
         self._rfrag_buf = {}
         self._rfrag_seen = {}
+        self._nfrag_buf = {}
+        self._nfrag_seen = {}
+        self._ffrag_buf = {}
+        self._ffrag_seen = {}
 
     def apply_delta_bytes(self, blob: bytes) -> None:
         if blob[:4] != self._DELTA_MAGIC:
@@ -962,6 +1038,9 @@ class PartitionState:
             if (self.neardup is not None
                     and st.get("neardup_delta") is not None):
                 self.neardup.apply_state_delta(st["neardup_delta"])
+            if (self.frontier is not None
+                    and st.get("frontier_delta") is not None):
+                self.frontier.apply_state_delta(st["frontier_delta"])
             self._apply_join_and_scalars(st)
         self._reset_delta_tracking()
         self._epoch_cache = {}
