@@ -209,15 +209,15 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
     if frontier_spec is not None:
         from gush_ray.state.frontier import link_rows_batch
 
-        fdf = link_rows_batch(batch, frontier_spec, key_col=key_col,
-                              ts_col="ts_us")
+        ftab = link_rows_batch(batch, frontier_spec, key_col=key_col,
+                               ts_col="ts_us")
         if "html" in batch.column_names:
             batch = batch.drop_columns(["html"])
         ffrags = [None] * P
-        if len(fdf):
-            fpart = (stable_hash(fdf["dst_url"].to_numpy())
-                     % np.uint64(P)).astype(np.int64)
-            ftab = pa.Table.from_pandas(fdf, preserve_index=False)
+        if ftab.num_rows:
+            fpart = (stable_hash(
+                ftab["dst_url"].to_numpy(zero_copy_only=False))
+                % np.uint64(P)).astype(np.int64)
             for pid in np.unique(fpart):
                 ffrags[int(pid)] = ftab.filter(pa.array(fpart == pid))
 

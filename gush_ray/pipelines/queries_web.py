@@ -61,12 +61,9 @@ def _read_links():
 
 def q_link_extract(sf_dir: str):
     """(src_url, dst_url) anchor edge list (external targets included)."""
-    ds = _read_links().map_batches(
+    return _read_links().map_batches(
         lambda b: extract_links_batch(b.select(["url", "html"])),
         batch_format="pyarrow", zero_copy_batch=True)
-    return ds.map_batches(
-        lambda b: b.rename_columns(["src_url", "dst_url"]),
-        batch_format="pyarrow")
 
 
 SQL_LINK_EXTRACT = f"""

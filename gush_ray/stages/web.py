@@ -79,10 +79,14 @@ def extract_links_table(tbl: pa.Table, html_col: str = "html",
     keep_idx = np.nonzero(keep)[0]
     tails = flat.take(pa.array(keep_idx))
     srcs = tbl[url_col].combine_chunks().take(pa.array(parents[keep_idx]))
-    # the href value is everything up to the closing quote
+    # the href value is everything up to the closing quote; a tail with
+    # NO closing quote (truncated/malformed page) is not an anchor — the
+    # SQL twin's regex requires the quote, so dropping it here keeps the
+    # oracle contract bit-exact on malformed input too
     upto_quote = pc.split_pattern(tails, '"', max_splits=1)
-    dsts = pc.list_element(upto_quote, 0)
-    return pa.table({"src_url": srcs, "dst_url": dsts})
+    closed = pc.equal(pc.list_value_length(upto_quote), 2)
+    dsts = pc.list_element(upto_quote.filter(closed), 0)
+    return pa.table({"src_url": srcs.filter(closed), "dst_url": dsts})
 
 
 def extract_links_batch(batch: pa.Table) -> pa.Table:

@@ -70,34 +70,35 @@ class FrontierSpec:
 
 def link_rows_batch(table: pa.Table, spec: FrontierSpec,
                     key_col: str = "url",
-                    ts_col: str = "ts_us") -> pd.DataFrame:
+                    ts_col: str = "ts_us") -> pa.Table:
     """Arriving page rows → long-form link rows
-    ``(dst_url, ts_us, src_url)``, one per anchor, fully vectorized via
-    stages/web.extract_links_table (self-links dropped here, once, so
-    neither the exchange nor the state ever carries them)."""
+    ``(dst_url, ts_us, src_url)``, one per anchor, Arrow end to end
+    (no pandas round trip on the map hot path) via
+    stages/web.extract_links_table. Self-links are dropped here, once,
+    so neither the exchange nor the state ever carries them."""
+    import pyarrow.compute as pc
+
     from gush_ray.stages.web import extract_links_table
 
     if spec.html_col not in table.column_names or table.num_rows == 0:
-        return pd.DataFrame({"dst_url": pd.Series(dtype=object),
-                             ts_col: pd.Series(dtype=np.int64),
-                             "src_url": pd.Series(dtype=object)})
+        return pa.table({"dst_url": pa.array([], type=pa.string()),
+                         ts_col: pa.array([], type=pa.int64()),
+                         "src_url": pa.array([], type=pa.string())})
     # one extraction pass keyed by row index; src/ts rejoin by take
     idx_tbl = pa.table({
         "url": pa.array(np.arange(table.num_rows, dtype=np.int64)),
         "html": table[spec.html_col],
     })
     links = extract_links_table(idx_tbl)
-    parents = links["src_url"].to_numpy(zero_copy_only=False)
-    ts = (table[ts_col].to_numpy(zero_copy_only=False)
-          .astype(np.int64)[parents])
-    src = (table[key_col].combine_chunks()
-           .take(pa.array(parents)).to_pandas().to_numpy(dtype=object))
-    df = pd.DataFrame({
-        "dst_url": links["dst_url"].to_pandas().to_numpy(dtype=object),
-        ts_col: ts,
-        "src_url": src,
+    parents = pa.array(
+        links["src_url"].to_numpy(zero_copy_only=False))
+    out = pa.table({
+        "dst_url": links["dst_url"],
+        ts_col: table[ts_col].combine_chunks()
+        .cast(pa.int64()).take(parents),
+        "src_url": table[key_col].combine_chunks().take(parents),
     })
-    return df[df["dst_url"] != df["src_url"]].reset_index(drop=True)
+    return out.filter(pc.not_equal(out["dst_url"], out["src_url"]))
 
 
 class FrontierState:

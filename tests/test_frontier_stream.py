@@ -50,7 +50,7 @@ def test_link_rows_match_batch_extraction():
         "ts_us": pa.array(range(len(htmls)), type=pa.int64()),
         "html": pa.array(htmls, type=pa.binary()),
     })
-    got = link_rows_batch(t, FrontierSpec())
+    got = link_rows_batch(t, FrontierSpec()).to_pydict()
     want = []
     for i, h in enumerate(htmls):
         if h is None:

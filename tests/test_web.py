@@ -65,6 +65,20 @@ def test_extract_links_matches_regex_reference():
     assert "/static/site.css" not in set(got["dst_url"])
 
 
+def test_extract_links_unterminated_href_dropped():
+    """A truncated page whose <a href=" never closes is NOT an anchor —
+    the SQL twin's regex requires the closing quote, so the engine must
+    drop it too (oracle contract on malformed input)."""
+    tbl = pa.table({
+        "url": ["a", "b", "c"],
+        "html": [b'<a href="http://dangling',  # no closing quote
+                 b'<a href="',                  # page ends at the prefix
+                 b'<a href="ok">x</a><a href="trunc'],
+    })
+    got = extract_links_table(tbl).to_pydict()
+    assert got == {"src_url": ["c"], "dst_url": ["ok"]}
+
+
 def test_extract_links_null_and_linkless_rows():
     tbl = pa.table({
         "url": ["a", "b", "c"],
