@@ -218,6 +218,88 @@ def bench_flagship_neardup_stream(sf_dir: str) -> dict:
             "near_dup_rows": n_dups}
 
 
+def bench_flagship_frontier_stream(sf_dir: str) -> dict:
+    """Flagship variant with the STREAMING url-frontier operator active:
+    anchor extraction in the map phase, the dst-url-keyed exchange, and
+    the seen-map state — measured end to end over a linked-pages corpus
+    (gen_pages(link_frontier=True)). Records what frontier discovery
+    costs ON TOP of the base pipeline."""
+    import ray
+
+    from gush_ray.datagen import ensure_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.frontier import FrontierSpec
+
+    pages_dir = ensure_pages(
+        "/tmp/gush_scale_pages_fr", n_urls=BENCH_PAGES_URLS, seed=79,
+        n_epochs=BENCH_PAGES_EPOCHS, link_frontier=True,
+    )
+    _warm_cache(sf_dir, [pages_dir])
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=32, frontier_spec=FrontierSpec())
+
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = 0
+    n_disc = 0
+    for e in job.sink.committed_epochs():
+        for pm in job.sink.read_manifest(e)["partitions"]:
+            n_rows += pm.get("rows_in", 0)
+            n_disc += pm.get("frontier_rows", 0)
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "frontier_rows": n_disc}
+
+
+def _pagerank_bench(sf_dir: str):
+    """Integer-exact PageRank over a cached synthetic edge list
+    (~2M edges, 200k nodes) — the graph family's throughput record:
+    8 iterations on the broadcast-ranks dense path
+    (stages/web.pagerank_dense; join-path parity pinned in
+    tests/test_web.py)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from gush_ray.stages.web import pagerank_dense
+
+    n_nodes = int(os.environ.get("GRAFT_PR_NODES", "200000"))
+    n_edges = 10 * n_nodes
+    fix = f"/tmp/gush_pr_edges/n{n_nodes}"
+    marker = os.path.join(fix, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(fix, exist_ok=True)
+        rng = np.random.RandomState(5)
+        # power-law-ish in-degree: square the uniform draw so a few
+        # nodes absorb many edges (the web's in-degree skew)
+        src = rng.randint(0, n_nodes, size=n_edges)
+        dst = ((rng.rand(n_edges) ** 2) * n_nodes).astype(np.int64)
+        pq.write_table(pa.table({"src": src, "dst": dst}),
+                       os.path.join(fix, "edges.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    # iterations are scheduling-floor-bound, not compute-bound (2 Ray
+    # stages per iteration): fewer, bigger blocks measured 3.7x faster
+    # at equal correctness (64→16 blocks: 14.4s → 3.9s at 16 cpus)
+    edges = rd.read_parquet(os.path.join(fix, "edges.parquet"),
+                            override_num_blocks=max(8, min(32, NCPU // 2)))
+    return pagerank_dense(edges, n_nodes, iters=8)
+
+
 def _dsir_select_fast(sf_dir: str):
     """q_dsir_select's pipeline with the production (fast) token hash —
     the bench measures the explode → bucket-count → broadcast-ratio →
@@ -282,6 +364,8 @@ def run_bench() -> dict:
         "minhash_dedup": _minhash_dedup_fast,
         # data-mixing family (round-3 fifth wave), fast hash path
         "dsir_select": _dsir_select_fast,
+        # graph family: 8 integer-exact iterations over ~2M edges
+        "pagerank": _pagerank_bench,
     }
 
     _warm_cache(SF_DIR)
@@ -319,6 +403,10 @@ def run_bench() -> dict:
         (bench_flagship_neardup_stream(SF_DIR) for _ in range(2)),
         key=lambda r: r["sec"])
     timings["flagship_neardup_stream"] = round(flag_nd["sec"], 3)
+    flag_fr = min(
+        (bench_flagship_frontier_stream(SF_DIR) for _ in range(2)),
+        key=lambda r: r["sec"])
+    timings["flagship_frontier_stream"] = round(flag_fr["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -338,6 +426,9 @@ def run_bench() -> dict:
         "flagship_neardup_rows_per_sec": round(flag_nd["rows_per_sec"], 1),
         "flagship_neardup_rows": flag_nd["rows"],
         "flagship_near_dup_hits": flag_nd["near_dup_rows"],
+        "flagship_frontier_rows_per_sec": round(flag_fr["rows_per_sec"], 1),
+        "flagship_frontier_rows": flag_fr["rows"],
+        "flagship_frontier_discoveries": flag_fr["frontier_rows"],
     }
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the

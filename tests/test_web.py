@@ -118,6 +118,25 @@ def test_pagerank_matches_integer_reference(edges, n):
     assert got == want
 
 
+@pytest.mark.parametrize("edges,n", [
+    ([(0, 1), (1, 0)], 2),
+    ([(0, 1), (0, 1), (2, 2)], 4),
+])
+def test_pagerank_dense_matches_join_path(edges, n):
+    """The broadcast-ranks dense path (bench) is bit-identical to the
+    distributed-join path (the scale shape the oracle checks)."""
+    from gush_ray.stages.web import pagerank_dense
+
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    a = pagerank(edges_ds, nodes_ds, iters=5).to_pandas()
+    b = pagerank_dense(edges_ds, n, iters=5).to_pandas()
+    key = "node"
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
 def test_pagerank_mass_bound():
     # total rank never exceeds the injected mass (floor division and
     # dangling-node drop only ever lose mass)
