@@ -521,6 +521,49 @@ class Stream:
 
         return self._wrap(normalize_text(self.ds, col=col, form=form, **kw))
 
+    def extract_links(self, html_col: str = "html",
+                      url_col: str = "url") -> "Stream":
+        """Explode pages into (src_url, dst_url) anchor edges
+        (stages/web.extract_links_table — vectorized, closed-quote
+        rule)."""
+        from gush_ray.stages.web import extract_links_table
+
+        def fn(b: pa.Table) -> pa.Table:
+            return extract_links_table(b, html_col=html_col,
+                                       url_col=url_col)
+
+        return self._wrap(self.ds.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True))
+
+    def canonicalize_urls(self, col: str = "url",
+                          out: str | None = None) -> "Stream":
+        """Add the canonical form of a URL column (stages/web 5-rule
+        set; ``out=None`` replaces the column in place)."""
+        from gush_ray.stages.web import canonicalize_urls
+
+        def fn(b: pa.Table) -> pa.Table:
+            canon = canonicalize_urls(b[col])
+            if out is None:
+                return b.set_column(b.schema.get_field_index(col),
+                                    col, canon)
+            return b.append_column(out, canon)
+
+        return self._wrap(self.ds.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True))
+
+    def pagerank(self, nodes: "Stream | object", src_col: str = "src",
+                 dst_col: str = "dst", node_col: str = "node",
+                 iters: int = 8) -> "Stream":
+        """Integer-exact PageRank over this stream as an edge list
+        (stages/web.pagerank — distributed join path; ranks stay
+        distributed)."""
+        from gush_ray.stages.web import pagerank
+
+        nds = nodes.ds if isinstance(nodes, Stream) else nodes
+        return self._wrap(pagerank(self.ds, nds, iters=iters,
+                                   src_col=src_col, dst_col=dst_col,
+                                   node_col=node_col))
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:

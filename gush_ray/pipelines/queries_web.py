@@ -353,6 +353,48 @@ LIMIT {_DSIR_TOPN}
 """
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host crawl analytics over the linked-pages fixture:
+    (host, n_pages, n_links) — the domain-level aggregation every crawl
+    pipeline starts with. Link counts reuse the anchor-extraction kernel
+    (same closed-quote rule as the SQL regex), so counts stay bit-exact
+    on malformed html too."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.web import extract_links_table
+
+    def per_page(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h")
+        idx_tbl = pa.table({
+            "url": pa.array(np.arange(b.num_rows, dtype=np.int64)),
+            "html": b["html"],
+        })
+        links = extract_links_table(idx_tbl)
+        parents = links["src_url"].to_numpy(zero_copy_only=False)
+        n_links = np.bincount(parents, minlength=b.num_rows)
+        return pa.table({"host": host,
+                         "n_links": pa.array(n_links.astype(np.int64))})
+
+    ds = _read_links().map_batches(per_page, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return partial_aggregate(ds, ["host"],
+                             {"n_pages": (None, "count"),
+                              "n_links": ("n_links", "sum")})
+
+
+SQL_HOST_STATS = f"""
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+       count(*) AS n_pages,
+       CAST(SUM(len(regexp_extract_all(decode(html),
+                                       '<a href="([^"]*)"', 1)))
+            AS BIGINT) AS n_links
+FROM read_parquet('{_LINK_PARQUET}')
+GROUP BY 1
+"""
+
+
 def ensure_web_fixtures() -> None:
     ensure_link_fixture()
     ensure_url_fixture()
@@ -365,4 +407,5 @@ WEB_QUERIES = {
     "url_canonical_dedup": (q_url_canonical_dedup,
                             SQL_URL_CANONICAL_DEDUP),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "host_stats": (q_host_stats, SQL_HOST_STATS),
 }

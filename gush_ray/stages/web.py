@@ -276,3 +276,59 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
         return b.rename(columns={src_col: node_col, "r": "rank_micro"})
 
     return ranks.map_batches(out, batch_format="pandas")
+
+
+def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
+                   scale: int = PR_SCALE, damp_num: int = 85,
+                   damp_den: int = 100, src_col: str = "src",
+                   dst_col: str = "dst"):
+    """Broadcast-ranks PageRank for DENSE int node ids ``0..n_nodes-1``.
+
+    Bit-identical to :func:`pagerank` (parity-pinned) but with the rank
+    vector broadcast per iteration (``ray.put`` of one packed int64
+    array, ~8 bytes/node) instead of a hash join: each iteration is ONE
+    ``map_batches`` pass over the edges + one partial-agg shuffle of
+    (dst, sum) partials. This is the ngram_jaccard-style SMALL-SIDE
+    fast path — valid while the rank vector fits a worker's memory
+    (10^9 nodes ≈ 8 GB; beyond that, use :func:`pagerank`, whose ranks
+    stay distributed).
+    """
+    import ray
+
+    from gush_ray.stages.agg import partial_aggregate
+
+    if n_nodes <= 0:
+        raise ValueError("pagerank_dense: empty node set")
+    deg_df = partial_aggregate(
+        edges, [src_col], {"outdeg": (None, "count")}).to_pandas()
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    outdeg[deg_df[src_col].to_numpy(np.int64)] = (
+        deg_df["outdeg"].to_numpy(np.int64))
+    edges = edges.materialize()
+    deg_ref = ray.put(outdeg)
+
+    r = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+    base = ((damp_den - damp_num) * scale) // (damp_den * n_nodes)
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            rr = ray.get(r_ref)
+            dd = ray.get(deg_ref)
+            s = b[src_col].to_numpy(np.int64)
+            return pd.DataFrame({dst_col: b[dst_col].to_numpy(np.int64),
+                                 "c": rr[s] // dd[s]})
+
+        sums = partial_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            [dst_col], {"c": ("c", "sum")},
+        ).to_pandas()  # ≤ n_nodes rows — fits by the dense-path premise
+        r = np.full(n_nodes, base, dtype=np.int64)
+        if len(sums):
+            d = sums[dst_col].to_numpy(np.int64)
+            r[d] += (damp_num * sums["c"].to_numpy(np.int64)) // damp_den
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "node": np.arange(n_nodes, dtype=np.int64), "rank_micro": r}))

@@ -284,3 +284,29 @@ def test_stream_lm_scoring(sf_dir):
     assert oov["n_oov"].sum() < 0.5 * oov["n_bigrams"].sum()
     ppl = docs.lm_perplexity(lm).to_pandas()
     assert ppl["nll"].notna().any() and (ppl["nll"].dropna() > 0).all()
+
+
+def test_stream_web_ops(ray_session):
+    import pandas as pd
+
+    from gush_ray.api import Stream
+    from gush_ray.datagen import gen_linked_pages
+
+    pages = Stream.from_arrow(gen_linked_pages(n_urls=80, seed=3))
+    edges = pages.extract_links(url_col="page_id")
+    df = edges.to_pandas()
+    assert set(df.columns) == {"src_url", "dst_url"}
+    assert len(df) > 50
+
+    # canonicalize in place and into a new column
+    raw = pa.table({"url": ["HTTP://A.com:80/x/", "http://a.com/x"]})
+    inplace = Stream.from_arrow(raw).canonicalize_urls().to_pandas()
+    assert inplace["url"].tolist() == ["http://a.com/x", "http://a.com/x"]
+    added = Stream.from_arrow(raw).canonicalize_urls(out="canon").to_pandas()
+    assert list(added.columns) == ["url", "canon"]
+
+    # fluent pagerank over a hand graph == the stage function directly
+    e = Stream.from_arrow(pa.table({"src": [0, 1], "dst": [1, 0]}))
+    n = Stream.from_arrow(pa.table({"node": [0, 1]}))
+    pr = e.pagerank(n, iters=3).to_pandas().sort_values("node")
+    assert pr["rank_micro"].tolist() == [10**12 // 2] * 2
