@@ -353,6 +353,41 @@ LIMIT {_DSIR_TOPN}
 """
 
 
+_BFS_MAX_DEPTH = 12
+
+
+def q_crawl_depth(sf_dir: str):
+    """BFS crawl depth from a deterministic seed set (page_id % 50 == 0)
+    over the extracted link graph; (page_id, depth) for every page
+    reachable within 12 hops. Oracle: bounded recursive-CTE reachability
+    with MIN(depth) — integer-exact, like the components pair."""
+    from gush_ray.stages.web import bfs_depth
+
+    edges, pages = _edge_dataset()
+    seeds = pages.map_batches(
+        lambda b: b[b["page_id"] % 50 == 0][["page_id"]].rename(
+            columns={"page_id": "node"}),
+        batch_format="pandas")
+    out = bfs_depth(edges, seeds, max_depth=_BFS_MAX_DEPTH)
+    return out.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+SQL_CRAWL_DEPTH = f"""
+WITH RECURSIVE {_SQL_GRAPH_BASE},
+seeds AS (SELECT page_id FROM pages WHERE page_id % 50 = 0),
+r AS (
+  SELECT page_id AS node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node
+  WHERE r.d < {_BFS_MAX_DEPTH}
+)
+SELECT node AS page_id, CAST(MIN(d) AS BIGINT) AS depth
+FROM r GROUP BY node
+"""
+
+
 def q_host_stats(sf_dir: str):
     """Per-host crawl analytics over the linked-pages fixture:
     (host, n_pages, n_links) — the domain-level aggregation every crawl
@@ -408,4 +443,5 @@ WEB_QUERIES = {
                             SQL_URL_CANONICAL_DEDUP),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
+    "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
 }

@@ -278,6 +278,57 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
     return ranks.map_batches(out, batch_format="pandas")
 
 
+def bfs_depth(edges, seeds, *, max_depth: int = 12,
+              src_col: str = "src", dst_col: str = "dst",
+              node_col: str = "node"):
+    """Unit-weight BFS depth from a seed set over a Dataset edge list —
+    crawl depth: how many link hops from the seeds each page sits.
+
+    Returns (node, depth) for every node REACHED within ``max_depth``
+    hops (seeds at depth 0); unreached nodes are absent, exactly like
+    the bounded recursive-CTE twin. Distributed Bellman-Ford with unit
+    weights: each round is one hash join (edges×frontier dists on src)
+    + one min partial-agg — only the dist table and edges move, the
+    driver holds two scalars for the convergence check. Rounds stop at
+    the fixpoint or ``max_depth``, whichever first (identical results:
+    BFS relaxation is monotone).
+    """
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({src_col: b[node_col].to_numpy(),
+                             "d": np.zeros(len(b), dtype=np.int64)})
+
+    dist = seeds.map_batches(init, batch_format="pandas").materialize()
+    edges = edges.materialize()
+    prev = (int(dist.count()), 0)
+    for _ in range(max_depth):
+        def relax(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({src_col: pd.Series(dtype="int64"),
+                                     "d": pd.Series(dtype="int64")})
+            return pd.DataFrame({src_col: b[dst_col].to_numpy(),
+                                 "d": b["d"].to_numpy(np.int64) + 1})
+
+        cand = hash_join(edges, dist, on=src_col).map_batches(
+            relax, batch_format="pandas")
+        dist = partial_aggregate(
+            cand.union(dist), [src_col], {"d": ("d", "min")},
+        ).repartition(4).materialize()
+        # (count, sum) is a monotone fixpoint witness: count only grows,
+        # the dist sum only shrinks per node — both stable == converged
+        cur = (int(dist.count()), int(dist.sum("d") or 0))
+        if cur == prev:
+            break
+        prev = cur
+
+    def out(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={src_col: node_col, "d": "depth"})
+
+    return dist.map_batches(out, batch_format="pandas")
+
+
 def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
                    scale: int = PR_SCALE, damp_num: int = 85,
                    damp_den: int = 100, src_col: str = "src",

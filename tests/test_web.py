@@ -157,6 +157,39 @@ def test_pagerank_mass_bound():
     assert got["rank_micro"].sum() <= PR_SCALE
 
 
+def test_bfs_depth_matches_reference():
+    """bfs_depth vs a plain-dict BFS on a graph with a cycle, a chain
+    longer than max_depth, and an unreachable node."""
+    from collections import deque
+
+    from gush_ray.stages.web import bfs_depth
+
+    edges = [(0, 1), (1, 2), (2, 0),          # cycle
+             (2, 3), (3, 4), (4, 5), (5, 6),  # chain
+             (8, 9)]                          # disconnected from seed
+    seeds = [0]
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    seeds_ds = rd.from_pandas(pd.DataFrame({"node": seeds}))
+    for max_depth in (2, 12):
+        got = bfs_depth(edges_ds, seeds_ds, max_depth=max_depth).to_pandas()
+        got = dict(zip(got["node"], got["depth"]))
+        # reference BFS bounded at max_depth
+        want = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= max_depth:
+                continue
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        assert got == want
+
+
 def test_messy_url_fixture_groups_of_three():
     tbl = gen_messy_urls(n_base=50, seed=29)
     canon = canonicalize_urls(tbl["raw_url"]).to_pylist()
