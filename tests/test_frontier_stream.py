@@ -279,3 +279,54 @@ def test_frontier_state_unit():
     # replay of everything → silent
     out2 = st.process(df, -(1 << 62), "ts_us")
     assert len(out2) == 0
+
+
+def test_continuous_mode_matches_batch_run(tmp_path, ray_session):
+    """Live-tailed ingestion (run_continuous with _READY markers)
+    produces the identical frontier stream as the batch run over the
+    same epochs — the operator rides the shared reduce path."""
+    import os
+    import shutil as sh
+    import threading
+    import time as _time
+
+    src = _pages(tmp_path)
+    jb = StreamingJob(src, str(tmp_path / "bo"), run_id="frcB",
+                      num_partitions=3, frontier_spec=FrontierSpec())
+    jb.run(resume=False)
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+
+    def writer():
+        for e in range(4):
+            _time.sleep(0.3)
+            name = f"epoch={e:04d}"
+            sh.copytree(os.path.join(src, name),
+                        os.path.join(live, name + ".tmp"))
+            os.rename(os.path.join(live, name + ".tmp"),
+                      os.path.join(live, name))
+            open(os.path.join(live, name, "_READY"), "w").close()
+        open(os.path.join(live, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    jl = StreamingJob(live, str(tmp_path / "lo"), run_id="frcL",
+                      num_partitions=3, frontier_spec=FrontierSpec())
+    res = jl.run_continuous(poll_interval_s=0.1)
+    t.join()
+    assert res["finalized"]
+    pd.testing.assert_frame_equal(_fr_sorted(jb), _fr_sorted(jl))
+
+
+def test_cli_frontier_ttl_zero_enables():
+    """--frontier-ttl-sec 0 means evict-at-watermark, not 'unset'."""
+    import argparse
+
+    from gush_ray.run_job import _frontier_spec
+
+    ns = argparse.Namespace(frontier=False, frontier_ttl_sec=0)
+    spec = _frontier_spec(ns)
+    assert spec is not None and spec.ttl_us == 0
+    ns2 = argparse.Namespace(frontier=False, frontier_ttl_sec=None)
+    assert _frontier_spec(ns2) is None
