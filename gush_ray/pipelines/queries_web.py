@@ -430,6 +430,65 @@ GROUP BY 1
 """
 
 
+def q_recrawl_stats(sf_dir: str):
+    """Crawl-freshness analytics over the standard pages stream:
+    per url — number of distinct crawls (exact (url, ts) replays
+    collapse), first/last crawl time, and the mean inter-crawl gap in
+    integer µs (-1 for single-crawl urls, keeping the column int64 on
+    both sides). Two combiner-shaped shuffles: (url, ts) collapse, then
+    the per-url aggregate."""
+    import pyarrow.compute as pc
+
+    from gush_ray.datagen import ensure_pages
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.windows import ts_to_us
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    ds = rd.read_parquet(pages_dir, columns=["url", "warc_ts"],
+                         override_num_blocks=16)
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"],
+                         "ts_us": ts_to_us(b["warc_ts"])})
+
+    uniq = partial_aggregate(
+        ds.map_batches(to_us, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["url", "ts_us"], {"n": (None, "count")})
+    per_url = partial_aggregate(
+        uniq, ["url"], {"n_crawls": (None, "count"),
+                        "first_ts": ("ts_us", "min"),
+                        "last_ts": ("ts_us", "max")})
+
+    def gap(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_crawls"].to_numpy(np.int64)
+        first = b["first_ts"].to_numpy(np.int64)
+        last = b["last_ts"].to_numpy(np.int64)
+        g = np.where(n > 1, (last - first) // np.maximum(n - 1, 1), -1)
+        return b.assign(gap_us=g.astype(np.int64))
+
+    return per_url.map_batches(gap, batch_format="pandas")
+
+
+def _sql_recrawl_stats() -> str:
+    from gush_ray.pipelines.queries_extra import PAGES_FIXTURE
+
+    return f"""
+WITH uniq AS (
+  SELECT url, epoch_us(warc_ts) AS ts
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  GROUP BY ALL
+)
+SELECT url, count(*) AS n_crawls,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CASE WHEN count(*) > 1
+            THEN (max(ts) - min(ts)) // (count(*) - 1)
+            ELSE -1 END AS gap_us
+FROM uniq GROUP BY url
+"""
+
+
 def ensure_web_fixtures() -> None:
     ensure_link_fixture()
     ensure_url_fixture()
@@ -444,4 +503,5 @@ WEB_QUERIES = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
+    "recrawl_stats": (q_recrawl_stats, _sql_recrawl_stats()),
 }
