@@ -646,7 +646,8 @@ def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 # fixed paths: the SQL oracles are static strings reading the same bytes
-LINK_FIXTURE = "/tmp/gush_ray_links/v1"
+# (v2: anchors carry deterministic word text for the anchor-text ops)
+LINK_FIXTURE = "/tmp/gush_ray_links/v2"
 URL_FIXTURE = "/tmp/gush_ray_urls/v1"
 
 
@@ -676,7 +677,11 @@ def gen_linked_pages(n_urls: int = 900, seed: int = 23,
                 dst = f"https://external{ext:02d}.example.net/e/{ext}"
             else:
                 dst = urls[int(rng.randint(0, n_urls))]
-            anchors.append(f'<a href="{dst}">link{j}</a>')
+            # two-word anchor text, a pure function of (page, slot) —
+            # the anchor-text aggregation operators' ground signal
+            w1 = _WORDS[(i * 13 + j * 7) % len(_WORDS)]
+            w2 = _WORDS[(i * 31 + j * 17 + 5) % len(_WORDS)]
+            anchors.append(f'<a href="{dst}">{w1} {w2}</a>')
         htmls.append(
             f'<!DOCTYPE html><html><head><title>{urls[i]}</title>'
             f'<link href="/static/site.css" rel="stylesheet"></head>'

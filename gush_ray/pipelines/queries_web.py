@@ -430,6 +430,49 @@ GROUP BY 1
 """
 
 
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text term counts per link target — the classic web-search
+    ranking signal: (dst_url, term, n) over every anchor pointing at
+    that url. Extraction shares the anchor-pair kernel
+    (stages/web.extract_anchors_table); one partial-agg shuffle."""
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.web import extract_anchors_table
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return extract_anchors_table(b.select(["url", "html"]))
+
+    ds = _read_links().map_batches(pairs, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "dst_url": b["dst_url"],
+            "term": b["anchor_text"].str.split(" "),
+        }).explode("term")
+        return df
+
+    terms = ds.map_batches(explode, batch_format="pandas")
+    return partial_aggregate(terms, ["dst_url", "term"],
+                             {"n": (None, "count")})
+
+
+_ANCHOR_RE = '<a href="([^"]*)">([^<]*)<'
+
+SQL_ANCHOR_TERMS = f"""
+WITH h AS (SELECT url, decode(html) AS h
+           FROM read_parquet('{_LINK_PARQUET}')),
+z AS (SELECT url AS src_url,
+        unnest(list_zip(regexp_extract_all(h, '{_ANCHOR_RE}', 1),
+                        regexp_extract_all(h, '{_ANCHOR_RE}', 2))) AS p
+      FROM h),
+terms AS (SELECT struct_extract(p, 1) AS dst_url,
+                 unnest(string_split(struct_extract(p, 2), ' ')) AS term
+          FROM z)
+SELECT dst_url, term, count(*) AS n
+FROM terms GROUP BY dst_url, term
+"""
+
+
 def q_recrawl_stats(sf_dir: str):
     """Crawl-freshness analytics over the standard pages stream:
     per url — number of distinct crawls (exact (url, ts) replays
@@ -504,4 +547,5 @@ WEB_QUERIES = {
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "recrawl_stats": (q_recrawl_stats, _sql_recrawl_stats()),
+    "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
 }

@@ -94,6 +94,37 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     return extract_links_table(batch)
 
 
+def extract_anchors_table(tbl: pa.Table, html_col: str = "html",
+                          url_col: str = "url") -> pa.Table:
+    """(url, html) rows → exploded (src_url, dst_url, anchor_text)
+    rows — link targets WITH their anchor text (the web-search ranking
+    signal). Same vectorized split as :func:`extract_links_table`, then
+    one anchored regex over the tails; a tail that doesn't complete
+    ``DST">TEXT<`` (truncated/malformed) is dropped, matching the SQL
+    twin ``regexp_extract_all(h, '<a href="([^"]*)">([^<]*)<', k)``.
+    """
+    as_str = _html_as_string(tbl[html_col])
+    parts = pc.split_pattern(as_str, _A_HREF)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    offsets = parts.offsets.to_numpy(zero_copy_only=False)
+    keep = np.ones(len(flat), dtype=bool)
+    starts = offsets[:-1][offsets[:-1] < len(flat)]
+    keep[starts] = False
+    keep_idx = np.nonzero(keep)[0]
+    tails = flat.take(pa.array(keep_idx))
+    srcs = tbl[url_col].combine_chunks().take(pa.array(parents[keep_idx]))
+    m = pc.extract_regex(tails, r'^(?P<d>[^"]*)">(?P<t>[^<]*)<')
+    ok = pc.is_valid(m)
+    return pa.table({
+        "src_url": srcs.filter(ok),
+        "dst_url": pc.struct_field(m, "d").filter(ok),
+        "anchor_text": pc.struct_field(m, "t").filter(ok),
+    })
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization
 # ---------------------------------------------------------------------------

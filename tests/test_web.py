@@ -65,6 +65,32 @@ def test_extract_links_matches_regex_reference():
     assert "/static/site.css" not in set(got["dst_url"])
 
 
+def test_extract_anchors_matches_regex_reference():
+    """Anchor (href, text) pairs == the SQL twin's two-group regex,
+    including the malformed-tail drop rule."""
+    from gush_ray.stages.web import extract_anchors_table
+
+    htmls = [
+        b'<a href="x">big dog</a>mid<a href="y">cat</a>',
+        b'<a href="dangling',            # no closing quote
+        b'<a href="q">unterminated',     # no closing '<'
+        None,
+        b"plain",
+    ]
+    tbl = pa.table({"url": [f"u{i}" for i in range(len(htmls))],
+                    "html": pa.array(htmls, type=pa.binary())})
+    got = extract_anchors_table(tbl).to_pydict()
+    want = []
+    for i, h in enumerate(htmls):
+        if h is None:
+            continue
+        for d, t in re.findall(r'<a href="([^"]*)">([^<]*)<', h.decode()):
+            want.append((f"u{i}", d, t))
+    assert list(zip(got["src_url"], got["dst_url"],
+                    got["anchor_text"])) == want
+    assert want == [("u0", "x", "big dog"), ("u0", "y", "cat")]
+
+
 def test_extract_links_unterminated_href_dropped():
     """A truncated page whose <a href=" never closes is NOT an anchor —
     the SQL twin's regex requires the closing quote, so the engine must
