@@ -191,6 +191,22 @@ def gen_pages(
         # the default corpus and every cached fixture are unchanged.
         # k=0..3 links per row; self-targets skipped (a page never
         # discovers itself; state/frontier.py drops them anyway).
+        # link_frontier="messy" additionally wraps each target in a
+        # deterministic surface variant (host case / default port /
+        # trailing slash) — the canonicalizing-frontier ground truth.
+        def _messy(u: str, mode: int) -> str:
+            if mode == 1:  # uppercase host
+                scheme, rest = u.split("://", 1)
+                host, path = rest.split("/", 1)
+                return f"{scheme}://{host.upper()}/{path}"
+            if mode == 2:  # explicit default port (urls are https)
+                scheme, rest = u.split("://", 1)
+                host, path = rest.split("/", 1)
+                return f"{scheme}://{host}:443/{path}"
+            if mode == 3:  # trailing slash
+                return u + "/"
+            return u
+
         def _anchors(i: int, v: int) -> bytes:
             k = (i * 7 + v) % 4
             parts = []
@@ -199,7 +215,10 @@ def gen_pages(
                      + j * 40503) % n_urls
                 if t == i:
                     continue
-                parts.append(f'<a href="{urls[t]}">l{j}</a>')
+                dst = urls[t]
+                if link_frontier == "messy":
+                    dst = _messy(dst, (i + v + j) % 4)
+                parts.append(f'<a href="{dst}">l{j}</a>')
             return ("<nav>" + "".join(parts) + "</nav>").encode()
 
         htmls = [
@@ -401,6 +420,23 @@ def ensure_frontier_pages() -> str:
     if not os.path.exists(marker):
         write_pages_dir(out, n_urls=600, seed=13, n_epochs=4,
                         link_frontier=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+FRONTIER_MESSY_FIXTURE = "/tmp/gush_ray_frontier_messy/u600_s13_e4_v1"
+
+
+def ensure_frontier_messy_pages() -> str:
+    """Like :func:`ensure_frontier_pages` but anchor targets carry
+    deterministic surface variants (link_frontier='messy') — the
+    canonicalizing-frontier operator's ground truth."""
+    out = FRONTIER_MESSY_FIXTURE
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_dir(out, n_urls=600, seed=13, n_epochs=4,
+                        link_frontier="messy")
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -340,7 +340,8 @@ def q_streaming_near_dup(sf_dir: str):
         drop=True)
 
 
-def _sql_streaming_frontier() -> str:
+def _sql_streaming_frontier(fixture: str | None = None,
+                            canon_cte: str | None = None) -> str:
     """DuckDB twin of the STREAMING url-frontier operator
     (state/frontier.py) over the fixed linked-pages fixture: arrival
     semantics (extraction survivors, P=1 restored-watermark late drop —
@@ -349,14 +350,32 @@ def _sql_streaming_frontier() -> str:
     expression), per-epoch exact-replay collapse as a DISTINCT over
     link rows, and the first-discovery rule: the frontier row for a
     url is its first link arrival by (epoch, ts_us, src_url);
-    self-links never discover."""
+    self-links never discover.
+
+    ``canon_cte`` (the canonicalizing variant): a CTE chain defining
+    ``cn_map(raw, canon)`` over the raw link targets — discovered urls
+    map through it BEFORE replay-collapse, self-drop and first-
+    discovery ranking, mirroring FrontierSpec(canonicalize=True)."""
     from gush_ray.datagen import FRONTIER_PAGES_FIXTURE
 
+    fixture = fixture or FRONTIER_PAGES_FIXTURE
+    if canon_cte:
+        canon = canon_cte + ","
+        link_src = """
+clinks AS (
+  SELECT l.epoch, l.ts_us, l.src_url, c.canon AS dst_url
+  FROM rawlinks l JOIN cn_map c ON c.raw = l.dst_url
+),"""
+        raw_name, link_name = "rawlinks", "clinks"
+    else:
+        canon = ""
+        link_src = ""
+        raw_name, link_name = "links", "links"
     return f"""
 WITH pages AS (
   SELECT url, epoch_us(warc_ts) AS ts_us, decode(html) AS h,
          CAST(epoch AS BIGINT) AS epoch
-  FROM read_parquet('{FRONTIER_PAGES_FIXTURE}/epoch=*/part-*.parquet',
+  FROM read_parquet('{fixture}/epoch=*/part-*.parquet',
                     hive_partitioning=1)
   WHERE text IS NOT NULL
 ),
@@ -368,13 +387,14 @@ flagged AS (
   SELECT p.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
   FROM pages p LEFT JOIN wm w ON w.epoch = p.epoch - 1
 ),
-links AS (
+{raw_name} AS (
   SELECT epoch, ts_us, url AS src_url,
          unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS dst_url
   FROM flagged WHERE ts_us >= wm_prev
 ),
+{canon}{link_src}
 uniq AS (
-  SELECT DISTINCT epoch, ts_us, src_url, dst_url FROM links
+  SELECT DISTINCT epoch, ts_us, src_url, dst_url FROM {link_name}
   WHERE dst_url <> src_url
 ),
 ranked AS (

@@ -209,35 +209,48 @@ def q_url_canonical_dedup(sf_dir: str):
                               "keeper_uid": ("uid", "min")})
 
 
-# independent SQL reimplementation of the 5 canonicalization rules
-# (stages/web.canonicalize_urls docstring); positional regex groups here,
-# named groups engine-side — RE2 semantics both ways
+def _sql_canon_cte(src_rel: str, col: str, prefix: str = "cn") -> str:
+    """CTE chain ``{prefix}_map(raw, canon)`` mapping the distinct
+    values of ``src_rel.col`` through the 5 canonicalization rules —
+    an independent SQL reimplementation of stages/web.canonicalize_urls
+    (positional regex groups here, named groups engine-side; RE2 both
+    ways). A value that doesn't match ``scheme://authority...`` passes
+    through unchanged (scheme is never '' in a match)."""
+    return f"""
+{prefix}_g AS (
+  SELECT raw, regexp_extract(raw,
+      '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$',
+      ['scheme','auth','path','query','frag']) AS m
+  FROM (SELECT DISTINCT {col} AS raw FROM {src_rel})),
+{prefix}_hp AS (
+  SELECT raw, m,
+         regexp_extract(m.auth, '^([^:]*)(:.*)?$', ['h','p']) AS a
+  FROM {prefix}_g),
+{prefix}_map AS (
+  SELECT raw,
+    CASE WHEN m.scheme = '' THEN raw
+         ELSE lower(m.scheme) || '://' || lower(a.h)
+           || CASE WHEN (lower(m.scheme)='http'  AND a.p=':80')
+                     OR (lower(m.scheme)='https' AND a.p=':443')
+                   THEN '' ELSE a.p END
+           || CASE WHEN m.path='' THEN '/'
+                   WHEN m.path='/' THEN '/'
+                   ELSE regexp_replace(m.path, '/$', '') END
+           || CASE WHEN m.query='' THEN ''
+                   ELSE '?' || array_to_string(
+                        list_sort(string_split(substr(m.query, 2), '&')),
+                        '&') END
+    END AS canon
+  FROM {prefix}_hp)"""
+
+
 SQL_URL_CANONICAL_DEDUP = f"""
 WITH u AS (SELECT uid, raw_url FROM read_parquet('{_URL_PARQUET}')),
-g AS (SELECT uid, regexp_extract(raw_url,
-        '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$',
-        ['scheme','auth','path','query','frag']) AS m FROM u),
-hp AS (SELECT uid, m,
-        regexp_extract(m.auth, '^([^:]*)(:.*)?$', ['h','p']) AS a FROM g),
-parts AS (
-  SELECT uid,
-    lower(m.scheme) AS scheme,
-    lower(a.h) AS host,
-    CASE WHEN (lower(m.scheme)='http'  AND a.p=':80')
-           OR (lower(m.scheme)='https' AND a.p=':443')
-         THEN '' ELSE a.p END AS port,
-    CASE WHEN m.path='' THEN '/'
-         WHEN m.path='/' THEN '/'
-         ELSE regexp_replace(m.path, '/$', '') END AS path,
-    CASE WHEN m.query='' THEN ''
-         ELSE '?' || array_to_string(
-                list_sort(string_split(substr(m.query, 2), '&')), '&')
-    END AS query
-  FROM hp)
-SELECT scheme || '://' || host || port || path || query AS canon_url,
+{_sql_canon_cte('u', 'raw_url')}
+SELECT c.canon AS canon_url,
        count(*) AS n_variants,
-       min(uid) AS keeper_uid
-FROM parts
+       min(u.uid) AS keeper_uid
+FROM u JOIN cn_map c ON c.raw = u.raw_url
 GROUP BY 1
 """
 
@@ -532,6 +545,43 @@ FROM uniq GROUP BY url
 """
 
 
+def q_streaming_frontier_canon(sf_dir: str):
+    """Streaming frontier with URL canonicalization active
+    (FrontierSpec(canonicalize=True)) over a stream whose anchor
+    targets carry surface variants (host case / default port /
+    trailing slash): every variant of one page collapses to ONE
+    frontier discovery. Composes the two verified kernels — anchor
+    extraction and the 5-rule canonicalizer — inside the CEP loop;
+    P=1 for the SQL-expressible watermark (q_pages_flagship
+    rationale)."""
+    import shutil
+    import uuid
+
+    from gush_ray.datagen import ensure_frontier_messy_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.frontier import FrontierSpec
+
+    pages_dir = ensure_frontier_messy_pages()
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1,
+                       frontier_spec=FrontierSpec(canonicalize=True))
+    job.run()
+    fr = job.read_output("frontier")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return fr.sort_values(["url"]).reset_index(drop=True)
+
+
+def _sql_streaming_frontier_canon() -> str:
+    from gush_ray.datagen import FRONTIER_MESSY_FIXTURE
+    from gush_ray.pipelines.queries_extra import _sql_streaming_frontier
+
+    return _sql_streaming_frontier(
+        fixture=FRONTIER_MESSY_FIXTURE,
+        canon_cte=_sql_canon_cte("rawlinks", "dst_url"))
+
+
 def ensure_web_fixtures() -> None:
     ensure_link_fixture()
     ensure_url_fixture()
@@ -548,4 +598,9 @@ WEB_QUERIES = {
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "recrawl_stats": (q_recrawl_stats, _sql_recrawl_stats()),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
+    # import-order note: building this SQL imports queries_extra at
+    # module-load time; queries_extra only imports THIS module inside
+    # functions, so the load order is acyclic either way
+    "streaming_frontier_canon": (q_streaming_frontier_canon,
+                                 _sql_streaming_frontier_canon()),
 }

@@ -61,6 +61,11 @@ class FrontierSpec:
     """Configuration of the streaming frontier section."""
 
     html_col: str = "html"
+    # canonicalize discovered urls before dedup (stages/web 5-rule set)
+    # — a real crawler's frontier always canonicalizes, or every surface
+    # variant of one page gets crawled; self-links are dropped on the
+    # CANONICAL form (the discovering page's url is canonical already)
+    canonicalize: bool = False
     # event-time TTL for seen entries (None = remember forever): at
     # crawl scale "forever" is the whole discovered url set; a TTL
     # bounds state to the active horizon at the cost of re-emitting a
@@ -92,8 +97,13 @@ def link_rows_batch(table: pa.Table, spec: FrontierSpec,
     links = extract_links_table(idx_tbl)
     parents = pa.array(
         links["src_url"].to_numpy(zero_copy_only=False))
+    dst = links["dst_url"]
+    if spec.canonicalize:
+        from gush_ray.stages.web import canonicalize_urls
+
+        dst = canonicalize_urls(dst)
     out = pa.table({
-        "dst_url": links["dst_url"],
+        "dst_url": dst,
         ts_col: table[ts_col].combine_chunks()
         .cast(pa.int64()).take(parents),
         "src_url": table[key_col].combine_chunks().take(parents),

@@ -330,3 +330,41 @@ def test_cli_frontier_ttl_zero_enables():
     assert spec is not None and spec.ttl_us == 0
     ns2 = argparse.Namespace(frontier=False, frontier_ttl_sec=None)
     assert _frontier_spec(ns2) is None
+
+
+def test_canonicalize_collapses_variants():
+    """FrontierSpec(canonicalize=True): surface variants of one url
+    produce ONE link row identity (messy targets collapse before dedup;
+    self-drop runs on the canonical form)."""
+    t = pa.table({
+        "url": ["https://a.org/p/1"] * 4,
+        "ts_us": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "html": [b'<a href="https://B.org:443/x/">v1</a>',
+                 b'<a href="https://b.org/x">v2</a>',
+                 b'<a href="https://A.org/p/1">self-variant</a>',
+                 b'<a href="https://a.org/p/1/">self-trailing</a>'],
+    })
+    plain = link_rows_batch(t, FrontierSpec()).to_pydict()
+    canon = link_rows_batch(t, FrontierSpec(canonicalize=True)).to_pydict()
+    # plain: all four distinct (self variants don't string-match)
+    assert sorted(set(plain["dst_url"])) == [
+        "https://A.org/p/1", "https://B.org:443/x/",
+        "https://a.org/p/1/", "https://b.org/x"]
+    # canonical: the two b.org variants collapse; both self variants drop
+    assert canon["dst_url"] == ["https://b.org/x", "https://b.org/x"]
+
+
+def test_canonical_frontier_equals_plain_on_canonical_stream(
+        tmp_path, ray_session):
+    """On a stream whose targets are ALREADY canonical, the
+    canonicalizing frontier is a strict no-op (same output bytes)."""
+    pages = _pages(tmp_path)
+    outs = {}
+    for name, spec in (("p", FrontierSpec()),
+                       ("c", FrontierSpec(canonicalize=True))):
+        job = StreamingJob(pages, str(tmp_path / name),
+                           run_id=f"frcan{name}", num_partitions=2,
+                           frontier_spec=spec)
+        job.run(resume=False)
+        outs[name] = _fr_sorted(job)
+    pd.testing.assert_frame_equal(outs["p"], outs["c"])
