@@ -341,7 +341,8 @@ def q_streaming_near_dup(sf_dir: str):
 
 
 def _sql_streaming_frontier(fixture: str | None = None,
-                            canon_cte: str | None = None) -> str:
+                            canon_cte: str | None = None,
+                            canon_src_cte: str | None = None) -> str:
     """DuckDB twin of the STREAMING url-frontier operator
     (state/frontier.py) over the fixed linked-pages fixture: arrival
     semantics (extraction survivors, P=1 restored-watermark late drop —
@@ -355,22 +356,30 @@ def _sql_streaming_frontier(fixture: str | None = None,
     ``canon_cte`` (the canonicalizing variant): a CTE chain defining
     ``cn_map(raw, canon)`` over the raw link targets — discovered urls
     map through it BEFORE replay-collapse, self-drop and first-
-    discovery ranking, mirroring FrontierSpec(canonicalize=True)."""
+    discovery ranking, mirroring FrontierSpec(canonicalize=True).
+    ``canon_src_cte`` defines ``cs_map(raw, canon)`` over the src urls:
+    the self-drop compares CANONICAL forms on both sides (the emitted
+    src stays raw, like the engine)."""
     from gush_ray.datagen import FRONTIER_PAGES_FIXTURE
 
     fixture = fixture or FRONTIER_PAGES_FIXTURE
     if canon_cte:
-        canon = canon_cte + ","
+        canon = canon_cte + "," + canon_src_cte + ","
         link_src = """
 clinks AS (
-  SELECT l.epoch, l.ts_us, l.src_url, c.canon AS dst_url
-  FROM rawlinks l JOIN cn_map c ON c.raw = l.dst_url
+  SELECT l.epoch, l.ts_us, l.src_url, c.canon AS dst_url,
+         cs.canon AS src_canon
+  FROM rawlinks l
+  JOIN cn_map c ON c.raw = l.dst_url
+  JOIN cs_map cs ON cs.raw = l.src_url
 ),"""
         raw_name, link_name = "rawlinks", "clinks"
+        self_drop = "dst_url <> src_canon"
     else:
         canon = ""
         link_src = ""
         raw_name, link_name = "links", "links"
+        self_drop = "dst_url <> src_url"
     return f"""
 WITH pages AS (
   SELECT url, epoch_us(warc_ts) AS ts_us, decode(html) AS h,
@@ -389,13 +398,13 @@ flagged AS (
 ),
 {raw_name} AS (
   SELECT epoch, ts_us, url AS src_url,
-         unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS dst_url
+         unnest(regexp_extract_all(h, '<a href="([^"<]*)"', 1)) AS dst_url
   FROM flagged WHERE ts_us >= wm_prev
 ),
 {canon}{link_src}
 uniq AS (
   SELECT DISTINCT epoch, ts_us, src_url, dst_url FROM {link_name}
-  WHERE dst_url <> src_url
+  WHERE {self_drop}
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY dst_url

@@ -68,7 +68,7 @@ def q_link_extract(sf_dir: str):
 
 SQL_LINK_EXTRACT = f"""
 SELECT url AS src_url,
-       unnest(regexp_extract_all(decode(html), '<a href="([^"]*)"', 1))
+       unnest(regexp_extract_all(decode(html), '<a href="([^"<]*)"', 1))
          AS dst_url
 FROM read_parquet('{_LINK_PARQUET}')
 """
@@ -106,7 +106,7 @@ pages AS MATERIALIZED (
   FROM read_parquet('{_LINK_PARQUET}')),
 links AS (
   SELECT page_id AS src,
-         unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS dst_url
+         unnest(regexp_extract_all(h, '<a href="([^"<]*)"', 1)) AS dst_url
   FROM pages),
 edges AS MATERIALIZED (
   SELECT l.src AS src, p.page_id AS dst
@@ -436,7 +436,7 @@ SQL_HOST_STATS = f"""
 SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
        count(*) AS n_pages,
        CAST(SUM(len(regexp_extract_all(decode(html),
-                                       '<a href="([^"]*)"', 1)))
+                                       '<a href="([^"<]*)"', 1)))
             AS BIGINT) AS n_links
 FROM read_parquet('{_LINK_PARQUET}')
 GROUP BY 1
@@ -469,7 +469,10 @@ def q_anchor_terms(sf_dir: str):
                              {"n": (None, "count")})
 
 
-_ANCHOR_RE = '<a href="([^"]*)">([^<]*)<'
+# '<' excluded from both groups + literal '</a>' terminator: no match
+# can cross an anchor boundary, so the engine's per-tail match equals
+# this sequential scan on arbitrary bytes (stages/web docstring)
+_ANCHOR_RE = '<a href="([^"<]*)">([^<]*)</a>'
 
 SQL_ANCHOR_TERMS = f"""
 WITH h AS (SELECT url, decode(html) AS h
@@ -579,12 +582,16 @@ def _sql_streaming_frontier_canon() -> str:
 
     return _sql_streaming_frontier(
         fixture=FRONTIER_MESSY_FIXTURE,
-        canon_cte=_sql_canon_cte("rawlinks", "dst_url"))
+        canon_cte=_sql_canon_cte("rawlinks", "dst_url", prefix="cn"),
+        canon_src_cte=_sql_canon_cte("rawlinks", "src_url", prefix="cs"))
 
 
 def ensure_web_fixtures() -> None:
+    from gush_ray.datagen import ensure_frontier_messy_pages
+
     ensure_link_fixture()
     ensure_url_fixture()
+    ensure_frontier_messy_pages()
 
 
 WEB_QUERIES = {

@@ -54,16 +54,13 @@ def _html_as_string(html: pa.ChunkedArray | pa.Array) -> pa.Array:
         return pa.array(py, type=pa.string())
 
 
-def extract_links_table(tbl: pa.Table, html_col: str = "html",
-                        url_col: str = "url") -> pa.Table:
-    """(url, html) rows → exploded (src_url, dst_url) edge rows.
-
-    Vectorized: one ``split_pattern`` on the anchor-prefix, one flatten,
-    one ``max_splits=1`` split on the closing quote. Duplicate hrefs are
-    kept (a page linking twice contributes two edges — PageRank treats
-    the multi-edge as double weight, same as the SQL oracle's
-    ``regexp_extract_all``). Rows with null html contribute no edges.
-    """
+def _anchor_tails(tbl: pa.Table, html_col: str,
+                  url_col: str) -> tuple[pa.Array, pa.Array]:
+    """Shared extraction preamble: split every page on the
+    ``<a href="`` prefix and return (tails, srcs) — one tail per anchor
+    candidate (the text following the prefix, up to the next prefix),
+    paired with its page's ``url_col`` value. Null html and the
+    before-first-anchor text contribute nothing."""
     as_str = _html_as_string(tbl[html_col])
     parts = pc.split_pattern(as_str, _A_HREF)
     if isinstance(parts, pa.ChunkedArray):
@@ -79,14 +76,34 @@ def extract_links_table(tbl: pa.Table, html_col: str = "html",
     keep_idx = np.nonzero(keep)[0]
     tails = flat.take(pa.array(keep_idx))
     srcs = tbl[url_col].combine_chunks().take(pa.array(parents[keep_idx]))
-    # the href value is everything up to the closing quote; a tail with
-    # NO closing quote (truncated/malformed page) is not an anchor — the
-    # SQL twin's regex requires the quote, so dropping it here keeps the
-    # oracle contract bit-exact on malformed input too
-    upto_quote = pc.split_pattern(tails, '"', max_splits=1)
-    closed = pc.equal(pc.list_value_length(upto_quote), 2)
-    dsts = pc.list_element(upto_quote.filter(closed), 0)
-    return pa.table({"src_url": srcs.filter(closed), "dst_url": dsts})
+    return tails, srcs
+
+
+def extract_links_table(tbl: pa.Table, html_col: str = "html",
+                        url_col: str = "url") -> pa.Table:
+    """(url, html) rows → exploded (src_url, dst_url) edge rows.
+
+    Vectorized: one ``split_pattern`` on the anchor-prefix, one flatten,
+    one anchored regex per tail. Duplicate hrefs are kept (a page
+    linking twice contributes two edges — PageRank treats the
+    multi-edge as double weight, same as the SQL oracle's
+    ``regexp_extract_all``). Rows with null html contribute no edges.
+
+    The href group is ``[^"<]*`` — no quote, no '<' — in BOTH the
+    engine and the SQL twin ``<a href="([^"<]*)"``. The '<' exclusion
+    is what makes the independent per-tail match equal to the SQL's
+    sequential non-overlapping scan on ARBITRARY bytes: a match can
+    never extend past the next anchor prefix (which a plain ``[^"]*``
+    can, by swallowing the next anchor's opening quote when a
+    truncated href has no closing quote of its own).
+    """
+    tails, srcs = _anchor_tails(tbl, html_col, url_col)
+    m = pc.extract_regex(tails, r'^(?P<d>[^"<]*)"')
+    ok = pc.is_valid(m)
+    return pa.table({
+        "src_url": srcs.filter(ok),
+        "dst_url": pc.struct_field(m, "d").filter(ok),
+    })
 
 
 def extract_links_batch(batch: pa.Table) -> pa.Table:
@@ -98,25 +115,20 @@ def extract_anchors_table(tbl: pa.Table, html_col: str = "html",
                           url_col: str = "url") -> pa.Table:
     """(url, html) rows → exploded (src_url, dst_url, anchor_text)
     rows — link targets WITH their anchor text (the web-search ranking
-    signal). Same vectorized split as :func:`extract_links_table`, then
-    one anchored regex over the tails; a tail that doesn't complete
-    ``DST">TEXT<`` (truncated/malformed) is dropped, matching the SQL
-    twin ``regexp_extract_all(h, '<a href="([^"]*)">([^<]*)<', k)``.
+    signal). Same split as :func:`extract_links_table`, then one
+    anchored regex per tail requiring the full ``DST">TEXT</a>`` shape;
+    an incomplete tail (truncated page, unclosed anchor) is dropped.
+
+    Exactly mirrors the SQL twin
+    ``regexp_extract_all(h, '<a href="([^"<]*)">([^<]*)</a>', k)``:
+    with '<' excluded from both groups and a literal ``</a>``
+    terminator, no match can cross an anchor boundary, so the per-tail
+    independent match equals the sequential scan on arbitrary bytes
+    (an unclosed anchor followed by another anchor yields only the
+    CLOSED one, both sides).
     """
-    as_str = _html_as_string(tbl[html_col])
-    parts = pc.split_pattern(as_str, _A_HREF)
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts)
-    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-    offsets = parts.offsets.to_numpy(zero_copy_only=False)
-    keep = np.ones(len(flat), dtype=bool)
-    starts = offsets[:-1][offsets[:-1] < len(flat)]
-    keep[starts] = False
-    keep_idx = np.nonzero(keep)[0]
-    tails = flat.take(pa.array(keep_idx))
-    srcs = tbl[url_col].combine_chunks().take(pa.array(parents[keep_idx]))
-    m = pc.extract_regex(tails, r'^(?P<d>[^"]*)">(?P<t>[^<]*)<')
+    tails, srcs = _anchor_tails(tbl, html_col, url_col)
+    m = pc.extract_regex(tails, r'^(?P<d>[^"<]*)">(?P<t>[^<]*)</a>')
     ok = pc.is_valid(m)
     return pa.table({
         "src_url": srcs.filter(ok),
@@ -383,9 +395,15 @@ def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
         raise ValueError("pagerank_dense: empty node set")
     deg_df = partial_aggregate(
         edges, [src_col], {"outdeg": (None, "count")}).to_pandas()
+    srcs = deg_df[src_col].to_numpy(np.int64)
+    if len(srcs) and (srcs.min() < 0 or srcs.max() >= n_nodes):
+        # fail fast: numpy NEGATIVE indexing would silently credit the
+        # wrong node (a -1 sentinel from an upstream failed join lands
+        # on node n_nodes-1 with no error)
+        raise ValueError(
+            f"pagerank_dense: {src_col} ids outside [0, {n_nodes})")
     outdeg = np.zeros(n_nodes, dtype=np.int64)
-    outdeg[deg_df[src_col].to_numpy(np.int64)] = (
-        deg_df["outdeg"].to_numpy(np.int64))
+    outdeg[srcs] = deg_df["outdeg"].to_numpy(np.int64)
     edges = edges.materialize()
     deg_ref = ray.put(outdeg)
 
@@ -398,8 +416,11 @@ def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
             rr = ray.get(r_ref)
             dd = ray.get(deg_ref)
             s = b[src_col].to_numpy(np.int64)
-            return pd.DataFrame({dst_col: b[dst_col].to_numpy(np.int64),
-                                 "c": rr[s] // dd[s]})
+            d = b[dst_col].to_numpy(np.int64)
+            if len(d) and d.min() < 0:  # same negative-indexing trap
+                raise ValueError(
+                    f"pagerank_dense: negative {dst_col} id")
+            return pd.DataFrame({dst_col: d, "c": rr[s] // dd[s]})
 
         sums = partial_aggregate(
             edges.map_batches(contrib, batch_format="pandas"),
@@ -408,6 +429,9 @@ def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
         r = np.full(n_nodes, base, dtype=np.int64)
         if len(sums):
             d = sums[dst_col].to_numpy(np.int64)
+            if d.min() < 0:
+                raise ValueError(
+                    f"pagerank_dense: negative {dst_col} id")
             r[d] += (damp_num * sums["c"].to_numpy(np.int64)) // damp_den
 
     import ray.data as rd

@@ -98,17 +98,24 @@ def link_rows_batch(table: pa.Table, spec: FrontierSpec,
     parents = pa.array(
         links["src_url"].to_numpy(zero_copy_only=False))
     dst = links["dst_url"]
+    src = table[key_col].combine_chunks().take(parents)
+    src_cmp = src
     if spec.canonicalize:
         from gush_ray.stages.web import canonicalize_urls
 
+        # self-drop compares CANONICAL forms on BOTH sides: a page whose
+        # own url is non-canonical must still never discover itself via
+        # an exact (or variant) self-link. The emitted src stays raw —
+        # it is the stream key of the discovering page.
         dst = canonicalize_urls(dst)
+        src_cmp = canonicalize_urls(src)
     out = pa.table({
         "dst_url": dst,
         ts_col: table[ts_col].combine_chunks()
         .cast(pa.int64()).take(parents),
-        "src_url": table[key_col].combine_chunks().take(parents),
+        "src_url": src,
     })
-    return out.filter(pc.not_equal(out["dst_url"], out["src_url"]))
+    return out.filter(pc.not_equal(dst, src_cmp))
 
 
 class FrontierState:

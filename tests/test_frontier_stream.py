@@ -354,6 +354,23 @@ def test_canonicalize_collapses_variants():
     assert canon["dst_url"] == ["https://b.org/x", "https://b.org/x"]
 
 
+def test_canonicalize_self_drop_on_noncanonical_page_url():
+    """A page whose OWN url is non-canonical must still never discover
+    itself: the self-drop compares canonical forms on both sides
+    (review fix — a raw-src comparison let an exact self-link through)."""
+    t = pa.table({
+        "url": ["https://A.org/x"],  # non-canonical page url
+        "ts_us": pa.array([1], type=pa.int64()),
+        "html": [b'<a href="https://A.org/x">exact self</a>'
+                 b'<a href="https://a.org/x/">variant self</a>'],
+    })
+    canon = link_rows_batch(t, FrontierSpec(canonicalize=True))
+    assert canon.num_rows == 0
+    # plain mode still drops only the exact string match
+    plain = link_rows_batch(t, FrontierSpec())
+    assert plain["dst_url"].to_pylist() == ["https://a.org/x/"]
+
+
 def test_canonical_frontier_equals_plain_on_canonical_stream(
         tmp_path, ray_session):
     """On a stream whose targets are ALREADY canonical, the

@@ -66,14 +66,18 @@ def test_extract_links_matches_regex_reference():
 
 
 def test_extract_anchors_matches_regex_reference():
-    """Anchor (href, text) pairs == the SQL twin's two-group regex,
-    including the malformed-tail drop rule."""
+    """Anchor (href, text) pairs == the SQL twin's two-group regex on
+    ADVERSARIAL bytes too: unclosed anchors (with and without a
+    following anchor), truncated hrefs, null html. The '<'-excluded
+    groups + literal '</a>' terminator make the per-tail match equal
+    to the sequential non-overlapping scan."""
     from gush_ray.stages.web import extract_anchors_table
 
     htmls = [
         b'<a href="x">big dog</a>mid<a href="y">cat</a>',
-        b'<a href="dangling',            # no closing quote
-        b'<a href="q">unterminated',     # no closing '<'
+        b'<a href="dangling',                    # no closing quote
+        b'<a href="q">unterminated',             # no closing </a>
+        b'<a href="x">foo<a href="y">bar</a>',   # unclosed + adjacent
         None,
         b"plain",
     ]
@@ -84,11 +88,13 @@ def test_extract_anchors_matches_regex_reference():
     for i, h in enumerate(htmls):
         if h is None:
             continue
-        for d, t in re.findall(r'<a href="([^"]*)">([^<]*)<', h.decode()):
+        for d, t in re.findall(r'<a href="([^"<]*)">([^<]*)</a>',
+                               h.decode()):
             want.append((f"u{i}", d, t))
     assert list(zip(got["src_url"], got["dst_url"],
                     got["anchor_text"])) == want
-    assert want == [("u0", "x", "big dog"), ("u0", "y", "cat")]
+    assert want == [("u0", "x", "big dog"), ("u0", "y", "cat"),
+                    ("u3", "y", "bar")]
 
 
 def test_extract_links_unterminated_href_dropped():
@@ -96,13 +102,23 @@ def test_extract_links_unterminated_href_dropped():
     the SQL twin's regex requires the closing quote, so the engine must
     drop it too (oracle contract on malformed input)."""
     tbl = pa.table({
-        "url": ["a", "b", "c"],
+        "url": ["a", "b", "c", "d"],
         "html": [b'<a href="http://dangling',  # no closing quote
                  b'<a href="',                  # page ends at the prefix
-                 b'<a href="ok">x</a><a href="trunc'],
+                 b'<a href="ok">x</a><a href="trunc',
+                 # unterminated href followed by a CLOSED anchor: the
+                 # '<'-excluded group means the scan recovers at the
+                 # second anchor instead of swallowing its quote
+                 b'<a href="dang<a href="y">l</a>'],
     })
     got = extract_links_table(tbl).to_pydict()
-    assert got == {"src_url": ["c"], "dst_url": ["ok"]}
+    assert got == {"src_url": ["c", "d"], "dst_url": ["ok", "y"]}
+    # reference: the SQL twin's pattern on the same bytes
+    want = []
+    for u, h in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        for d in re.findall(r'<a href="([^"<]*)"', h.decode()):
+            want.append((u, d))
+    assert list(zip(got["src_url"], got["dst_url"])) == want
 
 
 def test_extract_links_null_and_linkless_rows():
