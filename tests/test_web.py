@@ -251,3 +251,83 @@ def test_dsir_weights_deterministic(sf_dir):
     assert len(a) == 100
     # weights sorted descending within the selected set
     assert a["weight_micro"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------- oracle fuzzing
+
+
+def _duckdb_canon(urls):
+    """Run the SQL canon-map (queries_web._sql_canon_cte — the
+    INDEPENDENT oracle implementation) over a literal VALUES table."""
+    import duckdb
+
+    from gush_ray.pipelines.queries_web import _sql_canon_cte
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (raw_url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    rows = con.execute(f"""
+WITH {_sql_canon_cte('u', 'raw_url')}
+SELECT raw, canon FROM cn_map
+""").fetchall()
+    return dict(rows)
+
+
+def test_canonicalize_fuzz_vs_sql_oracle():
+    """Property fuzz: engine canonicalization == the independent SQL
+    rule implementation on randomly assembled urls (messy hosts, ports,
+    params, fragments, traps like '?', '#', empty path, non-urls)."""
+    import random
+
+    rng = random.Random(404)
+    schemes = ["http", "https", "HTTP", "Https", "ftp"]
+    hosts = ["a.com", "A.Com", "x.y.z.org", "LOCALHOST", "h-1.io."]
+    ports = ["", ":80", ":443", ":8080", ":0443"]
+    paths = ["", "/", "/p", "/p/", "/a/b/", "//d", "/%7Euser", "/p q"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?a=1&a=1", "?x", "?&", "?="]
+    frags = ["", "#", "#f", "#a#b"]
+    urls = []
+    for _ in range(300):
+        urls.append(rng.choice(schemes) + "://" + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + rng.choice(queries) + rng.choice(frags))
+    urls += ["not a url", "", "http//broken", "://x", "a:b:c"]
+    urls = sorted(set(urls))
+    got = dict(zip(urls, canonicalize_urls(pa.array(urls)).to_pylist()))
+    want = _duckdb_canon(urls)
+    diffs = {u: (got[u], want[u]) for u in urls if got[u] != want[u]}
+    assert not diffs, f"{len(diffs)} divergences, e.g. {list(diffs.items())[:3]}"
+    # idempotence on every canonical output
+    canon = pa.array(sorted(set(got.values())))
+    assert canonicalize_urls(canon).to_pylist() == canon.to_pylist()
+
+
+def test_extract_links_fuzz_vs_sql_oracle():
+    """Property fuzz: engine link extraction == DuckDB's sequential
+    regexp_extract_all on random byte soups full of anchor fragments,
+    unclosed quotes and adjacent anchors."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(77)
+    atoms = ['<a href="', '"', ">", "</a>", "<a", "x", "u1", "<",
+             'href="', "txt ", '<a href="ok">t</a>']
+    htmls = []
+    for _ in range(200):
+        htmls.append("".join(rng.choice(atoms)
+                             for _ in range(rng.randint(0, 12))))
+    tbl = pa.table({
+        "url": [f"u{i}" for i in range(len(htmls))],
+        "html": pa.array([h.encode() for h in htmls], type=pa.binary()),
+    })
+    got = list(zip(*extract_links_table(tbl).to_pydict().values())) or []
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(zip(tbl["url"].to_pylist(), htmls)))
+    want = con.execute("""
+SELECT url, unnest(regexp_extract_all(h, '<a href="([^"<]*)"', 1))
+FROM t ORDER BY url
+""").fetchall()
+    assert sorted(got) == sorted(want)
