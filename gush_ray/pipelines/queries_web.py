@@ -158,6 +158,60 @@ SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM pr{_PR_ITERS}
 SQL_PAGERANK = _sql_pagerank()
 
 
+_HITS_ITERS = 4
+
+
+def q_hits(sf_dir: str):
+    """Integer-exact HITS (hubs & authorities) over the link graph,
+    4 iterations, L1-normalized to micro units each half-step
+    (stages/web.hits_dense; the oracle replays the identical integer
+    arithmetic in HUGEINT CTEs)."""
+    from gush_ray.stages.web import hits_dense
+
+    edges, pages = _edge_dataset()
+    out = hits_dense(edges, 900, iters=_HITS_ITERS, scale=_PR_SCALE)
+    return out.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+def _sql_hits() -> str:
+    n_nodes = 900  # fixture-fixed, as for the pagerank oracle
+    s0 = _PR_SCALE // n_nodes
+    ctes = [f"h0 AS (SELECT page_id AS v, {s0}::BIGINT AS x FROM pages)"]
+
+    def norm_step(name: str, raw_from: str, join_on: str,
+                  group_to: str) -> str:
+        # raw sums over one edge direction, then exact HUGEINT
+        # sum-normalization to {_PR_SCALE} total mass
+        return f"""
+{name}r AS MATERIALIZED (
+  SELECT e.{group_to} AS v, SUM(p.x) AS s
+  FROM {raw_from} p JOIN edges e ON e.{join_on} = p.v
+  GROUP BY e.{group_to}),
+{name} AS MATERIALIZED (
+  SELECT n.page_id AS v,
+         CAST(COALESCE((r.s * {_PR_SCALE}) // t.tot, 0) AS BIGINT) AS x
+  FROM pages n
+  LEFT JOIN {name}r r ON r.v = n.page_id
+  CROSS JOIN (SELECT SUM(s) AS tot FROM {name}r) t)"""
+
+    for k in range(1, _HITS_ITERS + 1):
+        ctes.append(norm_step(f"a{k}", f"h{k-1}", "src", "dst"))
+        ctes.append(norm_step(f"h{k}", f"a{k}", "dst", "src"))
+    chain = ",".join(ctes)
+    K = _HITS_ITERS
+    return f"""
+WITH {_SQL_GRAPH_BASE},
+{chain}
+SELECT a{K}.v AS page_id, a{K}.x AS auth_micro, h{K}.x AS hub_micro
+FROM a{K} JOIN h{K} ON h{K}.v = a{K}.v
+"""
+
+
+SQL_HITS = _sql_hits()
+
+
 def q_link_components(sf_dir: str):
     """Undirected connected components; component_id = min page_id."""
     from gush_ray.stages.dedup import duplicate_clusters_distributed
@@ -603,6 +657,7 @@ WEB_QUERIES = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
+    "hits": (q_hits, SQL_HITS),
     "recrawl_stats": (q_recrawl_stats, _sql_recrawl_stats()),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
     # import-order note: building this SQL imports queries_extra at

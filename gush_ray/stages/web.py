@@ -372,6 +372,73 @@ def bfs_depth(edges, seeds, *, max_depth: int = 12,
     return dist.map_batches(out, batch_format="pandas")
 
 
+def hits_dense(edges, n_nodes: int, *, iters: int = 4,
+               scale: int = PR_SCALE, src_col: str = "src",
+               dst_col: str = "dst"):
+    """Integer-exact HITS (hubs & authorities, Kleinberg 1999) for
+    DENSE int node ids ``0..n_nodes-1``.
+
+    Each half-step is one ``map_batches`` pass over the edges + one
+    partial-agg shuffle of integer partials; the raw score vector
+    (≤ n_nodes rows, the dense-path premise) is then sum-normalized to
+    ``scale`` total mass with EXACT arithmetic — ``x*scale//total``
+    in Python ints, since the product overflows int64 — so the result
+    is bit-identical to the HUGEINT SQL CTE chain regardless of batch
+    boundaries. L1 (sum) normalization instead of the classical L2:
+    exact in integers, same fixpoint direction.
+
+    Raises if an iteration's total mass is 0 (no edges / all mass on
+    dangling side) — a silent all-zero result would read as converged.
+    """
+    import ray
+
+    from gush_ray.stages.agg import partial_aggregate
+
+    if n_nodes <= 0:
+        raise ValueError("hits_dense: empty node set")
+    edges = edges.materialize()
+
+    def half_step(vec: np.ndarray, in_col: str, out_col: str) -> np.ndarray:
+        ref = ray.put(vec)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            vv = ray.get(ref)
+            i = b[in_col].to_numpy(np.int64)
+            o = b[out_col].to_numpy(np.int64)
+            if len(i) and (min(i.min(), o.min()) < 0
+                           or max(i.max(), o.max()) >= n_nodes):
+                raise ValueError(
+                    f"hits_dense: node ids outside [0, {n_nodes})")
+            return pd.DataFrame({"v": o, "s": vv[i]})
+
+        sums = partial_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["v"], {"s": ("s", "sum")},
+        ).to_pandas()
+        raw = np.zeros(n_nodes, dtype=np.int64)
+        if len(sums):
+            raw[sums["v"].to_numpy(np.int64)] = sums["s"].to_numpy(np.int64)
+        total = int(raw.sum())
+        if total == 0:
+            raise ValueError("hits_dense: zero total mass (no edges?)")
+        # exact normalization: int64 * scale overflows, so go through
+        # Python ints (the SQL twin uses HUGEINT for the same product)
+        return np.array([x * scale // total for x in raw.tolist()],
+                        dtype=np.int64)
+
+    auth = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+    hub = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        auth = half_step(hub, src_col, dst_col)   # a(v) = Σ h(u), u→v
+        hub = half_step(auth, dst_col, src_col)   # h(u) = Σ a(v), u→v
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "node": np.arange(n_nodes, dtype=np.int64),
+        "auth_micro": auth, "hub_micro": hub}))
+
+
 def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
                    scale: int = PR_SCALE, damp_num: int = 85,
                    damp_den: int = 100, src_col: str = "src",

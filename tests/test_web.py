@@ -179,6 +179,51 @@ def test_pagerank_dense_matches_join_path(edges, n):
         b.sort_values(key).reset_index(drop=True), check_dtype=False)
 
 
+def _hits_reference(edges, n, iters, scale=PR_SCALE):
+    """Independent Python-int reference (plain dict loops)."""
+    a = {v: scale // n for v in range(n)}
+    h = dict(a)
+
+    def step(vec, reverse):
+        raw = {v: 0 for v in range(n)}
+        for s, d in edges:
+            if reverse:
+                raw[s] += vec[d]
+            else:
+                raw[d] += vec[s]
+        tot = sum(raw.values())
+        return {v: raw[v] * scale // tot for v in range(n)}
+
+    for _ in range(iters):
+        a = step(h, reverse=False)
+        h = step(a, reverse=True)
+    return a, h
+
+
+@pytest.mark.parametrize("edges,n", [
+    ([(0, 1), (1, 0)], 2),
+    ([(0, 1), (0, 2), (1, 2), (2, 0)], 3),
+    ([(0, 1), (0, 1), (2, 1)], 3),  # multi-edge, hub competition
+])
+def test_hits_matches_integer_reference(edges, n):
+    from gush_ray.stages.web import hits_dense
+
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = hits_dense(edges_ds, n, iters=3).to_pandas()
+    a, h = _hits_reference(edges, n, iters=3)
+    assert dict(zip(got["node"], got["auth_micro"])) == a
+    assert dict(zip(got["node"], got["hub_micro"])) == h
+
+
+def test_hits_zero_mass_raises():
+    from gush_ray.stages.web import hits_dense
+
+    edges_ds = rd.from_pandas(pd.DataFrame({"src": [], "dst": []},
+                                           dtype="int64"))
+    with pytest.raises(ValueError, match="zero total mass"):
+        hits_dense(edges_ds, 3, iters=1)
+
+
 def test_pagerank_mass_bound():
     # total rank never exceeds the injected mass (floor division and
     # dangling-node drop only ever lose mass)
