@@ -789,3 +789,63 @@ def ensure_url_fixture(tmp_root: str = URL_FIXTURE) -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return tmp_root
+
+
+BOILER_FIXTURE = "/tmp/gush_ray_boiler/v2"
+
+
+def gen_boiler_pages(n_hosts: int = 30, pages_per_host: int = 20,
+                     seed: int = 31) -> pa.Table:
+    """Per-host boilerplate fixture (doc_id, host, text) for the
+    boilerplate-removal operator: real newline-separated lines, unlike
+    the word-chunk "lines" of the documents table.
+
+    Per host, every page carries the host's HEADER and FOOTER line
+    (boilerplate by any threshold), even pages additionally carry a NAV
+    line (boilerplate at ``min_docs<=pages_per_host/2``), and pages 1-2
+    share a PROMO line that appears in exactly 2 docs (stays under the
+    default ``min_docs=3`` — pins that the threshold is a count, not
+    "appears twice"). Body lines are unique random-word sentences.
+    Page 0 of every 5th host has NO body lines — after removal it is
+    all-boilerplate and must drop out of the output entirely (inner
+    reassembly, same as the SQL oracle's inner aggregation).
+    """
+    rng = np.random.RandomState(seed)
+    ids, hosts, texts = [], [], []
+    doc_id = 0
+    for h in range(n_hosts):
+        host = f"host{h:03d}.example.com"
+        header = f"welcome to {host} home news about contact"
+        footer = f"copyright {host} all rights reserved"
+        nav = f"sitemap {host} categories archive search"
+        promo = f"subscribe to the {host} newsletter today"
+        for p in range(pages_per_host):
+            lines = [header]
+            if p % 2 == 0:
+                lines.append(nav)
+            if 1 <= p <= 2:
+                lines.append(promo)
+            if not (p == 0 and h % 5 == 0):
+                for _ in range(int(rng.randint(3, 8))):
+                    lines.append(_gen_text(rng, int(rng.randint(4, 9))))
+            lines.append(footer)
+            ids.append(doc_id)
+            hosts.append(host)
+            texts.append("\n".join(lines))
+            doc_id += 1
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "host": pa.array(hosts, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def ensure_boiler_fixture(tmp_root: str = BOILER_FIXTURE) -> str:
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(tmp_root, exist_ok=True)
+        pq.write_table(gen_boiler_pages(), os.path.join(tmp_root,
+                                                        "pages.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tmp_root

@@ -640,12 +640,172 @@ def _sql_streaming_frontier_canon() -> str:
         canon_src_cte=_sql_canon_cte("rawlinks", "src_url", prefix="cs"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# host-level PageRank (crawl prioritization: contract the page graph to
+# hosts, KEEPING multiplicity — k page-links host A → host B are k
+# multi-edges, i.e. an edge of weight k — then run the integer-exact
+# PageRank over host nodes; at 10^12 pages the host graph is ~10^4x
+# smaller, which is why real crawl schedulers rank hosts, not pages)
+# ---------------------------------------------------------------------------
+
+def q_host_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the host-contracted link graph,
+    8 iterations, micro-rank units; nodes = distinct hosts of the page
+    set, edges = internal page links mapped to (src_host, dst_host)
+    with multiplicity kept (weight == multi-edge count both sides)."""
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.web import host_of_urls, pagerank
+
+    pages = _read_links()
+
+    def edge_hosts(b: pa.Table) -> pa.Table:
+        out = extract_links_batch(b.select(["url", "html"]))
+        return pa.table({"src_url": out["src_url"],
+                         "dst_url": out["dst_url"]})
+
+    from gush_ray.stages.joins import hash_join
+
+    edges_raw = pages.map_batches(edge_hosts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    internal = hash_join(
+        edges_raw,
+        pages.map_batches(lambda b: b.select(["url"]).rename_columns(
+            ["dst_url"]), batch_format="pyarrow"),
+        on="dst_url")
+
+    def to_hosts(b: pa.Table) -> pa.Table:
+        return pa.table({"src": host_of_urls(b["src_url"]),
+                         "dst": host_of_urls(b["dst_url"])})
+
+    hedges = internal.map_batches(to_hosts, batch_format="pyarrow")
+    hosts = partial_aggregate(
+        pages.map_batches(
+            lambda b: pa.table({"host": host_of_urls(b["url"])}),
+            batch_format="pyarrow"),
+        ["host"], {"n": (None, "count")},
+    ).map_batches(lambda b: b[["host"]], batch_format="pandas")         .repartition(4)
+    pr = pagerank(hedges, hosts, iters=_PR_ITERS, scale=_PR_SCALE,
+                  node_col="host")
+    return pr
+
+
+def _sql_host_pagerank() -> str:
+    host_re = "'^[a-z]+://([^/]+)'"
+    ctes = [f"""
+hosts AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, {host_re}, 1) AS host FROM pages),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts),
+hedges AS MATERIALIZED (
+  SELECT regexp_extract(ps.url, {host_re}, 1) AS src,
+         regexp_extract(pd.url, {host_re}, 1) AS dst
+  FROM edges e
+  JOIN pages ps ON ps.page_id = e.src
+  JOIN pages pd ON pd.page_id = e.dst),
+hdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM hedges GROUP BY src),
+hpr0 AS (SELECT host, {_PR_SCALE} // nn.n AS r FROM hosts, nn)"""]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+hpr{k} AS MATERIALIZED (
+  SELECT n.host AS host,
+         (15 * {_PR_SCALE}::BIGINT) // (100 * nn.n)
+           + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM hosts n CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.r // d.d) AS c
+    FROM hpr{k-1} p
+    JOIN hedges e ON e.src = p.host
+    JOIN hdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.dst = n.host)""")
+    chain = ",".join(ctes)
+    return f"""
+WITH {_SQL_GRAPH_BASE},
+{chain}
+SELECT host, CAST(r AS BIGINT) AS rank_micro FROM hpr{_PR_ITERS}
+"""
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# per-node triangle counts (community structure / spam-farm signal)
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle participation over the undirected simple graph
+    of the page link fixture (stages/web.triangle_counts)."""
+    from gush_ray.stages.web import triangle_counts
+
+    edges, _pages = _edge_dataset()
+    out = triangle_counts(edges)
+    return out.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_GRAPH_BASE},
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+tri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM ue a
+  JOIN ue b ON b.u = a.v
+  JOIN ue c ON c.u = a.u AND c.v = b.v),
+n3 AS (SELECT unnest([x, y, z]) AS page_id FROM tri)
+SELECT page_id, count(*) AS n_tri FROM n3 GROUP BY page_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate removal (CCNet/C4 cleaning over real \n lines)
+# ---------------------------------------------------------------------------
+
+from gush_ray.datagen import BOILER_FIXTURE, ensure_boiler_fixture
+
+_BOILER_PARQUET = f"{BOILER_FIXTURE}/pages.parquet"
+
+
+def q_boilerplate(sf_dir: str):
+    """Per-host line-frequency boilerplate removal over the boiler
+    fixture (stages/corpus.boilerplate_removal, min_docs=3):
+    (doc_id, text, n_kept) with boilerplate lines stripped; docs left
+    empty drop out."""
+    from gush_ray.stages.corpus import boilerplate_removal
+
+    ensure_boiler_fixture()
+    ds = rd.read_parquet(_BOILER_PARQUET, override_num_blocks=8)
+    return boilerplate_removal(ds, min_docs=3)
+
+
+SQL_BOILERPLATE = f"""
+WITH d AS (SELECT doc_id, host, text
+           FROM read_parquet('{_BOILER_PARQUET}')),
+l AS (SELECT doc_id, host,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+      FROM d),
+freq AS (SELECT host, line, count(DISTINCT doc_id) AS nd
+         FROM l GROUP BY host, line),
+kept AS (SELECT l.doc_id, l.line, l.i
+         FROM l JOIN freq ON freq.host = l.host AND freq.line = l.line
+         WHERE freq.nd < 3)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY i) AS text,
+       count(*) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+
 def ensure_web_fixtures() -> None:
     from gush_ray.datagen import ensure_frontier_messy_pages
 
     ensure_link_fixture()
     ensure_url_fixture()
     ensure_frontier_messy_pages()
+    ensure_boiler_fixture()
 
 
 WEB_QUERIES = {
@@ -660,6 +820,9 @@ WEB_QUERIES = {
     "hits": (q_hits, SQL_HITS),
     "recrawl_stats": (q_recrawl_stats, _sql_recrawl_stats()),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "boilerplate_removal": (q_boilerplate, SQL_BOILERPLATE),
     # import-order note: building this SQL imports queries_extra at
     # module-load time; queries_extra only imports THIS module inside
     # functions, so the load order is acyclic either way

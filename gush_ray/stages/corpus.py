@@ -195,3 +195,86 @@ def normalize_text(ds, col: str = "text", out: "str | None" = None,
         lambda b: normalize_text_batch(b, col=col, out=out, form=form),
         batch_format="pandas",
     )
+
+
+def explode_newline_lines_batch(df: pd.DataFrame, id_col: str = "doc_id",
+                                group_col: str = "host",
+                                text_col: str = "text") -> pd.DataFrame:
+    """doc rows → (id, group, line_no, line) rows split on REAL
+    newlines (web-page shape), unlike the fixed-word-width chunks of
+    :func:`explode_lines_batch` (documents-table shape). line_no is
+    1-based to match the SQL twin's ``range(1, len+1)`` ordinality."""
+    lines = df[text_col].fillna("").str.split("\n")
+    ids = df[id_col].to_numpy()
+    grps = df[group_col].to_numpy()
+    n = lines.str.len().to_numpy()
+    out_ids = np.repeat(ids, n)
+    out_grp = np.repeat(grps, n)
+    out_no = np.concatenate([np.arange(1, k + 1) for k in n]) \
+        if len(n) else np.empty(0, dtype="int64")
+    flat = [ln for ls in lines for ln in ls]
+    return pd.DataFrame({
+        id_col: out_ids,
+        group_col: out_grp,
+        "line_no": out_no.astype("int64"),
+        "line": pd.Series(flat, dtype="object"),
+    })
+
+
+def boilerplate_removal(ds, group_col: str = "host",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_docs: int = 3, num_partitions: int = 16):
+    """Per-group (per-host) boilerplate removal, CCNet/C4-style: a line
+    that appears in ``>= min_docs`` DISTINCT documents of the same group
+    is boilerplate (nav bars, cookie banners, copyright footers) and is
+    dropped from every document of that group; surviving lines are
+    reassembled in order. Documents left with zero lines drop out
+    (inner reassembly, same as the SQL oracle's inner aggregation).
+
+    Scale shape (the CCNet sharding): explode → per-doc dedupe INSIDE
+    the explode batch (a doc never spans batches, so count(*) over the
+    deduped rows == count(DISTINCT doc) — no distinct-agg shuffle) →
+    partial-agg counts per (group, line) → the boilerplate set flows
+    back as the BUILD side of a hash join against the exploded lines
+    (left_outer + null-filter ≡ anti join; Ray's Dataset.join has no
+    anti type) → reassemble with one doc-keyed shuffle. Only lines move,
+    never whole documents, and the boilerplate side of the join is tiny
+    by definition (lines repeated across many docs compress to one row).
+    """
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+    from gush_ray.stages.shuffle import partition_map
+
+    lines = ds.map_batches(
+        lambda b: explode_newline_lines_batch(b, id_col, group_col,
+                                              text_col),
+        batch_format="pandas",
+    )
+
+    freq = partial_aggregate(
+        lines.map_batches(
+            lambda b: b.drop_duplicates([id_col, group_col, "line"])[
+                [group_col, "line"]],
+            batch_format="pandas"),
+        [group_col, "line"], {"n_docs": (None, "count")},
+        num_partitions=num_partitions,
+    )
+    boiler = freq.map_batches(
+        lambda b: b[b["n_docs"] >= min_docs], batch_format="pandas",
+    ).repartition(4)
+
+    kept = hash_join(lines, boiler, on=(group_col, "line"),
+                     join_type="left_outer").map_batches(
+        lambda b: b[b["n_docs"].isna()][[id_col, "line_no", "line"]],
+        batch_format="pandas")
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "line_no"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        return pd.DataFrame({
+            id_col: g[id_col].first().to_numpy(),
+            "text": g["line"].agg("\n".join).to_numpy(),
+            "n_kept": g.size().to_numpy().astype("int64"),
+        })
+
+    return partition_map(kept, id_col, reassemble, num_partitions)

@@ -505,3 +505,90 @@ def pagerank_dense(edges, n_nodes: int, *, iters: int = 8,
 
     return rd.from_pandas(pd.DataFrame({
         "node": np.arange(n_nodes, dtype=np.int64), "rank_micro": r}))
+
+
+_HOST_RE = r"^(?P<s>[a-z]+)://(?P<h>[^/]+)"
+
+
+def host_of_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Extract the authority (host[:port]) from absolute URLs — one
+    vectorized RE2 pass; a non-URL string yields null. The SQL twin is
+    ``regexp_extract(url, '^[a-z]+://([^/]+)', 1)`` (RE2 both sides;
+    NULL there is '' — callers that join on host drop both)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, _HOST_RE)
+    return pc.struct_field(m, "h")
+
+
+def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
+                    num_partitions: int = 16):
+    """Per-node triangle participation counts over the UNDIRECTED simple
+    graph induced by a (possibly directed, possibly multi-) edge list.
+
+    Algorithm: orient every edge low-id→high-id and dedupe (drops self
+    loops and direction/multiplicity), producing ``ue`` with u<v; join
+    ue(x,y) with ue(y,z) on the middle node — each wedge has x<y<z by
+    construction, so each triangle is enumerated exactly once — then
+    close the wedge with a composite-key hash join against ue on (x,z).
+    Per-node counts are a partial-agg over the 3-way exploded triangle
+    rows.
+
+    Scale shape: three hash shuffles (dedupe, wedge join, closing join);
+    the wedge set is Σ_y out(y)·in(y) under the id-orientation — at
+    100 TB orient by DEGREE instead (lower-degree endpoint first, id as
+    tiebreak), which bounds wedges by O(m^1.5) on any graph; the id
+    orientation keeps the SQL twin trivially identical and is fine at
+    fixture scale. Only node-id pairs/triples ever move.
+    """
+    from gush_ray.stages.agg import partial_aggregate
+    from gush_ray.stages.joins import hash_join
+    from gush_ray.stages.shuffle import partition_map
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(np.int64)
+        d = b[dst_col].to_numpy(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}) \
+            .drop_duplicates(["u", "v"])
+
+    # partitioned by u alone: all copies of an (u,v) pair share u, so a
+    # within-partition drop_duplicates is a global dedupe
+    ue = partition_map(
+        edges.map_batches(orient, batch_format="pandas"), "u",
+        lambda df: df.drop_duplicates(["u", "v"]), num_partitions,
+    ).materialize()
+
+    a = ue.map_batches(lambda b: b.rename(columns={"u": "x", "v": "y"}),
+                       batch_format="pandas")
+    bb = ue.map_batches(lambda b: b.rename(columns={"u": "y", "v": "z"}),
+                        batch_format="pandas")
+    wedges = hash_join(a, bb, on="y")
+    closing = ue.map_batches(lambda b: b.rename(columns={"u": "x",
+                                                         "v": "z"}),
+                             batch_format="pandas")
+    tri = hash_join(wedges, closing, on=("x", "z"))
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate([
+            b["x"].to_numpy(np.int64), b["y"].to_numpy(np.int64),
+            b["z"].to_numpy(np.int64)])})
+
+    counts = partial_aggregate(
+        tri.map_batches(explode, batch_format="pandas"),
+        ["node"], {"n_tri": (None, "count")},
+    ).materialize()
+
+    # triangle-free graph: the closing join of an empty wedge set yields
+    # a SCHEMALESS empty dataset (zero typed blocks — a map_batches
+    # re-type never even runs), so pin the result schema explicitly
+    sch = counts.schema(fetch_if_missing=True)
+    if sch is None or "node" not in sch.names:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series(dtype="int64"),
+            "n_tri": pd.Series(dtype="int64")}))
+    return counts

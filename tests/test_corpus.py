@@ -161,3 +161,33 @@ def test_robots_filter_stage_semantics():
         False, True, True, False, True, True, True]
     kept = RobotsFilter(rules, drop=True)(t)
     assert kept.num_rows == 5
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_removal_semantics():
+    """min_docs is a DISTINCT-document count per (host, line): a line
+    repeated twice inside ONE doc is not boilerplate; a line in 3 docs
+    of the same host is; the same line on a DIFFERENT host is not; an
+    all-boilerplate doc drops out of the output."""
+    import ray.data as rd
+
+    from gush_ray.stages.corpus import boilerplate_removal
+
+    rows = [
+        # host A: "nav" in docs 0,1,2 (boilerplate at min_docs=3)
+        (0, "A", "nav\nalpha\nalpha"),     # alpha ×2 inside one doc: kept
+        (1, "A", "nav\nbeta"),
+        (2, "A", "nav"),                   # all boilerplate → drops out
+        # host B: "nav" appears in only 1 doc here → kept on B
+        (3, "B", "nav\ngamma"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows,
+                                     columns=["doc_id", "host", "text"]))
+    got = boilerplate_removal(ds, min_docs=3, num_partitions=4).to_pandas()
+    out = dict(zip(got["doc_id"], got["text"]))
+    assert out == {0: "alpha\nalpha", 1: "beta", 3: "nav\ngamma"}
+    n = dict(zip(got["doc_id"], got["n_kept"]))
+    assert n == {0: 2, 1: 1, 3: 2}

@@ -376,3 +376,48 @@ SELECT url, unnest(regexp_extract_all(h, '<a href="([^"<]*)"', 1))
 FROM t ORDER BY url
 """).fetchall()
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# triangle counts
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("edges,want", [
+    # K4: every node participates in C(3,2)=3 triangles
+    ([(a, b) for a in range(4) for b in range(4) if a != b],
+     {0: 3, 1: 3, 2: 3, 3: 3}),
+    # one triangle + a pendant edge; direction mixed, one duplicate,
+    # one self-loop — none of which may change the count
+    ([(0, 1), (2, 1), (0, 2), (2, 0), (0, 0), (2, 3)],
+     {0: 1, 1: 1, 2: 1}),
+    # square without diagonals: zero triangles → empty result
+    ([(0, 1), (1, 2), (2, 3), (3, 0)], {}),
+])
+def test_triangle_counts(edges, want):
+    from gush_ray.stages.web import triangle_counts
+
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = triangle_counts(edges_ds, num_partitions=4)
+    # the result schema is pinned even when triangle-free (Ray's
+    # to_pandas drops columns on zero-row datasets, so check it here)
+    assert out.schema().names == ["node", "n_tri"]
+    got = out.to_pandas()
+    if len(got) == 0:
+        assert want == {}
+    else:
+        assert dict(zip(got["node"], got["n_tri"])) == want
+
+
+# ---------------------------------------------------------------------------
+# host extraction
+# ---------------------------------------------------------------------------
+
+def test_host_of_urls():
+    from gush_ray.stages.web import host_of_urls
+
+    got = host_of_urls(pa.array([
+        "https://a.example.org/p/1",
+        "http://b.example.org:8080/x?q=1",
+        "not a url",
+    ])).to_pylist()
+    assert got == ["a.example.org", "b.example.org:8080", None]
