@@ -427,6 +427,7 @@ class StreamingJob:
         dim_dir: str | None = None,
         dim_key: str = "site",
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
+        window_distinct: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
         right_dir: str | None = None,
@@ -492,6 +493,7 @@ class StreamingJob:
             key_col=key_col,
             ts_col="ts_us",
             window_group_cols=window_group_cols,
+            window_distinct=window_distinct,
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,

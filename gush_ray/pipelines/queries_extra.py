@@ -159,6 +159,15 @@ FROM changes GROUP BY lang, change_kind, window_id
 ORDER BY lang, change_kind, window_id
 """
 
+SQL_WINDOWED_UNIQUE = _SQL_PAGES_BASE + f"""
+SELECT lang,
+       CASE WHEN version = 0 THEN 'insert' ELSE 'update' END AS change_kind,
+       ts_us // {_WIN_US} AS window_id,
+       count(*) AS n, count(DISTINCT url) AS n_distinct
+FROM changes GROUP BY lang, change_kind, window_id
+ORDER BY lang, change_kind, window_id
+"""
+
 SQL_PAGES_LATE = f"""
 WITH pages AS (
   SELECT url, epoch_us(warc_ts) AS ts_us, lang, CAST(epoch AS BIGINT) AS epoch
@@ -1675,6 +1684,31 @@ def q_stream_join(sf_dir: str):
     return out.sort_values("version").reset_index(drop=True)
 
 
+def q_windowed_unique(sf_dir: str):
+    """Windowed DISTINCT-url counts (streaming "unique visitors"):
+    the flagship pipeline with ``window_distinct=True`` — every open
+    window additionally tracks the exact set of urls seen and emits
+    ``n_distinct`` at close. num_partitions=1 for the same watermark
+    reason as q_pages_flagship; the P>1 partition-exactness (global
+    distinct == SUM of per-partition n_distinct, since url is the
+    exchange key) is pinned by tests/test_epoch_loop.py."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1, window_distinct=True)
+    job.run()
+    windows = job.read_output("windows")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = windows[["lang", "change_kind", "window_id", "n",
+                   "n_distinct"]]
+    return out.sort_values(
+        ["lang", "change_kind", "window_id"]
+    ).reset_index(drop=True)
+
+
 def q_pages_late_routing(sf_dir: str):
     """Watermark late-data routing (W5): per-lang late-row counts from the
     streaming job's late side-output. Oracle-paired (SQL_PAGES_LATE);
@@ -2308,6 +2342,7 @@ EXTRA_QUERIES = {
     # oracle-paired (round 3): streaming e2e, index ANN at full probe,
     # tolerance-checked sketches, checked bloom semi
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
+    "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),

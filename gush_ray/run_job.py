@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="job")
     ap.add_argument("--mode", choices=["tasks", "actors"], default="tasks")
     ap.add_argument("--window-sec", type=int, default=900)
+    ap.add_argument("--window-distinct", action="store_true",
+                    help="exact per-window DISTINCT-url counts "
+                         "(n_distinct column on the windows stream; "
+                         "partition-exact — sum partials across "
+                         "partitions for the global count)")
     ap.add_argument("--slide-sec", type=int, default=None)
     ap.add_argument("--gap-sec", type=int, default=1800)
     ap.add_argument("--lateness-sec", type=int, default=0)
@@ -130,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         window_slide_us=(args.slide_sec * 1_000_000
                          if args.slide_sec else None),
+        window_distinct=args.window_distinct,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
         idle_partition_epochs=args.idle_partition_epochs,

@@ -59,6 +59,18 @@ class StateParams:
     window_slide_us: int | None = None
     session_gap_us: int = 1_800_000_000
     value_col: str | None = None        # optional numeric col summed per window
+    # per-window DISTINCT key_col count (streaming "unique visitors"):
+    # each open window additionally holds the SET of keys seen — exact,
+    # watermark-bounded in time like the count/sum accumulators, and
+    # PARTITION-EXACT: key_col is the exchange key, so a key lives in
+    # exactly one partition and the global distinct count per (group,
+    # window) is the SUM of the per-partition n_distinct outputs (no
+    # sketch needed). The sets ride the same full/delta snapshot
+    # protocol as the (count, sum) slots (the slot value IS the unit of
+    # upsert). State cost: O(active keys per open window) — the price
+    # of exactness; use the HLL sketch operator when an approximation
+    # is acceptable at 100 TB.
+    window_distinct: bool = False
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # stream-stream interval join against a second keyed event stream
@@ -536,6 +548,11 @@ class PartitionState:
                 val = val[rep]
             else:
                 wid = us // p.window_size_us
+            keys_arr = None
+            if p.window_distinct:
+                keys_arr = df[p.key_col].to_numpy()
+                if p.window_slide_us:
+                    keys_arr = keys_arr[rep]
             acc_df = pd.DataFrame(
                 {f"g{i}": g for i, g in enumerate(gcols)} | {
                     "w": wid, "v": val}
@@ -563,10 +580,33 @@ class PartitionState:
                     None if (isinstance(v, float) and v != v) else v
                     for v in key
                 )
-                slot = self.win.setdefault(key, [0, 0.0])
+                slot = self.win.setdefault(
+                    key, [0, 0.0, set()] if p.window_distinct else [0, 0.0])
                 slot[0] += int(cnt)
                 slot[1] += float(s)
                 self._win_dirty.add(key)
+
+            if p.window_distinct:
+                # per-(group, window) key sets: dedupe the batch's
+                # (group, window, key) rows first so set updates are
+                # proportional to the batch's UNIQUE keys per window
+                uniq = acc_df.assign(u=keys_arr).drop_duplicates(
+                    [f"g{i}" for i in range(len(gcols))] + ["w", "u"])
+                g2 = uniq.groupby(
+                    [f"g{i}" for i in range(len(gcols))] + ["w"],
+                    sort=False, dropna=False)["u"]
+                for key, us_keys in g2:
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    key = tuple(
+                        None if (isinstance(v, float) and v != v) else v
+                        for v in key
+                    )
+                    # the count/sum loop above has already created every
+                    # slot this loop touches (same groupby keys)
+                    self.win[key][2].update(
+                        None if (isinstance(u, float) and u != u) else u
+                        for u in us_keys.tolist())
 
         tt["p_win"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -768,11 +808,14 @@ class PartitionState:
 
         slide = self.p.window_slide_us or self.p.window_size_us
         win_rows = []
-        for key, (cnt, s) in list(self.win.items()):
+        for key, val in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
             w_end = wid * slide + self.p.window_size_us
             if w_end <= wm:
-                win_rows.append((*groups, wid, cnt, s))
+                row = (*groups, wid, val[0], val[1])
+                if self.p.window_distinct:
+                    row += (len(val[2]) if len(val) > 2 else 0,)
+                win_rows.append(row)
                 del self.win[key]
                 self._win_closed.add(key)
                 self._win_dirty.discard(key)
@@ -796,7 +839,8 @@ class PartitionState:
 
         return {
             "windows": _windows_table(
-                win_rows, self.p.window_group_cols, self.p.value_col
+                win_rows, self.p.window_group_cols, self.p.value_col,
+                distinct=self.p.window_distinct,
             ),
             "sessions": _sessions_table(sess_rows, self.p.key_col),
             "watermark_us": wm,
@@ -957,6 +1001,14 @@ class PartitionState:
 
     def _apply_small(self, st: dict) -> None:
         self.win = st["win"]
+        if self.p.window_distinct:
+            # frames written before window_distinct was enabled carry
+            # 2-element slots — give them empty key sets on restore
+            # (same written-before-the-spec rollback rule as the
+            # NFA/neardup/frontier sections)
+            for k, v in self.win.items():
+                if len(v) == 2:
+                    self.win[k] = [v[0], v[1], set()]
         self.sessions = st["sessions"]
         # rollback semantics as for the joiner above
         if self.nfa is not None:
@@ -1104,13 +1156,17 @@ def _string_if_null(arr: pa.Array) -> pa.Array:
     return arr.cast(pa.string()) if pa.types.is_null(arr.type) else arr
 
 
-def _windows_table(rows, group_cols, value_col) -> pa.Table:
+def _windows_table(rows, group_cols, value_col, distinct=False) -> pa.Table:
     names = [*group_cols, "window_id", "n", "sum_value"]
     if not rows:
         arrays = [pa.array([], type=pa.string()) for _ in group_cols]
         arrays += [pa.array([], type=pa.int64())] * 2
         arrays += [pa.array([], type=pa.float64())]
-        return pa.table(dict(zip(names, arrays)))
+        tbl = pa.table(dict(zip(names, arrays)))
+        if distinct:
+            tbl = tbl.append_column(
+                "n_distinct", pa.array([], type=pa.int64()))
+        return tbl
     cols = list(zip(*rows))
     # an epoch whose group values are ALL None (every dim key
     # unmatched) would infer pa.null() and drift the schema across
@@ -1125,6 +1181,8 @@ def _windows_table(rows, group_cols, value_col) -> pa.Table:
     data["sum_value"] = pa.array(
         [float(v) for v in cols[k + 2]], type=pa.float64()
     )
+    if distinct:
+        data["n_distinct"] = pa.array(list(cols[k + 3]), type=pa.int64())
     return pa.table(data)
 
 

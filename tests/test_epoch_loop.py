@@ -566,3 +566,49 @@ def test_timestamp_precision_drift_does_not_corrupt_event_time(
         pd.testing.assert_frame_equal(
             a[cols].sort_values(cols).reset_index(drop=True),
             b[cols].sort_values(cols).reset_index(drop=True)), stream
+
+
+def test_windowed_distinct_partition_exact_and_resume(pages_dir, tmp_path):
+    """window_distinct: (a) P=4 per-partition n_distinct partials SUM to
+    the P=1 global distinct counts per (group, window) — url is the
+    exchange key, so a url lives in exactly one partition and no sketch
+    is needed; (b) the per-window key sets survive kill→resume through
+    the full+delta snapshot chain bit-exactly."""
+    def run(out, run_id, P, **kw):
+        job = StreamingJob(pages_dir, out, run_id=run_id,
+                           num_partitions=P, window_distinct=True)
+        res = job.run(**kw)
+        return job, res
+
+    gcols = ["lang", "change_kind", "window_id"]
+
+    job1, _ = run(str(tmp_path / "p1"), "wd-p1", 1)
+    w1 = job1.read_output("windows")
+    job1.kill_actors()
+    assert "n_distinct" in w1.columns
+    # distinct <= count, and >=1 wherever a window exists
+    assert (w1["n_distinct"] <= w1["n"]).all()
+    assert (w1["n_distinct"] >= 1).all()
+    # some window must actually have a repeat (hot urls recrawl within
+    # 15 min) or the operator is indistinguishable from count
+    assert (w1["n_distinct"] < w1["n"]).any()
+
+    job4, _ = run(str(tmp_path / "p4"), "wd-p4", 4)
+    w4 = job4.read_output("windows")
+    job4.kill_actors()
+    s1 = w1.groupby(gcols, as_index=False)[["n", "n_distinct"]].sum()
+    s4 = w4.groupby(gcols, as_index=False)[["n", "n_distinct"]].sum()
+    pd.testing.assert_frame_equal(
+        s1.sort_values(gcols).reset_index(drop=True),
+        s4.sort_values(gcols).reset_index(drop=True))
+
+    # kill after epoch 1 commit, resume — parity with uninterrupted P=4
+    jb1, r1 = run(str(tmp_path / "res"), "wd-r1", 4, stop_after=2)
+    assert r1["completed"] == 1
+    jb1.kill_actors()
+    jb2, r2 = run(str(tmp_path / "res"), "wd-r2", 4, resume=True)
+    assert r2["completed"] == 2
+    cols = gcols + ["n", "n_distinct"]
+    pd.testing.assert_frame_equal(norm(w4, cols),
+                                  norm(jb2.read_output("windows"), cols))
+    jb2.kill_actors()

@@ -291,3 +291,49 @@ def test_restore_rollback_resets_unsnapshotted_join_and_nfa():
     ps.restore_bytes(bare)
     assert ps.nfa.partials == {}, "NFA partials must not survive rollback"
     assert len(ps.joiner.bufL) == 0 and len(ps.joiner.bufR) == 0
+
+
+def test_windowed_distinct_counts():
+    """window_distinct: n_distinct = unique urls per (group, window);
+    version-updates of the same url inside one window count once; a
+    SLIDING row contributes its url to every window it lands in; the
+    sets ride snapshot/restore."""
+    ps = mk(window_distinct=True)
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en"},
+        {"url": "a", "ts_us": 20, "lang": "en"},   # same url, same window
+        {"url": "b", "ts_us": 30, "lang": "en"},
+        {"url": "c", "ts_us": 40, "lang": "de"},
+    ]))
+    # snapshot → fresh state → restore: the key sets must survive
+    blob = ps.snapshot_bytes()
+    ps2 = mk(window_distinct=True)
+    ps2.restore_bytes(blob)
+    w = ps2.advance_watermark(1000)["windows"].to_pandas()
+    got = {(r.lang, r.window_id): (r.n, r.n_distinct)
+           for r in w.itertuples()}
+    assert got == {("en", 0): (3, 2), ("de", 0): (1, 1)}
+
+    # sliding: url "a" at ts=120 lands in windows 1 and 2, once each
+    ps3 = mk(window_distinct=True, window_size_us=100, window_slide_us=50)
+    ps3.process(0, tbl([
+        {"url": "a", "ts_us": 120, "lang": "en"},
+        {"url": "a", "ts_us": 130, "lang": "en"},
+        {"url": "b", "ts_us": 125, "lang": "en"},
+    ]))
+    w3 = ps3.advance_watermark(POS_INF)["windows"].to_pandas()
+    got3 = {int(r.window_id): (r.n, r.n_distinct) for r in w3.itertuples()}
+    assert got3 == {1: (3, 2), 2: (3, 2)}
+
+
+def test_windowed_distinct_restore_from_pre_flag_frame():
+    """A frame written WITHOUT window_distinct restores into a
+    flag-enabled state with empty key sets (rollback rule), instead of
+    crashing on 2-element slots at the next advance."""
+    ps = mk()
+    ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    blob = ps.snapshot_bytes()
+    ps2 = mk(window_distinct=True)
+    ps2.restore_bytes(blob)
+    w = ps2.advance_watermark(POS_INF)["windows"].to_pandas()
+    assert list(w["n"]) == [1] and list(w["n_distinct"]) == [0]
