@@ -125,7 +125,8 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
                key_col: str = "url",
                raw_ts_col: str = "warc_ts",
                neardup_spec=None,
-               frontier_spec=None) -> list:
+               frontier_spec=None,
+               derive_host: bool = False) -> list:
     """Stateless map side: read one shard group, extract, filter,
     (optionally) broadcast-join the dimension snapshot, partition.
 
@@ -184,6 +185,14 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
     # precision-aware: a producer switching to timestamp[ns] mid-stream
     # must not inflate event time 1000x (ts_to_us normalizes to µs)
     batch = batch.append_column("ts_us", ts_to_us(batch[raw_ts_col]))
+
+    if derive_host:
+        # derived host column (one RE2 pass, stages/web kernel): lets
+        # window_group_cols key the accumulators by HOST — the
+        # high-cardinality grouping the windowed top-k stage ranks
+        from gush_ray.stages.web import host_of_urls
+
+        batch = batch.append_column("host", host_of_urls(batch[key_col]))
 
     if dim_holder is not None:
         import pyarrow.compute as pc
@@ -410,6 +419,72 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
             "sessions": closes["sessions"].num_rows}
 
 
+@ray.remote
+def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
+                  k: int, P: int, *deps) -> dict:
+    """Second streaming stage: GLOBAL per-window top-k groups, merged
+    from the P per-partition closed-window partials of this epoch slot.
+
+    This is a two-stage streaming topology: stage 1 is the url-keyed
+    exchange + per-partition window accumulators; stage 2 (this task)
+    re-aggregates the stage-1 outputs by (group, window) and ranks.
+    The merge is exact — a (group, window) count is the sum of its
+    per-partition partials, the same partial-agg argument as the batch
+    path — and the input is already the AGGREGATED form (one row per
+    open group-window per partition), so the frame here is epoch-bounded
+    and tiny next to the data exchange regardless of stream size.
+
+    Scheduling: chained on all P reduce refs of the epoch (``*deps`` —
+    completion only, no values move; the parts are read from the sink's
+    deterministic paths). This is the only per-epoch barrier and it
+    gates just the epoch's COMMIT, never the next epoch's reduces.
+
+    Exactly-once: output = ``topk/epoch=E/part-00000`` — a
+    deterministic pure function of the epoch's windows parts, so a
+    replayed task rewrites the identical file (same idempotence rule as
+    every reduce output). All windows closing in one epoch close with
+    COMPLETE counts (every partition advances to the same watermark, and
+    later rows of a closed window are late-routed by definition), so a
+    window appears in exactly one epoch's topk part.
+    """
+    import pyarrow.parquet as pq
+
+    from gush_ray.fs import get_fs
+
+    fs, base = get_fs(out_dir)
+    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
+            else f"epoch={epoch}")
+    tabs = []
+    for pid in range(P):
+        path = fs.join(base, "windows", slot, f"part-{pid:05d}.parquet")
+        if fs.exists(path):
+            with fs.open(path, "rb") as f:
+                tabs.append(pq.read_table(f))
+    if not tabs:
+        return {"topk_rows": 0}
+    df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+    gcols = list(params.window_group_cols)
+    aggs = {"n": "sum", "sum_value": "sum"}
+    if "n_distinct" in df.columns:
+        # partition-exact (key is the exchange key): sum of partials
+        aggs["n_distinct"] = "sum"
+    m = df.groupby(gcols + ["window_id"], as_index=False,
+                   dropna=False).agg(aggs)
+    # deterministic rank: count desc, then group values asc (the SQL
+    # twin's ORDER BY n DESC, <groups> tiebreak)
+    m = m.sort_values(["window_id", "n"] + gcols,
+                      ascending=[True, False] + [True] * len(gcols),
+                      kind="mergesort")
+    m["rank"] = (m.groupby("window_id", sort=False).cumcount() + 1
+                 ).astype("int64")
+    top = m[m["rank"] <= k]
+    out = ExactlyOnceSink.write_part(
+        out_dir, "topk", epoch, 0,
+        pa.Table.from_pandas(top.reset_index(drop=True),
+                             preserve_index=False))
+    return {"topk_rows": out["rows"]}
+
+
 class StreamingJob:
     def __init__(
         self,
@@ -428,6 +503,8 @@ class StreamingJob:
         dim_key: str = "site",
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
         window_distinct: bool = False,
+        window_topk: int | None = None,
+        derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
         right_dir: str | None = None,
@@ -454,6 +531,15 @@ class StreamingJob:
         if frontier_spec is not None and mode != "tasks":
             # same fragment-protocol constraint as the band exchange
             raise ValueError("streaming frontier requires mode='tasks'")
+        if window_topk is not None and mode != "tasks":
+            # the second-stage merge task chains on the epoch's reduce
+            # REFS; actor mode gathers synchronously with no refs to
+            # chain on (deliberate: tasks mode is the scale path)
+            raise ValueError("windowed top-k requires mode='tasks'")
+        if window_topk is not None and window_topk < 1:
+            raise ValueError("window_topk must be >= 1")
+        self.window_topk = window_topk
+        self.derive_host = derive_host
         from gush_ray.fs import normalize_uri
 
         self.key_col = key_col
@@ -934,7 +1020,7 @@ class StreamingJob:
             _map_shard.options(num_returns=nr).remote(
                 s, self.cfg, self.P, dim_holder, self.dim_key,
                 (self.out_dir, "errors", epoch, i), self.key_col,
-                self.raw_ts_col, ndspec, fspec,
+                self.raw_ts_col, ndspec, fspec, self.derive_host,
             )
             for i, s in enumerate(shards)
         ]
@@ -1087,6 +1173,14 @@ class StreamingJob:
                 for pid in range(self.P)
             ]
             self._reduce_tail = refs
+            topk_ref = None
+            if self.window_topk is not None:
+                # second stage: global per-window top-k, chained on this
+                # epoch's reduces; gathered in the committer (below) so
+                # the part is durable before the manifest commits
+                topk_ref = _topk_windows.remote(
+                    epoch, self.out_dir, self.params, self.window_topk,
+                    self.P, *refs)
             submit_sec = round(time.perf_counter() - t0, 3)
             max_ts_now = [int(t) for t in self._part_max_ts]
             max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
@@ -1099,6 +1193,8 @@ class StreamingJob:
             def build_parts(timings: dict) -> list[dict]:
                 t_g = time.perf_counter()
                 metrics = ray.get(refs)
+                if topk_ref is not None:
+                    timings["topk_rows"] = ray.get(topk_ref)["topk_rows"]
                 timings["reduce_gather_sec"] = round(
                     time.perf_counter() - t_g, 3)
                 if prof:
@@ -1331,6 +1427,12 @@ class StreamingJob:
         slot = "final"
         if self.mode == "tasks":
             ray.get(flush_refs)
+            if self.window_topk is not None:
+                # final-flush closes get their own topk slot, merged the
+                # same way (must complete before commit_final)
+                ray.get(_topk_windows.remote(
+                    slot, self.out_dir, self.params, self.window_topk,
+                    self.P))
         else:
             actors = self.actors()
             closes = ray.get(

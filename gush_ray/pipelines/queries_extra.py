@@ -168,6 +168,22 @@ FROM changes GROUP BY lang, change_kind, window_id
 ORDER BY lang, change_kind, window_id
 """
 
+SQL_STREAMING_TOPK = _SQL_PAGES_BASE + f"""
+, wcounts AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         ts_us // {_WIN_US} AS window_id,
+         count(*) AS n
+  FROM changes GROUP BY host, window_id),
+ranked AS (
+  SELECT host, window_id, n,
+         row_number() OVER (PARTITION BY window_id
+                            ORDER BY n DESC, host) AS rnk
+  FROM wcounts)
+SELECT window_id, host, n, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+ORDER BY window_id, rnk
+"""
+
 SQL_PAGES_LATE = f"""
 WITH pages AS (
   SELECT url, epoch_us(warc_ts) AS ts_us, lang, CAST(epoch AS BIGINT) AS epoch
@@ -1709,6 +1725,31 @@ def q_windowed_unique(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_streaming_topk(sf_dir: str):
+    """Streaming windowed TOP-K hosts (two-stage dataflow): the url-keyed
+    stage-1 accumulators group by a derived host column
+    (derive_host=True, window_group_cols=("host",)) and the per-epoch
+    stage-2 merge task ranks the global counts per closed window
+    (epoch_loop._topk_windows), exactly-once on the `topk` stream.
+    num_partitions=1 for the watermark reason of q_pages_flagship; the
+    P-independence of the topk stream itself (global merge) is pinned
+    by tests/test_epoch_loop.py."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1, derive_host=True,
+                       window_group_cols=("host",), window_topk=3)
+    job.run()
+    topk = job.read_output("topk")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = topk[["window_id", "host", "n", "rank"]]
+    return out.sort_values(["window_id", "rank"]).reset_index(drop=True)
+
+
+
 def q_pages_late_routing(sf_dir: str):
     """Watermark late-data routing (W5): per-lang late-row counts from the
     streaming job's late side-output. Oracle-paired (SQL_PAGES_LATE);
@@ -2343,6 +2384,7 @@ EXTRA_QUERIES = {
     # tolerance-checked sketches, checked bloom semi
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
+    "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),

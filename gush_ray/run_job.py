@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(n_distinct column on the windows stream; "
                          "partition-exact — sum partials across "
                          "partitions for the global count)")
+    ap.add_argument("--window-topk", type=int, default=None,
+                    help="global per-window top-K groups on the `topk` "
+                         "stream (two-stage merge over the windows "
+                         "partials, exactly-once)")
+    ap.add_argument("--derive-host", action="store_true",
+                    help="derive a host column from the url at map time "
+                         "(combine with --window-group-cols host)")
     ap.add_argument("--slide-sec", type=int, default=None)
     ap.add_argument("--gap-sec", type=int, default=1800)
     ap.add_argument("--lateness-sec", type=int, default=0)
@@ -136,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
         window_slide_us=(args.slide_sec * 1_000_000
                          if args.slide_sec else None),
         window_distinct=args.window_distinct,
+        window_topk=args.window_topk,
+        derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
         idle_partition_epochs=args.idle_partition_epochs,

@@ -612,3 +612,56 @@ def test_windowed_distinct_partition_exact_and_resume(pages_dir, tmp_path):
     pd.testing.assert_frame_equal(norm(w4, cols),
                                   norm(jb2.read_output("windows"), cols))
     jb2.kill_actors()
+
+
+def test_streaming_topk_p_independent_and_resume(pages_dir, tmp_path):
+    """Windowed top-k (two-stage dataflow): (a) the topk stream is a
+    pure function of the merged global counts, so P=1 and P=4 produce
+    IDENTICAL rows (not just equal sums); (b) it always agrees with a
+    recomputation from the windows stream it merged; (c) kill→resume
+    rewrites the same stream."""
+    def run(out, run_id, P, **kw):
+        job = StreamingJob(pages_dir, out, run_id=run_id,
+                           num_partitions=P, derive_host=True,
+                           window_group_cols=("host",), window_topk=3)
+        res = job.run(**kw)
+        return job, res
+
+    key = ["window_id", "rank", "host", "n"]
+
+    def norm_topk(df):
+        return df[key].sort_values(key).reset_index(drop=True)
+
+    job1, _ = run(str(tmp_path / "p1"), "tk-p1", 1)
+    t1, w1 = job1.read_output("topk"), job1.read_output("windows")
+    job1.kill_actors()
+    assert len(t1) > 0
+    # ranks are 1..k per window, counts non-increasing with rank
+    per_w = t1.sort_values(["window_id", "rank"]).groupby("window_id")
+    for _, g in per_w:
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["n"].diff().dropna() <= 0).all()
+
+    job4, _ = run(str(tmp_path / "p4"), "tk-p4", 4)
+    t4 = job4.read_output("topk")
+    w4 = job4.read_output("windows")
+    job4.kill_actors()
+    pd.testing.assert_frame_equal(norm_topk(t1), norm_topk(t4))
+
+    # conservation: recompute global top-3 from the windows partials
+    m = w4.groupby(["host", "window_id"], as_index=False)["n"].sum()
+    m = m.sort_values(["window_id", "n", "host"],
+                      ascending=[True, False, True], kind="mergesort")
+    m["rank"] = m.groupby("window_id", sort=False).cumcount() + 1
+    rec = m[m["rank"] <= 3]
+    pd.testing.assert_frame_equal(norm_topk(rec), norm_topk(t4))
+
+    # kill after epoch 1 commit, resume — identical topk stream
+    jb1, r1 = run(str(tmp_path / "res"), "tk-r1", 4, stop_after=2)
+    assert r1["completed"] == 1
+    jb1.kill_actors()
+    jb2, r2 = run(str(tmp_path / "res"), "tk-r2", 4, resume=True)
+    assert r2["completed"] == 2
+    pd.testing.assert_frame_equal(norm_topk(t4),
+                                  norm_topk(jb2.read_output("topk")))
+    jb2.kill_actors()
