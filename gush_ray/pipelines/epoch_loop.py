@@ -189,10 +189,17 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
     if derive_host:
         # derived host column (one RE2 pass, stages/web kernel): lets
         # window_group_cols key the accumulators by HOST — the
-        # high-cardinality grouping the windowed top-k stage ranks
+        # high-cardinality grouping the windowed top-k stage ranks.
+        # A non-matching url becomes '' (NOT null) — DuckDB's
+        # regexp_extract semantics, so the topk oracle's grouping AND
+        # its n-tie ordering ('' sorts before every named host; a null
+        # would group under NaN and sort last) match on malformed urls
+        import pyarrow.compute as pc
+
         from gush_ray.stages.web import host_of_urls
 
-        batch = batch.append_column("host", host_of_urls(batch[key_col]))
+        batch = batch.append_column(
+            "host", pc.fill_null(host_of_urls(batch[key_col]), ""))
 
     if dim_holder is not None:
         import pyarrow.compute as pc

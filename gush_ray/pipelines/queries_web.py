@@ -79,24 +79,39 @@ FROM read_parquet('{_LINK_PARQUET}')
 # the components query; external hrefs drop out at the node join
 # ---------------------------------------------------------------------------
 
-def _edge_dataset():
+def _edge_dataset(node_field: str = "page_id"):
+    """THE single definition of an internal link edge (href extraction
+    + dst-in-pages join), parameterized by the node identity: page_id
+    (the graph queries) or url (the host-contraction query). Any change
+    to extraction or internal-edge semantics lands in every graph
+    operator at once (round-3 review finding: host_pagerank had its own
+    inline copy)."""
     from gush_ray.stages.joins import hash_join
 
     pages = _read_links()
 
     def links(b: pa.Table) -> pa.Table:
         out = extract_links_batch(
-            b.select(["page_id", "html"]).rename_columns(["url", "html"]))
+            b.select([node_field, "html"]).rename_columns(["url", "html"]))
         return out.rename_columns(["src", "dst_url"])
 
     edges_raw = pages.map_batches(links, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    nodes = pages.map_batches(
-        lambda b: b.select(["url", "page_id"]).rename_columns(
-            ["dst_url", "dst"]),
-        batch_format="pyarrow")
-    edges = hash_join(edges_raw, nodes, on="dst_url").map_batches(
-        lambda b: b[["src", "dst"]], batch_format="pandas")
+    if node_field == "url":
+        # the matched page's identity IS the join key — no second column
+        nodes = pages.map_batches(
+            lambda b: b.select(["url"]).rename_columns(["dst_url"]),
+            batch_format="pyarrow")
+        edges = hash_join(edges_raw, nodes, on="dst_url").map_batches(
+            lambda b: b.rename(columns={"dst_url": "dst"})[["src", "dst"]],
+            batch_format="pandas")
+    else:
+        nodes = pages.map_batches(
+            lambda b: b.select(["url", node_field]).rename_columns(
+                ["dst_url", "dst"]),
+            batch_format="pyarrow")
+        edges = hash_join(edges_raw, nodes, on="dst_url").map_batches(
+            lambda b: b[["src", "dst"]], batch_format="pandas")
     return edges.materialize(), pages
 
 
@@ -658,28 +673,14 @@ def q_host_pagerank(sf_dir: str):
     from gush_ray.stages.agg import partial_aggregate
     from gush_ray.stages.web import host_of_urls, pagerank
 
-    pages = _read_links()
+    edges, pages = _edge_dataset(node_field="url")
 
-    def edge_hosts(b: pa.Table) -> pa.Table:
-        out = extract_links_batch(b.select(["url", "html"]))
-        return pa.table({"src_url": out["src_url"],
-                         "dst_url": out["dst_url"]})
+    def to_hosts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": host_of_urls(pa.array(b["src"])).to_pylist(),
+            "dst": host_of_urls(pa.array(b["dst"])).to_pylist()})
 
-    from gush_ray.stages.joins import hash_join
-
-    edges_raw = pages.map_batches(edge_hosts, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    internal = hash_join(
-        edges_raw,
-        pages.map_batches(lambda b: b.select(["url"]).rename_columns(
-            ["dst_url"]), batch_format="pyarrow"),
-        on="dst_url")
-
-    def to_hosts(b: pa.Table) -> pa.Table:
-        return pa.table({"src": host_of_urls(b["src_url"]),
-                         "dst": host_of_urls(b["dst_url"])})
-
-    hedges = internal.map_batches(to_hosts, batch_format="pyarrow")
+    hedges = edges.map_batches(to_hosts, batch_format="pandas")
     hosts = partial_aggregate(
         pages.map_batches(
             lambda b: pa.table({"host": host_of_urls(b["url"])}),

@@ -261,12 +261,21 @@ def boilerplate_removal(ds, group_col: str = "host",
     )
     boiler = freq.map_batches(
         lambda b: b[b["n_docs"] >= min_docs], batch_format="pandas",
-    ).repartition(4)
+    ).repartition(4).materialize()
 
-    kept = hash_join(lines, boiler, on=(group_col, "line"),
-                     join_type="left_outer").map_batches(
-        lambda b: b[b["n_docs"].isna()][[id_col, "line_no", "line"]],
-        batch_format="pandas")
+    # corpus with NO boilerplate at all: the filtered build side comes
+    # back schemaless (the map_groups empty-block gotcha) and the hash
+    # join rejects it — pass every line through instead of joining
+    sch = boiler.schema(fetch_if_missing=True)
+    if sch is None or "n_docs" not in sch.names:
+        kept = lines.map_batches(
+            lambda b: b[[id_col, "line_no", "line"]],
+            batch_format="pandas")
+    else:
+        kept = hash_join(lines, boiler, on=(group_col, "line"),
+                         join_type="left_outer").map_batches(
+            lambda b: b[b["n_docs"].isna()][[id_col, "line_no", "line"]],
+            batch_format="pandas")
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col, "line_no"], kind="mergesort")

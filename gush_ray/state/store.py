@@ -999,16 +999,21 @@ class PartitionState:
         self._ttl_sweep_wm = st.get("ttl_sweep_wm", NEG_INF)
         self.evicted_total = st.get("evicted_total", 0)
 
+    def _fixup_win_slots(self) -> None:
+        """Frames written before window_distinct was enabled carry
+        2-element slots — give them empty key sets on restore (same
+        written-before-the-spec rollback rule as the NFA/neardup/
+        frontier sections). Must run after BOTH full-frame restores and
+        delta upsert application (round-3 review finding: the delta
+        path reintroduced 2-element slots past the full-frame fixup)."""
+        for k, v in self.win.items():
+            if len(v) == 2:
+                self.win[k] = [v[0], v[1], set()]
+
     def _apply_small(self, st: dict) -> None:
         self.win = st["win"]
         if self.p.window_distinct:
-            # frames written before window_distinct was enabled carry
-            # 2-element slots — give them empty key sets on restore
-            # (same written-before-the-spec rollback rule as the
-            # NFA/neardup/frontier sections)
-            for k, v in self.win.items():
-                if len(v) == 2:
-                    self.win[k] = [v[0], v[1], set()]
+            self._fixup_win_slots()
         self.sessions = st["sessions"]
         # rollback semantics as for the joiner above
         if self.nfa is not None:
@@ -1077,6 +1082,8 @@ class PartitionState:
             self._apply_small(st)
         else:
             self.win.update(st["win_upserts"])
+            if self.p.window_distinct:
+                self._fixup_win_slots()
             for k in st["win_tombstones"]:
                 self.win.pop(k, None)
             self.sessions.update(st["sess_upserts"])

@@ -191,3 +191,19 @@ def test_boilerplate_removal_semantics():
     assert out == {0: "alpha\nalpha", 1: "beta", 3: "nav\ngamma"}
     n = dict(zip(got["doc_id"], got["n_kept"]))
     assert n == {0: 2, 1: 1, 3: 2}
+
+
+def test_boilerplate_removal_none_found_passthrough():
+    """Corpus with NO line reaching min_docs: the empty boilerplate
+    build side must not crash the join (schemaless empty-block gotcha)
+    — every document passes through unchanged."""
+    import ray.data as rd
+
+    from gush_ray.stages.corpus import boilerplate_removal
+
+    rows = [(0, "A", "x\ny"), (1, "A", "z"), (2, "B", "w")]
+    ds = rd.from_pandas(pd.DataFrame(rows,
+                                     columns=["doc_id", "host", "text"]))
+    got = boilerplate_removal(ds, min_docs=3, num_partitions=4).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == {
+        0: "x\ny", 1: "z", 2: "w"}

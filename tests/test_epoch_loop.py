@@ -665,3 +665,31 @@ def test_streaming_topk_p_independent_and_resume(pages_dir, tmp_path):
     pd.testing.assert_frame_equal(norm_topk(t4),
                                   norm_topk(jb2.read_output("topk")))
     jb2.kill_actors()
+
+
+def test_derive_host_malformed_url_is_empty_string(tmp_path):
+    """derive_host must give a non-matching url host '' (DuckDB
+    regexp_extract semantics), NOT null — the topk oracle groups '' as
+    its own host that sorts FIRST on an n-tie, while a null would group
+    under NaN and sort last."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from gush_ray.config import EngineConfig
+    from gush_ray.pipelines.epoch_loop import _map_shard
+
+    shard = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({
+        "url": ["https://ok.example.org/p/1", "HTTPS://UPPER/x",
+                "/relative/path"],
+        "warc_ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+        "lang": ["en", "en", "en"],
+    }), shard)
+    out = ray.get(_map_shard.options(num_returns=2).remote(
+        shard, EngineConfig(), 1, None, "site", None, "url", "warc_ts",
+        None, None, True))
+    frag = out[1]
+    hosts = dict(zip(frag["url"].to_pylist(), frag["host"].to_pylist()))
+    assert hosts == {"https://ok.example.org/p/1": "ok.example.org",
+                     "HTTPS://UPPER/x": "", "/relative/path": ""}

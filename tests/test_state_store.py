@@ -337,3 +337,24 @@ def test_windowed_distinct_restore_from_pre_flag_frame():
     ps2.restore_bytes(blob)
     w = ps2.advance_watermark(POS_INF)["windows"].to_pandas()
     assert list(w["n"]) == [1] and list(w["n_distinct"]) == [0]
+
+
+def test_windowed_distinct_restore_from_pre_flag_delta_chain():
+    """The 2→3-element slot fixup must also run on DELTA upserts: a
+    pre-flag chain (full base + delta) restored into a flag-enabled
+    state, then processed, crashed with IndexError before the fix."""
+    ps = mk()
+    ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    base = ps.snapshot_bytes()
+    ps.process(1, tbl([{"url": "b", "ts_us": 20, "lang": "en"}]))
+    delta = ps.delta_bytes(0)
+
+    ps2 = mk(window_distinct=True)
+    ps2.restore_chain([base, delta])
+    # a row landing in the restored (group, window) must not crash
+    out = ps2.process(2, tbl([{"url": "c", "ts_us": 30, "lang": "en"}]))
+    assert out["metrics"]["rows_in"] == 1
+    w = ps2.advance_watermark(POS_INF)["windows"].to_pandas()
+    # the pre-flag window's keys were never tracked → only the
+    # post-restore key counts toward n_distinct (documented rollback)
+    assert list(w["n"]) == [3] and list(w["n_distinct"]) == [1]
