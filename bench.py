@@ -262,6 +262,52 @@ def bench_flagship_frontier_stream(sf_dir: str) -> dict:
             "frontier_rows": n_disc}
 
 
+def bench_flagship_topk_stream(sf_dir: str) -> dict:
+    """Flagship variant with BOTH round-3 windowed-analytics operators
+    active: host-keyed window accumulators with exact DISTINCT-url
+    tracking (window_distinct) AND the per-epoch two-stage global top-k
+    merge (window_topk). Measures what host-cardinality grouping (one
+    slot per host-window instead of per lang-kind) + key-set tracking +
+    the stage-2 merge cost ON TOP of the base pipeline."""
+    import ray
+
+    from gush_ray.datagen import ensure_pages
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = os.environ.get("GRAFT_BENCH_PAGES_DIR") or ensure_pages(
+        "/tmp/gush_scale_pages", n_urls=BENCH_PAGES_URLS, seed=77,
+        n_epochs=BENCH_PAGES_EPOCHS,
+    )
+    _warm_cache(sf_dir, [pages_dir])
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=32, derive_host=True,
+                       window_group_cols=("host", "change_kind"),
+                       window_distinct=True, window_topk=10)
+
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = sum(
+        p.get("rows_in", 0)
+        for e in job.sink.committed_epochs()
+        for p in job.sink.read_manifest(e)["partitions"]
+    )
+    n_topk = len(job.read_output("topk"))
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "topk_rows": n_topk}
+
+
 def _pagerank_bench(sf_dir: str):
     """Integer-exact PageRank over a cached synthetic edge list
     (~2M edges, 200k nodes) — the graph family's throughput record:
@@ -407,6 +453,10 @@ def run_bench() -> dict:
         (bench_flagship_frontier_stream(SF_DIR) for _ in range(2)),
         key=lambda r: r["sec"])
     timings["flagship_frontier_stream"] = round(flag_fr["sec"], 3)
+    flag_tk = min(
+        (bench_flagship_topk_stream(SF_DIR) for _ in range(2)),
+        key=lambda r: r["sec"])
+    timings["flagship_topk_stream"] = round(flag_tk["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -429,6 +479,9 @@ def run_bench() -> dict:
         "flagship_frontier_rows_per_sec": round(flag_fr["rows_per_sec"], 1),
         "flagship_frontier_rows": flag_fr["rows"],
         "flagship_frontier_discoveries": flag_fr["frontier_rows"],
+        "flagship_topk_rows_per_sec": round(flag_tk["rows_per_sec"], 1),
+        "flagship_topk_rows": flag_tk["rows"],
+        "flagship_topk_emitted": flag_tk["topk_rows"],
     }
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the

@@ -564,6 +564,40 @@ class Stream:
                                    src_col=src_col, dst_col=dst_col,
                                    node_col=node_col))
 
+    def triangle_counts(self, src_col: str = "src", dst_col: str = "dst",
+                        num_partitions: int = 16) -> "Stream":
+        """Per-node triangle participation over this stream as an edge
+        list (stages/web.triangle_counts — orient/dedupe, wedge join,
+        composite-key closing join)."""
+        from gush_ray.stages.web import triangle_counts
+
+        return self._wrap(triangle_counts(
+            self.ds, src_col=src_col, dst_col=dst_col,
+            num_partitions=num_partitions))
+
+    def hosts(self, col: str = "url", out: str = "host") -> "Stream":
+        """Append the url column's authority as ``out`` (one RE2 pass,
+        stages/web.host_of_urls; non-url rows get null)."""
+        from gush_ray.stages.web import host_of_urls
+
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column(out, host_of_urls(b[col]))
+
+        return self.map_batches(add, batch_format="pyarrow")
+
+    def remove_boilerplate(self, group_col: str = "host",
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_docs: int = 3,
+                           num_partitions: int = 16) -> "Stream":
+        """Per-group line-frequency boilerplate removal
+        (stages/corpus.boilerplate_removal)."""
+        from gush_ray.stages.corpus import boilerplate_removal
+
+        return self._wrap(boilerplate_removal(
+            self.ds, group_col=group_col, id_col=id_col,
+            text_col=text_col, min_docs=min_docs,
+            num_partitions=num_partitions))
+
     # ------------------------------------------------------------ sinks
 
     def sink_parquet(self, path: str, **kw) -> None:

@@ -310,3 +310,28 @@ def test_stream_web_ops(ray_session):
     n = Stream.from_arrow(pa.table({"node": [0, 1]}))
     pr = e.pagerank(n, iters=3).to_pandas().sort_values("node")
     assert pr["rank_micro"].tolist() == [10**12 // 2] * 2
+
+
+def test_stream_web_ops_round3(ray_session):
+    from gush_ray.api import Stream
+
+    # triangle counts over a K3 with a reversed duplicate edge
+    e = Stream.from_arrow(pa.table({"src": [0, 1, 2, 1],
+                                    "dst": [1, 2, 0, 0]}))
+    tri = e.triangle_counts(num_partitions=2).to_pandas()
+    assert dict(zip(tri["node"], tri["n_tri"])) == {0: 1, 1: 1, 2: 1}
+
+    # host derivation
+    t = pa.table({"url": ["https://a.example.org/p/1", "nope"]})
+    got = Stream.from_arrow(t).hosts().to_pandas()
+    assert got["host"].tolist()[0] == "a.example.org"
+    assert pd.isna(got["host"].tolist()[1])
+
+    # boilerplate removal end to end through the fluent form
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "host": ["A", "A", "A"],
+        "text": ["nav\nx", "nav\ny", "nav\nz"],
+    })
+    out = Stream.from_arrow(docs).remove_boilerplate(min_docs=3).to_pandas()
+    assert sorted(out["text"]) == ["x", "y", "z"]
