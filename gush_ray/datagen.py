@@ -849,3 +849,60 @@ def ensure_boiler_fixture(tmp_root: str = BOILER_FIXTURE) -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return tmp_root
+
+
+REDIRECT_FIXTURE = "/tmp/gush_ray_redirects/v1"
+
+
+def gen_redirects(n_chains: int = 120, seed: int = 37) -> pa.Table:
+    """Redirect-edge fixture (src, dst): HTTP 3xx hops as a functional
+    edge list (at most one dst per src). Deterministic mix per 6-chain
+    block: linear chains of length 1..6 ending at a terminal url (the
+    resolution targets), one 2-cycle, one 3-cycle, and one self-loop
+    every 10 chains — the unresolvable rows the resolver must FLAG, not
+    loop on. Terminal urls are never sources."""
+    rng = np.random.RandomState(seed)
+    srcs, dsts = [], []
+
+    def u(tag: str, i: int) -> str:
+        return f"https://r{tag}.example.org/{i}"
+
+    for c in range(n_chains):
+        kind = c % 10
+        if kind < 7:
+            # linear chain of length 1..6 → terminal
+            length = (c % 6) + 1
+            hops = [u(f"c{c}", j) for j in range(length)]
+            hops.append(u("terminal", c))
+            for a, b in zip(hops, hops[1:]):
+                srcs.append(a)
+                dsts.append(b)
+        elif kind == 7:
+            a, b = u(f"cy2a", c), u(f"cy2b", c)
+            srcs += [a, b]
+            dsts += [b, a]
+        elif kind == 8:
+            a, b, d = u("cy3a", c), u("cy3b", c), u("cy3c", c)
+            srcs += [a, b, d]
+            dsts += [b, d, a]
+        else:
+            a = u("selfloop", c)
+            srcs.append(a)
+            dsts.append(a)
+    # shuffle row order so no algorithm can rely on chain locality
+    order = rng.permutation(len(srcs))
+    return pa.table({
+        "src": pa.array([srcs[i] for i in order], type=pa.string()),
+        "dst": pa.array([dsts[i] for i in order], type=pa.string()),
+    })
+
+
+def ensure_redirect_fixture(tmp_root: str = REDIRECT_FIXTURE) -> str:
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(tmp_root, exist_ok=True)
+        pq.write_table(gen_redirects(), os.path.join(tmp_root,
+                                                     "redirects.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tmp_root

@@ -777,6 +777,7 @@ def q_boilerplate(sf_dir: str):
     from gush_ray.stages.corpus import boilerplate_removal
 
     ensure_boiler_fixture()
+    ensure_redirect_fixture()
     ds = rd.read_parquet(_BOILER_PARQUET, override_num_blocks=8)
     return boilerplate_removal(ds, min_docs=3)
 
@@ -800,6 +801,100 @@ FROM kept GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (HTTP 3xx pointer chasing, log-round doubling)
+# ---------------------------------------------------------------------------
+
+from gush_ray.datagen import REDIRECT_FIXTURE, ensure_redirect_fixture
+
+_REDIR_PARQUET = f"{REDIRECT_FIXTURE}/redirects.parquet"
+_REDIR_ROUNDS = 6  # resolves chains up to 2^6 = 64 hops
+
+
+def q_redirect_resolve(sf_dir: str):
+    """Pointer-doubling redirect resolution over the redirect fixture
+    (stages/web.resolve_redirects): (src_url, final_url, n_hops,
+    resolved); cycles and >64-hop chains are flagged, never looped on."""
+    from gush_ray.stages.web import resolve_redirects
+
+    ensure_redirect_fixture()
+    ds = rd.read_parquet(_REDIR_PARQUET, override_num_blocks=8)
+    return resolve_redirects(ds, max_rounds=_REDIR_ROUNDS)
+
+
+SQL_REDIRECT_RESOLVE = f"""
+WITH RECURSIVE r AS (SELECT src, dst FROM
+                     read_parquet('{_REDIR_PARQUET}')),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN r ON r.src = w.cur
+  WHERE w.hops < {2 ** _REDIR_ROUNDS}
+),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = w.cur)
+)
+SELECT r0.src AS src_url,
+       coalesce(t.cur, '') AS final_url,
+       CAST(coalesce(t.hops, -1) AS BIGINT) AS n_hops,
+       t.src IS NOT NULL AS resolved
+FROM (SELECT DISTINCT src FROM r) r0
+LEFT JOIN term t ON t.src = r0.src
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl politeness schedule (per-host round-robin fetch slots)
+# ---------------------------------------------------------------------------
+
+_CRAWL_RATE = 4  # fetches per host per round
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness scheduling: assign every page a fetch round such that
+    no host gets more than ``_CRAWL_RATE`` fetches per round —
+    deterministic per-host round-robin (rank urls within host by url,
+    round = rank // rate). One host-keyed shuffle; the per-partition
+    kernel is a vectorized sort + cumcount."""
+    from gush_ray.stages.shuffle import partition_map
+    from gush_ray.stages.web import host_of_urls
+
+    ensure_link_fixture()
+    pages = _read_links()
+
+    def hostify(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"],
+                         "host": host_of_urls(b["url"])})
+
+    withhost = pages.map_batches(hostify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def schedule(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "url"], kind="mergesort")
+        rank = df.groupby("host", sort=False).cumcount()
+        return pd.DataFrame({
+            "url": df["url"].to_numpy(),
+            "host": df["host"].to_numpy(),
+            "fetch_round": (rank // _CRAWL_RATE).to_numpy()
+            .astype("int64"),
+        })
+
+    return partition_map(withhost, "host", schedule, 8)
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH p AS (
+  SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_LINK_PARQUET}'))
+SELECT url, host,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+            // {_CRAWL_RATE} AS BIGINT) AS fetch_round
+FROM p
+"""
+
+
 def ensure_web_fixtures() -> None:
     from gush_ray.datagen import ensure_frontier_messy_pages
 
@@ -807,6 +902,7 @@ def ensure_web_fixtures() -> None:
     ensure_url_fixture()
     ensure_frontier_messy_pages()
     ensure_boiler_fixture()
+    ensure_redirect_fixture()
 
 
 WEB_QUERIES = {
@@ -824,6 +920,8 @@ WEB_QUERIES = {
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "boilerplate_removal": (q_boilerplate, SQL_BOILERPLATE),
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     # import-order note: building this SQL imports queries_extra at
     # module-load time; queries_extra only imports THIS module inside
     # functions, so the load order is acyclic either way

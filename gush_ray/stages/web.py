@@ -592,3 +592,90 @@ def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
             "node": pd.Series(dtype="int64"),
             "n_tri": pd.Series(dtype="int64")}))
     return counts
+
+
+def resolve_redirects(redirects, *, src_col: str = "src",
+                      dst_col: str = "dst", max_rounds: int = 6,
+                      num_partitions: int = 16):
+    """Redirect-chain resolution by POINTER DOUBLING: each round
+    composes the partial-resolution function with itself, so a chain of
+    length L resolves in ceil(log2 L) rounds instead of L — the
+    distributed pointer-chasing shape (vs the per-hop iteration of
+    bfs_depth and the min-label propagation of connected components).
+
+    State table T(u, v, h, done): v = the known endpoint after h hops
+    from u, done = v is TERMINAL (not itself a redirect source). Init:
+    T(u) = (dst(u), 1, dst(u) ∉ sources). Round: for undone u, look up
+    v in T itself — T'(u) = (T[v].v, h + T[v].h, T[v].done). Terminals
+    are absent from T, so done rows pass through unchanged and an
+    undone row whose v has no T entry is impossible (v undone ⇒ v is a
+    source ⇒ v ∈ T). After ``max_rounds`` rounds every chain of length
+    ≤ 2^max_rounds is resolved; what remains is a CYCLE (or a deeper
+    chain) and is flagged ``resolved=false, final_url='', n_hops=-1``
+    — never looped on.
+
+    Scale shape: one hash self-join + map per round, log2(max chain)
+    rounds; the state stays distributed (one row per redirect source),
+    the driver holds nothing. Matches the SQL twin exactly: the
+    recursive CTE walks single hops with the same 2^max_rounds bound.
+    """
+    from gush_ray.stages.joins import hash_join
+    from gush_ray.stages.shuffle import partition_map
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": b[src_col].to_numpy(),
+                             "v": b[dst_col].to_numpy(),
+                             "h": np.ones(len(b), dtype=np.int64)})
+
+    edges = redirects.map_batches(init, batch_format="pandas")
+    # done(u) = v not among sources: left join v against the source set
+    srcs = redirects.map_batches(
+        lambda b: pd.DataFrame({"v": b[src_col].to_numpy(),
+                                "is_src": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": b["u"].to_numpy(),
+                             "v": b["v"].to_numpy(),
+                             "h": b["h"].to_numpy(np.int64),
+                             "done": b["is_src"].isna().to_numpy()})
+
+    state = hash_join(edges, srcs, on="v", join_type="left_outer") \
+        .map_batches(mark, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # F = the function table keyed by its INPUT url
+        f_tab = state.map_batches(
+            lambda b: b.rename(columns={"u": "v", "v": "fv", "h": "fh",
+                                        "done": "fdone"}),
+            batch_format="pandas")
+
+        def step(b: pd.DataFrame) -> pd.DataFrame:
+            done = b["done"].to_numpy(bool)
+            # done rows keep their endpoint; undone rows ALWAYS have a
+            # match (their v is a source), so fv/fh/fdone are non-null
+            v = np.where(done, b["v"].to_numpy(object),
+                         b["fv"].to_numpy(object))
+            h = np.where(done, b["h"].to_numpy(np.int64),
+                         b["h"].to_numpy(np.int64)
+                         + b["fh"].fillna(0).to_numpy(np.int64))
+            nd = np.where(done, True, b["fdone"].fillna(False)
+                          .to_numpy(bool))
+            return pd.DataFrame({"u": b["u"].to_numpy(), "v": v,
+                                 "h": h.astype(np.int64),
+                                 "done": nd.astype(bool)})
+
+        state = hash_join(state, f_tab, on="v", join_type="left_outer") \
+            .map_batches(step, batch_format="pandas").materialize()
+
+    def out(b: pd.DataFrame) -> pd.DataFrame:
+        done = b["done"].to_numpy(bool)
+        return pd.DataFrame({
+            "src_url": b["u"].to_numpy(),
+            "final_url": np.where(done, b["v"].to_numpy(object), ""),
+            "n_hops": np.where(done, b["h"].to_numpy(np.int64),
+                               -1).astype(np.int64),
+            "resolved": done,
+        })
+
+    return state.map_batches(out, batch_format="pandas")

@@ -421,3 +421,43 @@ def test_host_of_urls():
         "not a url",
     ])).to_pylist()
     assert got == ["a.example.org", "b.example.org:8080", None]
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+def test_resolve_redirects_semantics():
+    """Chains resolve with exact hop counts in log rounds; a chain
+    JOINING another chain resolves through it; 2-cycles, 3-cycles and
+    self-loops are flagged unresolved (never looped on); max_rounds
+    bounds resolvable chain length at 2^rounds."""
+    from gush_ray.stages.web import resolve_redirects
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "T1"),       # 3-chain → T1
+        ("x", "b"),                                # joins mid-chain: 3 hops
+        ("p", "q"), ("q", "p"),                    # 2-cycle
+        ("s", "s"),                                # self-loop
+        ("long0", "long1"), ("long1", "long2"),
+        ("long2", "long3"), ("long3", "long4"),
+        ("long4", "T2"),                           # 5-chain → T2
+    ]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = resolve_redirects(ds, max_rounds=4, num_partitions=4).to_pandas()
+    rows = {r.src_url: (r.final_url, r.n_hops, r.resolved)
+            for r in got.itertuples()}
+    assert rows["a"] == ("T1", 3, True)
+    assert rows["x"] == ("T1", 3, True)
+    assert rows["b"] == ("T1", 2, True)
+    assert rows["long0"] == ("T2", 5, True)
+    for cyc in ("p", "q", "s"):
+        assert rows[cyc] == ("", -1, False)
+
+    # max_rounds=1 resolves only chains of length <= 2
+    got2 = resolve_redirects(ds, max_rounds=1,
+                             num_partitions=4).to_pandas()
+    rows2 = {r.src_url: r.resolved for r in got2.itertuples()}
+    assert rows2["b"] is True or rows2["b"] == True  # noqa: E712
+    assert not rows2["a"]        # 3 hops > 2^1
+    assert not rows2["long0"]
