@@ -102,14 +102,24 @@ _PRIORITY = [
     "exact_dedup_docs", "line_dedup", "pii_redact",
     "token_stats", "quality_score",
     "decontaminate", "dup_span_removal",
-    "bm25", "bpe_tokenize",
+    "redirect_resolve", "bpe_tokenize",
     # streaming_frontier (round 3, fifth wave): the streaming url-
     # frontier operator (link rows on their own keyed exchange,
     # seen-map state, state/frontier.py) — rotated in for
     # approx_quantiles (the sketch family keeps heavy_hitters; the
     # quantile pair stays green in tests/test_oracle.py)
-    "heavy_hitters", "streaming_frontier",
-    "running_total", "lm_oov_rate",
+    # round-3 sixth-wave rotations (one slot per NEW family, redundant
+    # family members rotate out and stay green in tests/test_oracle.py):
+    # streaming_topk = the two-stage streaming dataflow (replaces
+    # running_total; the analytic-window family keeps its pairs in
+    # tests), windowed_unique = exact windowed distinct counts (replaces
+    # lm_oov_rate; the LM family keeps ccnet_buckets), redirect_resolve
+    # = pointer-doubling chain resolution (replaces bm25; tf-idf/BM25
+    # stay green in tests), boilerplate_removal = per-host corpus
+    # cleaning (replaces heavy_hitters; the sketch family keeps
+    # bloom_semi at slot 50)
+    "boilerplate_removal", "streaming_frontier",
+    "streaming_topk", "windowed_unique",
     # warc_roundtrip replaces jsonl_source_agg as the source-format
     # representative (round 3): the WARC byte-identity round trip (the
     # domain's native Common-Crawl container, record-per-gzip-member)
