@@ -895,6 +895,66 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# personalized PageRank (seed-biased teleport — frontier prioritization
+# around trusted roots)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = tuple(range(0, 900, 90))  # 10 deterministic seed pages
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Integer-exact PERSONALIZED PageRank: teleport mass restricted to
+    the 10-page seed set (stages/web.pagerank(seeds=...)); same
+    iteration shape as q_pagerank, bit-identical to the seed-cased SQL
+    CTE chain."""
+    from gush_ray.stages.web import pagerank
+
+    edges, pages = _edge_dataset()
+    nodes = pages.map_batches(lambda b: b[["page_id"]].rename(
+        columns={"page_id": "node"}), batch_format="pandas")
+    pr = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                  seeds=_PPR_SEEDS)
+    return pr.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+def _sql_personalized_pagerank() -> str:
+    n_seeds = len(_PPR_SEEDS)
+    seed_list = ", ".join(str(s) for s in _PPR_SEEDS)
+    r0 = _PR_SCALE // n_seeds
+    base = (15 * _PR_SCALE) // (100 * n_seeds)
+    ctes = [f"""
+ppr0 AS (SELECT page_id,
+                CASE WHEN page_id IN ({seed_list})
+                     THEN {r0}::BIGINT ELSE 0::BIGINT END AS r
+         FROM pages)"""]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+ppr{k} AS MATERIALIZED (
+  SELECT n.page_id AS page_id,
+         CASE WHEN n.page_id IN ({seed_list})
+              THEN {base}::BIGINT ELSE 0::BIGINT END
+           + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM pages n LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.r // d.d) AS c
+    FROM ppr{k-1} p
+    JOIN edges e ON e.src = p.page_id
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.dst = n.page_id)""")
+    chain = ",".join(ctes)
+    return f"""
+WITH {_SQL_GRAPH_BASE},
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+{chain}
+SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM ppr{_PR_ITERS}
+"""
+
+
+SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
+
+
 def ensure_web_fixtures() -> None:
     from gush_ray.datagen import ensure_frontier_messy_pages
 
@@ -922,6 +982,8 @@ WEB_QUERIES = {
     "boilerplate_removal": (q_boilerplate, SQL_BOILERPLATE),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
+    "personalized_pagerank": (q_personalized_pagerank,
+                              SQL_PERSONALIZED_PAGERANK),
     # import-order note: building this SQL imports queries_extra at
     # module-load time; queries_extra only imports THIS module inside
     # functions, so the load order is acyclic either way

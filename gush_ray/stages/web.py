@@ -241,12 +241,20 @@ PR_SCALE = 10**12  # micro-rank units: 1.0 of rank mass == PR_SCALE
 def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
              damp_num: int = 85, damp_den: int = 100,
              node_col: str = "node", src_col: str = "src",
-             dst_col: str = "dst"):
+             dst_col: str = "dst", seeds=None):
     """Integer-exact PageRank over a Dataset edge list.
 
     ``r0(v) = scale // N``;
     ``r_{k+1}(v) = (den-num)*scale // (den*N)
                    + num * Σ_{(u,v)∈E} (r_k(u) // outdeg(u)) // den``.
+
+    ``seeds`` (a small collection of node ids) switches to PERSONALIZED
+    PageRank: the teleport mass lands only on the seed set —
+    ``r0(v) = scale // |S|`` for v ∈ S else 0, and the per-iteration
+    base term is likewise seed-only — the seed-biased relevance score a
+    crawler uses to prioritize its frontier around trusted roots.
+    Seeds are broadcast by closure (a curated seed list is small BY
+    DEFINITION; a huge teleport vector would need a join instead).
 
     All arithmetic is int64 floor division on positive values, so the
     result is bit-identical to the unrolled SQL CTE chain regardless of
@@ -266,8 +274,12 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
     n_nodes = int(nodes.count())
     if n_nodes == 0:
         raise ValueError("pagerank: empty node set")
-    r0 = scale // n_nodes
-    base = ((damp_den - damp_num) * scale) // (damp_den * n_nodes)
+    seed_set = frozenset(seeds) if seeds is not None else None
+    if seed_set is not None and not seed_set:
+        raise ValueError("pagerank: empty seed set")
+    n_base = len(seed_set) if seed_set is not None else n_nodes
+    r0 = scale // n_base
+    base = ((damp_den - damp_num) * scale) // (damp_den * n_base)
 
     # trailing repartitions after partial_aggregate are load-bearing:
     # map_groups emits schema-LESS empty blocks for empty partitions and
@@ -278,8 +290,10 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
     edges_deg = hash_join(edges, deg, on=src_col).materialize()
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({src_col: b[node_col].to_numpy(),
-                             "r": np.full(len(b), r0, dtype=np.int64)})
+        v = b[node_col]
+        r = (np.full(len(b), r0, dtype=np.int64) if seed_set is None
+             else np.where(v.isin(seed_set), r0, 0).astype(np.int64))
+        return pd.DataFrame({src_col: v.to_numpy(), "r": r})
 
     ranks = nodes.map_batches(init, batch_format="pandas").materialize()
 
@@ -305,7 +319,10 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
 
         def next_rank(b: pd.DataFrame) -> pd.DataFrame:
             c = b["c"].fillna(0).to_numpy(np.int64)
-            r = base + (damp_num * c) // damp_den
+            b_arr = (base if seed_set is None
+                     else np.where(b[src_col].isin(seed_set),
+                                   base, 0).astype(np.int64))
+            r = b_arr + (damp_num * c) // damp_den
             return pd.DataFrame({src_col: b[src_col].to_numpy(),
                                  "r": r.astype(np.int64)})
 

@@ -461,3 +461,35 @@ def test_resolve_redirects_semantics():
     assert rows2["b"] is True or rows2["b"] == True  # noqa: E712
     assert not rows2["a"]        # 3 hops > 2^1
     assert not rows2["long0"]
+
+
+def _ppr_reference(edges, n_nodes, seeds, iters, scale=PR_SCALE):
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    S = set(seeds)
+    r = {v: (scale // len(S) if v in S else 0) for v in range(n_nodes)}
+    base = (15 * scale) // (100 * len(S))
+    for _ in range(iters):
+        sums = {v: 0 for v in range(n_nodes)}
+        for s, d in edges:
+            sums[d] += r[s] // outdeg[s]
+        r = {v: (base if v in S else 0) + (85 * sums[v]) // 100
+             for v in range(n_nodes)}
+    return r
+
+
+def test_personalized_pagerank_matches_integer_reference():
+    """Seed-biased teleport: mass concentrates downstream of the seeds;
+    a node unreachable from the seed set scores exactly 0."""
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4)]  # {3,4} disconnected
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": range(5)}))
+    got = pagerank(edges_ds, nodes_ds, iters=5, seeds=[0]).to_pandas()
+    got = dict(zip(got["node"], got["rank_micro"]))
+    assert got == _ppr_reference(edges, 5, [0], iters=5)
+    assert got[3] == 0 and got[4] == 0    # unreachable from seed
+    assert got[0] > 0 and got[1] > 0      # seed + downstream
+
+    with pytest.raises(ValueError):
+        pagerank(edges_ds, nodes_ds, seeds=[])
