@@ -955,6 +955,70 @@ SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM ppr{_PR_ITERS}
 SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
 
 
+# ---------------------------------------------------------------------------
+# integer-exact distributed linear probe (quality regression)
+# ---------------------------------------------------------------------------
+
+def q_quality_probe(sf_dir: str):
+    """Linear probe of a quality signal over the documents corpus:
+    fit ``distinct_tokens ~ 1 + tokens + chars`` by exact integer least
+    squares (stages/linear.linear_probe — per-batch integer sufficient
+    statistics, one fixed-size gather, Cramer in Python ints). The SQL
+    twin replays the identical HUGEINT determinant arithmetic."""
+    from gush_ray.stages.linear import linear_probe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].fillna("")
+        sp = txt.str.split(" ")
+        return pd.DataFrame({
+            "f1": sp.str.len().to_numpy("int64"),
+            "f2": txt.str.len().to_numpy("int64"),
+            "y": sp.map(lambda w: len(set(w))).to_numpy("int64"),
+        })
+
+    return linear_probe(ds.map_batches(feats, batch_format="pandas"),
+                        ["f1", "f2"], "y")
+
+
+SQL_QUALITY_PROBE = """
+WITH f AS (
+  SELECT len(string_split(text, ' ')) AS f1,
+         length(text) AS f2,
+         len(list_distinct(string_split(text, ' '))) AS y
+  FROM documents),
+s AS (SELECT
+    CAST(count(*) AS HUGEINT) AS s00,
+    SUM(CAST(f1 AS HUGEINT)) AS s01,
+    SUM(CAST(f2 AS HUGEINT)) AS s02,
+    SUM(CAST(f1 AS HUGEINT) * f1) AS s11,
+    SUM(CAST(f1 AS HUGEINT) * f2) AS s12,
+    SUM(CAST(f2 AS HUGEINT) * f2) AS s22,
+    SUM(CAST(y AS HUGEINT)) AS t0,
+    SUM(CAST(f1 AS HUGEINT) * y) AS t1,
+    SUM(CAST(f2 AS HUGEINT) * y) AS t2,
+    count(*) AS n
+  FROM f),
+d AS (SELECT *,
+    (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+       + s02*(s01*s12 - s11*s02)) AS det,
+    (t0*(s11*s22 - s12*s12) - s01*(t1*s22 - s12*t2)
+       + s02*(t1*s12 - s11*t2)) AS det0,
+    (s00*(t1*s22 - s12*t2) - t0*(s01*s22 - s12*s02)
+       + s02*(s01*t2 - t1*s02)) AS det1,
+    (s00*(s11*t2 - t1*s12) - s01*(s01*t2 - t1*s02)
+       + t0*(s01*s12 - s11*s02)) AS det2
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(det AS VARCHAR) AS det,
+       CAST((det0 * 1000000) // det AS BIGINT) AS b0_micro,
+       CAST((det1 * 1000000) // det AS BIGINT) AS b1_micro,
+       CAST((det2 * 1000000) // det AS BIGINT) AS b2_micro
+FROM d
+"""
+
+
 def ensure_web_fixtures() -> None:
     from gush_ray.datagen import ensure_frontier_messy_pages
 
@@ -984,6 +1048,7 @@ WEB_QUERIES = {
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "personalized_pagerank": (q_personalized_pagerank,
                               SQL_PERSONALIZED_PAGERANK),
+    "quality_probe": (q_quality_probe, SQL_QUALITY_PROBE),
     # import-order note: building this SQL imports queries_extra at
     # module-load time; queries_extra only imports THIS module inside
     # functions, so the load order is acyclic either way

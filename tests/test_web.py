@@ -493,3 +493,51 @@ def test_personalized_pagerank_matches_integer_reference():
 
     with pytest.raises(ValueError):
         pagerank(edges_ds, nodes_ds, seeds=[])
+
+
+def test_linear_probe_exactness():
+    """The distributed integer least-squares fit equals the brute-force
+    rational solution regardless of batch boundaries; truncating
+    division matches DuckDB's // on a NEGATIVE coefficient; collinear
+    features raise."""
+    from fractions import Fraction
+
+    from gush_ray.stages.linear import linear_probe
+
+    rng = np.random.RandomState(11)
+    n = 500
+    f1 = rng.randint(1, 50, n).astype("int64")
+    f2 = rng.randint(1, 2000, n).astype("int64")
+    # engineered NEGATIVE slope on f2
+    y = (5 + 3 * f1 - 2 * f2 + rng.randint(-3, 4, n)).astype("int64")
+    df = pd.DataFrame({"f1": f1, "f2": f2, "y": y})
+    ds = rd.from_pandas(df).repartition(7)  # arbitrary batch boundaries
+    got = linear_probe(ds, ["f1", "f2"], "y").iloc[0]
+
+    # brute-force exact rational solution
+    X = np.stack([np.ones(n, dtype=object), f1.astype(object),
+                  f2.astype(object)], axis=1)
+    A = (X.T @ X)
+    t = (X.T @ y.astype(object))
+    def det3(m):
+        return (m[0][0]*(m[1][1]*m[2][2]-m[1][2]*m[2][1])
+                - m[0][1]*(m[1][0]*m[2][2]-m[1][2]*m[2][0])
+                + m[0][2]*(m[1][0]*m[2][1]-m[1][1]*m[2][0]))
+    D = det3(A)
+    assert str(D) == got["det"]
+    for i in range(3):
+        Ai = A.copy()
+        Ai[:, i] = t
+        num = det3(Ai) * 10**6
+        q = abs(num) // abs(D)
+        want = q if (num >= 0) == (D >= 0) else -q  # truncation
+        assert got[f"b{i}_micro"] == want
+    # sanity: recovered slopes near the generating ones
+    assert abs(Fraction(int(got["b1_micro"]), 10**6) - 3) < 1
+    assert abs(Fraction(int(got["b2_micro"]), 10**6) + 2) < 1
+    assert got["b2_micro"] < 0
+
+    # collinear features → singular → loud error
+    bad = pd.DataFrame({"f1": f1, "f2": 2 * f1, "y": y})
+    with pytest.raises(Exception):
+        linear_probe(rd.from_pandas(bad), ["f1", "f2"], "y")
