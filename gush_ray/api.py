@@ -564,6 +564,27 @@ class Stream:
                                    src_col=src_col, dst_col=dst_col,
                                    node_col=node_col))
 
+    def resolve_redirects(self, src_col: str = "src",
+                          dst_col: str = "dst", max_rounds: int = 6,
+                          num_partitions: int = 16) -> "Stream":
+        """Redirect-chain resolution by pointer doubling over this
+        stream as a functional edge list (stages/web.resolve_redirects);
+        cycles are flagged, never looped on."""
+        from gush_ray.stages.web import resolve_redirects
+
+        return self._wrap(resolve_redirects(
+            self.ds, src_col=src_col, dst_col=dst_col,
+            max_rounds=max_rounds, num_partitions=num_partitions))
+
+    def linear_probe(self, feature_cols: list, target_col: str,
+                     scale: int = 10**6):
+        """Integer-exact distributed least squares (returns the one-row
+        coefficient DataFrame, not a Stream — it is a scalar fit)."""
+        from gush_ray.stages.linear import linear_probe
+
+        return linear_probe(self.ds, feature_cols, target_col,
+                            scale=scale)
+
     def triangle_counts(self, src_col: str = "src", dst_col: str = "dst",
                         num_partitions: int = 16) -> "Stream":
         """Per-node triangle participation over this stream as an edge

@@ -287,7 +287,11 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
     # dedup.duplicate_clusters_distributed)
     deg = partial_aggregate(
         edges, [src_col], {"outdeg": (None, "count")}).repartition(4)
-    edges_deg = hash_join(edges, deg, on=src_col).materialize()
+    # repartition before materialize: the join's schemaless empty blocks
+    # would poison every iteration's join against ranks (whose keys
+    # include isolated nodes absent from edges) — see resolve_redirects
+    edges_deg = hash_join(edges, deg, on=src_col).repartition(8) \
+        .materialize()
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
         v = b[node_col]
@@ -582,7 +586,9 @@ def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
                        batch_format="pandas")
     bb = ue.map_batches(lambda b: b.rename(columns={"u": "y", "v": "z"}),
                         batch_format="pandas")
-    wedges = hash_join(a, bb, on="y")
+    # repartition: drop the wedge join's schemaless empty blocks before
+    # they reach the closing join's left side (see resolve_redirects)
+    wedges = hash_join(a, bb, on="y").repartition(4)
     closing = ue.map_batches(lambda b: b.rename(columns={"u": "x",
                                                          "v": "z"}),
                              batch_format="pandas")
@@ -657,8 +663,15 @@ def resolve_redirects(redirects, *, src_col: str = "src",
                              "h": b["h"].to_numpy(np.int64),
                              "done": b["is_src"].isna().to_numpy()})
 
+    # the trailing repartition is LOAD-BEARING: a join's output keeps
+    # schema-LESS empty blocks for empty hash partitions, and feeding
+    # them back into the next join's left side crashes Acero FieldRef
+    # resolution ('No match ... on left side') whenever a partition
+    # holds only right rows — found by the random-functional-graph fuzz
+    # (same class as the pagerank/dedup partial-agg gotcha)
     state = hash_join(edges, srcs, on="v", join_type="left_outer") \
-        .map_batches(mark, batch_format="pandas").materialize()
+        .map_batches(mark, batch_format="pandas") \
+        .repartition(4).materialize()
 
     for _ in range(max_rounds):
         # F = the function table keyed by its INPUT url
@@ -683,7 +696,8 @@ def resolve_redirects(redirects, *, src_col: str = "src",
                                  "done": nd.astype(bool)})
 
         state = hash_join(state, f_tab, on="v", join_type="left_outer") \
-            .map_batches(step, batch_format="pandas").materialize()
+            .map_batches(step, batch_format="pandas") \
+            .repartition(4).materialize()
 
     def out(b: pd.DataFrame) -> pd.DataFrame:
         done = b["done"].to_numpy(bool)

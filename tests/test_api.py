@@ -335,3 +335,24 @@ def test_stream_web_ops_round3(ray_session):
     })
     out = Stream.from_arrow(docs).remove_boilerplate(min_docs=3).to_pandas()
     assert sorted(out["text"]) == ["x", "y", "z"]
+
+
+def test_stream_redirects_and_probe(ray_session):
+    from gush_ray.api import Stream
+
+    e = Stream.from_arrow(pa.table({
+        "src": ["a", "b", "p", "q"],
+        "dst": ["b", "T", "q", "p"],
+    }))
+    got = e.resolve_redirects(num_partitions=2).to_pandas()
+    rows = {r.src_url: (r.final_url, r.n_hops, r.resolved)
+            for r in got.itertuples()}
+    assert rows["a"] == ("T", 2, True)
+    assert rows["p"] == ("", -1, False)
+
+    t = pa.table({"f1": [1, 2, 3, 4], "f2": [2, 1, 5, 3],
+                  "y": [10, 13, 22, 21]})
+    fit = Stream.from_arrow(t).linear_probe(["f1", "f2"], "y")
+    assert list(fit.columns) == ["n_rows", "det", "b0_micro", "b1_micro",
+                                 "b2_micro"]
+    assert fit.iloc[0]["n_rows"] == 4

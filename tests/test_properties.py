@@ -450,3 +450,46 @@ def test_delta_chain_restore_with_nfa_section_deltas(epochs, cadence,
     got = matches_df(restored.process(len(epochs), probe))
     want = matches_df(live.process(len(epochs), probe))
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution: pointer doubling vs a single-hop dict walk on
+# random functional graphs (chains, trees INTO chains, cycles, self-loops
+# arise naturally from a random successor function)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    frac_src=st.floats(min_value=0.3, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_resolve_redirects_matches_dict_walk(n, frac_src, seed):
+    import ray.data as rd
+
+    from gush_ray.stages.web import resolve_redirects
+
+    rng = np.random.RandomState(seed)
+    nodes = [f"u{i}" for i in range(n)]
+    srcs = [u for u in nodes if rng.rand() < frac_src] or [nodes[0]]
+    f = {u: nodes[int(rng.randint(0, n))] for u in srcs}
+    max_rounds = 4  # resolves chains up to 16 hops
+
+    # reference: plain single-hop walk with the same 2^rounds bound
+    def walk(u):
+        cur, hops = f[u], 1
+        while cur in f and hops < 2 ** max_rounds:
+            cur, hops = f[cur], hops + 1
+        if cur in f:  # still a source after the bound → unresolved
+            return ("", -1, False)
+        return (cur, hops, True)
+
+    want = {u: walk(u) for u in srcs}
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"src": list(f), "dst": [f[u] for u in f]}))
+    got = resolve_redirects(ds, max_rounds=max_rounds,
+                            num_partitions=3).to_pandas()
+    got_map = {r.src_url: (r.final_url, int(r.n_hops), bool(r.resolved))
+               for r in got.itertuples()}
+    assert got_map == want
