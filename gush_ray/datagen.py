@@ -683,7 +683,7 @@ def gen_video_table(n: int = 12, seed: int = 19) -> pa.Table:
 
 # fixed paths: the SQL oracles are static strings reading the same bytes
 # (v2: anchors carry deterministic word text for the anchor-text ops)
-LINK_FIXTURE = "/tmp/gush_ray_links/v2"
+LINK_FIXTURE = "/tmp/gush_ray_links/v3"
 URL_FIXTURE = "/tmp/gush_ray_urls/v1"
 
 
@@ -717,9 +717,16 @@ def gen_linked_pages(n_urls: int = 900, seed: int = 23,
             # the anchor-text aggregation operators' ground signal
             w1 = _WORDS[(i * 13 + j * 7) % len(_WORDS)]
             w2 = _WORDS[(i * 31 + j * 17 + 5) % len(_WORDS)]
-            anchors.append(f'<a href="{dst}">{w1} {w2}</a>')
+            # v3: ~20% of anchors carry rel="nofollow" (deterministic in
+            # (page, slot)) — the nofollow-aware extraction's signal;
+            # plain extraction still matches them (href regex unchanged)
+            rel = ' rel="nofollow"' if (i * 7 + j * 3) % 5 == 0 else ""
+            anchors.append(f'<a href="{dst}"{rel}>{w1} {w2}</a>')
+        # v3: every 9th page is marked noindex (meta-robots filter signal)
+        meta = ('<meta name="robots" content="noindex,follow">'
+                if i % 9 == 0 else "")
         htmls.append(
-            f'<!DOCTYPE html><html><head><title>{urls[i]}</title>'
+            f'<!DOCTYPE html><html><head><title>{urls[i]}</title>{meta}'
             f'<link href="/static/site.css" rel="stylesheet"></head>'
             f"<body><article>page {i}</article>"
             f'<nav>{"".join(anchors)}</nav></body></html>'.encode()

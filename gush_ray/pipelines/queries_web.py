@@ -1019,6 +1019,63 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl hygiene: nofollow-aware link extraction + meta-robots noindex
+# ---------------------------------------------------------------------------
+
+def q_nofollow_links(sf_dir: str):
+    """(src_url, dst_url) edges EXCLUDING rel="nofollow" anchors
+    (stages/web.extract_links_nofollow_table) — the edge list a ranking
+    pipeline is allowed to pass mass through."""
+    from gush_ray.stages.web import extract_links_nofollow_table
+
+    return _read_links().map_batches(
+        lambda b: extract_links_nofollow_table(b.select(["url", "html"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# two parallel regexp_extract_all calls over the SAME pattern unnest in
+# lockstep (DuckDB aligns parallel list unnests positionally), giving
+# (href, attrs) pairs; the filter drops nofollow attrs
+SQL_NOFOLLOW_LINKS = f"""
+WITH pairs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(decode(html),
+                '<a href="([^"<]*)"([^>]*)', 1)) AS dst_url,
+         unnest(regexp_extract_all(decode(html),
+                '<a href="([^"<]*)"([^>]*)', 2)) AS attrs
+  FROM read_parquet('{_LINK_PARQUET}'))
+SELECT src_url, dst_url FROM pairs
+WHERE NOT contains(attrs, 'rel="nofollow"')
+"""
+
+
+def q_noindex_filter(sf_dir: str):
+    """Meta-robots noindex filter: the per-page indexability verdict
+    (page_id, indexable) over the link fixture
+    (stages/web.noindex_mask)."""
+    import pyarrow.compute as pc
+
+    from gush_ray.stages.web import noindex_mask
+
+    def verdict(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "page_id": b["page_id"],
+            "indexable": pc.invert(noindex_mask(b["html"])),
+        })
+
+    return _read_links().map_batches(verdict, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+SQL_NOINDEX_FILTER = f"""
+SELECT page_id,
+       NOT regexp_matches(decode(html),
+           '<meta name="robots" content="[^"]*noindex') AS indexable
+FROM read_parquet('{_LINK_PARQUET}')
+"""
+
+
 def ensure_web_fixtures() -> None:
     from gush_ray.datagen import ensure_frontier_messy_pages
 
@@ -1049,6 +1106,8 @@ WEB_QUERIES = {
     "personalized_pagerank": (q_personalized_pagerank,
                               SQL_PERSONALIZED_PAGERANK),
     "quality_probe": (q_quality_probe, SQL_QUALITY_PROBE),
+    "nofollow_links": (q_nofollow_links, SQL_NOFOLLOW_LINKS),
+    "noindex_filter": (q_noindex_filter, SQL_NOINDEX_FILTER),
     # import-order note: building this SQL imports queries_extra at
     # module-load time; queries_extra only imports THIS module inside
     # functions, so the load order is acyclic either way

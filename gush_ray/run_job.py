@@ -170,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
             for s in (("changes", "windows", "sessions", "sessions_wm",
                        "matches", "late")
                       + (("near_dups",) if _neardup_spec(args) else ())
-                      + (("frontier",) if _frontier_spec(args) else ()))
+                      + (("frontier",) if _frontier_spec(args) else ())
+                      + (("topk",) if args.window_topk else ()))
         },
     }
     print(json.dumps(summary))

@@ -710,3 +710,37 @@ def resolve_redirects(redirects, *, src_col: str = "src",
         })
 
     return state.map_batches(out, batch_format="pandas")
+
+
+def extract_links_nofollow_table(tbl: pa.Table, html_col: str = "html",
+                                 url_col: str = "url") -> pa.Table:
+    """(url, html) rows → (src_url, dst_url) edges EXCLUDING anchors
+    whose attribute tail carries ``rel="nofollow"`` — the link-graph
+    hygiene every ranking pipeline applies (nofollow edges must not
+    pass PageRank mass). Same split as :func:`extract_links_table`, one
+    anchored two-group regex per tail: href + the attribute run up to
+    the tag close (``[^>]*`` — stops at '>' or end-of-tail, both
+    sides). The SQL twin extracts the same two groups with parallel
+    ``regexp_extract_all`` calls and filters on the attrs group."""
+    tails, srcs = _anchor_tails(tbl, html_col, url_col)
+    m = pc.extract_regex(tails, r'^(?P<d>[^"<]*)"(?P<a>[^>]*)')
+    ok = pc.is_valid(m)
+    attrs = pc.struct_field(m, "a").filter(ok)
+    keep = pc.invert(pc.match_substring(attrs, 'rel="nofollow"'))
+    return pa.table({
+        "src_url": srcs.filter(ok).filter(keep),
+        "dst_url": pc.struct_field(m, "d").filter(ok).filter(keep),
+    })
+
+
+_NOINDEX_RE = r'<meta name="robots" content="[^"]*noindex'
+
+
+def noindex_mask(html: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """True for pages whose meta-robots declares ``noindex`` (the page
+    must be excluded from every indexing/ranking output — crawl hygiene
+    alongside robots.txt). One vectorized RE2 pass; null html → False
+    (no meta tag, indexable). SQL twin: ``regexp_matches(decode(html),
+    '<meta name="robots" content="[^"]*noindex')``."""
+    s = _html_as_string(html)
+    return pc.fill_null(pc.match_substring_regex(s, _NOINDEX_RE), False)

@@ -541,3 +541,32 @@ def test_linear_probe_exactness():
     bad = pd.DataFrame({"f1": f1, "f2": 2 * f1, "y": y})
     with pytest.raises(Exception):
         linear_probe(rd.from_pandas(bad), ["f1", "f2"], "y")
+
+
+def test_nofollow_and_noindex_kernels():
+    from gush_ray.stages.web import (
+        extract_links_nofollow_table,
+        extract_links_table,
+        noindex_mask,
+    )
+
+    tbl = pa.table({
+        "url": ["a", "b"],
+        "html": [
+            b'<a href="x" rel="nofollow">n</a><a href="y">f</a>'
+            b'<a href="z" class="c" rel="nofollow">n2</a>',
+            b'<a href="q">plain</a><a href="trunc',
+        ],
+    })
+    got = extract_links_nofollow_table(tbl).to_pydict()
+    assert got == {"src_url": ["a", "b"], "dst_url": ["y", "q"]}
+    # plain extraction still sees every closed href
+    assert extract_links_table(tbl).num_rows == 4
+
+    m = noindex_mask(pa.array([
+        b'<head><meta name="robots" content="noindex,follow"></head>',
+        b'<head><meta name="robots" content="nofollow"></head>',
+        b"<head></head>",
+        None,
+    ], type=pa.binary())).to_pylist()
+    assert m == [True, False, False, False]
