@@ -71,7 +71,13 @@ _PRIORITY = [
     # green in tests/test_oracle.py. link_extract/link_components stay
     # outside the 50 (same fixture + graph as pagerank).
     "pagerank", "url_canonical_dedup", "dsir_select",
-    "pages_flagship", "pages_late_routing", "stream_join", "extract_parity",
+    # pages_refire (round 3, seventh wave): Flink-style allowed-
+    # lateness window RE-FIRING with a retraction changelog (the
+    # window_updates stream) — a new streaming-semantics family; it
+    # replaces pages_late_routing, whose late-routing rule is a strict
+    # subset of the refire oracle (rows past the lateness horizon) and
+    # which stays green in tests/test_oracle.py
+    "pages_flagship", "pages_refire", "stream_join", "extract_parity",
     "ann_topk", "ivf_index_ann", "lsh_index_ann",
     # near-dup family, oracle-paired round 3 via the md5 verification
     # hash mode (stages/dedup.md5_hash_strings == md5_number_lower):

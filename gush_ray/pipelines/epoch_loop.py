@@ -362,6 +362,9 @@ def _reduce_partition(
         closes = ps.advance_watermark(watermark_us)
         ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
                                    closes["windows"])
+        if params.window_refire:
+            ExactlyOnceSink.write_part(out_dir, "window_updates", epoch,
+                                       pid, closes["window_updates"])
         ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                    closes["sessions"])
         t_parts = time.perf_counter()
@@ -420,6 +423,9 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     closes = ps.advance_watermark(POS_INF)
     ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
                                closes["windows"])
+    if params.window_refire:
+        ExactlyOnceSink.write_part(out_dir, "window_updates", epoch, pid,
+                                   closes["window_updates"])
     ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                closes["sessions"])
     return {"windows": closes["windows"].num_rows,
@@ -524,6 +530,7 @@ class StreamingJob:
         dedup_ttl_us: int | None = None,
         idle_partition_epochs: int | None = None,
         statsd: str | None = None,
+        window_refire: bool = False,
     ):
         assert mode in ("tasks", "actors")
         if (right_dir is None) != (join_spec is None):
@@ -597,6 +604,7 @@ class StreamingJob:
             frontier_spec=frontier_spec,
             snapshot_full_every=snapshot_full_every,
             dedup_ttl_us=dedup_ttl_us,
+            window_refire=window_refire,
         )
         self.right_dir = (normalize_uri(right_dir)
                           if right_dir is not None else None)
@@ -1242,6 +1250,11 @@ class StreamingJob:
                 ExactlyOnceSink.write_part(
                     self.out_dir, "windows", epoch, pid, c["windows"]
                 )
+                if self.params.window_refire:
+                    ExactlyOnceSink.write_part(
+                        self.out_dir, "window_updates", epoch, pid,
+                        c["window_updates"]
+                    )
                 ExactlyOnceSink.write_part(
                     self.out_dir, "sessions_wm", epoch, pid, c["sessions"]
                 )
@@ -1449,6 +1462,11 @@ class StreamingJob:
                 ExactlyOnceSink.write_part(
                     self.out_dir, "windows", slot, pid, c["windows"]
                 )
+                if self.params.window_refire:
+                    ExactlyOnceSink.write_part(
+                        self.out_dir, "window_updates", slot, pid,
+                        c["window_updates"]
+                    )
                 ExactlyOnceSink.write_part(
                     self.out_dir, "sessions_wm", slot, pid, c["sessions"]
                 )

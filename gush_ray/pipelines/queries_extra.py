@@ -204,6 +204,86 @@ SELECT lang, count(*) AS n_late FROM flagged WHERE ts_us < wm_prev
 GROUP BY lang ORDER BY lang
 """
 
+# Flink-style late-firing changelog (window_refire mode), replayed
+# statically: a window's firing epoch F is the first epoch whose
+# post-advance watermark passes its end (max_epoch+1 = the final flush);
+# every contribution epoch maps to emission epoch max(e, F); at each
+# emission epoch the engine emits +1 with the cumulative count and -1
+# retracting the previous emission (none before the first). On-time
+# contributions are the V1 survivors; late contributions are accepted
+# iff their window end + lateness is still ahead of the watermark at
+# arrival (Flink's drop rule) and bypass V1 (StateParams.window_refire).
+_REFIRE_LATE_US = 1_800_000_000
+
+SQL_PAGES_REFIRE = f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, lang, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+uniq AS (SELECT url, ts_us, lang, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT epoch, max(mx) OVER (ORDER BY epoch) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch)
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+),
+nonlate AS (SELECT * FROM flagged WHERE ts_us >= wm_prev),
+survivors AS (
+  SELECT a.url, a.ts_us, a.lang, a.epoch FROM nonlate a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nonlate b
+    WHERE b.url = a.url AND b.epoch < a.epoch AND b.ts_us >= a.ts_us
+  )
+),
+contrib AS (
+  SELECT lang, ts_us // {_WIN_US} AS wid, epoch FROM survivors
+  UNION ALL
+  SELECT lang, ts_us // {_WIN_US} AS wid, epoch FROM flagged
+  WHERE ts_us < wm_prev
+    AND (ts_us // {_WIN_US}) * {_WIN_US} + {_WIN_US}
+        + {_REFIRE_LATE_US} > wm_prev
+),
+bounds AS (SELECT max(epoch) AS max_e FROM pages),
+fire AS (
+  SELECT w.wid,
+         coalesce(min(CASE WHEN m.wm_after >= (w.wid + 1) * {_WIN_US}
+                           THEN m.epoch END), b.max_e + 1) AS f
+  FROM (SELECT DISTINCT wid FROM contrib) w
+  CROSS JOIN bounds b LEFT JOIN wm m ON true
+  GROUP BY w.wid, b.max_e
+),
+eff AS (
+  SELECT c.lang, c.wid, GREATEST(c.epoch, f.f) AS g, count(*) AS dn
+  FROM contrib c JOIN fire f ON f.wid = c.wid
+  GROUP BY c.lang, c.wid, GREATEST(c.epoch, f.f)
+),
+cums AS (
+  SELECT lang, wid, g,
+         sum(dn) OVER (PARTITION BY lang, wid ORDER BY g) AS cum,
+         row_number() OVER (PARTITION BY lang, wid ORDER BY g) - 1 AS s
+  FROM eff
+),
+seqd AS (
+  SELECT lang, wid, g, cum, s,
+         lag(cum) OVER (PARTITION BY lang, wid ORDER BY g) AS prev_cum
+  FROM cums
+)
+SELECT lang, wid AS window_id, CAST(1 AS BIGINT) AS change,
+       CAST(cum AS BIGINT) AS n, CAST(cum AS DOUBLE) AS sum_value,
+       CAST(s AS BIGINT) AS fire_seq
+FROM seqd
+UNION ALL
+SELECT lang, wid AS window_id, CAST(-1 AS BIGINT) AS change,
+       CAST(prev_cum AS BIGINT) AS n, CAST(prev_cum AS DOUBLE) AS sum_value,
+       CAST(s AS BIGINT) AS fire_seq
+FROM seqd WHERE s >= 1
+ORDER BY lang, window_id, fire_seq, change
+"""
+
 # same survivor pipeline, but the watermark is the TWO-stream bound
 # (min of both streams' running maxima — a stream running ahead must
 # not mark the other's rows late), then the inclusive interval join
@@ -1772,6 +1852,37 @@ def q_pages_late_routing(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_pages_refire(sf_dir: str):
+    """Flink-style allowed-lateness window RE-FIRING with a retraction
+    changelog (window "update mode"): windows fire on time, their
+    accumulators are retained for allowed_lateness past the end, and
+    each epoch's accepted late rows re-fire their window as a
+    (-1 old, +1 new) pair on the `window_updates` stream; folding
+    sum(change*n) per window over the changelog yields the final
+    totals. num_partitions=1 for the same watermark reason as
+    q_pages_flagship; multi-partition fold correctness and kill→resume
+    parity are pinned by tests/test_refire.py."""
+    from gush_ray.config import EngineConfig
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=1,
+        pattern=None, window_group_cols=("lang",), window_refire=True,
+        cfg=EngineConfig(allowed_lateness_us=_REFIRE_LATE_US),
+    )
+    job.run()
+    upd = job.read_output("window_updates")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = upd[["lang", "window_id", "change", "n", "sum_value",
+               "fire_seq"]]
+    return out.sort_values(
+        ["lang", "window_id", "fire_seq", "change"]
+    ).reset_index(drop=True)
+
+
 def q_extract_parity(sf_dir: str):
     """Byte-identity audit of html→text extraction over the synthetic
     pages: returns per-lang (rows, n_identical, n_errors) — n_identical
@@ -2386,6 +2497,7 @@ EXTRA_QUERIES = {
     "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
+    "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),

@@ -195,6 +195,13 @@ def rescale_state(out_dir: str, new_P: int,
             "was passed — rescaling would silently drop it; call "
             "rescale_state with the job's StateParams"
         )
+    if not params.window_refire and any(ps.fired for ps in old_states):
+        raise ValueError(
+            "checkpoint holds fired-window accumulators but "
+            "window_refire is off — rescaling would silently drop "
+            "pending late re-firings; call rescale_state with the "
+            "job's StateParams"
+        )
 
     new_states = [PartitionState(pid, probe) for pid in range(new_P)]
     global_wm = min(ps.watermark_us for ps in old_states)
@@ -218,6 +225,26 @@ def rescale_state(out_dir: str, new_P: int,
                 gkey, [0, 0.0])
             slot[0] += int(cnt)
             slot[1] += float(sm)
+        for gkey, fslot in ps.fired.items():
+            # fired accumulators merge additively like open windows
+            # (each partition held a PARTIAL of the window); emitted
+            # values also add — every partition emitted its own partial,
+            # so the merged changelog's future retraction must retract
+            # the SUM of what was emitted. n_emissions = max keeps the
+            # "nothing emitted yet" (0) case exact; any positive value
+            # only gates whether a -1 precedes the next +1.
+            tgt = new_states[_group_part(gkey, new_P)].fired.setdefault(
+                gkey, [0, 0.0,
+                       set() if params.window_distinct else None,
+                       0, 0.0, 0, 0])
+            tgt[0] += int(fslot[0])
+            tgt[1] += float(fslot[1])
+            if fslot[2] is not None and tgt[2] is not None:
+                tgt[2] |= fslot[2]
+            tgt[3] += int(fslot[3])
+            tgt[4] += float(fslot[4])
+            tgt[5] += int(fslot[5])
+            tgt[6] = max(tgt[6], int(fslot[6]))
         if ps.nfa is not None:
             for k, plist in ps.nfa.partials.items():
                 tgt = new_states[_key_part(k, new_P)].nfa

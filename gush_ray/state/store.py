@@ -73,6 +73,26 @@ class StateParams:
     window_distinct: bool = False
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
+    # Flink-style late firings (window "update mode"). False (default):
+    # the watermark is HELD BACK by allowed_lateness_us, each window
+    # fires exactly once, and every sub-watermark row goes to the late
+    # stream. True: the watermark advances on time, windows fire at
+    # end <= wm into the `windows` stream, their accumulators are
+    # RETAINED for allowed_lateness_us past the end, and a late row is
+    # dropped only when EVERY window it belongs to is expired
+    # (end + lateness <= wm) — Flink's drop rule. Accepted late rows
+    # re-fire their window with a retraction pair on the
+    # `window_updates` changelog stream: (change=-1, previously emitted
+    # values) then (change=+1, updated values), one pair per touched
+    # window per epoch (the micro-batch analog of Flink's per-element
+    # late firing). Initial firings also emit (change=+1, fire_seq=0),
+    # so folding sum(change*n) per window over the changelog yields the
+    # final window totals. Late-accepted rows contribute ONLY to
+    # windows: they stay excluded from the changes/V1 path (a
+    # sub-watermark row cannot be versioned deterministically under
+    # replays), so window_group_cols must exist on the raw input —
+    # V1-derived columns (change_kind/version) are unavailable for them.
+    window_refire: bool = False
     # stream-stream interval join against a second keyed event stream
     # (state/join_state.JoinSpec); left side = the emitted change rows
     join_spec: "object | None" = None
@@ -123,6 +143,12 @@ class PartitionState:
         self.last_ts: dict = {}
         self.version: dict = {}
         self.win: dict = {}        # (group..., window_id) -> [n, sum]
+        # window_refire mode: accumulators of ALREADY-FIRED windows kept
+        # until end + allowed_lateness passes the watermark —
+        # (group..., window_id) -> [n, sum, keyset|None,
+        #                           emitted_n, emitted_sum,
+        #                           emitted_n_distinct, n_emissions]
+        self.fired: dict = {}
         self.sessions: dict = {}   # key -> [start, last, n]
         self.nfa = NFARunner(params.pattern) if params.pattern else None
         if params.join_spec is not None:
@@ -165,6 +191,13 @@ class PartitionState:
         self._win_closed: set = set()
         self._sess_dirty: set = set()
         self._sess_closed: set = set()
+        # fired-window accumulators delta the same way as open windows
+        self._fired_dirty: set = set()
+        self._fired_closed: set = set()
+        # fired windows touched by late-accepted rows this epoch; drained
+        # (emitting retraction pairs) at the next advance_watermark, so
+        # the set is always empty at snapshot time
+        self._refire_pending: set = set()
         # last watermark at which a TTL sweep ran (amortization: the
         # sweep scans the whole dict, so it runs at most once per TTL/8
         # of watermark progress; snapshotted so a resumed run keeps the
@@ -480,10 +513,27 @@ class PartitionState:
         if len(ts):
             self.max_ts_us = max(self.max_ts_us, int(ts.max()))
 
-        # late rows: event time already below the watermark → side output
-        late_mask = df[p.ts_col].to_numpy() < self.watermark_us
-        late = df[late_mask]
-        df = df[~late_mask]
+        # late rows: event time already below the watermark → side output.
+        # In window_refire mode a sub-watermark row is LATE only when
+        # every window it belongs to is expired (Flink's drop rule);
+        # otherwise it is accepted for window re-firing (but still
+        # excluded from the changes/V1 path — see StateParams docs).
+        ts_np = df[p.ts_col].to_numpy()
+        lateok = None
+        if p.window_refire:
+            slide_c = p.window_slide_us or p.window_size_us
+            # the row's newest window ends at (ts//slide)*slide + size
+            max_end = (ts_np // slide_c) * slide_c + p.window_size_us
+            sub_wm = ts_np < self.watermark_us
+            late_mask = sub_wm & (
+                max_end + p.allowed_lateness_us <= self.watermark_us)
+            lateok = df[sub_wm & ~late_mask]
+            late = df[late_mask]
+            df = df[~sub_wm]
+        else:
+            late_mask = ts_np < self.watermark_us
+            late = df[late_mask]
+            df = df[~late_mask]
 
         # V1 row-version dedup: drop stale (ts <= last seen for the url).
         # dict.get per batch row, NOT Series.map(dict): pandas converts
@@ -608,6 +658,9 @@ class PartitionState:
                         None if (isinstance(u, float) and u != u) else u
                         for u in us_keys.tolist())
 
+        n_refire_dropped = 0
+        if lateok is not None and len(lateok):
+            n_refire_dropped = self._accumulate_refire(lateok)
         tt["p_win"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
@@ -667,12 +720,105 @@ class PartitionState:
                 # cumulative dedup keys dropped by the state TTL (0 when
                 # dedup_ttl_us is unset — version counters never reset)
                 "ttl_evicted": int(self.evicted_total),
+                # window_refire mode: sub-watermark rows accepted into a
+                # still-alive window (they are in NO other stream), and
+                # (row, window) replicas dropped because that one window
+                # was expired even though a sibling window was alive
+                "window_late_accepted": (
+                    int(len(lateok)) if lateok is not None else 0),
+                "refire_expired_replicas": n_refire_dropped,
                 "max_ts_us": self.max_ts_us,
             },
         }
         tt["p_arrow"] = time.perf_counter() - t0
         out["metrics"].update({k: round(v, 3) for k, v in tt.items()})
         return out
+
+    def _accumulate_refire(self, df: pd.DataFrame) -> int:
+        """window_refire mode: fold late-but-accepted rows into their
+        windows. Each (row, window) replica lands in the window's OPEN
+        accumulator (end still ahead of the watermark — the row is
+        merely sub-watermark, the window never fired), or in its FIRED
+        accumulator (end passed, end + lateness hasn't), marking that
+        window for a retraction pair at this epoch's
+        :meth:`advance_watermark`. Replicas whose own window is expired
+        are dropped (returned for metrics) — possible only with sliding
+        windows, where a row can straddle expired and alive windows.
+
+        Cold path by design: late data is the exception, so a per-group
+        Python loop here is fine (the on-time accumulation loop above is
+        the hot one)."""
+        p = self.p
+        missing = [c for c in p.window_group_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                "window_refire needs window_group_cols present on the "
+                f"input stream; {missing} are derived post-dedup "
+                "(change_kind/version) and unavailable for late rows"
+            )
+        us = df[p.ts_col].to_numpy().astype("int64")
+        gcols = [df[c].to_numpy() for c in p.window_group_cols]
+        val = (df[p.value_col].to_numpy()
+               if p.value_col else np.ones(len(df)))
+        keys_arr = (df[p.key_col].to_numpy()
+                    if p.window_distinct else None)
+        slide = p.window_slide_us or p.window_size_us
+        if p.window_slide_us:
+            k = p.window_size_us // p.window_slide_us
+            base = us // p.window_slide_us
+            rep = np.repeat(np.arange(len(df)), k)
+            offs = np.tile(np.arange(k, dtype=np.int64), len(df))
+            wid = base[rep] - offs
+            gcols = [g[rep] for g in gcols]
+            val = val[rep]
+            if keys_arr is not None:
+                keys_arr = keys_arr[rep]
+        else:
+            wid = us // p.window_size_us
+        w_end = wid * slide + p.window_size_us
+        alive = w_end + p.allowed_lateness_us > self.watermark_us
+        n_dropped = int((~alive).sum())
+        if not alive.any():
+            return n_dropped
+        is_open = alive & (w_end > self.watermark_us)
+        acc_df = pd.DataFrame(
+            {f"g{i}": g[alive] for i, g in enumerate(gcols)} | {
+                "w": wid[alive], "v": val[alive],
+                "o": is_open[alive]}
+        )
+        if keys_arr is not None:
+            acc_df["u"] = keys_arr[alive]
+        grouped = acc_df.groupby(
+            [f"g{i}" for i in range(len(gcols))] + ["w", "o"], sort=False,
+            dropna=False,
+        )
+        for gk, sub in grouped:
+            *key, open_flag = gk
+            key = tuple(
+                None if (isinstance(v, float) and v != v) else v
+                for v in key
+            )
+            cnt = int(len(sub))
+            s = float(sub["v"].sum())
+            if open_flag:
+                slot = self.win.setdefault(
+                    key,
+                    [0, 0.0, set()] if p.window_distinct else [0, 0.0])
+                self._win_dirty.add(key)
+            else:
+                slot = self.fired.setdefault(
+                    key,
+                    [0, 0.0, set() if p.window_distinct else None,
+                     0, 0.0, 0, 0])
+                self._refire_pending.add(key)
+                self._fired_dirty.add(key)
+            slot[0] += cnt
+            slot[1] += s
+            if p.window_distinct:
+                slot[2].update(
+                    None if (isinstance(u, float) and u != u) else u
+                    for u in sub["u"].tolist())
+        return n_dropped
 
     def _update_sessions(self, df: pd.DataFrame) -> pa.Table:
         """Vectorized session merge: within-batch gap split, then merge
@@ -789,8 +935,19 @@ class PartitionState:
 
     def advance_watermark(self, watermark_us: int) -> dict:
         """Monotone advance; emits windows whose end <= wm and sessions
-        whose (last + gap) < wm; prunes expired NFA partials (W5)."""
-        wm = max(self.watermark_us, watermark_us - self.p.allowed_lateness_us)
+        whose (last + gap) < wm; prunes expired NFA partials (W5).
+
+        window_refire mode: the watermark is NOT held back by the
+        allowed lateness — windows fire on time, their accumulators move
+        to ``self.fired`` until end + lateness passes, and the
+        ``window_updates`` changelog receives the initial firing (+1)
+        plus a retraction pair (-1 old, +1 new) for every fired window
+        touched by late-accepted rows this epoch."""
+        if self.p.window_refire:
+            wm = max(self.watermark_us, watermark_us)
+        else:
+            wm = max(self.watermark_us,
+                     watermark_us - self.p.allowed_lateness_us)
         self.watermark_us = wm
 
         ttl = self.p.dedup_ttl_us
@@ -807,18 +964,67 @@ class PartitionState:
             self._ttl_sweep_wm = wm
 
         slide = self.p.window_slide_us or self.p.window_size_us
+        refire = self.p.window_refire
         win_rows = []
+        upd_rows = []
         for key, val in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
             w_end = wid * slide + self.p.window_size_us
             if w_end <= wm:
+                nd = (len(val[2]) if len(val) > 2 else 0)
                 row = (*groups, wid, val[0], val[1])
                 if self.p.window_distinct:
-                    row += (len(val[2]) if len(val) > 2 else 0,)
+                    row += (nd,)
                 win_rows.append(row)
                 del self.win[key]
                 self._win_closed.add(key)
                 self._win_dirty.discard(key)
+                if refire:
+                    # initial firing rides the changelog too, so folding
+                    # it yields final totals with no join back to the
+                    # windows stream
+                    upd_rows.append((*groups, wid, 1, val[0], val[1],
+                                     nd, 0))
+                    if w_end + self.p.allowed_lateness_us > wm:
+                        self.fired[key] = [
+                            val[0], val[1],
+                            (val[2] if len(val) > 2 else None),
+                            val[0], val[1], nd, 1,
+                        ]
+                        self._fired_dirty.add(key)
+                    # else: already expired at fire time — no late row
+                    # can ever pass the acceptance check for it, so
+                    # retaining the accumulator would only leak state
+
+        if refire and self._refire_pending:
+            for key in list(self._refire_pending):
+                slot = self.fired.get(key)
+                if slot is None:
+                    continue
+                *groups, wid = key if isinstance(key, tuple) else (key,)
+                n_, s_, kset, em_n, em_sum, em_nd, seq = slot
+                nd = (len(kset)
+                      if self.p.window_distinct and kset is not None
+                      else 0)
+                if seq > 0:
+                    # retract the previous emission before the update;
+                    # a window whose slot was created by a late row
+                    # (never fired with data) has nothing to retract
+                    upd_rows.append((*groups, wid, -1, em_n, em_sum,
+                                     em_nd, seq))
+                upd_rows.append((*groups, wid, 1, n_, s_, nd, seq))
+                slot[3], slot[4], slot[5], slot[6] = n_, s_, nd, seq + 1
+                self._fired_dirty.add(key)
+            self._refire_pending = set()
+
+        if refire and self.fired:
+            for key in list(self.fired):
+                *groups, wid = key if isinstance(key, tuple) else (key,)
+                if wid * slide + self.p.window_size_us \
+                        + self.p.allowed_lateness_us <= wm:
+                    del self.fired[key]
+                    self._fired_closed.add(key)
+                    self._fired_dirty.discard(key)
 
         sess_rows = []
         for key, (s, e, n) in list(self.sessions.items()):
@@ -840,6 +1046,10 @@ class PartitionState:
         return {
             "windows": _windows_table(
                 win_rows, self.p.window_group_cols, self.p.value_col,
+                distinct=self.p.window_distinct,
+            ),
+            "window_updates": _window_updates_table(
+                upd_rows, self.p.window_group_cols,
                 distinct=self.p.window_distinct,
             ),
             "sessions": _sessions_table(sess_rows, self.p.key_col),
@@ -864,6 +1074,7 @@ class PartitionState:
         delta tracking (the frame IS the new chain baseline)."""
         st = {
             "win": self.win,
+            "fired": self.fired,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
             "neardup": self.neardup.state() if self.neardup else None,
@@ -876,6 +1087,8 @@ class PartitionState:
         }
         self._win_dirty = set()
         self._win_closed = set()
+        self._fired_dirty = set()
+        self._fired_closed = set()
         self._sess_dirty = set()
         self._sess_closed = set()
         return st
@@ -896,6 +1109,10 @@ class PartitionState:
                             if k in self.win},
             "win_tombstones": [k for k in self._win_closed
                                if k not in self.win],
+            "fired_upserts": {k: self.fired[k] for k in self._fired_dirty
+                              if k in self.fired},
+            "fired_tombstones": [k for k in self._fired_closed
+                                 if k not in self.fired],
             "sess_upserts": {k: self.sessions[k] for k in self._sess_dirty
                              if k in self.sessions},
             "sess_tombstones": [k for k in self._sess_closed
@@ -913,6 +1130,8 @@ class PartitionState:
         }
         self._win_dirty = set()
         self._win_closed = set()
+        self._fired_dirty = set()
+        self._fired_closed = set()
         self._sess_dirty = set()
         self._sess_closed = set()
         return st
@@ -1014,6 +1233,10 @@ class PartitionState:
         self.win = st["win"]
         if self.p.window_distinct:
             self._fixup_win_slots()
+        # .get: frames written before window_refire existed carry no
+        # fired section — rollback to empty, same rule as the joiner
+        self.fired = st.get("fired", {})
+        self._refire_pending = set()
         self.sessions = st["sessions"]
         # rollback semantics as for the joiner above
         if self.nfa is not None:
@@ -1040,6 +1263,9 @@ class PartitionState:
         self._evicted = set()
         self._win_dirty = set()
         self._win_closed = set()
+        self._fired_dirty = set()
+        self._fired_closed = set()
+        self._refire_pending = set()
         self._sess_dirty = set()
         self._sess_closed = set()
 
@@ -1086,6 +1312,9 @@ class PartitionState:
                 self._fixup_win_slots()
             for k in st["win_tombstones"]:
                 self.win.pop(k, None)
+            self.fired.update(st.get("fired_upserts", {}))
+            for k in st.get("fired_tombstones", ()):
+                self.fired.pop(k, None)
             self.sessions.update(st["sess_upserts"])
             for k in st["sess_tombstones"]:
                 self.sessions.pop(k, None)
@@ -1190,6 +1419,39 @@ def _windows_table(rows, group_cols, value_col, distinct=False) -> pa.Table:
     )
     if distinct:
         data["n_distinct"] = pa.array(list(cols[k + 3]), type=pa.int64())
+    return pa.table(data)
+
+
+def _window_updates_table(rows, group_cols, distinct=False) -> pa.Table:
+    """The window_refire changelog: change=+1 emissions and change=-1
+    retractions (carrying the retracted emission's values). fire_seq is
+    the per-window emission index — a retraction shares the seq of the
+    +1 row replacing it, so (window, seq) pairs sort deterministically
+    with -1 before +1."""
+    names = [*group_cols, "window_id", "change", "n", "sum_value"]
+    if distinct:
+        names.append("n_distinct")
+    names.append("fire_seq")
+    if not rows:
+        arrays = [pa.array([], type=pa.string()) for _ in group_cols]
+        arrays += [pa.array([], type=pa.int64())] * 3   # wid, change, n
+        arrays += [pa.array([], type=pa.float64())]     # sum_value
+        if distinct:
+            arrays.append(pa.array([], type=pa.int64()))
+        arrays.append(pa.array([], type=pa.int64()))    # fire_seq
+        return pa.table(dict(zip(names, arrays)))
+    cols = list(zip(*rows))
+    k = len(group_cols)
+    data = {c: _string_if_null(pa.array(list(cols[i])))
+            for i, c in enumerate(group_cols)}
+    data["window_id"] = pa.array(list(cols[k]), type=pa.int64())
+    data["change"] = pa.array(list(cols[k + 1]), type=pa.int64())
+    data["n"] = pa.array(list(cols[k + 2]), type=pa.int64())
+    data["sum_value"] = pa.array(
+        [float(v) for v in cols[k + 3]], type=pa.float64())
+    if distinct:
+        data["n_distinct"] = pa.array(list(cols[k + 4]), type=pa.int64())
+    data["fire_seq"] = pa.array(list(cols[k + 5]), type=pa.int64())
     return pa.table(data)
 
 
