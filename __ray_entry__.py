@@ -125,7 +125,12 @@ _PRIORITY = [
     # cleaning (replaces heavy_hitters; the sketch family keeps
     # bloom_semi at slot 50)
     "boilerplate_removal", "streaming_frontier",
-    "streaming_topk", "windowed_unique",
+    # window_quantiles_stream (round 3, seventh wave): streaming EXACT
+    # per-window order statistics — per-partition value histograms
+    # merged by a second-stage task, quantile_disc semantics (replaces
+    # windowed_unique; the distinct-count pair stays green in
+    # tests/test_oracle.py and is pinned P-exact by test_epoch_loop)
+    "streaming_topk", "window_quantiles_stream",
     # warc_roundtrip replaces jsonl_source_agg as the source-format
     # representative (round 3): the WARC byte-identity round trip (the
     # domain's native Common-Crawl container, record-per-gzip-member)

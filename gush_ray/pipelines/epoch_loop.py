@@ -365,6 +365,9 @@ def _reduce_partition(
         if params.window_refire:
             ExactlyOnceSink.write_part(out_dir, "window_updates", epoch,
                                        pid, closes["window_updates"])
+        if params.window_quantiles is not None:
+            ExactlyOnceSink.write_part(out_dir, "window_hist", epoch,
+                                       pid, closes["window_hist"])
         ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                    closes["sessions"])
         t_parts = time.perf_counter()
@@ -426,6 +429,9 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     if params.window_refire:
         ExactlyOnceSink.write_part(out_dir, "window_updates", epoch, pid,
                                    closes["window_updates"])
+    if params.window_quantiles is not None:
+        ExactlyOnceSink.write_part(out_dir, "window_hist", epoch, pid,
+                                   closes["window_hist"])
     ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                closes["sessions"])
     return {"windows": closes["windows"].num_rows,
@@ -498,6 +504,89 @@ def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
     return {"topk_rows": out["rows"]}
 
 
+@ray.remote
+def _quantile_windows(epoch: "int | str", out_dir: str,
+                      params: StateParams, P: int, *deps) -> dict:
+    """Second streaming stage: GLOBAL exact per-window order statistics,
+    merged from the P per-partition closed-window value histograms of
+    this epoch slot (the ``window_hist`` parts).
+
+    Same two-stage topology, scheduling and exactly-once argument as
+    :func:`_topk_windows` — the merge is exact because value histograms
+    are additive across partitions, and the input is the AGGREGATED form
+    (one row per distinct value per closed group-window per partition),
+    so the frame is epoch-bounded and small next to the data exchange.
+
+    Quantile semantics are DuckDB's ``quantile_disc``: the value at
+    0-based rank ``max(0, ceil(q*n) - 1)`` of the sorted values (NULLs
+    were excluded at accumulation time) — so the paired SQL oracle
+    matches bit-exactly with no interpolation contract to negotiate.
+
+    Output ``quantiles/epoch=E/part-00000``: one row per closed
+    (group, window, q) — (groups..., window_id, q, value, n) where n is
+    the window's total (non-null) value count.
+    """
+    import pyarrow.parquet as pq
+
+    from gush_ray.fs import get_fs
+
+    fs, base = get_fs(out_dir)
+    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
+            else f"epoch={epoch}")
+    tabs = []
+    for pid in range(P):
+        path = fs.join(base, "window_hist", slot, f"part-{pid:05d}.parquet")
+        if fs.exists(path):
+            with fs.open(path, "rb") as f:
+                tabs.append(pq.read_table(f))
+    gcols = list(params.window_group_cols)
+    kcols = gcols + ["window_id"]
+    qs = sorted(params.window_quantiles)
+    if not tabs or sum(t.num_rows for t in tabs) == 0:
+        # schema-stable empty part: an epoch with no closing windows
+        # must not drift the stream's column types (pandas would infer
+        # null-typed group columns from a 0-row frame)
+        empty = pa.table(
+            {c: pa.array([], type=pa.string()) for c in gcols}
+            | {"window_id": pa.array([], type=pa.int64()),
+               "q": pa.array([], type=pa.float64()),
+               "value": pa.array([], type=pa.float64()),
+               "n": pa.array([], type=pa.int64())})
+        out = ExactlyOnceSink.write_part(out_dir, "quantiles", epoch, 0,
+                                         empty)
+        return {"quantile_rows": out["rows"]}
+    df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+    # merge the per-partition partials, then sort by value within each
+    # (group, window) — cumulative counts over that order ARE the rank
+    # function, so each quantile is one vectorized threshold scan
+    m = df.groupby(kcols + ["value"], as_index=False, dropna=False,
+                   sort=False)["n"].sum()
+    m = m.sort_values(kcols + ["value"], kind="mergesort",
+                      ignore_index=True)
+    g = m.groupby(kcols, sort=False, dropna=False)
+    cum = g["n"].cumsum().to_numpy()
+    m["tot"] = g["n"].transform("sum")
+    outs = []
+    for q in qs:
+        # ceil in exact integer space: ceil(q*n) == -((-q*n) // 1) has
+        # float rounding hazards at large n, so compare cum*1.0 >= q*tot
+        # via the integer target ceil(q*tot) computed with a tiny guard
+        target = np.maximum(
+            np.ceil(q * m["tot"].to_numpy() - 1e-9).astype(np.int64), 1)
+        hit = m[cum >= target]
+        sel = hit.groupby(kcols, sort=False, dropna=False,
+                          as_index=False).head(1).copy()
+        sel["q"] = float(q)
+        outs.append(sel)
+    res = pd.concat(outs, ignore_index=True)
+    res["n"] = res.pop("tot").astype("int64")
+    out = ExactlyOnceSink.write_part(
+        out_dir, "quantiles", epoch, 0,
+        pa.Table.from_pandas(res[kcols + ["q", "value", "n"]],
+                             preserve_index=False))
+    return {"quantile_rows": out["rows"]}
+
+
 class StreamingJob:
     def __init__(
         self,
@@ -517,6 +606,8 @@ class StreamingJob:
         window_group_cols: tuple[str, ...] = ("lang", "change_kind"),
         window_distinct: bool = False,
         window_topk: int | None = None,
+        value_col: str | None = None,
+        window_quantiles: tuple[float, ...] | None = None,
         derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
@@ -552,6 +643,10 @@ class StreamingJob:
             raise ValueError("windowed top-k requires mode='tasks'")
         if window_topk is not None and window_topk < 1:
             raise ValueError("window_topk must be >= 1")
+        if window_quantiles is not None and mode != "tasks":
+            # same constraint as top-k: the second-stage merge task
+            # chains on the epoch's reduce refs
+            raise ValueError("windowed quantiles require mode='tasks'")
         self.window_topk = window_topk
         self.derive_host = derive_host
         from gush_ray.fs import normalize_uri
@@ -594,6 +689,9 @@ class StreamingJob:
             ts_col="ts_us",
             window_group_cols=window_group_cols,
             window_distinct=window_distinct,
+            value_col=value_col,
+            window_quantiles=(tuple(window_quantiles)
+                              if window_quantiles is not None else None),
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,
@@ -1196,6 +1294,12 @@ class StreamingJob:
                 topk_ref = _topk_windows.remote(
                     epoch, self.out_dir, self.params, self.window_topk,
                     self.P, *refs)
+            quant_ref = None
+            if self.params.window_quantiles is not None:
+                # second stage: global per-window exact quantiles, same
+                # chaining/commit-gating as the top-k merge
+                quant_ref = _quantile_windows.remote(
+                    epoch, self.out_dir, self.params, self.P, *refs)
             submit_sec = round(time.perf_counter() - t0, 3)
             max_ts_now = [int(t) for t in self._part_max_ts]
             max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
@@ -1210,6 +1314,9 @@ class StreamingJob:
                 metrics = ray.get(refs)
                 if topk_ref is not None:
                     timings["topk_rows"] = ray.get(topk_ref)["topk_rows"]
+                if quant_ref is not None:
+                    timings["quantile_rows"] = ray.get(
+                        quant_ref)["quantile_rows"]
                 timings["reduce_gather_sec"] = round(
                     time.perf_counter() - t_g, 3)
                 if prof:
@@ -1453,6 +1560,9 @@ class StreamingJob:
                 ray.get(_topk_windows.remote(
                     slot, self.out_dir, self.params, self.window_topk,
                     self.P))
+            if self.params.window_quantiles is not None:
+                ray.get(_quantile_windows.remote(
+                    slot, self.out_dir, self.params, self.P))
         else:
             actors = self.actors()
             closes = ray.get(

@@ -1805,6 +1805,100 @@ def q_windowed_unique(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _ensure_events_epochs(sf_dir: str) -> str:
+    """Micro-batch ``sf_dir``'s events table into 3 epoch shard dirs of
+    4 parts each (globally ts-sorted — the same rows the batch oracle
+    reads, in stream form; sorted arrival means no row is ever
+    late-routed, so streaming == batch for ANY partition count).
+    Cached per (path, size, mtime) of the source parquet, so a
+    regenerated fixture is never served a stale cut (round-2 ADVICE
+    cache-keying rule)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stt = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{stt.st_size}:{stt.st_mtime_ns}"
+        .encode()).hexdigest()[:16]
+    d = f"/tmp/gush_ray_events_epochs/{key}"
+    done = os.path.join(d, "_COMPLETE")
+    if os.path.exists(done):
+        return d
+    tmp = f"{d}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = pq.read_table(src).sort_by([("ts", "ascending")])
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for e in range(3):
+        sub = t.slice(cuts[e], cuts[e + 1] - cuts[e])
+        ed = os.path.join(tmp, f"epoch={e:04d}")
+        os.makedirs(ed, exist_ok=True)
+        per = max(1, sub.num_rows // 4)
+        for k in range(4):
+            sh = sub.slice(k * per,
+                           per if k < 3 else sub.num_rows - 3 * per)
+            pq.write_table(sh, os.path.join(ed, f"part-{k:04d}.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.replace(tmp, d)   # atomic publish; loser of a race is a noop
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+_WQ_QS = (0.5, 0.95, 1.0)
+
+SQL_WINDOW_QUANTILES = (
+    "WITH b AS (SELECT event_type, epoch_us(ts) // 21600000000 AS "
+    "window_id, value FROM events) SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT event_type, window_id, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(value, {q}) AS value, count(value) AS n "
+        "FROM b GROUP BY 1, 2"
+        for q in _WQ_QS)
+    + ") ORDER BY 1, 2, 3"
+)
+
+
+def q_window_quantiles_stream(sf_dir: str):
+    """Streaming windowed EXACT order statistics (two-stage dataflow):
+    every open (event_type, 6h window) accumulates an exact value
+    HISTOGRAM in partition state (state/store.py winq); at window close
+    the partitions emit their histogram partials on the ``window_hist``
+    stream and the per-epoch merge task
+    (epoch_loop._quantile_windows) sums them — exact, histograms are
+    additive — and reports quantile_disc-semantics percentiles on the
+    ``quantiles`` stream, exactly-once.
+
+    Runs over sf_dir's events micro-batched into a ts-sorted epoch
+    stream (_ensure_events_epochs): sorted arrival means no late rows,
+    so the streaming result equals the batch oracle at ANY partition
+    count — P=4 here exercises the real cross-partition merge (unlike
+    the P=1 pages queries, no watermark subtlety leaks into the
+    result). Kill->resume and P-independence are additionally pinned by
+    tests/test_streaming_batch_equivalence.py."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    epochs_dir = _ensure_events_epochs(sf_dir)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        epochs_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pattern=None, window_size_us=6 * 3600 * 1_000_000,
+        window_group_cols=("event_type",), key_col="user_id",
+        raw_ts_col="ts", value_col="value", window_quantiles=_WQ_QS,
+    )
+    job.run()
+    qd = job.read_output("quantiles")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = qd[["event_type", "window_id", "q", "value", "n"]]
+    return out.sort_values(["event_type", "window_id", "q"]).reset_index(
+        drop=True)
+
+
 def q_streaming_topk(sf_dir: str):
     """Streaming windowed TOP-K hosts (two-stage dataflow): the url-keyed
     stage-1 accumulators group by a derived host column
@@ -2496,6 +2590,8 @@ EXTRA_QUERIES = {
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
+    "window_quantiles_stream": (q_window_quantiles_stream,
+                                SQL_WINDOW_QUANTILES),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

@@ -220,11 +220,25 @@ def rescale_state(out_dir: str, new_P: int,
             new_states[_key_part(k, new_P)].version[k] = v
         for k, sess in ps.sessions.items():
             new_states[_key_part(k, new_P)].sessions[k] = list(sess)
-        for gkey, (cnt, sm) in ps.win.items():
+        for gkey, src in ps.win.items():
+            # slots are [n, sum] or [n, sum, key_set] (window_distinct);
+            # counts/sums add, distinct KEY SETS union — both exact
+            # partial merges (a fixed-width unpack here crashed on
+            # 3-element distinct slots; round-3 review finding)
             slot = new_states[_group_part(gkey, new_P)].win.setdefault(
-                gkey, [0, 0.0])
-            slot[0] += int(cnt)
-            slot[1] += float(sm)
+                gkey, [0, 0.0, set()] if len(src) > 2 else [0, 0.0])
+            slot[0] += int(src[0])
+            slot[1] += float(src[1])
+            if len(src) > 2:
+                if len(slot) == 2:
+                    slot.append(set())
+                slot[2] |= src[2]
+        for gkey, hist in ps.winq.items():
+            # per-window value histograms merge additively per value
+            tgt = new_states[_group_part(gkey, new_P)].winq.setdefault(
+                gkey, {})
+            for v, c in hist.items():
+                tgt[v] = tgt.get(v, 0) + c
         for gkey, fslot in ps.fired.items():
             # fired accumulators merge additively like open windows
             # (each partition held a PARTIAL of the window); emitted

@@ -62,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="global per-window top-K groups on the `topk` "
                          "stream (two-stage merge over the windows "
                          "partials, exactly-once)")
+    ap.add_argument("--window-quantiles", default=None,
+                    help="comma-separated q's in [0,1] (e.g. 0.5,0.95): "
+                         "exact per-window order statistics of "
+                         "--value-col on the `quantiles` stream "
+                         "(per-partition value histograms, two-stage "
+                         "merge, quantile_disc semantics)")
+    ap.add_argument("--value-col", default=None,
+                    help="numeric column summed per window (sum_value) "
+                         "and, with --window-quantiles, the column the "
+                         "order statistics are over")
     ap.add_argument("--derive-host", action="store_true",
                     help="derive a host column from the url at map time "
                          "(combine with --window-group-cols host)")
@@ -144,6 +154,10 @@ def main(argv: list[str] | None = None) -> int:
                          if args.slide_sec else None),
         window_distinct=args.window_distinct,
         window_topk=args.window_topk,
+        value_col=args.value_col,
+        window_quantiles=(tuple(float(q) for q in
+                                args.window_quantiles.split(","))
+                          if args.window_quantiles else None),
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
@@ -171,7 +185,9 @@ def main(argv: list[str] | None = None) -> int:
                        "matches", "late")
                       + (("near_dups",) if _neardup_spec(args) else ())
                       + (("frontier",) if _frontier_spec(args) else ())
-                      + (("topk",) if args.window_topk else ()))
+                      + (("topk",) if args.window_topk else ())
+                      + (("quantiles",)
+                         if args.window_quantiles else ()))
         },
     }
     print(json.dumps(summary))

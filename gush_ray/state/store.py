@@ -71,6 +71,19 @@ class StateParams:
     # of exactness; use the HLL sketch operator when an approximation
     # is acceptable at 100 TB.
     window_distinct: bool = False
+    # per-window EXACT order statistics (streaming "p50/p95 page size"):
+    # each open (group, window) additionally holds an exact VALUE
+    # HISTOGRAM of value_col ({value -> count}); at window close the
+    # partition emits its histogram rows on the `window_hist` stream and
+    # a second-stage merge task (epoch_loop._quantile_windows) computes
+    # the GLOBAL exact quantiles per closed window — the same two-stage
+    # topology as the windowed top-k. Exact because histograms merge
+    # additively across partitions; state cost is O(distinct values per
+    # open window per partition), so quantize/bucket value_col upstream
+    # when its domain is unbounded. Requires value_col. The tuple holds
+    # the q's the merge stage reports (DuckDB quantile_disc semantics:
+    # the value at 0-based rank max(0, ceil(q*n) - 1)).
+    window_quantiles: "tuple[float, ...] | None" = None
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # Flink-style late firings (window "update mode"). False (default):
@@ -132,6 +145,21 @@ class StateParams:
                 "window_size_us must be a multiple of window_slide_us "
                 f"(got {self.window_size_us} / {self.window_slide_us})"
             )
+        if self.window_quantiles is not None:
+            if self.value_col is None:
+                raise ValueError(
+                    "window_quantiles needs value_col (the column the "
+                    "order statistics are over)")
+            if not self.window_quantiles:
+                raise ValueError("window_quantiles must be non-empty")
+            for q in self.window_quantiles:
+                if not (0.0 <= q <= 1.0):
+                    raise ValueError(f"quantile {q} outside [0, 1]")
+            if self.window_refire:
+                raise ValueError(
+                    "window_quantiles + window_refire are mutually "
+                    "exclusive (a re-fired histogram would need its own "
+                    "changelog protocol)")
 
 
 class PartitionState:
@@ -149,6 +177,8 @@ class PartitionState:
         #                           emitted_n, emitted_sum,
         #                           emitted_n_distinct, n_emissions]
         self.fired: dict = {}
+        # window_quantiles mode: (group..., window_id) -> {value: count}
+        self.winq: dict = {}
         self.sessions: dict = {}   # key -> [start, last, n]
         self.nfa = NFARunner(params.pattern) if params.pattern else None
         if params.join_spec is not None:
@@ -194,6 +224,9 @@ class PartitionState:
         # fired-window accumulators delta the same way as open windows
         self._fired_dirty: set = set()
         self._fired_closed: set = set()
+        # per-window value histograms delta the same way
+        self._winq_dirty: set = set()
+        self._winq_closed: set = set()
         # fired windows touched by late-accepted rows this epoch; drained
         # (emitting retraction pairs) at the next advance_watermark, so
         # the set is always empty at snapshot time
@@ -658,6 +691,31 @@ class PartitionState:
                         None if (isinstance(u, float) and u != u) else u
                         for u in us_keys.tolist())
 
+            if p.window_quantiles is not None:
+                # per-(group, window) exact value HISTOGRAMS: one
+                # groupby on (groups, window, value) makes the dict
+                # work proportional to the batch's UNIQUE values per
+                # window, not its row count
+                hq = acc_df.groupby(
+                    [f"g{i}" for i in range(len(gcols))] + ["w", "v"],
+                    sort=False, dropna=False).size()
+                for key, cnt in zip(hq.index.tolist(),
+                                    hq.to_numpy().tolist()):
+                    *gk, w_, v = key
+                    # NaN/None values are EXCLUDED from the order
+                    # statistics (DuckDB quantile_disc ignores NULLs —
+                    # the oracle-parity contract); the count/sum slots
+                    # above still see the row
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    gk = tuple(
+                        None if (isinstance(x, float) and x != x) else x
+                        for x in gk
+                    ) + (w_,)
+                    hist = self.winq.setdefault(gk, {})
+                    hist[float(v)] = hist.get(float(v), 0) + int(cnt)
+                    self._winq_dirty.add(gk)
+
         n_refire_dropped = 0
         if lateok is not None and len(lateok):
             n_refire_dropped = self._accumulate_refire(lateok)
@@ -967,6 +1025,7 @@ class PartitionState:
         refire = self.p.window_refire
         win_rows = []
         upd_rows = []
+        hist_rows = []
         for key, val in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
             w_end = wid * slide + self.p.window_size_us
@@ -979,6 +1038,17 @@ class PartitionState:
                 del self.win[key]
                 self._win_closed.add(key)
                 self._win_dirty.discard(key)
+                if self.p.window_quantiles is not None:
+                    # the window's exact value histogram leaves with it
+                    # (one row per DISTINCT value — the stage-2 merge
+                    # task sums these per-partition partials, which is
+                    # exact: histograms are additive across partitions)
+                    hist = self.winq.pop(key, None)
+                    if hist:
+                        hist_rows.extend(
+                            (*groups, wid, v, c) for v, c in hist.items())
+                    self._winq_closed.add(key)
+                    self._winq_dirty.discard(key)
                 if refire:
                     # initial firing rides the changelog too, so folding
                     # it yields final totals with no join back to the
@@ -1043,7 +1113,7 @@ class PartitionState:
         if self.joiner is not None and wm > NEG_INF:
             self.joiner.prune(wm)
 
-        return {
+        out = {
             "windows": _windows_table(
                 win_rows, self.p.window_group_cols, self.p.value_col,
                 distinct=self.p.window_distinct,
@@ -1055,6 +1125,10 @@ class PartitionState:
             "sessions": _sessions_table(sess_rows, self.p.key_col),
             "watermark_us": wm,
         }
+        if self.p.window_quantiles is not None:
+            out["window_hist"] = _window_hist_table(
+                hist_rows, self.p.window_group_cols)
+        return out
 
     # -------------------------------------------------------- lifecycle
 
@@ -1074,6 +1148,7 @@ class PartitionState:
         delta tracking (the frame IS the new chain baseline)."""
         st = {
             "win": self.win,
+            "winq": self.winq,
             "fired": self.fired,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
@@ -1087,6 +1162,8 @@ class PartitionState:
         }
         self._win_dirty = set()
         self._win_closed = set()
+        self._winq_dirty = set()
+        self._winq_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1109,6 +1186,12 @@ class PartitionState:
                             if k in self.win},
             "win_tombstones": [k for k in self._win_closed
                                if k not in self.win],
+            # full histogram per dirty window (not per-value deltas) —
+            # same upsert granularity as the win slots above
+            "winq_upserts": {k: self.winq[k] for k in self._winq_dirty
+                             if k in self.winq},
+            "winq_tombstones": [k for k in self._winq_closed
+                                if k not in self.winq],
             "fired_upserts": {k: self.fired[k] for k in self._fired_dirty
                               if k in self.fired},
             "fired_tombstones": [k for k in self._fired_closed
@@ -1130,6 +1213,8 @@ class PartitionState:
         }
         self._win_dirty = set()
         self._win_closed = set()
+        self._winq_dirty = set()
+        self._winq_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1233,6 +1318,9 @@ class PartitionState:
         self.win = st["win"]
         if self.p.window_distinct:
             self._fixup_win_slots()
+        # .get: frames written before window_quantiles existed carry no
+        # winq section — rollback to empty, same rule as fired/joiner
+        self.winq = st.get("winq", {})
         # .get: frames written before window_refire existed carry no
         # fired section — rollback to empty, same rule as the joiner
         self.fired = st.get("fired", {})
@@ -1263,6 +1351,8 @@ class PartitionState:
         self._evicted = set()
         self._win_dirty = set()
         self._win_closed = set()
+        self._winq_dirty = set()
+        self._winq_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._refire_pending = set()
@@ -1312,6 +1402,9 @@ class PartitionState:
                 self._fixup_win_slots()
             for k in st["win_tombstones"]:
                 self.win.pop(k, None)
+            self.winq.update(st.get("winq_upserts", {}))
+            for k in st.get("winq_tombstones", ()):
+                self.winq.pop(k, None)
             self.fired.update(st.get("fired_upserts", {}))
             for k in st.get("fired_tombstones", ()):
                 self.fired.pop(k, None)
@@ -1419,6 +1512,30 @@ def _windows_table(rows, group_cols, value_col, distinct=False) -> pa.Table:
     )
     if distinct:
         data["n_distinct"] = pa.array(list(cols[k + 3]), type=pa.int64())
+    return pa.table(data)
+
+
+def _window_hist_table(rows, group_cols) -> pa.Table:
+    """Per-partition closed-window value histograms (the
+    ``window_quantiles`` stage-1 partial): one row per DISTINCT value of
+    ``value_col`` per closed (group, window) — (groups..., window_id,
+    value, n). The stage-2 merge (epoch_loop._quantile_windows) sums n
+    per value across partitions, which reconstructs the global
+    distribution exactly."""
+    names = [*group_cols, "window_id", "value", "n"]
+    if not rows:
+        arrays = [pa.array([], type=pa.string()) for _ in group_cols]
+        arrays += [pa.array([], type=pa.int64()),
+                   pa.array([], type=pa.float64()),
+                   pa.array([], type=pa.int64())]
+        return pa.table(dict(zip(names, arrays)))
+    cols = list(zip(*rows))
+    k = len(group_cols)
+    data = {c: _string_if_null(pa.array(list(cols[i])))
+            for i, c in enumerate(group_cols)}
+    data["window_id"] = pa.array(list(cols[k]), type=pa.int64())
+    data["value"] = pa.array(list(cols[k + 1]), type=pa.float64())
+    data["n"] = pa.array(list(cols[k + 2]), type=pa.int64())
     return pa.table(data)
 
 

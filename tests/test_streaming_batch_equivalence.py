@@ -139,6 +139,69 @@ def test_streaming_sliding_windows_match_batch_oracle(events_epochs, tmp_path):
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
 
 
+def test_streaming_window_quantiles_match_batch_oracle(
+    events_epochs, tmp_path
+):
+    """Streaming windowed EXACT quantiles (two-stage dataflow:
+    per-partition value histograms -> global merge task) equal DuckDB's
+    quantile_disc per (event_type, window) bit-exactly, are
+    P-independent, and survive kill->resume identically."""
+    QS = (0.0, 0.5, 0.95, 1.0)
+
+    def run(out, run_id, P, **kw):
+        job = StreamingJob(
+            events_epochs, out, run_id=run_id, num_partitions=P,
+            pattern=None, window_size_us=SIX_H_US, session_gap_us=GAP_US,
+            window_group_cols=("event_type",), key_col="user_id",
+            raw_ts_col="ts", value_col="value", window_quantiles=QS,
+        )
+        res = job.run(**kw)
+        return job, res
+
+    cols = ["event_type", "window_id", "q", "value", "n"]
+
+    def norm(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    job4, _ = run(str(tmp_path / "p4"), "wq-p4", 4)
+    got = norm(job4.read_output("quantiles"))
+    job4.kill_actors()
+    assert len(got) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = con.execute(
+        "WITH b AS (SELECT event_type, epoch_us(ts) // 21600000000 AS "
+        "window_id, value FROM events) SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT event_type, window_id, {q} AS q, "
+            f"quantile_disc(value, {q}) AS value, count(value) AS n "
+            "FROM b GROUP BY 1, 2"
+            for q in QS)
+        + ") ORDER BY 1, 2, 3"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, norm(want.astype(
+        got.dtypes.to_dict())))
+
+    # P-independence: the merged stream is a pure function of the
+    # global histograms, so P=1 produces IDENTICAL rows
+    job1, _ = run(str(tmp_path / "p1"), "wq-p1", 1)
+    pd.testing.assert_frame_equal(got, norm(job1.read_output("quantiles")))
+    job1.kill_actors()
+
+    # kill after epoch 0 commits, resume: identical stream (the winq
+    # histograms ride the snapshot chain)
+    jb1, r1 = run(str(tmp_path / "res"), "wq-r1", 4, stop_after=2)
+    assert r1["completed"] == 1
+    jb1.kill_actors()
+    jb2, r2 = run(str(tmp_path / "res"), "wq-r2", 4, resume=True)
+    assert r2["completed"] == 2
+    pd.testing.assert_frame_equal(got, norm(jb2.read_output("quantiles")))
+    jb2.kill_actors()
+
+
 def test_streaming_nfa_matches_sql_oracle(events_epochs, tmp_path):
     """The STREAMING NFA (cross-epoch partial-match state) over the
     micro-batched events stream equals the batch SQL self-join oracle."""
