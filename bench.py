@@ -308,6 +308,55 @@ def bench_flagship_topk_stream(sf_dir: str) -> dict:
             "topk_rows": n_topk}
 
 
+def bench_flagship_quantiles_stream(sf_dir: str) -> dict:
+    """Flagship variant with streaming windowed EXACT quantiles active
+    (value histograms per open window + the per-epoch two-stage merge,
+    epoch_loop._quantile_windows) on top of the base pipeline — same
+    config as bench_flagship_stream otherwise, so the delta vs
+    flagship_stream IS the quantile machinery's marginal cost. value_col
+    = the change-stream version counter (bounded domain, the histogram
+    sizing the operator is designed for)."""
+    import ray
+
+    from gush_ray.datagen import ensure_pages, gen_dim_sites
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = os.environ.get("GRAFT_BENCH_PAGES_DIR") or ensure_pages(
+        "/tmp/gush_scale_pages", n_urls=BENCH_PAGES_URLS, seed=77,
+        n_epochs=BENCH_PAGES_EPOCHS,
+    )
+    _warm_cache(sf_dir, [pages_dir])
+    out_base = os.environ.get("GRAFT_BENCH_OUT") or (
+        "/dev/shm/gush_ray_bench"
+        if os.access("/dev/shm", os.W_OK) else "/tmp/gush_ray_bench")
+    out_dir = f"{out_base}/{uuid.uuid4().hex}"
+    dim = gen_dim_sites(max(4, BENCH_PAGES_URLS // 20)).to_pandas()
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=32, dim_df=dim,
+                       window_group_cols=("category", "change_kind"),
+                       value_col="version",
+                       window_quantiles=(0.5, 0.95, 0.99))
+
+    @ray.remote
+    def _noop():
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NCPU)])
+    t0 = time.perf_counter()
+    job.run()
+    dt = time.perf_counter() - t0
+    n_rows = sum(
+        p.get("rows_in", 0)
+        for e in job.sink.committed_epochs()
+        for p in job.sink.read_manifest(e)["partitions"]
+    )
+    n_q = len(job.read_output("quantiles"))
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "quantile_rows": n_q}
+
+
 def _pagerank_bench(sf_dir: str):
     """Integer-exact PageRank over a cached synthetic edge list
     (~2M edges, 200k nodes) — the graph family's throughput record:
@@ -457,6 +506,10 @@ def run_bench() -> dict:
         (bench_flagship_topk_stream(SF_DIR) for _ in range(2)),
         key=lambda r: r["sec"])
     timings["flagship_topk_stream"] = round(flag_tk["sec"], 3)
+    flag_wq = min(
+        (bench_flagship_quantiles_stream(SF_DIR) for _ in range(2)),
+        key=lambda r: r["sec"])
+    timings["flagship_quantiles_stream"] = round(flag_wq["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -482,6 +535,10 @@ def run_bench() -> dict:
         "flagship_topk_rows_per_sec": round(flag_tk["rows_per_sec"], 1),
         "flagship_topk_rows": flag_tk["rows"],
         "flagship_topk_emitted": flag_tk["topk_rows"],
+        "flagship_quantiles_rows_per_sec": round(
+            flag_wq["rows_per_sec"], 1),
+        "flagship_quantiles_rows": flag_wq["rows"],
+        "flagship_quantiles_emitted": flag_wq["quantile_rows"],
     }
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the
