@@ -608,6 +608,7 @@ class StreamingJob:
         window_topk: int | None = None,
         value_col: str | None = None,
         window_quantiles: tuple[float, ...] | None = None,
+        quantile_sketch_k: int | None = None,
         derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
@@ -692,6 +693,7 @@ class StreamingJob:
             value_col=value_col,
             window_quantiles=(tuple(window_quantiles)
                               if window_quantiles is not None else None),
+            quantile_sketch_k=quantile_sketch_k,
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,

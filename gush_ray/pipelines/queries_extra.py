@@ -1863,6 +1863,72 @@ SQL_WINDOW_QUANTILES = (
 )
 
 
+_WQ_SKETCH_K = 128
+
+# DuckDB twin of state.store._sketch_rep: the exact octave E is
+# recovered from floor(log2(x)) with a verify-adjust CASE (log2 may be
+# an ulp off at boundaries; pow(2, E) <= x < pow(2, E+1) pins the unique
+# integer), then the two rounding float ops ((x/2^E - 1)*k and j/k) are
+# STRUCTURALLY IDENTICAL to the numpy expressions — IEEE-754 doubles
+# round the same everywhere, so engine == oracle bit-exactly.
+_SQL_SKETCH_REP = f"""
+    CASE WHEN value = 0 THEN 0.0 ELSE
+      pow(2.0, E) * (1.0 + LEAST(floor((value / pow(2.0, E) - 1.0)
+                                       * {_WQ_SKETCH_K}),
+                                 {_WQ_SKETCH_K} - 1) / {_WQ_SKETCH_K})
+    END
+"""
+
+SQL_WINDOW_QUANTILES_SKETCH = (
+    "WITH b AS (SELECT event_type, epoch_us(ts) // 21600000000 AS "
+    "window_id, value FROM events), "
+    "e0 AS (SELECT *, floor(log2(value)) AS E0 FROM b WHERE value <> 0), "
+    "ee AS (SELECT event_type, window_id, value, CASE "
+    "  WHEN pow(2.0, E0 + 1) <= value THEN E0 + 1 "
+    "  WHEN pow(2.0, E0) > value THEN E0 - 1 ELSE E0 END AS E FROM e0), "
+    "r AS (SELECT event_type, window_id, " + _SQL_SKETCH_REP + " AS v "
+    "FROM ee UNION ALL SELECT event_type, window_id, 0.0 AS v FROM b "
+    "WHERE value = 0) SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT event_type, window_id, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(v, {q}) AS value, count(v) AS n "
+        "FROM r GROUP BY 1, 2"
+        for q in _WQ_QS)
+    + ") ORDER BY 1, 2, 3"
+)
+
+
+def q_window_quantiles_sketch(sf_dir: str):
+    """Bounded-state SKETCH variant of window_quantiles_stream: the
+    same two-stage dataflow with ``quantile_sketch_k=128`` — values are
+    log-bucketized at accumulation (128 sub-buckets per base-2 octave,
+    state/store._sketch_rep), so open-window state is O(octaves x k)
+    whatever the value cardinality (the 100-TB path for unbounded
+    domains). The transform is rank-preserving and deterministic, so
+    the sketch quantile is EXACTLY rep(exact quantile) — relative
+    error < 1/128 toward zero, and the DuckDB oracle replays the whole
+    thing bit-exactly (SQL_WINDOW_QUANTILES_SKETCH: verify-adjusted
+    octave + structurally identical IEEE double ops)."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    epochs_dir = _ensure_events_epochs(sf_dir)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        epochs_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pattern=None, window_size_us=6 * 3600 * 1_000_000,
+        window_group_cols=("event_type",), key_col="user_id",
+        raw_ts_col="ts", value_col="value", window_quantiles=_WQ_QS,
+        quantile_sketch_k=_WQ_SKETCH_K,
+    )
+    job.run()
+    qd = job.read_output("quantiles")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = qd[["event_type", "window_id", "q", "value", "n"]]
+    return out.sort_values(["event_type", "window_id", "q"]).reset_index(
+        drop=True)
+
+
 def q_window_quantiles_stream(sf_dir: str):
     """Streaming windowed EXACT order statistics (two-stage dataflow):
     every open (event_type, 6h window) accumulates an exact value
@@ -2592,6 +2658,8 @@ EXTRA_QUERIES = {
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
     "window_quantiles_stream": (q_window_quantiles_stream,
                                 SQL_WINDOW_QUANTILES),
+    "window_quantiles_sketch": (q_window_quantiles_sketch,
+                                SQL_WINDOW_QUANTILES_SKETCH),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

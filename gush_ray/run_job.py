@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
                          "--value-col on the `quantiles` stream "
                          "(per-partition value histograms, two-stage "
                          "merge, quantile_disc semantics)")
+    ap.add_argument("--quantile-sketch-k", type=int, default=None,
+                    help="bounded-state sketch mode for "
+                         "--window-quantiles: log-bucket values at k "
+                         "sub-buckets per octave (relative error < 1/k; "
+                         "state per open window O(octaves*k) instead of "
+                         "O(distinct values))")
     ap.add_argument("--value-col", default=None,
                     help="numeric column summed per window (sum_value) "
                          "and, with --window-quantiles, the column the "
@@ -158,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         window_quantiles=(tuple(float(q) for q in
                                 args.window_quantiles.split(","))
                           if args.window_quantiles else None),
+        quantile_sketch_k=args.quantile_sketch_k,
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),

@@ -84,6 +84,21 @@ class StateParams:
     # the q's the merge stage reports (DuckDB quantile_disc semantics:
     # the value at 0-based rank max(0, ceil(q*n) - 1)).
     window_quantiles: "tuple[float, ...] | None" = None
+    # Bounded-state SKETCH mode for window_quantiles (the 100-TB path
+    # for unbounded value domains): values are bucketized at
+    # accumulation time by a MONOTONE log-bucket transform
+    # (_sketch_rep: base-2 octaves split into k linear sub-buckets —
+    # DDSketch-style relative-error buckets, VLDB'19, built from exact
+    # frexp bit manipulation) and the histogram holds bucket
+    # REPRESENTATIVES (lower bounds), so state per open window is
+    # O(octaves × k) regardless of value cardinality. Because the
+    # transform is rank-preserving, the merged quantile equals
+    # rep(exact quantile) — guaranteed relative error < 1/k toward
+    # zero, and still a DETERMINISTIC pure function of the input that
+    # a SQL oracle replays bit-exactly (identical IEEE double ops).
+    # Everything downstream (snapshots, rescale, window_hist stream,
+    # the merge task) is shared with the exact path unchanged.
+    quantile_sketch_k: "int | None" = None
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # Flink-style late firings (window "update mode"). False (default):
@@ -160,6 +175,14 @@ class StateParams:
                     "window_quantiles + window_refire are mutually "
                     "exclusive (a re-fired histogram would need its own "
                     "changelog protocol)")
+        if self.quantile_sketch_k is not None:
+            if self.window_quantiles is None:
+                raise ValueError(
+                    "quantile_sketch_k modifies window_quantiles — set "
+                    "both (the sketch is a value-bucketing mode of the "
+                    "windowed-quantile dataflow)")
+            if self.quantile_sketch_k < 1:
+                raise ValueError("quantile_sketch_k must be >= 1")
 
 
 class PartitionState:
@@ -692,6 +715,13 @@ class PartitionState:
                         for u in us_keys.tolist())
 
             if p.window_quantiles is not None:
+                if p.quantile_sketch_k is not None:
+                    # sketch mode: bucketize BEFORE the groupby — the
+                    # histogram then holds at most O(octaves × k) keys
+                    # per open window whatever the value cardinality
+                    acc_df = acc_df.assign(v=_sketch_rep(
+                        acc_df["v"].to_numpy(dtype=np.float64),
+                        p.quantile_sketch_k))
                 # per-(group, window) exact value HISTOGRAMS: one
                 # groupby on (groups, window, value) makes the dict
                 # work proportional to the batch's UNIQUE values per
@@ -1513,6 +1543,33 @@ def _windows_table(rows, group_cols, value_col, distinct=False) -> pa.Table:
     if distinct:
         data["n_distinct"] = pa.array(list(cols[k + 3]), type=pa.int64())
     return pa.table(data)
+
+
+def _sketch_rep(vals: np.ndarray, k: int) -> np.ndarray:
+    """Monotone log-bucket transform (quantile_sketch_k mode): map each
+    value to its bucket's LOWER BOUND — sign * 2^E * (1 + j/k) where
+    2^E <= |v| < 2^(E+1) and j = floor((|v|/2^E - 1) * k) in [0, k).
+
+    Properties the operator relies on:
+    * monotone non-decreasing => rank-preserving => the quantile of the
+      transformed multiset is exactly rep(exact quantile); relative
+      error toward zero < 1/k.
+    * exact octave split via frexp BIT manipulation + power-of-two
+      scaling (ldexp) — no log() rounding hazard; the two float ops
+      that do round ((x-1)*k and j/k) are structurally identical to the
+      SQL oracle's expressions, so IEEE-754 determinism makes the pair
+      bit-exact (queries_extra.SQL_WINDOW_QUANTILES_SKETCH).
+    * NaN propagates (frexp(NaN) = NaN) and is excluded downstream,
+      matching the exact path's NULL rule; zero maps to zero.
+    """
+    a = np.abs(vals)
+    m, e = np.frexp(a)                 # a = m * 2^e, m in [0.5, 1)
+    x = np.ldexp(m, 1)                 # mantissa in [1, 2), exact
+    j = np.floor((x - 1.0) * k)        # sub-bucket, one rounding
+    j = np.minimum(j, k - 1)           # (x-1)*k == k only via rounding
+    rep = np.ldexp(1.0 + j / k, e - 1)  # exact power-of-two scale
+    rep = np.where(a == 0.0, 0.0, rep)
+    return np.copysign(rep, vals)
 
 
 def _window_hist_table(rows, group_cols) -> pa.Table:

@@ -358,3 +358,97 @@ def test_windowed_distinct_restore_from_pre_flag_delta_chain():
     # the pre-flag window's keys were never tracked → only the
     # post-restore key counts toward n_distinct (documented rollback)
     assert list(w["n"]) == [3] and list(w["n_distinct"]) == [1]
+
+
+def test_window_quantile_histograms_and_snapshot_roundtrip():
+    """winq mode: per-window value histograms accumulate, survive a
+    full+delta snapshot chain, and leave with the closing window on the
+    window_hist table."""
+    ps = mk(value_col="v", window_quantiles=(0.5,))
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en", "v": 3.0},
+        {"url": "b", "ts_us": 20, "lang": "en", "v": 3.0},
+        {"url": "c", "ts_us": 30, "lang": "en", "v": 7.0},
+    ]))
+    base = ps.snapshot_bytes()
+    ps.process(1, tbl([{"url": "d", "ts_us": 40, "lang": "en", "v": 7.0}]))
+    delta = ps.delta_bytes(0)
+
+    ps2 = mk(value_col="v", window_quantiles=(0.5,))
+    ps2.restore_chain([base, delta])
+    closes = ps2.advance_watermark(POS_INF)
+    h = closes["window_hist"].to_pandas().sort_values("value")
+    assert list(h["value"]) == [3.0, 7.0]
+    assert list(h["n"]) == [2, 2]
+    # the histogram left with the window
+    assert not ps2.winq
+
+
+def test_window_quantile_nan_values_excluded():
+    """NULL/NaN values stay out of the order statistics (the
+    quantile_disc oracle contract) but still count in the window's n."""
+    ps = mk(value_col="v", window_quantiles=(0.5,))
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en", "v": 5.0},
+        {"url": "b", "ts_us": 20, "lang": "en", "v": float("nan")},
+    ]))
+    closes = ps.advance_watermark(POS_INF)
+    h = closes["window_hist"].to_pandas()
+    assert list(h["value"]) == [5.0] and list(h["n"]) == [1]
+    w = closes["windows"].to_pandas()
+    assert list(w["n"]) == [2]
+
+
+def test_sketch_rep_monotone_bounded_and_exact_on_powers():
+    """_sketch_rep (quantile_sketch_k mode): rank-preserving monotone
+    transform, rep <= |v| < rep*(1+1/k) toward zero (relative error
+    bound), exact on powers of two, sign-symmetric, NaN-propagating,
+    and the bucket count per octave is at most k."""
+    import numpy as np
+
+    from gush_ray.state.store import _sketch_rep
+
+    k = 64
+    rng = np.random.RandomState(11)
+    v = np.concatenate([
+        rng.uniform(1e-6, 1e6, 20_000),
+        -rng.uniform(1e-6, 1e6, 20_000),
+        [0.0, 1.0, 2.0, 0.5, -4.0, 1e-300, 1e300],
+    ])
+    r = _sketch_rep(v, k)
+    # monotone: sorting by v sorts r
+    order = np.argsort(v, kind="mergesort")
+    assert (np.diff(r[order]) >= 0).all()
+    # toward-zero relative error bound
+    pos = v > 0
+    assert (r[pos] <= v[pos]).all()
+    assert (v[pos] < r[pos] * (1 + 1 / k) + 1e-300).all()
+    # sign symmetry and zero
+    assert (_sketch_rep(-v, k) == -r).all()
+    assert _sketch_rep(np.array([0.0]), k)[0] == 0.0
+    # powers of two are bucket lower bounds (exact)
+    assert list(_sketch_rep(np.array([1.0, 2.0, 0.5, -4.0]), k)) == \
+        [1.0, 2.0, 0.5, -4.0]
+    # NaN propagates (excluded downstream)
+    assert np.isnan(_sketch_rep(np.array([float("nan")]), k)).all()
+    # bounded state: one octave's values land in at most k buckets
+    oct_vals = rng.uniform(1.0, 2.0, 50_000)
+    assert len(np.unique(_sketch_rep(oct_vals, k))) <= k
+
+
+def test_window_quantile_sketch_bounds_state():
+    """quantile_sketch_k bounds the open-window histogram size at
+    O(octaves x k) no matter how many distinct values arrive."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vals = rng.uniform(1.0, 1024.0, 5_000)  # 10 octaves
+    rows = [{"url": f"u{i}", "ts_us": 10 + i, "lang": "en",
+             "v": float(x)} for i, x in enumerate(vals)]
+    k = 32
+    ps = mk(value_col="v", window_quantiles=(0.5,), quantile_sketch_k=k,
+            window_size_us=1 << 40)
+    ps.process(0, tbl(rows))
+    (hist,) = ps.winq.values()
+    assert len(hist) <= 10 * k
+    assert sum(hist.values()) == len(rows)
