@@ -609,6 +609,7 @@ class StreamingJob:
         value_col: str | None = None,
         window_quantiles: tuple[float, ...] | None = None,
         quantile_sketch_k: int | None = None,
+        session_values: bool = False,
         derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
@@ -694,6 +695,7 @@ class StreamingJob:
             window_quantiles=(tuple(window_quantiles)
                               if window_quantiles is not None else None),
             quantile_sketch_k=quantile_sketch_k,
+            session_values=session_values,
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,

@@ -1929,6 +1929,65 @@ def q_window_quantiles_sketch(sf_dir: str):
         drop=True)
 
 
+SQL_SESSION_VALUES = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+x AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+y AS (
+  SELECT user_id, tus, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM y GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+def q_session_values_stream(sf_dir: str):
+    """Streaming session windows with per-session VALUE aggregates
+    (StateParams.session_values): every open session additionally
+    carries (sum, min, max) of value_col through in-batch splits,
+    cross-epoch merges and watermark closes. min/max/n/start/end are
+    bit-exact vs the SQL islands oracle (order-independent aggregates);
+    sum_value is rounded to 6 decimals on BOTH sides — the engine sums
+    in event-time order (in-batch grouped sum + cross-epoch appends)
+    while SQL sums in scan order, so the ~1e-13 summation-order ulps
+    must not leak into the hash (values are O(100) 2-decimal doubles;
+    the 1e-6 grid is 7 orders above the noise). Same sorted-arrival
+    fixture argument as q_window_quantiles_stream: streaming == batch
+    at any P."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    epochs_dir = _ensure_events_epochs(sf_dir)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        epochs_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pattern=None, window_size_us=6 * 3600 * 1_000_000,
+        session_gap_us=30 * 60 * 1_000_000,
+        window_group_cols=("event_type",), key_col="user_id",
+        raw_ts_col="ts", value_col="value", session_values=True,
+    )
+    job.run()
+    s = pd.concat([job.read_output("sessions"),
+                   job.read_output("sessions_wm")], ignore_index=True)
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = s[["user_id", "session_start_us", "session_end_us", "n_events",
+             "sum_value", "min_value", "max_value"]].copy()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["user_id", "session_start_us"]).reset_index(
+        drop=True)
+
+
 def q_window_quantiles_stream(sf_dir: str):
     """Streaming windowed EXACT order statistics (two-stage dataflow):
     every open (event_type, 6h window) accumulates an exact value
@@ -2660,6 +2719,8 @@ EXTRA_QUERIES = {
                                 SQL_WINDOW_QUANTILES),
     "window_quantiles_sketch": (q_window_quantiles_sketch,
                                 SQL_WINDOW_QUANTILES_SKETCH),
+    "session_values_stream": (q_session_values_stream,
+                              SQL_SESSION_VALUES),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                          "--value-col on the `quantiles` stream "
                          "(per-partition value histograms, two-stage "
                          "merge, quantile_disc semantics)")
+    ap.add_argument("--session-values", action="store_true",
+                    help="per-session VALUE aggregates of --value-col "
+                         "(sum_value/min_value/max_value on the session "
+                         "streams; NULL values excluded, like SQL)")
     ap.add_argument("--quantile-sketch-k", type=int, default=None,
                     help="bounded-state sketch mode for "
                          "--window-quantiles: log-bucket values at k "
@@ -165,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                                 args.window_quantiles.split(","))
                           if args.window_quantiles else None),
         quantile_sketch_k=args.quantile_sketch_k,
+        session_values=args.session_values,
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),

@@ -99,6 +99,16 @@ class StateParams:
     # Everything downstream (snapshots, rescale, window_hist stream,
     # the merge task) is shared with the exact path unchanged.
     quantile_sketch_k: "int | None" = None
+    # per-session VALUE aggregates: each open session additionally
+    # carries (sum, min, max) of value_col; closed session rows gain
+    # sum_value/min_value/max_value columns. NaN/NULL values are
+    # excluded from all three (DuckDB sum/min/max NULL semantics — the
+    # oracle-parity contract) but still count in n_events. Slot shape
+    # [start, last, n] grows to [start, last, n, vsum, vmin, vmax];
+    # frames written before the flag carry 3-element slots — restored
+    # sessions get neutral value state (0.0/None/None, the same
+    # written-before-the-spec rollback rule as window_distinct).
+    session_values: bool = False
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # Flink-style late firings (window "update mode"). False (default):
@@ -183,6 +193,10 @@ class StateParams:
                     "windowed-quantile dataflow)")
             if self.quantile_sketch_k < 1:
                 raise ValueError("quantile_sketch_k must be >= 1")
+        if self.session_values and self.value_col is None:
+            raise ValueError(
+                "session_values needs value_col (the column the "
+                "per-session aggregates are over)")
 
 
 class PartitionState:
@@ -915,7 +929,8 @@ class PartitionState:
         the reduce-phase bottleneck at scale)."""
         p = self.p
         if not len(df):
-            return _sessions_table([], p.key_col)
+            return _sessions_table([], p.key_col,
+                                   values=p.session_values)
         kc = df[p.key_col]
         if kc.dtype.kind == "f" and kc.isna().any():
             # float-NaN keys break segmentation: NaN != NaN makes
@@ -931,12 +946,16 @@ class PartitionState:
         new_key = df[p.key_col].ne(df[p.key_col].shift())
         gap_break = us.diff() > p.session_gap_us
         sid = (new_key | gap_break).cumsum()
-        per = (
-            df.assign(__us=us, __sid=sid)
-            .groupby([p.key_col, "__sid"], sort=False, dropna=False)["__us"]
-            .agg(["min", "max", "size"])
-            .reset_index()
-        )
+        sv = p.session_values
+        gb = df.assign(__us=us, __sid=sid).groupby(
+            [p.key_col, "__sid"], sort=False, dropna=False)
+        per = gb["__us"].agg(["min", "max", "size"]).reset_index()
+        if sv:
+            # per-session value aggregates in the same grouped pass;
+            # pandas skips NaN (the oracle's NULL rule) — an all-NaN
+            # session sums to 0.0 with NaN min/max
+            vagg = gb[p.value_col].agg(["sum", "min", "max"])
+            per[["__vs", "__vmin", "__vmax"]] = vagg.to_numpy()
         pk = per[p.key_col]
         if pk.dtype.kind == "f" and pk.isna().any():
             # groupby COERCES an object key of numeric values back to
@@ -958,6 +977,10 @@ class PartitionState:
         mins = per["min"].to_numpy().astype(np.int64)
         maxs = per["max"].to_numpy().astype(np.int64)
         sizes = per["size"].to_numpy().astype(np.int64)
+        if sv:
+            vsums = per["__vs"].to_numpy(dtype=np.float64)
+            vmins = per["__vmin"].to_numpy(dtype=np.float64)
+            vmaxs = per["__vmax"].to_numpy(dtype=np.float64)
         first_mask = per[p.key_col].ne(per[p.key_col].shift()).to_numpy()
         last_mask = per[p.key_col].ne(per[p.key_col].shift(-1)).to_numpy()
         # ne() treats a NULL key as equal to shift()'s NaN fill, so a
@@ -979,6 +1002,20 @@ class PartitionState:
         prev_n = np.array(
             [s[2] if s is not None else 0 for s in stored], dtype=np.int64
         )
+        if sv:
+            # pre-flag stored slots (restored 3-element sessions) have
+            # neutral value state: sum 0, min/max None -> NaN (fmin/fmax
+            # then ignore them, the documented rollback rule)
+            def _vp(s, i, dflt):
+                if s is None or len(s) < 6 or s[i] is None:
+                    return dflt
+                return s[i]
+            prev_vsum = np.array([_vp(s, 3, 0.0) for s in stored],
+                                 dtype=np.float64)
+            prev_vmin = np.array([_vp(s, 4, np.nan) for s in stored],
+                                 dtype=np.float64)
+            prev_vmax = np.array([_vp(s, 5, np.nan) for s in stored],
+                                 dtype=np.float64)
         merge_ok = has_prev & (
             mins[first_mask] - prev_last <= p.session_gap_us
         )
@@ -990,34 +1027,60 @@ class PartitionState:
         merged_idx = fm_idx[merge_ok]
         adj_start[merged_idx] = prev_start[merge_ok]
         adj_n[merged_idx] += prev_n[merge_ok]
+        if sv:
+            adj_vs = vsums.copy()
+            adj_vmin = vmins.copy()
+            adj_vmax = vmaxs.copy()
+            adj_vs[merged_idx] += prev_vsum[merge_ok]
+            # fmin/fmax: NaN means "no values yet" on either side
+            adj_vmin[merged_idx] = np.fmin(adj_vmin[merged_idx],
+                                           prev_vmin[merge_ok])
+            adj_vmax[merged_idx] = np.fmax(adj_vmax[merged_idx],
+                                           prev_vmax[merge_ok])
+
+        def _rows(ks, ss, es, ns, vs=None, vlo=None, vhi=None):
+            if not sv:
+                return [(k, int(s), int(e), int(n))
+                        for k, s, e, n in zip(ks, ss, es, ns)]
+            return [
+                (k, int(s), int(e), int(n), float(a),
+                 None if b != b else float(b),
+                 None if c != c else float(c))
+                for k, s, e, n, a, b, c
+                in zip(ks, ss, es, ns, vs, vlo, vhi)
+            ]
 
         closed: list[tuple] = []
         # (a) stored sessions whose gap to the new first session broke
         broke = has_prev & ~merge_ok
-        closed.extend(
-            zip(keys[first_mask][broke], prev_start[broke],
-                prev_last[broke], prev_n[broke])
-        )
+        closed.extend(_rows(
+            keys[first_mask][broke], prev_start[broke],
+            prev_last[broke], prev_n[broke],
+            *((prev_vsum[broke], prev_vmin[broke], prev_vmax[broke])
+              if sv else ())
+        ))
         # (b) batch sessions closed by a later in-batch session of same key
         nb = ~last_mask
-        closed.extend(
-            zip(keys[nb], adj_start[nb], maxs[nb], adj_n[nb])
-        )
+        closed.extend(_rows(
+            keys[nb], adj_start[nb], maxs[nb], adj_n[nb],
+            *((adj_vs[nb], adj_vmin[nb], adj_vmax[nb]) if sv else ())
+        ))
         # keep the last session of each key open
-        open_upd = dict(
-            zip(
-                keys[last_mask],
-                zip(adj_start[last_mask].tolist(),
-                    maxs[last_mask].tolist(),
-                    adj_n[last_mask].tolist()),
-            )
-        )
+        if sv:
+            vals = zip(adj_start[last_mask].tolist(),
+                       maxs[last_mask].tolist(),
+                       adj_n[last_mask].tolist(),
+                       adj_vs[last_mask].tolist(),
+                       adj_vmin[last_mask].tolist(),
+                       adj_vmax[last_mask].tolist())
+        else:
+            vals = zip(adj_start[last_mask].tolist(),
+                       maxs[last_mask].tolist(),
+                       adj_n[last_mask].tolist())
+        open_upd = dict(zip(keys[last_mask], vals))
         self.sessions.update(open_upd)
         self._sess_dirty.update(open_upd)
-        return _sessions_table(
-            [(k, int(s), int(e), int(n)) for k, s, e, n in closed],
-            p.key_col,
-        )
+        return _sessions_table(closed, p.key_col, values=sv)
 
     # ------------------------------------------------------- watermark
 
@@ -1127,9 +1190,20 @@ class PartitionState:
                     self._fired_dirty.discard(key)
 
         sess_rows = []
-        for key, (s, e, n) in list(self.sessions.items()):
+        for key, slot in list(self.sessions.items()):
+            s, e, n = slot[0], slot[1], slot[2]
             if e + self.p.session_gap_us < wm:
-                sess_rows.append((key, s, e, n))
+                if self.p.session_values:
+                    # pre-flag 3-element slots close with neutral value
+                    # state (rollback rule); NaN min/max -> None (NULL)
+                    vs, lo, hi = (tuple(slot[3:6]) if len(slot) >= 6
+                                  else (0.0, None, None))
+                    sess_rows.append((
+                        key, s, e, n, float(vs),
+                        None if (lo is None or lo != lo) else float(lo),
+                        None if (hi is None or hi != hi) else float(hi)))
+                else:
+                    sess_rows.append((key, s, e, n))
                 del self.sessions[key]
                 self._sess_closed.add(key)
                 self._sess_dirty.discard(key)
@@ -1152,7 +1226,8 @@ class PartitionState:
                 upd_rows, self.p.window_group_cols,
                 distinct=self.p.window_distinct,
             ),
-            "sessions": _sessions_table(sess_rows, self.p.key_col),
+            "sessions": _sessions_table(sess_rows, self.p.key_col,
+                                        values=self.p.session_values),
             "watermark_us": wm,
         }
         if self.p.window_quantiles is not None:
@@ -1629,9 +1704,9 @@ def _window_updates_table(rows, group_cols, distinct=False) -> pa.Table:
     return pa.table(data)
 
 
-def _sessions_table(rows, key_col) -> pa.Table:
+def _sessions_table(rows, key_col, values=False) -> pa.Table:
     if not rows:
-        return pa.table(
+        tbl = pa.table(
             {
                 key_col: pa.array([], type=pa.string()),
                 "session_start_us": pa.array([], type=pa.int64()),
@@ -1639,16 +1714,24 @@ def _sessions_table(rows, key_col) -> pa.Table:
                 "n_events": pa.array([], type=pa.int64()),
             }
         )
-    keys, starts, ends, ns = zip(*rows)
-    return pa.table(
-        {
-            # same all-None inference hazard as _windows_table's groups
-            key_col: _string_if_null(pa.array(list(keys))),
-            "session_start_us": pa.array(list(starts), type=pa.int64()),
-            "session_end_us": pa.array(list(ends), type=pa.int64()),
-            "n_events": pa.array(list(ns), type=pa.int64()),
-        }
-    )
+        if values:
+            for c in ("sum_value", "min_value", "max_value"):
+                tbl = tbl.append_column(
+                    c, pa.array([], type=pa.float64()))
+        return tbl
+    cols = list(zip(*rows))
+    data = {
+        # same all-None inference hazard as _windows_table's groups
+        key_col: _string_if_null(pa.array(list(cols[0]))),
+        "session_start_us": pa.array(list(cols[1]), type=pa.int64()),
+        "session_end_us": pa.array(list(cols[2]), type=pa.int64()),
+        "n_events": pa.array(list(cols[3]), type=pa.int64()),
+    }
+    if values:
+        data["sum_value"] = pa.array(list(cols[4]), type=pa.float64())
+        data["min_value"] = pa.array(list(cols[5]), type=pa.float64())
+        data["max_value"] = pa.array(list(cols[6]), type=pa.float64())
+    return pa.table(data)
 
 
 @ray.remote(num_cpus=0)

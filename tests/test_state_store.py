@@ -452,3 +452,70 @@ def test_window_quantile_sketch_bounds_state():
     (hist,) = ps.winq.values()
     assert len(hist) <= 10 * k
     assert sum(hist.values()) == len(rows)
+
+
+def test_session_values_merge_and_close():
+    """session_values: per-session sum/min/max of value_col accumulate
+    through in-batch splits, cross-epoch merges, and watermark closes;
+    NaN values are excluded from all three (still counted in n_events);
+    an all-NaN session closes with sum 0.0 and NULL min/max."""
+    import numpy as np
+
+    ps = mk(value_col="v", session_values=True)
+    out0 = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en", "v": 2.0},
+        {"url": "a", "ts_us": 40, "lang": "en", "v": 5.0},
+        {"url": "a", "ts_us": 200, "lang": "en", "v": 1.0},  # gap break
+        {"url": "b", "ts_us": 10, "lang": "en", "v": float("nan")},
+    ]))
+    s0 = out0["sessions_closed"].to_pandas()
+    # the in-batch closed session carries its aggregates
+    assert list(s0["n_events"]) == [2]
+    assert list(s0["sum_value"]) == [7.0]
+    assert list(s0["min_value"]) == [2.0]
+    assert list(s0["max_value"]) == [5.0]
+
+    # cross-epoch merge extends a's open session (200 -> 230)
+    ps.process(1, tbl([{"url": "a", "ts_us": 230, "lang": "en",
+                        "v": 7.0}]))
+    c = ps.advance_watermark(POS_INF)["sessions"].to_pandas()
+    c = c.sort_values("url").reset_index(drop=True)
+    assert list(c["n_events"]) == [2, 1]
+    assert list(c["sum_value"]) == [8.0, 0.0]
+    assert list(c["min_value"])[:1] == [1.0] and np.isnan(c["min_value"][1])
+    assert list(c["max_value"])[:1] == [7.0] and np.isnan(c["max_value"][1])
+
+
+def test_session_values_snapshot_roundtrip_and_pre_flag_rollback():
+    """6-element session slots survive the full+delta snapshot chain; a
+    pre-flag frame (3-element slots) restored into a flag-enabled state
+    closes with neutral value state instead of crashing."""
+    ps = mk(value_col="v", session_values=True)
+    ps.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en",
+                        "v": 3.0}]))
+    base = ps.snapshot_bytes()
+    ps.process(1, tbl([{"url": "a", "ts_us": 20, "lang": "en",
+                        "v": 9.0}]))
+    delta = ps.delta_bytes(0)
+    ps2 = mk(value_col="v", session_values=True)
+    ps2.restore_chain([base, delta])
+    c = ps2.advance_watermark(POS_INF)["sessions"].to_pandas()
+    assert list(c["sum_value"]) == [12.0]
+    assert list(c["min_value"]) == [3.0]
+    assert list(c["max_value"]) == [9.0]
+
+    # pre-flag frame: written WITHOUT session_values
+    ps3 = mk()
+    ps3.process(0, tbl([{"url": "a", "ts_us": 10, "lang": "en"}]))
+    blob = ps3.snapshot_bytes()
+    ps4 = mk(value_col="v", session_values=True)
+    ps4.restore_bytes(blob)
+    # a merging row must extend the 3-element slot without crashing
+    ps4.process(1, tbl([{"url": "a", "ts_us": 30, "lang": "en",
+                         "v": 4.0}]))
+    c4 = ps4.advance_watermark(POS_INF)["sessions"].to_pandas()
+    assert list(c4["n_events"]) == [2]
+    # pre-flag rows were never value-tracked: only the post-restore row
+    assert list(c4["sum_value"]) == [4.0]
+    assert list(c4["min_value"]) == [4.0]
+    assert list(c4["max_value"]) == [4.0]
