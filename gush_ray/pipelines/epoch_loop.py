@@ -368,6 +368,9 @@ def _reduce_partition(
         if params.window_quantiles is not None:
             ExactlyOnceSink.write_part(out_dir, "window_hist", epoch,
                                        pid, closes["window_hist"])
+        if "joined" in closes:  # asof mode: watermark-gated drain
+            ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
+                                       closes["joined"])
         ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                    closes["sessions"])
         t_parts = time.perf_counter()
@@ -432,6 +435,9 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     if params.window_quantiles is not None:
         ExactlyOnceSink.write_part(out_dir, "window_hist", epoch, pid,
                                    closes["window_hist"])
+    if "joined" in closes:  # asof mode: final drain of pending rights
+        ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
+                                   closes["joined"])
     ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                closes["sessions"])
     return {"windows": closes["windows"].num_rows,
@@ -649,6 +655,11 @@ class StreamingJob:
             # same constraint as top-k: the second-stage merge task
             # chains on the epoch's reduce refs
             raise ValueError("windowed quantiles require mode='tasks'")
+        if (join_spec is not None and join_spec.mode == "asof"
+                and mode != "tasks"):
+            # the watermark-gated drain is written by the reduce task
+            # (actor mode's gather loop has no joined writer)
+            raise ValueError("asof (temporal) join requires mode='tasks'")
         self.window_topk = window_topk
         self.derive_host = derive_host
         from gush_ray.fs import normalize_uri

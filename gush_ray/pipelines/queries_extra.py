@@ -1780,6 +1780,89 @@ def q_stream_join(sf_dir: str):
     return out.sort_values("version").reset_index(drop=True)
 
 
+SQL_ASOF_STREAM_JOIN = f"""
+WITH pages AS (
+  SELECT url, epoch_us(warc_ts) AS ts_us, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{PAGES_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+  WHERE text IS NOT NULL
+),
+clicks AS (
+  SELECT url, epoch_us(ts) AS c_ts, click_id, CAST(epoch AS BIGINT) AS epoch
+  FROM read_parquet('{CLICKS_FIXTURE}/epoch=*/part-*.parquet',
+                    hive_partitioning=1)
+),
+uniq AS (SELECT url, ts_us, epoch FROM pages GROUP BY ALL),
+wm AS (
+  SELECT p.epoch,
+         least(max(p.mx) OVER (ORDER BY p.epoch),
+               max(c.mx) OVER (ORDER BY c.epoch)) AS wm_after
+  FROM (SELECT epoch, max(ts_us) AS mx FROM pages GROUP BY epoch) p
+  JOIN (SELECT epoch, max(c_ts) AS mx FROM clicks GROUP BY epoch) c
+    ON c.epoch = p.epoch
+),
+flagged AS (
+  SELECT u.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM uniq u LEFT JOIN wm w ON w.epoch = u.epoch - 1
+),
+nonlate AS (SELECT * FROM flagged WHERE ts_us >= wm_prev),
+survivors AS (
+  SELECT a.url, a.ts_us FROM nonlate a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nonlate b
+    WHERE b.url = a.url AND b.epoch < a.epoch AND b.ts_us >= a.ts_us
+  )
+),
+changes AS (
+  SELECT url, ts_us,
+         row_number() OVER (PARTITION BY url ORDER BY ts_us) - 1 AS version
+  FROM survivors
+),
+flagged_c AS (
+  SELECT c.*, coalesce(w.wm_after, {NEG_INF_SQL}) AS wm_prev
+  FROM clicks c LEFT JOIN wm w ON w.epoch = c.epoch - 1
+),
+admitted AS (SELECT * FROM flagged_c WHERE c_ts >= wm_prev)
+SELECT a.url, s.ts_us AS l_ts_us, a.c_ts AS r_ts_us,
+       s.version, a.click_id
+FROM admitted a ASOF JOIN changes s
+  ON a.url = s.url AND a.c_ts >= s.ts_us
+ORDER BY a.url, l_ts_us, r_ts_us, a.click_id
+"""
+
+
+def q_asof_stream_join(sf_dir: str):
+    """Streaming event-time TEMPORAL join (Flink FOR SYSTEM_TIME AS OF /
+    DuckDB ASOF JOIN): each click pairs with the LATEST change-stream
+    version of its url at-or-before the click's event time, exactly
+    once, emitted when the watermark passes the click (only then is the
+    url's version history at that instant final). Left state is pruned
+    to latest-version-per-url + in-flight rows — bounded by key
+    cardinality like the V1 dedup map, not by stream length
+    (state/join_state.drain_asof). num_partitions=1 for the same
+    SQL-expressible-watermark reason as q_stream_join; multi-P and
+    kill->resume are pinned by tests/test_stream_join.py."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.join_state import JoinSpec
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    clicks_dir = _ensure_clicks()
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=1,
+        right_dir=clicks_dir,
+        join_spec=JoinSpec(0, 0, mode="asof", left_cols=("version",),
+                           right_cols=("click_id",)),
+    )
+    job.run()
+    joined = job.read_output("joined")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = joined[["url", "l_ts_us", "r_ts_us", "version", "click_id"]]
+    return out.sort_values(
+        ["url", "l_ts_us", "r_ts_us", "click_id"]).reset_index(drop=True)
+
+
 def q_windowed_unique(sf_dir: str):
     """Windowed DISTINCT-url counts (streaming "unique visitors"):
     the flagship pipeline with ``window_distinct=True`` — every open
@@ -2724,6 +2807,7 @@ EXTRA_QUERIES = {
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "asof_stream_join": (q_asof_stream_join, SQL_ASOF_STREAM_JOIN),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),

@@ -53,8 +53,24 @@ class JoinSpec:
     high_us: int
     left_cols: tuple[str, ...] = ("version",)
     right_cols: tuple[str, ...] = ()
+    # "interval": emit every pair with r.ts - l.ts in [low, high], at the
+    # epoch the later row arrives (above). "asof": event-time TEMPORAL
+    # join (Flink FOR SYSTEM_TIME AS OF / DuckDB ASOF JOIN) — each right
+    # row pairs with the LATEST same-key left row with l.ts <= r.ts,
+    # exactly once, emitted when the watermark passes r.ts (only then is
+    # the left history at r.ts final: any later-arriving left with
+    # l.ts <= r.ts < wm would be late-routed by definition). low/high
+    # are ignored in asof mode and must be 0 (the right-admission cut in
+    # store._process_join_epoch then reduces to ts >= wm, the late rule).
+    mode: str = "interval"
 
     def __post_init__(self):
+        if self.mode not in ("interval", "asof"):
+            raise ValueError(f"unknown join mode {self.mode!r}")
+        if self.mode == "asof" and (self.low_us, self.high_us) != (0, 0):
+            raise ValueError(
+                "asof mode ignores the interval bounds — pass "
+                "low_us=0, high_us=0")
         if self.low_us > self.high_us:
             raise ValueError(
                 f"low_us {self.low_us} > high_us {self.high_us}"
@@ -106,6 +122,17 @@ class StreamJoinState:
         s = self.spec
         new_l = new_l.reset_index(drop=True)
         new_r = new_r.reset_index(drop=True)
+        if s.mode == "asof":
+            # temporal join: absorb only — emission is watermark-gated
+            # (drain_asof), because the asof match for a right row is
+            # final only once no earlier-ts left can still arrive
+            self.bufL = pd.concat([self.bufL, new_l[self._l_cols]],
+                                  ignore_index=True) \
+                if len(new_l) else self.bufL
+            self.bufR = pd.concat([self.bufR, new_r[self._r_cols]],
+                                  ignore_index=True) \
+                if len(new_r) else self.bufR
+            return pd.DataFrame(columns=self.out_columns())
         all_r = pd.concat([self.bufR, new_r], ignore_index=True) \
             if len(self.bufR) else new_r
         out_frames = []
@@ -149,10 +176,87 @@ class StreamJoinState:
             cols[c] = rdf[c].to_numpy()[ri]
         return pd.DataFrame(cols)
 
+    # ------------------------------------------------------- asof drain
+
+    def drain_asof(self, watermark_us: int) -> pd.DataFrame:
+        """asof mode: emit the pairs for every buffered right row with
+        ``r.ts < wm`` (their left history is final — any later left with
+        a smaller ts would be late-routed), remove them from the buffer,
+        and prune the left history to {latest left <= wm per key} ∪
+        {lefts with ts > wm} — exactly the rows a future right
+        (ts >= wm) can still match. Deterministic given (state, wm), so
+        a replayed epoch rewrites the identical part. Left state is
+        bounded by key cardinality + in-flight rows — the same bound as
+        the V1 dedup map, NOT the stream length."""
+        wm = watermark_us
+        out_cols = self.out_columns()
+        ready_mask = (self.bufR[self.ts_col].to_numpy().astype(np.int64)
+                      < wm) if len(self.bufR) else np.zeros(0, dtype=bool)
+        if not ready_mask.any():
+            out = pd.DataFrame(columns=out_cols)
+        else:
+            ready = self.bufR[ready_mask].reset_index(drop=True)
+            self.bufR = self.bufR[~ready_mask].reset_index(drop=True)
+            if len(self.bufL):
+                # merge_asof is the vectorized "latest l.ts <= r.ts per
+                # key" kernel (direction=backward, exact matches allowed
+                # — DuckDB ASOF JOIN's >= semantics). The on-columns are
+                # coerced to int64: a buffer seeded from its empty
+                # object-dtype frame keeps object dtype through concat,
+                # which merge_asof rejects.
+                ldf = self.bufL.assign(
+                    l_ts_us=self.bufL[self.ts_col].astype(np.int64)
+                ).sort_values("l_ts_us",
+                              kind="mergesort").reset_index(drop=True)
+                rdf = ready.assign(
+                    **{self.ts_col: ready[self.ts_col].astype(np.int64)}
+                ).sort_values(self.ts_col,
+                              kind="mergesort").reset_index(drop=True)
+                m = pd.merge_asof(
+                    rdf, ldf.drop(columns=[self.ts_col]),
+                    left_on=self.ts_col, right_on="l_ts_us",
+                    by=self.key_col, direction="backward",
+                    allow_exact_matches=True,
+                )
+                m = m[m["l_ts_us"].notna()]  # inner: unmatched rights drop
+                out = pd.DataFrame({
+                    self.key_col: m[self.key_col].to_numpy(),
+                    "l_ts_us": m["l_ts_us"].to_numpy().astype(np.int64),
+                    "r_ts_us": m[self.ts_col].to_numpy().astype(np.int64),
+                    **{c: m[c].to_numpy() for c in self.spec.left_cols},
+                    **{c: m[c].to_numpy() for c in self.spec.right_cols},
+                })[out_cols]
+            else:
+                out = pd.DataFrame(columns=out_cols)
+        if len(self.bufL):
+            lt = self.bufL[self.ts_col].to_numpy().astype(np.int64)
+            future = lt > wm
+            if (~future).any():
+                past = self.bufL[~future]
+                # latest left at-or-below the watermark, per key (the
+                # only past row a future right can asof-match)
+                keep_last = (past.sort_values(self.ts_col,
+                                              kind="mergesort")
+                             .groupby(self.key_col, sort=False,
+                                      dropna=False).tail(1))
+                self.bufL = pd.concat(
+                    [keep_last, self.bufL[future]], ignore_index=True
+                ).sort_values([self.key_col, self.ts_col],
+                              kind="mergesort").reset_index(drop=True)
+        out = out.sort_values(
+            [self.key_col, "l_ts_us", "r_ts_us"], kind="mergesort"
+        ).reset_index(drop=True)
+        self.pairs_emitted += len(out)
+        return out
+
     # ------------------------------------------------------------ prune
 
     def prune(self, watermark_us: int) -> None:
         """Drop buffer rows no future arrival (ts >= wm) can pair with."""
+        if self.spec.mode == "asof":
+            # asof retention is handled inside drain_asof (the prune
+            # rule is "latest-per-key <= wm", not an interval bound)
+            return
         s = self.spec
         if len(self.bufL):
             keep = self.bufL[self.ts_col].to_numpy().astype(np.int64) \

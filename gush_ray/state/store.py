@@ -510,10 +510,14 @@ class PartitionState:
         else:
             new_r = pd.DataFrame(columns=r_cols)
         joined = self.joiner.process_epoch(new_l, new_r)
-        ExactlyOnceSink.write_part(
-            base_dir, "joined", epoch, self.pid,
-            pa.Table.from_pandas(joined, preserve_index=False),
-        )
+        if p.join_spec.mode != "asof":
+            # asof mode: process_epoch only absorbed — emission is
+            # watermark-gated (advance_watermark drains and the reduce
+            # writes the epoch's "joined" part, same shape as windows)
+            ExactlyOnceSink.write_part(
+                base_dir, "joined", epoch, self.pid,
+                pa.Table.from_pandas(joined, preserve_index=False),
+            )
         return {
             "joined_rows": int(len(joined)),
             "right_rows_in": int(len(new_r) + n_r_late),
@@ -1214,8 +1218,17 @@ class PartitionState:
             self.neardup.prune(wm)
         if self.frontier is not None:
             self.frontier.prune(wm)
-        if self.joiner is not None and wm > NEG_INF:
-            self.joiner.prune(wm)
+        drained_pairs = None
+        if self.joiner is not None:
+            if self.p.join_spec.mode == "asof":
+                # temporal join: rights below the watermark have FINAL
+                # left histories — emit their pairs now (and prune the
+                # left history to latest-per-key<=wm + future rows).
+                # Called even at wm=NEG_INF so every epoch's reduce has
+                # a (possibly empty) part to write — schema stability.
+                drained_pairs = self.joiner.drain_asof(wm)
+            elif wm > NEG_INF:
+                self.joiner.prune(wm)
 
         out = {
             "windows": _windows_table(
@@ -1233,6 +1246,9 @@ class PartitionState:
         if self.p.window_quantiles is not None:
             out["window_hist"] = _window_hist_table(
                 hist_rows, self.p.window_group_cols)
+        if drained_pairs is not None:
+            out["joined"] = pa.Table.from_pandas(
+                drained_pairs, preserve_index=False)
         return out
 
     # -------------------------------------------------------- lifecycle

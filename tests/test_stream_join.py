@@ -381,3 +381,163 @@ def test_positive_low_bound_right_rows_join_buffered_lefts():
     assert sorted(zip(got["k"], got["l_ts_us"], got["r_ts_us"])) == sorted(
         zip(want["k"], want["ts_us_l"].astype(np.int64),
             want["ts_us_r"].astype(np.int64)))
+
+
+# ------------------------------------------------------------ asof mode
+
+
+def brute_asof(ldf, rdf, key, ts):
+    """Independent O(n^2) oracle: latest same-key left with
+    l.ts <= r.ts, per right row (inner)."""
+    rows = []
+    for _, r in rdf.iterrows():
+        cand = ldf[(ldf[key] == r[key]) & (ldf[ts] <= r[ts])]
+        if len(cand):
+            top = cand.sort_values(ts, kind="mergesort").iloc[-1]
+            rows.append((r[key], int(top[ts]), int(r[ts]),
+                         int(top["pay"]), int(r["rpay"])))
+    return sorted(rows)
+
+
+def test_asof_drain_equals_brute_force():
+    """Epoch-wise absorb + watermark-gated drain over random streams
+    equals the brute-force temporal join; each right row emits at most
+    once; the left buffer stays pruned to latest-per-key + future."""
+    rng = np.random.RandomState(7)
+    ldf = _mk(rng, 200, 8, 1000)
+    # distinct (k, ts) per side keeps the oracle's argmax unambiguous
+    ldf = ldf.drop_duplicates(["k", "ts_us"]).reset_index(drop=True)
+    rdf = _mk(rng, 200, 8, 1000).rename(columns={"pay": "rpay"})
+    spec = JoinSpec(0, 0, left_cols=("pay",), right_cols=("rpay",),
+                    mode="asof")
+    st = StreamJoinState("k", "ts_us", spec)
+    bounds = [0, 300, 650, 10**9]
+    got = []
+    for e in range(3):
+        lo, hi = bounds[e], bounds[e + 1]
+        out = st.process_epoch(
+            ldf[(ldf.ts_us >= lo) & (ldf.ts_us < hi)],
+            rdf[(rdf.ts_us >= lo) & (rdf.ts_us < hi)])
+        assert len(out) == 0  # absorb-only; emission is wm-gated
+        got.append(st.drain_asof(lo))
+    got.append(st.drain_asof(10**18))
+    out = pd.concat(got, ignore_index=True)
+    want = brute_asof(ldf, rdf, "k", "ts_us")
+    assert sorted(map(tuple, out[["k", "l_ts_us", "r_ts_us", "pay",
+                                  "rpay"]].itertuples(index=False))) \
+        == want
+    # left buffer fully pruned to latest-per-key after the final drain
+    assert len(st.bufL) <= ldf["k"].nunique()
+    assert len(st.bufR) == 0
+
+
+def test_asof_state_snapshot_restore_continues_identically():
+    rng = np.random.RandomState(9)
+    ldf = _mk(rng, 120, 5, 800).drop_duplicates(["k", "ts_us"])
+    rdf = _mk(rng, 120, 5, 800).rename(columns={"pay": "rpay"})
+    spec = JoinSpec(0, 0, left_cols=("pay",), right_cols=("rpay",),
+                    mode="asof")
+
+    a = StreamJoinState("k", "ts_us", spec)
+    a.process_epoch(ldf[ldf.ts_us < 400], rdf[rdf.ts_us < 400])
+    a.drain_asof(300)
+    st = a.state()
+
+    b = StreamJoinState("k", "ts_us", spec)
+    b.restore(st)
+    for j in (a, b):
+        j.process_epoch(ldf[ldf.ts_us >= 400], rdf[rdf.ts_us >= 400])
+    pd.testing.assert_frame_equal(a.drain_asof(10**18),
+                                  b.drain_asof(10**18))
+
+
+def test_asof_spec_validation():
+    with pytest.raises(ValueError):
+        JoinSpec(0, 0, mode="nope")
+    with pytest.raises(ValueError):
+        JoinSpec(-5, 5, mode="asof")  # bounds must be 0 in asof mode
+
+
+def _run_asof_job(pages, clicks, out_dir, **kw):
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    return StreamingJob(
+        pages, out_dir, num_partitions=4,
+        right_dir=clicks,
+        join_spec=JoinSpec(0, 0, mode="asof", left_cols=("version",),
+                           right_cols=("click_id",)),
+        **kw,
+    )
+
+
+def test_streaming_asof_join_matches_batch_oracle(
+        ray_session, join_job_dirs, tmp_path):
+    """Streaming temporal join at P=4 equals the batch asof oracle over
+    (changes output x clicks): every click pairs with the latest
+    non-late change version of its url at-or-before the click."""
+    pages, clicks = join_job_dirs
+    job = _run_asof_job(pages, clicks, str(tmp_path / "out"),
+                        run_id="asof_e2e")
+    res = job.run()
+    assert res["completed"] == 3
+
+    joined = job.read_output("joined")
+    changes = job.read_output("changes")
+    assert len(joined) > 0
+    # emit-once: each click appears at most once
+    assert not joined.duplicated(["url", "r_ts_us", "click_id"]).any()
+
+    import glob as g
+
+    import pyarrow.parquet as pq
+    clk = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in sorted(g.glob(f"{clicks}/epoch=*/part-*.parquet"))],
+        ignore_index=True,
+    )
+    clk["ts_us"] = clk["ts"].astype("int64")
+
+    ch = changes[["url", "ts_us", "version"]].sort_values(
+        "ts_us", kind="mergesort")
+    want = pd.merge_asof(
+        clk[["url", "ts_us", "click_id"]].sort_values(
+            "ts_us", kind="mergesort"),
+        ch.rename(columns={"ts_us": "l_ts_us"}),
+        left_on="ts_us", right_on="l_ts_us", by="url",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = want[want["l_ts_us"].notna()]
+    gs = sorted(zip(joined["url"], joined["l_ts_us"], joined["r_ts_us"],
+                    joined["version"], joined["click_id"]))
+    ws = sorted(zip(want["url"],
+                    want["l_ts_us"].astype(np.int64),
+                    want["ts_us"].astype(np.int64),
+                    want["version"].astype(np.int64),
+                    want["click_id"]))
+    assert gs == ws
+
+
+def test_streaming_asof_join_kill_resume_parity(
+        ray_session, join_job_dirs, tmp_path):
+    pages, clicks = join_job_dirs
+
+    full = _run_asof_job(pages, clicks, str(tmp_path / "full"),
+                         run_id="aj_full")
+    full.run()
+    want = full.read_output("joined")
+    assert len(want) > 0
+
+    part = _run_asof_job(pages, clicks, str(tmp_path / "part"),
+                         run_id="aj_part")
+    part.run(stop_after=2)
+    resumed = _run_asof_job(pages, clicks, str(tmp_path / "part"),
+                            run_id="aj_part2")
+    res = resumed.run()
+    assert res["completed"] == 3
+    got = resumed.read_output("joined")
+
+    key = ["url", "l_ts_us", "r_ts_us", "version", "click_id"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
