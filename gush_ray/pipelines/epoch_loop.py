@@ -368,6 +368,10 @@ def _reduce_partition(
         if params.window_quantiles is not None:
             ExactlyOnceSink.write_part(out_dir, "window_hist", epoch,
                                        pid, closes["window_hist"])
+        if params.window_hll_p is not None:
+            ExactlyOnceSink.write_part(out_dir, "window_hll_parts",
+                                       epoch, pid,
+                                       closes["window_hll_parts"])
         if "joined" in closes:  # asof mode: watermark-gated drain
             ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
                                        closes["joined"])
@@ -435,6 +439,9 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     if params.window_quantiles is not None:
         ExactlyOnceSink.write_part(out_dir, "window_hist", epoch, pid,
                                    closes["window_hist"])
+    if params.window_hll_p is not None:
+        ExactlyOnceSink.write_part(out_dir, "window_hll_parts", epoch,
+                                   pid, closes["window_hll_parts"])
     if "joined" in closes:  # asof mode: final drain of pending rights
         ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
                                    closes["joined"])
@@ -508,6 +515,65 @@ def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
         pa.Table.from_pandas(top.reset_index(drop=True),
                              preserve_index=False))
     return {"topk_rows": out["rows"]}
+
+
+@ray.remote
+def _hll_windows(epoch: "int | str", out_dir: str,
+                 params: StateParams, P: int, *deps) -> dict:
+    """Second streaming stage: GLOBAL bounded-state per-window distinct
+    estimates, merged from the P per-partition closed-window HLL
+    register partials (``window_hll_parts``). Same two-stage topology,
+    scheduling and exactly-once argument as :func:`_topk_windows`; the
+    merge (elementwise register max) IS the exact HLL union, so the
+    output is a deterministic pure function of each window's global key
+    SET — P-independent and replay-idempotent.
+
+    Output ``window_hll/epoch=E/part-00000``: one row per closed
+    (group, window) — (groups..., window_id, n_est) with n_est the
+    rounded HLL estimate (standard error ~1.04/sqrt(2^p); linear
+    counting at small cardinalities).
+    """
+    import pyarrow.parquet as pq
+
+    from gush_ray.fs import get_fs
+    from gush_ray.stages.sketches import hll_estimate
+
+    fs, base = get_fs(out_dir)
+    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
+            else f"epoch={epoch}")
+    tabs = []
+    for pid in range(P):
+        path = fs.join(base, "window_hll_parts", slot,
+                       f"part-{pid:05d}.parquet")
+        if fs.exists(path):
+            with fs.open(path, "rb") as f:
+                tabs.append(pq.read_table(f))
+    gcols = list(params.window_group_cols)
+    kcols = gcols + ["window_id"]
+    if not tabs or sum(t.num_rows for t in tabs) == 0:
+        empty = pa.table(
+            {c: pa.array([], type=pa.string()) for c in gcols}
+            | {"window_id": pa.array([], type=pa.int64()),
+               "n_est": pa.array([], type=pa.int64())})
+        out = ExactlyOnceSink.write_part(out_dir, "window_hll", epoch, 0,
+                                         empty)
+        return {"hll_rows": out["rows"]}
+    df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+    rows = []
+    for key, grp in df.groupby(kcols, sort=True, dropna=False):
+        regs = np.frombuffer(grp["registers"].iloc[0],
+                             dtype=np.uint8).copy()
+        for blob in grp["registers"].iloc[1:]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                       out=regs)
+        if not isinstance(key, tuple):
+            key = (key,)
+        rows.append((*key, int(round(hll_estimate(regs)))))
+    res = pd.DataFrame(rows, columns=kcols + ["n_est"])
+    out = ExactlyOnceSink.write_part(
+        out_dir, "window_hll", epoch, 0,
+        pa.Table.from_pandas(res, preserve_index=False))
+    return {"hll_rows": out["rows"]}
 
 
 @ray.remote
@@ -616,6 +682,7 @@ class StreamingJob:
         window_quantiles: tuple[float, ...] | None = None,
         quantile_sketch_k: int | None = None,
         session_values: bool = False,
+        window_hll_p: int | None = None,
         derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
@@ -655,6 +722,9 @@ class StreamingJob:
             # same constraint as top-k: the second-stage merge task
             # chains on the epoch's reduce refs
             raise ValueError("windowed quantiles require mode='tasks'")
+        if window_hll_p is not None and mode != "tasks":
+            # same second-stage-merge constraint as top-k/quantiles
+            raise ValueError("windowed HLL distinct requires mode='tasks'")
         if (join_spec is not None and join_spec.mode == "asof"
                 and mode != "tasks"):
             # the watermark-gated drain is written by the reduce task
@@ -707,6 +777,7 @@ class StreamingJob:
                               if window_quantiles is not None else None),
             quantile_sketch_k=quantile_sketch_k,
             session_values=session_values,
+            window_hll_p=window_hll_p,
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,
@@ -1315,6 +1386,10 @@ class StreamingJob:
                 # chaining/commit-gating as the top-k merge
                 quant_ref = _quantile_windows.remote(
                     epoch, self.out_dir, self.params, self.P, *refs)
+            hll_ref = None
+            if self.params.window_hll_p is not None:
+                hll_ref = _hll_windows.remote(
+                    epoch, self.out_dir, self.params, self.P, *refs)
             submit_sec = round(time.perf_counter() - t0, 3)
             max_ts_now = [int(t) for t in self._part_max_ts]
             max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
@@ -1332,6 +1407,8 @@ class StreamingJob:
                 if quant_ref is not None:
                     timings["quantile_rows"] = ray.get(
                         quant_ref)["quantile_rows"]
+                if hll_ref is not None:
+                    timings["hll_rows"] = ray.get(hll_ref)["hll_rows"]
                 timings["reduce_gather_sec"] = round(
                     time.perf_counter() - t_g, 3)
                 if prof:
@@ -1577,6 +1654,9 @@ class StreamingJob:
                     self.P))
             if self.params.window_quantiles is not None:
                 ray.get(_quantile_windows.remote(
+                    slot, self.out_dir, self.params, self.P))
+            if self.params.window_hll_p is not None:
+                ray.get(_hll_windows.remote(
                     slot, self.out_dir, self.params, self.P))
         else:
             actors = self.actors()

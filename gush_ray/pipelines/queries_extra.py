@@ -168,6 +168,15 @@ FROM changes GROUP BY lang, change_kind, window_id
 ORDER BY lang, change_kind, window_id
 """
 
+SQL_WINDOWED_HLL = _SQL_PAGES_BASE + f"""
+SELECT lang,
+       CASE WHEN version = 0 THEN 'insert' ELSE 'update' END AS change_kind,
+       ts_us // {_WIN_US} AS window_id,
+       count(DISTINCT url) AS n_distinct, TRUE AS hll_ok
+FROM changes GROUP BY lang, change_kind, window_id
+ORDER BY lang, change_kind, window_id
+"""
+
 SQL_STREAMING_TOPK = _SQL_PAGES_BASE + f"""
 , wcounts AS (
   SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
@@ -2107,6 +2116,39 @@ def q_window_quantiles_stream(sf_dir: str):
         drop=True)
 
 
+def q_windowed_hll(sf_dir: str):
+    """Bounded-state windowed DISTINCT (the sketch counterpart of
+    q_windowed_unique, same exact/sketch duality as the quantile pair):
+    each open (group, window) holds a 2^12-register HLL over the url
+    instead of the exact key set — fixed state per window whatever the
+    key cardinality (the 100-TB path). The run enables BOTH modes, so
+    the exact n_distinct pins the driver hash bit-exactly and the HLL
+    estimate is tolerance-checked against it in the same row (hll_ok;
+    bound = 3 + 5% — p=12 standard error is 1.6%, and these windows sit
+    in the near-exact linear-counting regime). P=1 for the watermark
+    reason of q_pages_flagship; P-independence of the merged estimate
+    (register max across partitions) is pinned by test_epoch_loop."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(pages_dir, out_dir, run_id=uuid.uuid4().hex,
+                       num_partitions=1, window_distinct=True,
+                       window_hll_p=12)
+    job.run()
+    windows = job.read_output("windows")
+    hll = job.read_output("window_hll")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    key = ["lang", "change_kind", "window_id"]
+    w = windows.groupby(key, as_index=False)["n_distinct"].sum()
+    m = w.merge(hll, on=key, validate="one_to_one")
+    m["hll_ok"] = (m["n_est"] - m["n_distinct"]).abs() \
+        <= 3 + 0.05 * m["n_distinct"]
+    out = m[key + ["n_distinct", "hll_ok"]]
+    return out.sort_values(key).reset_index(drop=True)
+
+
 def q_streaming_topk(sf_dir: str):
     """Streaming windowed TOP-K hosts (two-stage dataflow): the url-keyed
     stage-1 accumulators group by a derived host column
@@ -2797,6 +2839,7 @@ EXTRA_QUERIES = {
     # tolerance-checked sketches, checked bloom semi
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
+    "windowed_hll": (q_windowed_hll, SQL_WINDOWED_HLL),
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
     "window_quantiles_stream": (q_window_quantiles_stream,
                                 SQL_WINDOW_QUANTILES),

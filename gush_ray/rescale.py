@@ -239,6 +239,14 @@ def rescale_state(out_dir: str, new_P: int,
                 gkey, {})
             for v, c in hist.items():
                 tgt[v] = tgt.get(v, 0) + c
+        for gkey, regs in ps.winh.items():
+            # HLL registers merge by elementwise max (exact union)
+            tgt_st = new_states[_group_part(gkey, new_P)]
+            cur = tgt_st.winh.get(gkey)
+            if cur is None:
+                tgt_st.winh[gkey] = regs.copy()
+            else:
+                np.maximum(cur, regs, out=cur)
         for gkey, fslot in ps.fired.items():
             # fired accumulators merge additively like open windows
             # (each partition held a PARTIAL of the window); emitted

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                          "--value-col on the `quantiles` stream "
                          "(per-partition value histograms, two-stage "
                          "merge, quantile_disc semantics)")
+    ap.add_argument("--window-hll-p", type=int, default=None,
+                    help="bounded-state windowed DISTINCT: per-window "
+                         "2^p-register HLL over the key (estimates on "
+                         "the `window_hll` stream; fixed state per open "
+                         "window vs window_distinct's exact key sets)")
     ap.add_argument("--session-values", action="store_true",
                     help="per-session VALUE aggregates of --value-col "
                          "(sum_value/min_value/max_value on the session "
@@ -170,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
                           if args.window_quantiles else None),
         quantile_sketch_k=args.quantile_sketch_k,
         session_values=args.session_values,
+        window_hll_p=args.window_hll_p,
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
@@ -199,7 +205,9 @@ def main(argv: list[str] | None = None) -> int:
                       + (("frontier",) if _frontier_spec(args) else ())
                       + (("topk",) if args.window_topk else ())
                       + (("quantiles",)
-                         if args.window_quantiles else ()))
+                         if args.window_quantiles else ())
+                      + (("window_hll",)
+                         if args.window_hll_p else ()))
         },
     }
     print(json.dumps(summary))

@@ -87,6 +87,40 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
 
 # ------------------------------------------------------------ HyperLogLog
 
+def hll_idx_rank(values, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) arrays for a value batch — the vectorized
+    core of :meth:`HyperLogLog.add`, exposed so per-group streaming
+    accumulators (state/store.py window_hll_p) can hash a batch ONCE and
+    scatter-max into many per-window register arrays."""
+    h = stable_hash(np.asarray(values))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros of the remaining bits + 1, vectorized via
+    # bit-length: clz(x) = 64 - bit_length(x) for x > 0
+    bl = np.zeros(len(rest), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        ge = x >= (np.uint64(1) << np.uint64(shift))
+        bl[ge] += shift
+        x[ge] >>= np.uint64(shift)
+    bl += (x > 0).astype(np.int64)
+    rank = (64 - bl + 1).astype(np.uint8)
+    return idx, rank
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Estimate from a raw register array (same math as
+    :meth:`HyperLogLog.estimate`, usable on merged partials)."""
+    m = float(len(registers))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv = np.ldexp(1.0, -registers.astype(np.int64))
+    raw = alpha * m * m / inv.sum()
+    zeros = int((registers == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting
+    return float(raw)
+
+
 class HyperLogLog:
     """Vectorized HLL: add batches of values, merge, estimate."""
 
@@ -97,19 +131,7 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add(self, values) -> None:
-        h = stable_hash(np.asarray(values))
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rank = leading zeros of the remaining bits + 1, vectorized via
-        # bit-length: clz(x) = 64 - bit_length(x) for x > 0
-        bl = np.zeros(len(rest), dtype=np.int64)
-        x = rest.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            ge = x >= (np.uint64(1) << np.uint64(shift))
-            bl[ge] += shift
-            x[ge] >>= np.uint64(shift)
-        bl += (x > 0).astype(np.int64)
-        rank = (64 - bl + 1).astype(np.uint8)
+        idx, rank = hll_idx_rank(values, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -118,14 +140,7 @@ class HyperLogLog:
         return self
 
     def estimate(self) -> float:
-        m = float(self.m)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
-        raw = alpha * m * m / inv.sum()
-        zeros = int((self.registers == 0).sum())
-        if raw <= 2.5 * m and zeros:
-            return m * np.log(m / zeros)  # linear counting, small range
-        return raw
+        return hll_estimate(self.registers)
 
     def state(self) -> bytes:
         return self.registers.tobytes()

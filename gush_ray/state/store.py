@@ -109,6 +109,22 @@ class StateParams:
     # sessions get neutral value state (0.0/None/None, the same
     # written-before-the-spec rollback rule as window_distinct).
     session_values: bool = False
+    # Bounded-state windowed DISTINCT (the sketch counterpart of
+    # window_distinct, same duality as window_quantiles/sketch_k): each
+    # open (group, window) holds a 2^p-register HyperLogLog over
+    # key_col instead of the exact key SET, so state per open window is
+    # FIXED (2^p bytes) whatever the key cardinality. Registers merge
+    # by elementwise max — order-free and additive across partitions —
+    # so closed windows emit their register partials on the
+    # `window_hll_parts` stream and a second-stage task
+    # (epoch_loop._hll_windows) maxes them and writes the global
+    # estimate per window to `window_hll`, exactly-once. The estimate
+    # is a deterministic pure function of the input key SET (fixed
+    # splitmix hash), so the output is P-independent and replayable;
+    # accuracy is the standard HLL bound (~1.04/sqrt(2^p) relative,
+    # linear-counting exact-ish at small cardinalities). Mutually
+    # exclusive with nothing; combine with window_distinct to compare.
+    window_hll_p: "int | None" = None
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # Flink-style late firings (window "update mode"). False (default):
@@ -197,6 +213,9 @@ class StateParams:
             raise ValueError(
                 "session_values needs value_col (the column the "
                 "per-session aggregates are over)")
+        if self.window_hll_p is not None and not (4 <= self.window_hll_p
+                                                  <= 18):
+            raise ValueError("window_hll_p must be in [4, 18]")
 
 
 class PartitionState:
@@ -216,6 +235,8 @@ class PartitionState:
         self.fired: dict = {}
         # window_quantiles mode: (group..., window_id) -> {value: count}
         self.winq: dict = {}
+        # window_hll_p mode: (group..., window_id) -> uint8[2^p] registers
+        self.winh: dict = {}
         self.sessions: dict = {}   # key -> [start, last, n]
         self.nfa = NFARunner(params.pattern) if params.pattern else None
         if params.join_spec is not None:
@@ -264,6 +285,9 @@ class PartitionState:
         # per-window value histograms delta the same way
         self._winq_dirty: set = set()
         self._winq_closed: set = set()
+        # per-window HLL registers delta the same way
+        self._winh_dirty: set = set()
+        self._winh_closed: set = set()
         # fired windows touched by late-accepted rows this epoch; drained
         # (emitting retraction pairs) at the next advance_watermark, so
         # the set is always empty at snapshot time
@@ -673,7 +697,7 @@ class PartitionState:
             else:
                 wid = us // p.window_size_us
             keys_arr = None
-            if p.window_distinct:
+            if p.window_distinct or p.window_hll_p is not None:
                 keys_arr = df[p.key_col].to_numpy()
                 if p.window_slide_us:
                     keys_arr = keys_arr[rep]
@@ -731,6 +755,32 @@ class PartitionState:
                     self.win[key][2].update(
                         None if (isinstance(u, float) and u != u) else u
                         for u in us_keys.tolist())
+
+            if p.window_hll_p is not None:
+                # bounded-state distinct: hash the batch's keys ONCE,
+                # then scatter-max into each touched window's registers
+                # (one Python call per unique (group, window) per batch
+                # — the same granularity as every loop above)
+                from gush_ray.stages.sketches import hll_idx_rank
+
+                idx_a, rank_a = hll_idx_rank(keys_arr, p.window_hll_p)
+                m_regs = 1 << p.window_hll_p
+                for key, rows in acc_df.groupby(
+                    [f"g{i}" for i in range(len(gcols))] + ["w"],
+                    sort=False, dropna=False,
+                ).indices.items():
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    key = tuple(
+                        None if (isinstance(v, float) and v != v) else v
+                        for v in key
+                    )
+                    reg = self.winh.get(key)
+                    if reg is None:
+                        reg = self.winh[key] = np.zeros(m_regs,
+                                                        dtype=np.uint8)
+                    np.maximum.at(reg, idx_a[rows], rank_a[rows])
+                    self._winh_dirty.add(key)
 
             if p.window_quantiles is not None:
                 if p.quantile_sketch_k is not None:
@@ -1123,6 +1173,7 @@ class PartitionState:
         win_rows = []
         upd_rows = []
         hist_rows = []
+        hll_rows = []
         for key, val in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
             w_end = wid * slide + self.p.window_size_us
@@ -1146,6 +1197,15 @@ class PartitionState:
                             (*groups, wid, v, c) for v, c in hist.items())
                     self._winq_closed.add(key)
                     self._winq_dirty.discard(key)
+                if self.p.window_hll_p is not None:
+                    # register PARTIAL leaves with the window; the
+                    # stage-2 task maxes partials across partitions
+                    # (elementwise max is the exact HLL merge)
+                    reg = self.winh.pop(key, None)
+                    if reg is not None:
+                        hll_rows.append((*groups, wid, reg.tobytes()))
+                    self._winh_closed.add(key)
+                    self._winh_dirty.discard(key)
                 if refire:
                     # initial firing rides the changelog too, so folding
                     # it yields final totals with no join back to the
@@ -1246,6 +1306,9 @@ class PartitionState:
         if self.p.window_quantiles is not None:
             out["window_hist"] = _window_hist_table(
                 hist_rows, self.p.window_group_cols)
+        if self.p.window_hll_p is not None:
+            out["window_hll_parts"] = _window_hll_table(
+                hll_rows, self.p.window_group_cols)
         if drained_pairs is not None:
             out["joined"] = pa.Table.from_pandas(
                 drained_pairs, preserve_index=False)
@@ -1270,6 +1333,7 @@ class PartitionState:
         st = {
             "win": self.win,
             "winq": self.winq,
+            "winh": self.winh,
             "fired": self.fired,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
@@ -1285,6 +1349,8 @@ class PartitionState:
         self._win_closed = set()
         self._winq_dirty = set()
         self._winq_closed = set()
+        self._winh_dirty = set()
+        self._winh_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1313,6 +1379,10 @@ class PartitionState:
                              if k in self.winq},
             "winq_tombstones": [k for k in self._winq_closed
                                 if k not in self.winq],
+            "winh_upserts": {k: self.winh[k] for k in self._winh_dirty
+                             if k in self.winh},
+            "winh_tombstones": [k for k in self._winh_closed
+                                if k not in self.winh],
             "fired_upserts": {k: self.fired[k] for k in self._fired_dirty
                               if k in self.fired},
             "fired_tombstones": [k for k in self._fired_closed
@@ -1336,6 +1406,8 @@ class PartitionState:
         self._win_closed = set()
         self._winq_dirty = set()
         self._winq_closed = set()
+        self._winh_dirty = set()
+        self._winh_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1442,6 +1514,7 @@ class PartitionState:
         # .get: frames written before window_quantiles existed carry no
         # winq section — rollback to empty, same rule as fired/joiner
         self.winq = st.get("winq", {})
+        self.winh = st.get("winh", {})
         # .get: frames written before window_refire existed carry no
         # fired section — rollback to empty, same rule as the joiner
         self.fired = st.get("fired", {})
@@ -1474,6 +1547,8 @@ class PartitionState:
         self._win_closed = set()
         self._winq_dirty = set()
         self._winq_closed = set()
+        self._winh_dirty = set()
+        self._winh_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._refire_pending = set()
@@ -1526,6 +1601,9 @@ class PartitionState:
             self.winq.update(st.get("winq_upserts", {}))
             for k in st.get("winq_tombstones", ()):
                 self.winq.pop(k, None)
+            self.winh.update(st.get("winh_upserts", {}))
+            for k in st.get("winh_tombstones", ()):
+                self.winh.pop(k, None)
             self.fired.update(st.get("fired_upserts", {}))
             for k in st.get("fired_tombstones", ()):
                 self.fired.pop(k, None)
@@ -1684,6 +1762,27 @@ def _window_hist_table(rows, group_cols) -> pa.Table:
     data["window_id"] = pa.array(list(cols[k]), type=pa.int64())
     data["value"] = pa.array(list(cols[k + 1]), type=pa.float64())
     data["n"] = pa.array(list(cols[k + 2]), type=pa.int64())
+    return pa.table(data)
+
+
+def _window_hll_table(rows, group_cols) -> pa.Table:
+    """Per-partition closed-window HLL register partials (the
+    ``window_hll_p`` stage-1 output): one row per closed (group, window)
+    — (groups..., window_id, registers: 2^p bytes). The stage-2 merge
+    (epoch_loop._hll_windows) elementwise-maxes the partials, which IS
+    the exact HLL union across partitions."""
+    names = [*group_cols, "window_id", "registers"]
+    if not rows:
+        arrays = [pa.array([], type=pa.string()) for _ in group_cols]
+        arrays += [pa.array([], type=pa.int64()),
+                   pa.array([], type=pa.binary())]
+        return pa.table(dict(zip(names, arrays)))
+    cols = list(zip(*rows))
+    k = len(group_cols)
+    data = {c: _string_if_null(pa.array(list(cols[i])))
+            for i, c in enumerate(group_cols)}
+    data["window_id"] = pa.array(list(cols[k]), type=pa.int64())
+    data["registers"] = pa.array(list(cols[k + 1]), type=pa.binary())
     return pa.table(data)
 
 

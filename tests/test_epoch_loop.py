@@ -693,3 +693,51 @@ def test_derive_host_malformed_url_is_empty_string(tmp_path):
     hosts = dict(zip(frag["url"].to_pylist(), frag["host"].to_pylist()))
     assert hosts == {"https://ok.example.org/p/1": "ok.example.org",
                      "HTTPS://UPPER/x": "", "/relative/path": ""}
+
+
+def test_streaming_window_hll_p_independent_and_resume(pages_dir, tmp_path):
+    """Windowed HLL distinct (two-stage dataflow): (a) the window_hll
+    stream is a pure function of each window's global key SET (register
+    max is the exact HLL union), so P=1 and P=4 produce IDENTICAL rows;
+    (b) estimates track the exact per-window distinct counts from a
+    window_distinct run on the same input; (c) kill->resume rewrites
+    the same stream."""
+    def run(out, run_id, P, **kw):
+        job = StreamingJob(pages_dir, out, run_id=run_id,
+                           num_partitions=P, window_distinct=True,
+                           window_hll_p=12)
+        res = job.run(**kw)
+        return job, res
+
+    key = ["lang", "change_kind", "window_id"]
+
+    def norm(df):
+        cols = key + ["n_est"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    job1, _ = run(str(tmp_path / "p1"), "hll-p1", 1)
+    h1 = job1.read_output("window_hll")
+    w1 = job1.read_output("windows")
+    job1.kill_actors()
+    assert len(h1) > 0
+
+    job4, _ = run(str(tmp_path / "p4"), "hll-p4", 4)
+    h4 = job4.read_output("window_hll")
+    job4.kill_actors()
+    pd.testing.assert_frame_equal(norm(h1), norm(h4))
+
+    # accuracy: estimate within 3 + 5% of the exact distinct count
+    exact = w1.groupby(key, as_index=False)["n_distinct"].sum()
+    m = exact.merge(h1, on=key, validate="one_to_one")
+    assert len(m) == len(exact)
+    assert ((m["n_est"] - m["n_distinct"]).abs()
+            <= 3 + 0.05 * m["n_distinct"]).all()
+
+    # kill after epoch 1 commit, resume - identical stream
+    jb1, r1 = run(str(tmp_path / "res"), "hll-r1", 4, stop_after=2)
+    assert r1["completed"] == 1
+    jb1.kill_actors()
+    jb2, r2 = run(str(tmp_path / "res"), "hll-r2", 4, resume=True)
+    pd.testing.assert_frame_equal(
+        norm(h4), norm(jb2.read_output("window_hll")))
+    jb2.kill_actors()

@@ -519,3 +519,52 @@ def test_session_values_snapshot_roundtrip_and_pre_flag_rollback():
     assert list(c4["sum_value"]) == [4.0]
     assert list(c4["min_value"]) == [4.0]
     assert list(c4["max_value"]) == [4.0]
+
+
+def test_window_hll_registers_accumulate_and_snapshot():
+    """window_hll_p: per-window registers accumulate across epochs,
+    survive the full+delta chain, and leave with the closing window as
+    register partials whose estimate tracks the exact distinct count."""
+    import numpy as np
+
+    from gush_ray.stages.sketches import hll_estimate
+
+    ps = mk(window_hll_p=10)
+    ps.process(0, tbl([{"url": f"u{i}", "ts_us": 10 + i, "lang": "en"}
+                       for i in range(50)]))
+    base = ps.snapshot_bytes()
+    ps.process(1, tbl([{"url": f"u{i}", "ts_us": 60 + i, "lang": "en"}
+                       for i in range(25, 75)]))  # 25 overlap, 25 new
+    delta = ps.delta_bytes(0)
+
+    ps2 = mk(window_hll_p=10)
+    ps2.restore_chain([base, delta])
+    closes = ps2.advance_watermark(POS_INF)
+    h = closes["window_hll_parts"].to_pandas()
+    assert len(h) == 2  # two 100us windows got rows
+    merged = np.zeros(1 << 10, dtype=np.uint8)
+    for blob in h["registers"]:
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                   out=merged)
+    est = hll_estimate(merged)
+    assert abs(est - 75) <= 6  # linear-counting regime: near exact
+    assert not ps2.winh  # registers left with their windows
+
+
+def test_window_hll_partition_merge_equals_single_partition():
+    """Register max across per-partition partials == the single-state
+    registers over the union (the P-exactness claim of the stage-2
+    merge)."""
+    import numpy as np
+
+    rows = [{"url": f"u{i}", "ts_us": 10, "lang": "en"}
+            for i in range(200)]
+    whole = mk(window_hll_p=10)
+    whole.process(0, tbl(rows))
+    (reg_all,) = whole.winh.values()
+
+    a, b = mk(window_hll_p=10), mk(window_hll_p=10)
+    a.process(0, tbl(rows[:120]))
+    b.process(0, tbl(rows[100:]))   # overlapping split
+    (ra,), (rb,) = a.winh.values(), b.winh.values()
+    assert (np.maximum(ra, rb) == reg_all).all()
