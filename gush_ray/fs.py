@@ -69,6 +69,15 @@ class LocalFS:
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    def remove(self, path: str) -> None:
+        """Delete ONE file (missing-ok). rmtree silently no-ops on
+        files (shutil ignore_errors) — callers deleting manifests or
+        marker files must use this instead."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
     def sync(self) -> None:
         os.sync()
 
@@ -137,6 +146,11 @@ class FsspecFS:
         p = self._strip(path)
         if self.fs.exists(p):
             self.fs.rm(p, recursive=True)
+
+    def remove(self, path: str) -> None:
+        p = self._strip(path)
+        if self.fs.exists(p):
+            self.fs.rm(p)
 
     def sync(self) -> None:
         pass  # a completed PUT is durable by object-store contract
