@@ -48,7 +48,13 @@ _PRIORITY = [
     "nfa_match",
     "tumbling_count", "tumbling_avg", "sliding_avg", "session_count",
     "global_count",
-    "change_classify", "change_delta", "where_fields",
+    "change_classify", "change_delta",
+    # windowed_hll (round 3, seventh wave): bounded-state windowed
+    # DISTINCT — exact n_distinct pins the hash, the per-window HLL
+    # estimate is tolerance-checked in the same row; replaces
+    # where_fields (the change family keeps 3 driver reps; the pair
+    # stays green in tests/test_oracle.py)
+    "windowed_hll",
     "typed_field_extract", "latest_version",
     "deny_filter",
     "hash_join_agg", "salted_join_agg",
@@ -58,7 +64,13 @@ _PRIORITY = [
     # the full-probe anchor it replaces; ccnet_buckets is the flagship
     # CCNet shape (LM perplexity terciles), paired via micro-nat
     # rounding. Rotated-out entries stay green in tests/test_oracle.py.
-    "asof_join", "ccnet_buckets",
+    # asof_stream_join (round 3, seventh wave) upgrades the batch
+    # asof_join slot: the STREAMING temporal join (watermark-gated
+    # drain, latest-per-key state, state/join_state.drain_asof) pairs
+    # bit-exactly via the stream-join watermark CTEs + DuckDB ASOF
+    # JOIN — strictly stronger evidence for the as-of family; the
+    # batch kernel stays green in tests/test_oracle.py
+    "asof_stream_join", "ccnet_buckets",
     "bucketed_join_agg",
     # web-graph / URL / data-mixing families (round 3, fifth wave):
     # pagerank is integer-exact (bit-identical to an unrolled SQL CTE
