@@ -741,3 +741,36 @@ def test_streaming_window_hll_p_independent_and_resume(pages_dir, tmp_path):
     pd.testing.assert_frame_equal(
         norm(h4), norm(jb2.read_output("window_hll")))
     jb2.kill_actors()
+
+
+def test_mid_stream_schema_evolution_new_column(tmp_path):
+    """A column appearing in a LATER epoch (real crawl corpora evolve
+    schemas over time) must flow through the engine: earlier epochs'
+    change rows read it as null, the evolved epoch's rows carry it, and
+    no stage errors on the cross-epoch schema drift."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "pages")
+    write_pages_dir(src, n_urls=200, seed=5, n_epochs=3)
+    last = sorted(d for d in os.listdir(src) if d.startswith("epoch="))[-1]
+    for f in os.listdir(os.path.join(src, last)):
+        p = os.path.join(src, last, f)
+        t = pq.read_table(p)
+        t = t.append_column("crawl_tier",
+                            pa.array(["cc-main"] * t.num_rows))
+        pq.write_table(t, p)
+
+    job = StreamingJob(src, str(tmp_path / "out"), run_id="evo",
+                       num_partitions=4)
+    job.run()
+    ch = job.read_output("changes")
+    assert "crawl_tier" in ch.columns
+    evolved = ch[ch["crawl_tier"].notna()]
+    assert len(evolved) > 0
+    assert (evolved["crawl_tier"] == "cc-main").all()
+    # pre-evolution epochs read as null, and row accounting is intact
+    assert ch["crawl_tier"].isna().sum() + len(evolved) == len(ch)
+    from gush_ray.fsck import audit
+    assert not audit(str(tmp_path / "out"))["problems"]

@@ -568,3 +568,33 @@ def test_window_hll_partition_merge_equals_single_partition():
     b.process(0, tbl(rows[100:]))   # overlapping split
     (ra,), (rb,) = a.winh.values(), b.winh.values()
     assert (np.maximum(ra, rb) == reg_all).all()
+# To append to tests/test_state_store.py once scaling finishes.
+
+
+def test_sliding_windows_with_quantiles_and_hll():
+    """The new window analytics compose with SLIDING windows: each row
+    replicates into its k windows before histogram/register
+    accumulation, so per-window quantiles and distinct estimates see
+    every covering window (the same replication path the count/sum
+    slots use)."""
+    import numpy as np
+
+    ps = mk(value_col="v", window_quantiles=(0.5, 1.0),
+            window_hll_p=10, window_size_us=100, window_slide_us=50)
+    ps.process(0, tbl([
+        {"url": "a", "ts_us": 120, "lang": "en", "v": 10.0},
+        {"url": "b", "ts_us": 130, "lang": "en", "v": 30.0},
+    ]))
+    closes = ps.advance_watermark(POS_INF)
+    h = closes["window_hist"].to_pandas()
+    # each row covers windows 1 (50-150) and 2 (100-200): window_id is
+    # ts//slide - offset, so ids {1, 2} each hold both values
+    assert sorted(set(h["window_id"])) == [1, 2]
+    per = h.groupby("window_id")["n"].sum()
+    assert list(per) == [2, 2]
+    hl = closes["window_hll_parts"].to_pandas()
+    assert sorted(set(hl["window_id"])) == [1, 2]
+    from gush_ray.stages.sketches import hll_estimate
+    for blob in hl["registers"]:
+        est = hll_estimate(np.frombuffer(blob, dtype=np.uint8))
+        assert abs(est - 2) < 0.5
