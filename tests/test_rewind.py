@@ -101,3 +101,68 @@ def test_rewind_refuses_spanning_compaction(ray_session, pages_dir,
     rep = rewind_stream(out, max(job.sink.committed_epochs()))
     assert rep["dropped_epochs"] == []
     assert rep["was_finalized"] is True
+
+
+def test_interrupted_rewind_rerun_then_resume_parity(
+        ray_session, pages_dir, tmp_path, monkeypatch):
+    """Crash-safety: kill the rewind after every possible number of
+    deletions, re-run it, resume — output must equal the uninterrupted
+    run every time (the manifests-first ordering means the committed
+    set is always a contiguous prefix and replay overwrites the rest)."""
+    import itertools
+
+    from gush_ray import fs as fsmod
+    from gush_ray import rewind as rwmod
+
+    ref, _ = _run(pages_dir, str(tmp_path / "ref"), "ch_ref")
+
+    class Boom(Exception):
+        pass
+
+    n_ops = 1
+    trial = 0
+    while True:
+        out = str(tmp_path / f"ch{trial}")
+        job, _ = _run(pages_dir, out, f"ch{trial}")
+        job.kill_actors()
+
+        budget = itertools.count()
+        real_remove = fsmod.LocalFS.remove
+        real_rmtree = fsmod.LocalFS.rmtree
+
+        def failing(limit):
+            def _remove(self, path):
+                if next(budget) >= limit:
+                    raise Boom()
+                return real_remove(self, path)
+
+            def _rmtree(self, path):
+                if next(budget) >= limit:
+                    raise Boom()
+                return real_rmtree(self, path)
+            return _remove, _rmtree
+
+        rm, rt = failing(n_ops)
+        monkeypatch.setattr(fsmod.LocalFS, "remove", rm)
+        monkeypatch.setattr(fsmod.LocalFS, "rmtree", rt)
+        try:
+            rwmod.rewind_stream(out, 0)
+            interrupted = False
+        except Boom:
+            interrupted = True
+        finally:
+            monkeypatch.setattr(fsmod.LocalFS, "remove", real_remove)
+            monkeypatch.setattr(fsmod.LocalFS, "rmtree", real_rmtree)
+
+        # re-run to completion, then resume and compare ALL streams
+        rwmod.rewind_stream(out, 0)
+        job2, _ = _run(pages_dir, out, f"ch{trial}b", resume=True)
+        _assert_same_output(job2, ref)
+        job2.kill_actors()
+
+        if not interrupted:
+            break  # the budget exceeded the total op count: done
+        n_ops += 1
+        trial += 1
+        assert trial < 60, "rewind does more deletions than expected"
+    ref.kill_actors()

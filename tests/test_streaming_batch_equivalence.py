@@ -338,3 +338,62 @@ def test_continuous_ingestion_idle_timeout_keeps_stream_open(tmp_path):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_continuous_mode_quantiles_and_hll_match_batch(tmp_path):
+    """The seventh-wave window analytics (exact quantiles + HLL
+    distinct, both second-stage merge tasks) produce identical streams
+    in live-tail mode and in a batch run over the same epochs."""
+    import shutil
+    import threading
+    import time as _time
+
+    from gush_ray.datagen import write_pages_dir
+
+    src = str(tmp_path / "src_pages")
+    write_pages_dir(src, n_urls=300, seed=44, n_epochs=3)
+
+    def mk(pages, out, run_id):
+        return StreamingJob(
+            pages, out, run_id=run_id, num_partitions=4,
+            value_col="version", window_quantiles=(0.5, 0.95),
+            window_hll_p=12,
+        )
+
+    jb = mk(src, str(tmp_path / "batch_out"), "cq_b")
+    jb.run()
+
+    live = str(tmp_path / "live_pages")
+    os.makedirs(live)
+
+    def writer():
+        for e in range(3):
+            _time.sleep(0.3)
+            name = f"epoch={e:04d}"
+            shutil.copytree(os.path.join(src, name),
+                            os.path.join(live, name + ".tmp"))
+            os.rename(os.path.join(live, name + ".tmp"),
+                      os.path.join(live, name))
+            open(os.path.join(live, name, "_READY"), "w").close()
+        open(os.path.join(live, "_END"), "w").close()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    jl = mk(live, str(tmp_path / "live_out"), "cq_l")
+    res = jl.run_continuous(poll_interval_s=0.1)
+    t.join()
+    assert res["finalized"]
+
+    for stream, cols in [
+        ("quantiles", ["lang", "change_kind", "window_id", "q",
+                       "value", "n"]),
+        ("window_hll", ["lang", "change_kind", "window_id", "n_est"]),
+    ]:
+        a = jb.read_output(stream)
+        b = jl.read_output(stream)
+        assert len(a) > 0
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    jb.kill_actors()
+    jl.kill_actors()
