@@ -372,6 +372,9 @@ def _reduce_partition(
             ExactlyOnceSink.write_part(out_dir, "window_hll_parts",
                                        epoch, pid,
                                        closes["window_hll_parts"])
+        if params.window_early_fire:
+            ExactlyOnceSink.write_part(out_dir, "window_early", epoch,
+                                       pid, closes["window_early"])
         if "joined" in closes:  # asof mode: watermark-gated drain
             ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
                                        closes["joined"])
@@ -442,6 +445,9 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     if params.window_hll_p is not None:
         ExactlyOnceSink.write_part(out_dir, "window_hll_parts", epoch,
                                    pid, closes["window_hll_parts"])
+    if params.window_early_fire:
+        ExactlyOnceSink.write_part(out_dir, "window_early", epoch, pid,
+                                   closes["window_early"])
     if "joined" in closes:  # asof mode: final drain of pending rights
         ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
                                    closes["joined"])
@@ -683,6 +689,7 @@ class StreamingJob:
         quantile_sketch_k: int | None = None,
         session_values: bool = False,
         window_hll_p: int | None = None,
+        window_early_fire: bool = False,
         derive_host: bool = False,
         key_col: str = "url",
         raw_ts_col: str = "warc_ts",
@@ -725,6 +732,9 @@ class StreamingJob:
         if window_hll_p is not None and mode != "tasks":
             # same second-stage-merge constraint as top-k/quantiles
             raise ValueError("windowed HLL distinct requires mode='tasks'")
+        if window_early_fire and mode != "tasks":
+            # the early changelog is written by the reduce task
+            raise ValueError("window_early_fire requires mode='tasks'")
         if (join_spec is not None and join_spec.mode == "asof"
                 and mode != "tasks"):
             # the watermark-gated drain is written by the reduce task
@@ -778,6 +788,7 @@ class StreamingJob:
             quantile_sketch_k=quantile_sketch_k,
             session_values=session_values,
             window_hll_p=window_hll_p,
+            window_early_fire=window_early_fire,
             window_size_us=window_size_us,
             window_slide_us=window_slide_us,
             session_gap_us=session_gap_us,

@@ -2080,6 +2080,49 @@ def q_session_values_stream(sf_dir: str):
         drop=True)
 
 
+SQL_EARLY_FIRE_FOLD = """
+SELECT event_type, epoch_us(ts) // 21600000000 AS window_id,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_early_fire_fold(sf_dir: str):
+    """Flink-style EARLY FIRING (speculative triggers): every epoch,
+    each open window re-emits its current per-partition partial on the
+    ``window_early`` retraction changelog; the close emits the final
+    pair. The changelog's defining invariant — fold sum(change*col) per
+    (group, window) equals the final totals — IS the oracle: folding
+    the whole P=4 changelog must reproduce the plain SQL per-window
+    aggregates (and the intermediate emissions are pinned by
+    test_state_store/test_epoch_loop, incl. kill->resume identity).
+    sum rounded to 1e-6 on both sides for the same summation-order
+    reason as q_session_values_stream."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    epochs_dir = _ensure_events_epochs(sf_dir)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        epochs_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pattern=None, window_size_us=6 * 3600 * 1_000_000,
+        window_group_cols=("event_type",), key_col="user_id",
+        raw_ts_col="ts", value_col="value", window_early_fire=True,
+    )
+    job.run()
+    log = job.read_output("window_early")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    fold = log.assign(
+        n=log["change"] * log["n"],
+        sum_value=log["change"] * log["sum_value"],
+    ).groupby(["event_type", "window_id"], as_index=False)[
+        ["n", "sum_value"]].sum()
+    fold = fold[fold["n"] != 0]  # a fully-retracted window folds away
+    fold["sum_value"] = fold["sum_value"].round(6)
+    return fold.sort_values(["event_type", "window_id"]).reset_index(
+        drop=True)
+
+
 def q_window_quantiles_stream(sf_dir: str):
     """Streaming windowed EXACT order statistics (two-stage dataflow):
     every open (event_type, 6h window) accumulates an exact value
@@ -2847,6 +2890,7 @@ EXTRA_QUERIES = {
                                 SQL_WINDOW_QUANTILES_SKETCH),
     "session_values_stream": (q_session_values_stream,
                               SQL_SESSION_VALUES),
+    "early_fire_fold": (q_early_fire_fold, SQL_EARLY_FIRE_FOLD),
     "pages_late_routing": (q_pages_late_routing, SQL_PAGES_LATE),
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

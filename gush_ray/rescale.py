@@ -239,6 +239,16 @@ def rescale_state(out_dir: str, new_P: int,
                 gkey, {})
             for v, c in hist.items():
                 tgt[v] = tgt.get(v, 0) + c
+        for gkey, eslot in ps.wearly.items():
+            # last-early-emission slots merge additively (each partition
+            # emitted its own partial; the changelog's next retraction
+            # must retract the SUM — same argument as fired slots)
+            tgt = new_states[_group_part(gkey, new_P)].wearly.setdefault(
+                gkey, [0, 0.0, 0, 0])
+            tgt[0] += int(eslot[0])
+            tgt[1] += float(eslot[1])
+            tgt[2] += int(eslot[2])
+            tgt[3] = max(tgt[3], int(eslot[3]))
         for gkey, regs in ps.winh.items():
             # HLL registers merge by elementwise max (exact union)
             tgt_st = new_states[_group_part(gkey, new_P)]

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                          "--value-col on the `quantiles` stream "
                          "(per-partition value histograms, two-stage "
                          "merge, quantile_disc semantics)")
+    ap.add_argument("--window-early-fire", action="store_true",
+                    help="speculative per-epoch window updates on the "
+                         "`window_early` retraction changelog (fold "
+                         "sum(change*n) per window = current totals; "
+                         "equals the windows stream after close)")
     ap.add_argument("--window-hll-p", type=int, default=None,
                     help="bounded-state windowed DISTINCT: per-window "
                          "2^p-register HLL over the key (estimates on "
@@ -176,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         quantile_sketch_k=args.quantile_sketch_k,
         session_values=args.session_values,
         window_hll_p=args.window_hll_p,
+        window_early_fire=args.window_early_fire,
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
@@ -207,7 +213,9 @@ def main(argv: list[str] | None = None) -> int:
                       + (("quantiles",)
                          if args.window_quantiles else ())
                       + (("window_hll",)
-                         if args.window_hll_p else ()))
+                         if args.window_hll_p else ())
+                      + (("window_early",)
+                         if args.window_early_fire else ()))
         },
     }
     print(json.dumps(summary))

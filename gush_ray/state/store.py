@@ -125,6 +125,18 @@ class StateParams:
     # linear-counting exact-ish at small cardinalities). Mutually
     # exclusive with nothing; combine with window_distinct to compare.
     window_hll_p: "int | None" = None
+    # Flink-style EARLY FIRING (speculative triggers): every epoch, each
+    # OPEN window touched by that epoch emits its CURRENT per-partition
+    # partial on the ``window_early`` changelog as a retraction pair
+    # (change=-1 previous emission, change=+1 current), and the CLOSE
+    # emits a final pair — so folding sum(change*col) per (group,
+    # window) over the changelog ALWAYS equals the current accumulator
+    # totals (across partitions too: partials add), and after close it
+    # equals the `windows` stream exactly. Completes the trigger triad:
+    # early (this), on-time (`windows`), late (`window_updates` via
+    # window_refire). Mutually exclusive with window_refire so each
+    # changelog keeps a crisp fold invariant.
+    window_early_fire: bool = False
     pattern: Pattern | None = None      # NFA over emitted change rows
     allowed_lateness_us: int = 0
     # Flink-style late firings (window "update mode"). False (default):
@@ -216,6 +228,12 @@ class StateParams:
         if self.window_hll_p is not None and not (4 <= self.window_hll_p
                                                   <= 18):
             raise ValueError("window_hll_p must be in [4, 18]")
+        if self.window_early_fire and self.window_refire:
+            raise ValueError(
+                "window_early_fire + window_refire are mutually "
+                "exclusive (each changelog keeps its own fold "
+                "invariant; combining them would interleave pre-close "
+                "and post-close retractions in two streams)")
 
 
 class PartitionState:
@@ -237,6 +255,10 @@ class PartitionState:
         self.winq: dict = {}
         # window_hll_p mode: (group..., window_id) -> uint8[2^p] registers
         self.winh: dict = {}
+        # window_early_fire mode: (group..., window_id) ->
+        # [emitted_n, emitted_sum, emitted_nd, fire_seq] (the last
+        # early emission, retracted before each re-emission)
+        self.wearly: dict = {}
         self.sessions: dict = {}   # key -> [start, last, n]
         self.nfa = NFARunner(params.pattern) if params.pattern else None
         if params.join_spec is not None:
@@ -288,6 +310,9 @@ class PartitionState:
         # per-window HLL registers delta the same way
         self._winh_dirty: set = set()
         self._winh_closed: set = set()
+        # last-early-emission slots delta the same way
+        self._wearly_dirty: set = set()
+        self._wearly_closed: set = set()
         # fired windows touched by late-accepted rows this epoch; drained
         # (emitting retraction pairs) at the next advance_watermark, so
         # the set is always empty at snapshot time
@@ -1174,6 +1199,7 @@ class PartitionState:
         upd_rows = []
         hist_rows = []
         hll_rows = []
+        early_rows = []
         for key, val in list(self.win.items()):
             *groups, wid = key if isinstance(key, tuple) else (key,)
             w_end = wid * slide + self.p.window_size_us
@@ -1206,6 +1232,20 @@ class PartitionState:
                         hll_rows.append((*groups, wid, reg.tobytes()))
                     self._winh_closed.add(key)
                     self._winh_dirty.discard(key)
+                if self.p.window_early_fire:
+                    # closing emission: retract the last early partial
+                    # and emit the final one, so the changelog fold
+                    # equals the `windows` stream after close
+                    prevE = self.wearly.pop(key, None)
+                    seqE = 0
+                    if prevE is not None:
+                        early_rows.append((*groups, wid, -1, prevE[0],
+                                           prevE[1], prevE[2], prevE[3]))
+                        seqE = prevE[3] + 1
+                    early_rows.append((*groups, wid, 1, val[0], val[1],
+                                       nd, seqE))
+                    self._wearly_closed.add(key)
+                    self._wearly_dirty.discard(key)
                 if refire:
                     # initial firing rides the changelog too, so folding
                     # it yields final totals with no join back to the
@@ -1252,6 +1292,33 @@ class PartitionState:
                     del self.fired[key]
                     self._fired_closed.add(key)
                     self._fired_dirty.discard(key)
+
+        if self.p.window_early_fire:
+            # speculative per-epoch trigger: every OPEN window touched
+            # since the last snapshot (= this epoch; snapshots are
+            # per-epoch) re-emits its current partial as a retraction
+            # pair. Replay-deterministic: a replayed epoch restores the
+            # pre-epoch snapshot (empty dirty set), re-ingests the same
+            # rows, and reproduces the identical dirty set.
+            for key in list(self._win_dirty):
+                slot = self.win.get(key)
+                if slot is None:
+                    continue
+                *groups, wid = key if isinstance(key, tuple) else (key,)
+                nd = (len(slot[2]) if len(slot) > 2 else 0)
+                prevE = self.wearly.get(key)
+                seqE = 0
+                if prevE is not None:
+                    if (prevE[0], prevE[1], prevE[2]) == (slot[0],
+                                                          slot[1], nd):
+                        continue  # dirty but value-unchanged: no churn
+                    early_rows.append((*groups, wid, -1, prevE[0],
+                                       prevE[1], prevE[2], prevE[3]))
+                    seqE = prevE[3] + 1
+                early_rows.append((*groups, wid, 1, slot[0],
+                                   float(slot[1]), nd, seqE))
+                self.wearly[key] = [slot[0], float(slot[1]), nd, seqE]
+                self._wearly_dirty.add(key)
 
         sess_rows = []
         for key, slot in list(self.sessions.items()):
@@ -1309,6 +1376,10 @@ class PartitionState:
         if self.p.window_hll_p is not None:
             out["window_hll_parts"] = _window_hll_table(
                 hll_rows, self.p.window_group_cols)
+        if self.p.window_early_fire:
+            out["window_early"] = _window_updates_table(
+                early_rows, self.p.window_group_cols,
+                distinct=self.p.window_distinct)
         if drained_pairs is not None:
             out["joined"] = pa.Table.from_pandas(
                 drained_pairs, preserve_index=False)
@@ -1334,6 +1405,7 @@ class PartitionState:
             "win": self.win,
             "winq": self.winq,
             "winh": self.winh,
+            "wearly": self.wearly,
             "fired": self.fired,
             "sessions": self.sessions,
             "nfa": self.nfa.state() if self.nfa else None,
@@ -1351,6 +1423,8 @@ class PartitionState:
         self._winq_closed = set()
         self._winh_dirty = set()
         self._winh_closed = set()
+        self._wearly_dirty = set()
+        self._wearly_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1383,6 +1457,11 @@ class PartitionState:
                              if k in self.winh},
             "winh_tombstones": [k for k in self._winh_closed
                                 if k not in self.winh],
+            "wearly_upserts": {k: self.wearly[k]
+                               for k in self._wearly_dirty
+                               if k in self.wearly},
+            "wearly_tombstones": [k for k in self._wearly_closed
+                                  if k not in self.wearly],
             "fired_upserts": {k: self.fired[k] for k in self._fired_dirty
                               if k in self.fired},
             "fired_tombstones": [k for k in self._fired_closed
@@ -1408,6 +1487,8 @@ class PartitionState:
         self._winq_closed = set()
         self._winh_dirty = set()
         self._winh_closed = set()
+        self._wearly_dirty = set()
+        self._wearly_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._sess_dirty = set()
@@ -1515,6 +1596,7 @@ class PartitionState:
         # winq section — rollback to empty, same rule as fired/joiner
         self.winq = st.get("winq", {})
         self.winh = st.get("winh", {})
+        self.wearly = st.get("wearly", {})
         # .get: frames written before window_refire existed carry no
         # fired section — rollback to empty, same rule as the joiner
         self.fired = st.get("fired", {})
@@ -1549,6 +1631,8 @@ class PartitionState:
         self._winq_closed = set()
         self._winh_dirty = set()
         self._winh_closed = set()
+        self._wearly_dirty = set()
+        self._wearly_closed = set()
         self._fired_dirty = set()
         self._fired_closed = set()
         self._refire_pending = set()
@@ -1604,6 +1688,9 @@ class PartitionState:
             self.winh.update(st.get("winh_upserts", {}))
             for k in st.get("winh_tombstones", ()):
                 self.winh.pop(k, None)
+            self.wearly.update(st.get("wearly_upserts", {}))
+            for k in st.get("wearly_tombstones", ()):
+                self.wearly.pop(k, None)
             self.fired.update(st.get("fired_upserts", {}))
             for k in st.get("fired_tombstones", ()):
                 self.fired.pop(k, None)

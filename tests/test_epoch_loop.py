@@ -774,3 +774,44 @@ def test_mid_stream_schema_evolution_new_column(tmp_path):
     assert ch["crawl_tier"].isna().sum() + len(evolved) == len(ch)
     from gush_ray.fsck import audit
     assert not audit(str(tmp_path / "out"))["problems"]
+
+
+def test_window_early_fire_changelog_exactly_once(pages_dir, tmp_path):
+    """The window_early retraction changelog is exactly-once: a
+    kill->resume run rewrites the IDENTICAL changelog rows (not merely
+    a fold-equal one), and the fold equals the windows stream."""
+    def run(out, run_id, **kw):
+        job = StreamingJob(pages_dir, out, run_id=run_id,
+                           num_partitions=4, window_early_fire=True)
+        res = job.run(**kw)
+        return job, res
+
+    cols = ["lang", "change_kind", "window_id", "change", "n",
+            "sum_value", "fire_seq"]
+
+    def norm(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    full, _ = run(str(tmp_path / "full"), "ef_full")
+    want = full.read_output("window_early")
+    w = full.read_output("windows")
+    full.kill_actors()
+    assert (want["change"] == -1).any()  # retractions actually occur
+
+    # fold == final windows totals (per group-window, across partitions)
+    key = ["lang", "change_kind", "window_id"]
+    fold = want.assign(n_=want["change"] * want["n"]).groupby(
+        key, as_index=False)["n_"].sum()
+    fold = fold[fold["n_"] != 0]
+    totals = w.groupby(key, as_index=False)["n"].sum()
+    m = totals.merge(fold, on=key, validate="one_to_one")
+    assert len(m) == len(totals)
+    assert (m["n"] == m["n_"]).all()
+
+    part, r1 = run(str(tmp_path / "part"), "ef_p1", stop_after=2)
+    assert r1["completed"] == 1
+    part.kill_actors()
+    resumed, _ = run(str(tmp_path / "part"), "ef_p2", resume=True)
+    pd.testing.assert_frame_equal(
+        norm(want), norm(resumed.read_output("window_early")))
+    resumed.kill_actors()

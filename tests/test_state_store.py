@@ -598,3 +598,49 @@ def test_sliding_windows_with_quantiles_and_hll():
     for blob in hl["registers"]:
         est = hll_estimate(np.frombuffer(blob, dtype=np.uint8))
         assert abs(est - 2) < 0.5
+
+
+def test_window_early_fire_changelog_folds_to_totals():
+    """window_early_fire: folding sum(change*col) per (group, window)
+    over the changelog equals the current accumulator totals after
+    every epoch, and equals the windows stream after close; retraction
+    pairs carry matching fire_seq; snapshot chain preserves the
+    emitted-state so a resumed run retracts what was actually emitted."""
+    ps = mk(value_col="v", window_early_fire=True)
+    logs = []
+    out0 = ps.process(0, tbl([
+        {"url": "a", "ts_us": 10, "lang": "en", "v": 2.0},
+        {"url": "b", "ts_us": 20, "lang": "en", "v": 3.0},
+    ]))
+    c0 = ps.advance_watermark(15)  # window [0,100) stays open
+    logs.append(c0["window_early"].to_pandas())
+    assert list(logs[-1]["change"]) == [1]
+    assert list(logs[-1]["n"]) == [2]
+
+    base = ps.snapshot_bytes()
+    ps.process(1, tbl([{"url": "c", "ts_us": 30, "lang": "en",
+                        "v": 5.0}]))
+    c1 = ps.advance_watermark(40)
+    logs.append(c1["window_early"].to_pandas())
+    # retraction pair: -1 of (2, 5.0), +1 of (3, 10.0)
+    assert list(logs[-1]["change"]) == [-1, 1]
+    assert list(logs[-1]["n"]) == [2, 3]
+    assert list(logs[-1]["fire_seq"]) == [0, 1]
+
+    delta = ps.delta_bytes(0)
+    ps2 = mk(value_col="v", window_early_fire=True)
+    ps2.restore_chain([base, delta])
+    c2 = ps2.advance_watermark(POS_INF)  # closes the window
+    logs.append(c2["window_early"].to_pandas())
+    # closing pair retracts the RESUMED state's last emission (3, 10.0)
+    assert list(logs[-1]["change"]) == [-1, 1]
+    assert list(logs[-1]["n"]) == [3, 3]
+
+    import pandas as pd
+    log = pd.concat(logs, ignore_index=True)
+    fold = log.assign(
+        n_=log["change"] * log["n"], s_=log["change"] * log["sum_value"]
+    ).groupby(["lang", "window_id"], as_index=False)[["n_", "s_"]].sum()
+    w = c2["windows"].to_pandas()
+    assert list(fold["n_"]) == list(w["n"]) == [3]
+    assert list(fold["s_"]) == list(w["sum_value"]) == [10.0]
