@@ -1695,7 +1695,12 @@ class StreamingJob:
 
     # ---------------------------------------------------------- readers
 
-    def read_output(self, stream: str, _retries: int = 3) -> pd.DataFrame:
+    def read_output(self, stream: str, _retries: int = 3,
+                    as_of_epoch: "int | None" = None) -> pd.DataFrame:
+        """All committed rows of ``stream``; ``as_of_epoch`` TIME
+        TRAVELS — only epochs <= that commit are read (the stream
+        exactly as it stood then; see ExactlyOnceSink.committed_files),
+        which also excludes the final-flush slot."""
         import pyarrow.parquet as pq
 
         # FileNotFoundError retry: a concurrent compaction can delete a
@@ -1706,7 +1711,8 @@ class StreamingJob:
         # retry suffices unless another compaction lands mid-read.
         last_err: Exception | None = None
         for _ in range(_retries):
-            files = self.sink.committed_files(stream)
+            files = self.sink.committed_files(stream,
+                                              as_of_epoch=as_of_epoch)
             if not files:
                 return pd.DataFrame()
             try:

@@ -1840,6 +1840,46 @@ ORDER BY a.url, l_ts_us, r_ts_us, a.click_id
 """
 
 
+SQL_ASOF_STREAM_JOIN_OUTER = SQL_ASOF_STREAM_JOIN.replace(
+    "FROM admitted a ASOF JOIN changes s",
+    "FROM admitted a ASOF LEFT JOIN changes s")
+
+
+def q_asof_stream_join_outer(sf_dir: str):
+    """LEFT OUTER variant of the streaming temporal join
+    (JoinSpec(mode="asof", outer=True)): clicks with NO earlier change
+    version of their url still emit, with null l_ts_us/version —
+    DuckDB's ASOF LEFT JOIN semantics, paired by swapping exactly that
+    keyword pair in the inner oracle. Same num_partitions=1 watermark
+    reasoning as q_asof_stream_join."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.state.join_state import JoinSpec
+
+    pages_dir = ensure_pages(n_urls=2_000, seed=7)
+    clicks_dir = _ensure_clicks()
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        pages_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=1,
+        right_dir=clicks_dir,
+        join_spec=JoinSpec(0, 0, mode="asof", outer=True,
+                           left_cols=("version",),
+                           right_cols=("click_id",)),
+    )
+    job.run()
+    joined = job.read_output("joined")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = joined[["url", "l_ts_us", "r_ts_us", "version",
+                  "click_id"]].copy()
+    # nullable int columns -> float64/NaN: the representation DuckDB's
+    # fetchdf gives a nullable BIGINT, so both compare sides agree (a
+    # pandas Int64 with NA cannot cast to plain int64 in the harness)
+    out["l_ts_us"] = out["l_ts_us"].astype("float64")
+    out["version"] = out["version"].astype("float64")
+    return out.sort_values(
+        ["url", "l_ts_us", "r_ts_us", "click_id"]).reset_index(drop=True)
+
+
 def q_asof_stream_join(sf_dir: str):
     """Streaming event-time TEMPORAL join (Flink FOR SYSTEM_TIME AS OF /
     DuckDB ASOF JOIN): each click pairs with the LATEST change-stream
@@ -2895,6 +2935,8 @@ EXTRA_QUERIES = {
     "pages_refire": (q_pages_refire, SQL_PAGES_REFIRE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "asof_stream_join": (q_asof_stream_join, SQL_ASOF_STREAM_JOIN),
+    "asof_stream_join_outer": (q_asof_stream_join_outer,
+                               SQL_ASOF_STREAM_JOIN_OUTER),
     "extract_parity": (q_extract_parity, SQL_EXTRACT_PARITY),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),

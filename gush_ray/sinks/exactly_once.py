@@ -138,20 +138,40 @@ class ExactlyOnceSink:
         with self.fs.open(self._manifest_path(epoch), "r") as f:
             return json.load(f)
 
-    def committed_files(self, stream: str) -> list[str]:
+    def committed_files(self, stream: str,
+                        as_of_epoch: "int | None" = None) -> list[str]:
         """Data files belonging to committed epochs only (reader
         isolation). Epoch ranges rewritten by ``gush_ray.compact`` are
         read from their ``compact=A-B`` slot instead of the (deleted)
         per-epoch slots — the compaction record is the cutover, so a
-        crash mid-compaction never hides rows."""
+        crash mid-compaction never hides rows.
+
+        ``as_of_epoch``: TIME TRAVEL — return only the files of epochs
+        <= that epoch (the stream exactly as a reader saw it after that
+        commit; pairs with gush_ray.rewind, which makes the same cut
+        destructive). The final-flush slot is excluded (it belongs to
+        the finalized end of the stream, not any epoch prefix). Raises
+        when a compacted range SPANS the cut — the merged file can't be
+        split back per epoch (same rule as rewind_stream)."""
         from gush_ray.compact import compact_slot, compaction_records
 
         ranges = compaction_records(self.base_dir).get(stream, [])
+        epochs = self.committed_epochs()
+        if as_of_epoch is not None:
+            spanning = [(a, b) for a, b in ranges
+                        if a <= as_of_epoch < b]
+            if spanning:
+                raise ValueError(
+                    f"compacted range(s) {spanning} span "
+                    f"as_of_epoch={as_of_epoch} for stream "
+                    f"{stream!r} — merged rows cannot be split back "
+                    f"per epoch; read as of the range end or later")
+            ranges = [(a, b) for a, b in ranges if b <= as_of_epoch]
+            epochs = [e for e in epochs if e <= as_of_epoch]
         covered = {e for a, b in ranges for e in range(a, b + 1)}
         slots = [compact_slot(a, b) for a, b in ranges]
-        slots += [f"epoch={e:05d}" for e in self.committed_epochs()
-                  if e not in covered]
-        if self.final_committed():
+        slots += [f"epoch={e:05d}" for e in epochs if e not in covered]
+        if self.final_committed() and as_of_epoch is None:
             slots.append("epoch=final")
         files = []
         for slot in slots:

@@ -63,10 +63,22 @@ class JoinSpec:
     # are ignored in asof mode and must be 0 (the right-admission cut in
     # store._process_join_epoch then reduces to ts >= wm, the late rule).
     mode: str = "interval"
+    # asof mode only: LEFT OUTER semantics — a right row with NO
+    # same-key left at-or-before its ts still emits, with null l_ts_us
+    # and null left payload (DuckDB ASOF LEFT JOIN). Integer left
+    # payload columns come back as Arrow int64 WITH NULLS (pandas
+    # nullable Int64), so the part schema is identical to inner-mode
+    # epochs; float left payloads carry NaN (document when pairing).
+    outer: bool = False
 
     def __post_init__(self):
         if self.mode not in ("interval", "asof"):
             raise ValueError(f"unknown join mode {self.mode!r}")
+        if self.outer and self.mode != "asof":
+            raise ValueError(
+                "outer=True is only implemented for mode='asof' (an "
+                "outer interval join needs expiry-time emission of "
+                "unmatched lefts — a different state machine)")
         if self.mode == "asof" and (self.low_us, self.high_us) != (0, 0):
             raise ValueError(
                 "asof mode ignores the interval bounds — pass "
@@ -197,7 +209,16 @@ class StreamJoinState:
         else:
             ready = self.bufR[ready_mask].reset_index(drop=True)
             self.bufR = self.bufR[~ready_mask].reset_index(drop=True)
-            if len(self.bufL):
+            if not len(self.bufL) and self.spec.outer:
+                # no left history at all: outer mode still emits every
+                # ready right, all-left-null
+                m = ready.assign(
+                    **{self.ts_col: ready[self.ts_col].astype(np.int64)},
+                    l_ts_us=pd.Series([pd.NA] * len(ready),
+                                      dtype="Int64"),
+                    **{c: pd.NA for c in self.spec.left_cols})
+                out = self._asof_out(m)
+            elif len(self.bufL):
                 # merge_asof is the vectorized "latest l.ts <= r.ts per
                 # key" kernel (direction=backward, exact matches allowed
                 # — DuckDB ASOF JOIN's >= semantics). The on-columns are
@@ -218,14 +239,10 @@ class StreamJoinState:
                     by=self.key_col, direction="backward",
                     allow_exact_matches=True,
                 )
-                m = m[m["l_ts_us"].notna()]  # inner: unmatched rights drop
-                out = pd.DataFrame({
-                    self.key_col: m[self.key_col].to_numpy(),
-                    "l_ts_us": m["l_ts_us"].to_numpy().astype(np.int64),
-                    "r_ts_us": m[self.ts_col].to_numpy().astype(np.int64),
-                    **{c: m[c].to_numpy() for c in self.spec.left_cols},
-                    **{c: m[c].to_numpy() for c in self.spec.right_cols},
-                })[out_cols]
+                if not self.spec.outer:
+                    # inner: unmatched rights drop
+                    m = m[m["l_ts_us"].notna()]
+                out = self._asof_out(m)
             else:
                 out = pd.DataFrame(columns=out_cols)
         if len(self.bufL):
@@ -248,6 +265,37 @@ class StreamJoinState:
         ).reset_index(drop=True)
         self.pairs_emitted += len(out)
         return out
+
+    def _asof_out(self, m: pd.DataFrame) -> pd.DataFrame:
+        """Assemble the asof output frame. In outer mode nullable
+        columns use pandas Int64 for integer dtypes so the Arrow schema
+        (int64 + nulls) is identical to all-matched epochs' parts."""
+        cols = {
+            self.key_col: m[self.key_col].to_numpy(),
+            "r_ts_us": m[self.ts_col].to_numpy().astype(np.int64),
+        }
+        if self.spec.outer:
+            cols["l_ts_us"] = m["l_ts_us"].astype("Int64")
+            for c in self.spec.left_cols:
+                v = m[c]
+                # dtype rule comes from the BUFFER (the column's true
+                # type), never from this epoch's values — merge_asof
+                # upcasts int lefts to float64 to hold NaN, and a
+                # value-driven cast would flip the part schema between
+                # epochs. Integer buffers emit nullable Int64 (Arrow
+                # int64 + nulls, same type as all-matched parts).
+                src_kind = (self.bufL[c].dtype.kind
+                            if c in self.bufL.columns else "O")
+                if src_kind in "iu":
+                    v = v.astype("Int64")
+                cols[c] = v
+        else:
+            cols["l_ts_us"] = m["l_ts_us"].to_numpy().astype(np.int64)
+            for c in self.spec.left_cols:
+                cols[c] = m[c].to_numpy()
+        for c in self.spec.right_cols:
+            cols[c] = m[c].to_numpy()
+        return pd.DataFrame(cols)[self.out_columns()]
 
     # ------------------------------------------------------------ prune
 

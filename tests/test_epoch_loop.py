@@ -815,3 +815,38 @@ def test_window_early_fire_changelog_exactly_once(pages_dir, tmp_path):
     pd.testing.assert_frame_equal(
         norm(want), norm(resumed.read_output("window_early")))
     resumed.kill_actors()
+
+
+def test_read_output_time_travel(pages_dir, tmp_path):
+    """read_output(as_of_epoch=E) returns the stream exactly as it
+    stood after epoch E's commit: a prefix of the full read, excluding
+    later epochs and the final-flush slot; spanning compactions refuse
+    (the non-destructive dual of rewind)."""
+    job, _ = run_job(pages_dir, str(tmp_path / "out"), "tt")
+    epochs = job.sink.committed_epochs()
+    assert len(epochs) >= 2
+
+    full = job.read_output("changes")
+    prefix = job.read_output("changes", as_of_epoch=epochs[0])
+    later = job.read_output("changes", as_of_epoch=epochs[-1])
+    assert 0 < len(prefix) < len(full)
+    # as_of the LAST epoch == every per-epoch part (final slot holds no
+    # changes rows, so it equals the full read here)
+    assert len(later) == len(full)
+    # the prefix is a true subset of the full stream
+    key = ["url", "ts_us"]
+    merged = prefix[key].merge(full[key].drop_duplicates(), on=key)
+    assert len(merged) == len(prefix)
+
+    # windows DO have a final-flush slot: time travel excludes it
+    w_full = job.read_output("windows")
+    w_last = job.read_output("windows", as_of_epoch=epochs[-1])
+    assert len(w_last) < len(w_full)
+
+    # spanning compaction refuses, at/past the range end works
+    from gush_ray.compact import compact_stream
+    compact_stream(str(tmp_path / "out"), "changes")
+    with pytest.raises(ValueError, match="span as_of_epoch"):
+        job.read_output("changes", as_of_epoch=epochs[0])
+    again = job.read_output("changes", as_of_epoch=epochs[-1])
+    assert len(again) == len(full)

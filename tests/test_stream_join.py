@@ -541,3 +541,43 @@ def test_streaming_asof_join_kill_resume_parity(
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_asof_outer_emits_unmatched_rights():
+    """LEFT OUTER asof: rights with no earlier same-key left emit with
+    null l_ts_us / left payload; matched rows equal the inner run; the
+    integer left payload stays Arrow int64 (nullable), not float."""
+    import pyarrow as pa
+
+    ldf = pd.DataFrame({"k": ["a", "a"], "ts_us": [100, 300],
+                        "pay": [1, 2]})
+    rdf = pd.DataFrame({"k": ["a", "a", "b"], "ts_us": [50, 200, 60],
+                        "rpay": [10, 11, 12]})
+    spec = JoinSpec(0, 0, left_cols=("pay",), right_cols=("rpay",),
+                    mode="asof", outer=True)
+    st = StreamJoinState("k", "ts_us", spec)
+    st.process_epoch(ldf, rdf)
+    out = st.drain_asof(10**18)
+    out = out.sort_values(["k", "r_ts_us"]).reset_index(drop=True)
+    assert len(out) == 3
+    # a@50 precedes every left; b has no lefts at all
+    assert out.loc[0, "k"] == "a" and pd.isna(out.loc[0, "l_ts_us"])
+    assert pd.isna(out.loc[0, "pay"])
+    assert out.loc[1, "l_ts_us"] == 100 and out.loc[1, "pay"] == 1
+    assert out.loc[2, "k"] == "b" and pd.isna(out.loc[2, "pay"])
+    # nullable Int64 -> Arrow int64 with nulls (schema == inner parts)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    assert t.schema.field("l_ts_us").type == pa.int64()
+    assert t.schema.field("pay").type == pa.int64()
+
+    # inner mode on the same input = the matched subset
+    st2 = StreamJoinState("k", "ts_us", JoinSpec(
+        0, 0, left_cols=("pay",), right_cols=("rpay",), mode="asof"))
+    st2.process_epoch(ldf, rdf)
+    inner = st2.drain_asof(10**18)
+    assert len(inner) == 1 and inner.loc[0, "pay"] == 1
+
+
+def test_asof_outer_spec_validation():
+    with pytest.raises(ValueError, match="only implemented for"):
+        JoinSpec(-5, 5, outer=True)
