@@ -46,7 +46,17 @@ def entry() -> Any:
 # locally by tests/test_oracle.py regardless of order.
 _PRIORITY = [
     "nfa_match",
-    "tumbling_count", "tumbling_avg", "sliding_avg", "session_count",
+    # early_fire_fold (round 3, seventh wave): Flink-style speculative
+    # triggers — the window_early retraction changelog, paired via its
+    # fold invariant; takes tumbling_count's slot (W1/W2 stay
+    # represented by tumbling_avg — the same accumulator machinery —
+    # and the rotated-out pair stays green in tests/test_oracle.py)
+    "early_fire_fold", "tumbling_avg", "sliding_avg",
+    # session_values_stream (seventh wave) upgrades the W4 slot:
+    # the session islands oracle PLUS per-session value aggregates,
+    # over the events fixture with an int64 key (session_count keeps
+    # its pair green in tests/test_oracle.py)
+    "session_values_stream",
     "global_count",
     "change_classify", "change_delta",
     # windowed_hll (round 3, seventh wave): bounded-state windowed
