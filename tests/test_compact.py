@@ -145,9 +145,9 @@ def test_read_output_retries_stale_listing(job):
     real = job.sink.committed_files
     calls = {"n": 0}
 
-    def racy(stream):
+    def racy(stream, **kw):
         calls["n"] += 1
-        return stale if calls["n"] == 1 else real(stream)
+        return stale if calls["n"] == 1 else real(stream, **kw)
 
     job.sink.committed_files = racy
     try:
