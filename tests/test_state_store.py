@@ -644,3 +644,44 @@ def test_window_early_fire_changelog_folds_to_totals():
     w = c2["windows"].to_pandas()
     assert list(fold["n_"]) == list(w["n"]) == [3]
     assert list(fold["s_"]) == list(w["sum_value"]) == [10.0]
+
+
+def test_sketch_rep_sql_twin_bit_parity_fuzz():
+    """The quantile_sketch_k oracle claim — numpy _sketch_rep and the
+    DuckDB expression produce BIT-IDENTICAL doubles — fuzzed over
+    adversarial positive values: uniform magnitudes across 12 decades,
+    exact powers of two, bucket-boundary neighbours (rep*(1+j/k) +- 1
+    ulp), and near-integer (x-1)*k products."""
+    import duckdb
+    import numpy as np
+
+    from gush_ray.state.store import _sketch_rep
+
+    k = 128
+    rng = np.random.RandomState(99)
+    vals = [rng.uniform(1e-6, 1e6, 3000),
+            10.0 ** rng.uniform(-6, 6, 3000),
+            2.0 ** rng.randint(-40, 40, 500).astype(np.float64)]
+    # bucket-boundary neighbours: lower bounds and their ulp-neighbours
+    base = _sketch_rep(rng.uniform(0.5, 4.0, 1000), k)
+    vals += [base, np.nextafter(base, np.inf),
+             np.nextafter(base, -np.inf)]
+    v = np.abs(np.concatenate(vals))
+    v = v[v > 0]
+    got = _sketch_rep(v, k)
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"value": v}))
+    want = con.execute(f"""
+        WITH e0 AS (SELECT value, floor(log2(value)) AS E0 FROM t),
+        ee AS (SELECT value, CASE
+            WHEN pow(2.0, E0 + 1) <= value THEN E0 + 1
+            WHEN pow(2.0, E0) > value THEN E0 - 1 ELSE E0 END AS E
+          FROM e0)
+        SELECT pow(2.0, E) * (1.0 + LEAST(floor((value / pow(2.0, E)
+               - 1.0) * {k}), {k} - 1) / {k}) AS rep
+        FROM ee
+    """).fetchnumpy()["rep"]
+    # bit-identical, not merely close
+    assert (got.view(np.uint64) == want.view(np.uint64)).all(), \
+        (got[got != want][:5], want[got != want][:5])
