@@ -850,3 +850,27 @@ def test_read_output_time_travel(pages_dir, tmp_path):
         job.read_output("changes", as_of_epoch=epochs[0])
     again = job.read_output("changes", as_of_epoch=epochs[-1])
     assert len(again) == len(full)
+
+
+def test_window_early_fire_with_distinct_folds_nd(pages_dir, tmp_path):
+    """Early firing composes with window_distinct: the changelog rows
+    carry n_distinct, and folding sum(change*n_distinct) per (group,
+    window) equals the windows stream's summed n_distinct (partition-
+    exact — url is the exchange key, same argument as the windows
+    stream itself)."""
+    job = StreamingJob(pages_dir, str(tmp_path / "out"), run_id="efd",
+                       num_partitions=4, window_distinct=True,
+                       window_early_fire=True)
+    job.run()
+    log = job.read_output("window_early")
+    w = job.read_output("windows")
+    job.kill_actors()
+    assert "n_distinct" in log.columns
+    key = ["lang", "change_kind", "window_id"]
+    fold = log.assign(nd=log["change"] * log["n_distinct"]).groupby(
+        key, as_index=False)["nd"].sum()
+    fold = fold[fold["nd"] != 0]
+    want = w.groupby(key, as_index=False)["n_distinct"].sum()
+    m = want.merge(fold, on=key, validate="one_to_one")
+    assert len(m) == len(want)
+    assert (m["n_distinct"] == m["nd"]).all()
