@@ -874,3 +874,47 @@ def test_window_early_fire_with_distinct_folds_nd(pages_dir, tmp_path):
     m = want.merge(fold, on=key, validate="one_to_one")
     assert len(m) == len(want)
     assert (m["n_distinct"] == m["nd"]).all()
+
+
+def test_all_window_analytics_compose_in_one_job(pages_dir, tmp_path):
+    """Integration: every stateful window feature at once — distinct
+    sets, HLL registers, exact quantile histograms, early-fire
+    changelog, session value aggregates, top-k — in ONE job; every
+    stream lands, the cross-stream invariants hold, fsck is clean."""
+    job = StreamingJob(
+        pages_dir, str(tmp_path / "out"), run_id="allw",
+        num_partitions=4, window_distinct=True, window_hll_p=12,
+        value_col="version", window_quantiles=(0.5, 1.0),
+        window_early_fire=True, session_values=True, window_topk=3,
+        derive_host=True, window_group_cols=("host",),
+    )
+    job.run()
+    streams = {s: job.read_output(s) for s in (
+        "windows", "window_hll", "quantiles", "window_early", "topk",
+        "sessions_wm", "changes")}
+    job.kill_actors()
+    for name, df in streams.items():
+        assert len(df) > 0, name
+    key = ["host", "window_id"]
+    w = streams["windows"].groupby(key, as_index=False).agg(
+        n=("n", "sum"), nd=("n_distinct", "sum"))
+    # quantile n == windows n; HLL within tolerance of exact distinct;
+    # early-fire fold == windows n
+    qn = streams["quantiles"]
+    qn = qn[qn["q"] == 1.0][key + ["n", "value"]]
+    m = w.merge(qn, on=key, validate="one_to_one",
+                suffixes=("_w", "_q"))
+    assert len(m) == len(w) and (m["n_w"] == m["n_q"]).all()
+    h = streams["window_hll"]
+    mh = w.merge(h, on=key, validate="one_to_one")
+    assert ((mh["n_est"] - mh["nd"]).abs() <= 3 + 0.05 * mh["nd"]).all()
+    log = streams["window_early"]
+    fold = log.assign(n_=log["change"] * log["n"]).groupby(
+        key, as_index=False)["n_"].sum()
+    fold = fold[fold["n_"] != 0]
+    mf = w.merge(fold, on=key, validate="one_to_one")
+    assert len(mf) == len(w) and (mf["n"] == mf["n_"]).all()
+    assert {"sum_value", "min_value", "max_value"} <= set(
+        streams["sessions_wm"].columns)
+    from gush_ray.fsck import audit
+    assert not audit(str(tmp_path / "out"))["problems"]
