@@ -158,3 +158,52 @@ def test_rescale_guards(tmp_path):
     jb2.run()
     with pytest.raises(ValueError, match="finalized"):
         rescale_state(str(tmp_path / "b"), 8, params=jb2.params)
+
+
+def test_rescale_with_window_analytics_state(tmp_path):
+    """The seventh-wave state sections migrate on rescale: quantile
+    histograms (additive), HLL registers (max-merge), early-fire
+    emitted slots (additive; the changelog's future retractions retract
+    the sum) — a 4→8 rescale mid-stream reproduces the uninterrupted
+    quantiles / window_hll streams exactly and keeps the early-fire
+    fold invariant."""
+    pages = _pages(tmp_path)
+    kw = dict(value_col="version", window_quantiles=(0.5, 1.0),
+              window_hll_p=12, window_distinct=True,
+              window_early_fire=True)
+
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="rwaA",
+                      num_partitions=4, **kw)
+    ja.run()
+
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="rwaB1",
+                      num_partitions=4, **kw)
+    jb.run(stop_after=2)
+    assert rescale_state(str(tmp_path / "b"), 8,
+                         params=jb.params)["rescaled"]
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rwaB2",
+                       num_partitions=8, **kw)
+    jb2.run()
+
+    # quantiles / window_hll are global merges — IDENTICAL rows
+    for s, cols in (("quantiles", ["lang", "change_kind", "window_id",
+                                   "q", "value", "n"]),
+                    ("window_hll", ["lang", "change_kind", "window_id",
+                                    "n_est"])):
+        a = ja.read_output(s)[cols]
+        b = jb2.read_output(s)[cols]
+        pd.testing.assert_frame_equal(
+            a.sort_values(cols).reset_index(drop=True),
+            b.sort_values(cols).reset_index(drop=True)), s
+
+    # early-fire changelog rows are per-partition (layout-dependent),
+    # but the FOLD is event-time-determined: equal across layouts
+    key = ["lang", "change_kind", "window_id"]
+
+    def fold(j):
+        log = j.read_output("window_early")
+        f = log.assign(n_=log["change"] * log["n"]).groupby(
+            key, as_index=False)["n_"].sum()
+        return f[f["n_"] != 0].sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(fold(ja), fold(jb2))
