@@ -596,9 +596,11 @@ def _quantile_windows(epoch: "int | str", out_dir: str,
     so the frame is epoch-bounded and small next to the data exchange.
 
     Quantile semantics are DuckDB's ``quantile_disc``: the value at
-    0-based rank ``max(0, ceil(q*n) - 1)`` of the sorted values (NULLs
-    were excluded at accumulation time) — so the paired SQL oracle
-    matches bit-exactly with no interpolation contract to negotiate.
+    0-based rank ``max(1, n - floor(n - q*n)) - 1`` computed in IEEE
+    double — DuckDB's own formula, ≈ ceil(q*n)-1 (see
+    stages.sketches.quantile_disc_rank0; NULLs were excluded at
+    accumulation time) — so the paired SQL oracle matches bit-exactly
+    with no interpolation contract to negotiate.
 
     Output ``quantiles/epoch=E/part-00000``: one row per closed
     (group, window, q) — (groups..., window_id, q, value, n) where n is
@@ -645,12 +647,25 @@ def _quantile_windows(epoch: "int | str", out_dir: str,
     cum = g["n"].cumsum().to_numpy()
     m["tot"] = g["n"].transform("sum")
     outs = []
+    tots_i = m["tot"].to_numpy().astype(np.int64)
+    tots = tots_i.astype(np.float64)
     for q in qs:
-        # ceil in exact integer space: ceil(q*n) == -((-q*n) // 1) has
-        # float rounding hazards at large n, so compare cum*1.0 >= q*tot
-        # via the integer target ceil(q*tot) computed with a tiny guard
+        # 1-based rank target = max(1, n - floor(n - fl(q*n))), every op
+        # in IEEE double — the STRUCTURALLY IDENTICAL twin of DuckDB's
+        # quantile_disc double path (Interpolator<true>::Index:
+        # floored = floor(n - n*q); idx = MaxValue(1, n - floored) - 1).
+        # This is NOT plain ceil(q*n): the subtraction's rounding makes
+        # hair-above-integer products (0.035*200 = 7.000000000000001)
+        # land on the integer for q < 0.5 and ceil for q > 0.5 — pinned
+        # against DuckDB on a 4389-case (q, n) grid incl. every
+        # boundary anomaly (test_sources_sketches.
+        # test_quantile_disc_rank_matches_duckdb_grid). The old
+        # ceil(q*tot - 1e-9) absolute guard diverged from the oracle by
+        # one both on those boundary products and — the round-4 ADVICE
+        # finding — at tot ~1e10+ where ulp(q*tot) > 1e-9. Exact for
+        # any tot < 2^53, i.e. at 100 TB scale.
         target = np.maximum(
-            np.ceil(q * m["tot"].to_numpy() - 1e-9).astype(np.int64), 1)
+            tots_i - np.floor(tots - q * tots).astype(np.int64), 1)
         hit = m[cum >= target]
         sel = hit.groupby(kcols, sort=False, dropna=False,
                           as_index=False).head(1).copy()
@@ -725,6 +740,16 @@ class StreamingJob:
             raise ValueError("windowed top-k requires mode='tasks'")
         if window_topk is not None and window_topk < 1:
             raise ValueError("window_topk must be >= 1")
+        if window_topk is not None and window_refire:
+            # topk ranks each window exactly once, from its ON-TIME close
+            # partials; refire mode keeps correcting closed windows on the
+            # window_updates changelog but nothing re-ranks — the epoch's
+            # topk part would be a stale rank the late rows already
+            # contradicted. Same crisp-invariant rule as quantiles/refire.
+            raise ValueError(
+                "window_topk + window_refire are mutually exclusive "
+                "(topk ranks on-time close totals once; refire corrects "
+                "them afterwards with no re-ranking changelog)")
         if window_quantiles is not None and mode != "tasks":
             # same constraint as top-k: the second-stage merge task
             # chains on the epoch's reduce refs
@@ -966,6 +991,13 @@ class StreamingJob:
         so "fewer discovered than committed" only errors in batch mode.
         """
         n_epochs = len(files)
+        if resume:
+            # reclaim rewind-crash leftovers (a compaction record whose
+            # range was de-committed but whose record/slot survived the
+            # interruption) BEFORE any epoch replays — a stale merged
+            # file must never shadow replayed per-epoch parts once the
+            # range re-commits (gush_ray.rewind crash protocol)
+            self.sink.sweep_stale_compactions()
         last = self.sink.last_contiguous_epoch() if resume else -1
         if resume and self.sink.final_committed():
             fin = self.sink.read_final()

@@ -1998,26 +1998,31 @@ SQL_WINDOW_QUANTILES = (
 _WQ_SKETCH_K = 128
 
 # DuckDB twin of state.store._sketch_rep: the exact octave E is
-# recovered from floor(log2(x)) with a verify-adjust CASE (log2 may be
-# an ulp off at boundaries; pow(2, E) <= x < pow(2, E+1) pins the unique
-# integer), then the two rounding float ops ((x/2^E - 1)*k and j/k) are
-# STRUCTURALLY IDENTICAL to the numpy expressions — IEEE-754 doubles
-# round the same everywhere, so engine == oracle bit-exactly.
+# recovered from floor(log2(abs(x))) with a verify-adjust CASE (log2 may
+# be an ulp off at boundaries; pow(2, E) <= |x| < pow(2, E+1) pins the
+# unique integer), then the two rounding float ops ((|x|/2^E - 1)*k and
+# j/k) are STRUCTURALLY IDENTICAL to the numpy expressions — IEEE-754
+# doubles round the same everywhere, so engine == oracle bit-exactly.
+# SIGN handling mirrors the engine's abs + copysign: the bucket rep is
+# computed on |value| and the sign reapplied, so negative values are
+# monotone too (log2 of the raw value would be NaN for v < 0 and sort
+# greatest under DuckDB quantile semantics — the round-3 latent bug).
 _SQL_SKETCH_REP = f"""
-    CASE WHEN value = 0 THEN 0.0 ELSE
-      pow(2.0, E) * (1.0 + LEAST(floor((value / pow(2.0, E) - 1.0)
-                                       * {_WQ_SKETCH_K}),
-                                 {_WQ_SKETCH_K} - 1) / {_WQ_SKETCH_K})
-    END
+      sign(value) * pow(2.0, E)
+        * (1.0 + LEAST(floor((abs(value) / pow(2.0, E) - 1.0)
+                             * {_WQ_SKETCH_K}),
+                       {_WQ_SKETCH_K} - 1) / {_WQ_SKETCH_K})
 """
 
 SQL_WINDOW_QUANTILES_SKETCH = (
     "WITH b AS (SELECT event_type, epoch_us(ts) // 21600000000 AS "
     "window_id, value FROM events), "
-    "e0 AS (SELECT *, floor(log2(value)) AS E0 FROM b WHERE value <> 0), "
+    "e0 AS (SELECT *, floor(log2(abs(value))) AS E0 FROM b "
+    "WHERE value <> 0), "
     "ee AS (SELECT event_type, window_id, value, CASE "
-    "  WHEN pow(2.0, E0 + 1) <= value THEN E0 + 1 "
-    "  WHEN pow(2.0, E0) > value THEN E0 - 1 ELSE E0 END AS E FROM e0), "
+    "  WHEN pow(2.0, E0 + 1) <= abs(value) THEN E0 + 1 "
+    "  WHEN pow(2.0, E0) > abs(value) THEN E0 - 1 ELSE E0 END AS E "
+    "FROM e0), "
     "r AS (SELECT event_type, window_id, " + _SQL_SKETCH_REP + " AS v "
     "FROM ee UNION ALL SELECT event_type, window_id, 0.0 AS v FROM b "
     "WHERE value = 0) SELECT * FROM ("

@@ -21,10 +21,24 @@ with missing parts, which resume would silently skip):
    for epochs > ``to_epoch`` (delta chains are unaffected: a chain
    only references EARLIER epochs).
 
-Compaction records for whole-dropped ranges are removed just before
-the manifests (their slots after). The call is IDEMPOTENT: an
-interrupted rewind leaves ``to_epoch`` committed, so simply re-running
-it completes the truncation; fsck flags any intermediate state.
+A compaction record for a whole-dropped range is removed immediately
+AFTER its range's lowest manifest (its slot in step 3): the record is
+the range's only data pointer, so it must outlive the range's
+committed epochs — never the reverse (a committed epoch whose pointer
+is gone would read as zero rows, the round-4 ADVICE finding). While
+the rewind walks DOWN through a range, readers keep seeing the whole
+merged slot (``committed_files`` honors a record while ANY of its
+epochs is committed — the merged file cannot be split per epoch), so
+a reader racing the rewind may briefly see the range's already-
+de-committed rows (monotonically shrinking staleness) but NEVER
+misses a committed row. The leftover crash window (record present,
+range fully de-committed) is reader-invisible and reclaimed by
+re-running rewind or by ``sweep_stale_compactions`` at the next job
+start, before any epoch is replayed; a crash MID-range makes resume
+refuse until the rewind is re-run. The call is IDEMPOTENT: an
+interrupted rewind leaves ``to_epoch`` committed, so simply
+re-running it completes the truncation; fsck flags any intermediate
+state.
 
 Compaction interplay: a compacted range is one merged file — its rows
 cannot be split back per epoch. A record whose range lies entirely
@@ -91,22 +105,38 @@ def rewind_stream(out_dir: str, to_epoch: int) -> dict:
     if was_final:
         fs.remove(fs.join(out_dir, "_manifest", "final.json"))
 
-    # 2a. compaction RECORDS for whole-dropped ranges (before the
-    # manifests: a surviving record must never reference epochs that
-    # are about to be de-committed and replayed)
+    # 2. manifests, highest epoch first — the committed set stays a
+    # contiguous prefix at every instant. A whole-dropped compaction
+    # RECORD is removed immediately after its range's LOWEST manifest:
+    # while any epoch of the range is still committed, the record (its
+    # only data pointer — the per-epoch slots were deleted at
+    # compaction time) stays visible, so a concurrent reader never sees
+    # a committed epoch with zero rows. The converse crash window —
+    # record present while its range is already de-committed — is
+    # harmless: committed_files ignores records whose range is not
+    # fully committed, and both re-running rewind AND a plain resume
+    # (ExactlyOnceSink.sweep_stale_compactions at job start) reclaim
+    # the leftover record + slot before any epoch is replayed.
     dropped_compactions = []
+    committed = set(epochs)
+    record_at = {}  # epoch a -> (stream, a, b) records to drop after a
     for s in streams:
         for a, b in compactions.get(s, []):
             if a > to_epoch:
-                fs.remove(fs.join(out_dir, "_manifest",
-                                  f"compact-{s}-{a:05d}-{b:05d}.json"))
-                dropped_compactions.append((s, a, b))
-
-    # 2b. manifests, highest epoch first — the committed set stays a
-    # contiguous prefix at every instant (crash-safety argument in the
-    # module docstring)
+                if a in committed:
+                    record_at.setdefault(a, []).append((s, a, b))
+                else:
+                    # re-run after a crash that already de-committed the
+                    # range but not its record: reclaim it now
+                    fs.remove(fs.join(out_dir, "_manifest",
+                                      f"compact-{s}-{a:05d}-{b:05d}.json"))
+                    dropped_compactions.append((s, a, b))
     for e in sorted(drop, reverse=True):
         fs.remove(fs.join(out_dir, "_manifest", f"epoch={e:05d}.json"))
+        for s, a, b in record_at.get(e, ()):
+            fs.remove(fs.join(out_dir, "_manifest",
+                              f"compact-{s}-{a:05d}-{b:05d}.json"))
+            dropped_compactions.append((s, a, b))
 
     # 3. now-uncommitted stream slots + dropped compact slots + final
     # slots

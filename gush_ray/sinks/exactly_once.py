@@ -138,6 +138,48 @@ class ExactlyOnceSink:
         with self.fs.open(self._manifest_path(epoch), "r") as f:
             return json.load(f)
 
+    def sweep_stale_compactions(self) -> list[tuple[str, int, int]]:
+        """Reclaim compaction records with ZERO committed epochs —
+        uniquely the signature of a rewind interrupted between
+        de-committing a whole-dropped range and removing its record
+        (normal compaction covers only committed epochs and never
+        touches manifests). Removing the record + its slot BEFORE any
+        epoch is replayed prevents the stale merged file from shadowing
+        the replayed per-epoch parts once the range re-commits.
+
+        A record with a PARTIALLY committed range (the rewind crashed
+        mid-range, highest-first) raises instead: the committed prefix's
+        rows live only inside the merged file, so sweeping it would
+        destroy committed data — the only safe completion is re-running
+        the rewind, which de-commits the rest of the range and then
+        drops the record. Called at job start on resume; idempotent.
+        Returns the swept ranges."""
+        from gush_ray.compact import compact_slot, compaction_records
+
+        committed = set(self.committed_epochs())
+        swept = []
+        for stream, ranges in compaction_records(self.base_dir).items():
+            for a, b in ranges:
+                n_com = sum(e in committed for e in range(a, b + 1))
+                if n_com == b - a + 1:
+                    continue
+                if n_com:
+                    raise RuntimeError(
+                        f"compaction record {stream}:{a}-{b} is only "
+                        f"partially committed — an interrupted rewind "
+                        f"stopped mid-range; re-run gush_ray.rewind "
+                        f"(same --to-epoch) to complete the truncation "
+                        f"before resuming")
+                self.fs.remove(self.fs.join(
+                    self.manifest_dir,
+                    f"compact-{stream}-{a:05d}-{b:05d}.json"))
+                slot_dir = self.fs.join(self.base_dir, stream,
+                                        compact_slot(a, b))
+                if self.fs.isdir(slot_dir):
+                    self.fs.rmtree(slot_dir)
+                swept.append((stream, a, b))
+        return swept
+
     def committed_files(self, stream: str,
                         as_of_epoch: "int | None" = None) -> list[str]:
         """Data files belonging to committed epochs only (reader
@@ -157,6 +199,20 @@ class ExactlyOnceSink:
 
         ranges = compaction_records(self.base_dir).get(stream, [])
         epochs = self.committed_epochs()
+        # A record with ZERO committed epochs is a rewind-crash leftover
+        # (normal compaction only ever covers committed epochs and never
+        # touches manifests): ignore it — the range is uncommitted and
+        # correctly invisible; the sweep at the next job start reclaims
+        # the record + slot. A record with a committed PREFIX (a rewind
+        # in progress de-commits the range highest-first) stays honored:
+        # the merged file cannot be split per epoch, so hiding it would
+        # read committed epochs as zero rows (the round-4 ADVICE bug) —
+        # instead readers racing the rewind may briefly see the range's
+        # already-de-committed rows (monotonically shrinking staleness,
+        # gone once the record is dropped with the range's last epoch).
+        committed_set = set(epochs)
+        ranges = [(a, b) for a, b in ranges
+                  if any(e in committed_set for e in range(a, b + 1))]
         if as_of_epoch is not None:
             spanning = [(a, b) for a, b in ranges
                         if a <= as_of_epoch < b]

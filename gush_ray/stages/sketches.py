@@ -351,14 +351,37 @@ def _in_range(x, lo, hi, hi_incl):
     return m
 
 
+def quantile_disc_rank0(q: float, n: int) -> int:
+    """0-based rank of DuckDB ``quantile_disc(col, q)`` over ``n``
+    non-null values — the STRUCTURALLY IDENTICAL IEEE-double twin of
+    DuckDB's Interpolator<true>::Index double path::
+
+        floored = floor(n - n*q)        # both ops in double
+        idx     = max(1, n - floored) - 1
+
+    This is NOT plain ceil(q*n)-1: the subtraction's rounding makes
+    hair-above-integer products (0.035*200 = 7.000000000000001) land on
+    the integer for q < 0.5 and ceil for q > 0.5. Pinned against DuckDB
+    on a 4389-case (q, n) grid incl. every boundary anomaly
+    (test_sources_sketches.test_quantile_disc_rank_matches_duckdb_grid).
+    Exact for any n < 2^53 — the old ceil(q*n - 1e-9) absolute guard
+    diverged by one both on boundary products and at n ~1e10+ where
+    ulp(q*n) > 1e-9 (round-4 ADVICE finding)."""
+    import math
+
+    n_d = float(n)
+    floored = math.floor(n_d - n_d * q)
+    return min(max(1, n - floored), n) - 1
+
+
 def exact_quantiles_nosort(ds, col: str, qs: list[float],
                            n_buckets: int = 2048,
                            collect_cap: int = 500_000,
                            max_rounds: int = 40) -> dict[float, float]:
     """EXACT order statistics with NO global sort: DuckDB
     ``quantile_disc`` semantics — the value at 0-based rank
-    ceil(q*n) - 1 of the sorted non-null column (probed empirically;
-    q=0 → min, q=1 → max).
+    :func:`quantile_disc_rank0` (≈ ceil(q*n)-1, but computed by
+    DuckDB's exact double formula; q=0 → min, q=1 → max).
 
     The exact counterpart of :func:`approx_quantiles`, built for data
     that cannot be sorted globally: one stats pass (count/min/max), then
@@ -401,12 +424,11 @@ def exact_quantiles_nosort(ds, col: str, qs: list[float],
     glo, ghi = float(st["mn"].min()), float(st["mx"].max())
 
     # per-quantile search state: [k, below, lo, hi, hi_incl, value]
-    # (the epsilon guards float q*n landing a hair above an integer:
-    # 0.9*10 -> 9.000000000000002)
+    # (rank via quantile_disc_rank0 — DuckDB's exact double formula)
     tasks = {}
     out = {}
     for q in qs:
-        k = min(max(0, math.ceil(q * n - 1e-9) - 1), n - 1)
+        k = quantile_disc_rank0(q, n)
         tasks[q] = {"k": k, "below": 0, "lo": glo, "hi": ghi,
                     "hi_incl": True}
 
@@ -547,7 +569,7 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float],
     for _, row in st.iterrows():
         n = int(row["cnt"])
         for q in qs:
-            k = min(max(0, math.ceil(q * n - 1e-9) - 1), n - 1)
+            k = quantile_disc_rank0(q, n)
             tasks[(row[key], q)] = {
                 "k": k, "below": 0, "lo": float(row["mn"]),
                 "hi": float(row["mx"]), "hi_incl": True,

@@ -82,7 +82,9 @@ class StateParams:
     # open window per partition), so quantize/bucket value_col upstream
     # when its domain is unbounded. Requires value_col. The tuple holds
     # the q's the merge stage reports (DuckDB quantile_disc semantics:
-    # the value at 0-based rank max(0, ceil(q*n) - 1)).
+    # the value at 0-based rank max(1, n - floor(n - q*n)) - 1 in IEEE
+    # double — DuckDB's exact formula, ≈ ceil(q*n)-1; see
+    # stages.sketches.quantile_disc_rank0).
     window_quantiles: "tuple[float, ...] | None" = None
     # Bounded-state SKETCH mode for window_quantiles (the 100-TB path
     # for unbounded value domains): values are bucketized at
@@ -942,7 +944,8 @@ class PartitionState:
         val = (df[p.value_col].to_numpy()
                if p.value_col else np.ones(len(df)))
         keys_arr = (df[p.key_col].to_numpy()
-                    if p.window_distinct else None)
+                    if p.window_distinct or p.window_hll_p is not None
+                    else None)
         slide = p.window_slide_us or p.window_size_us
         if p.window_slide_us:
             k = p.window_size_us // p.window_slide_us
@@ -986,6 +989,25 @@ class PartitionState:
                     key,
                     [0, 0.0, set()] if p.window_distinct else [0, 0.0])
                 self._win_dirty.add(key)
+                if p.window_hll_p is not None:
+                    # late-but-accepted keys of a STILL-OPEN window join
+                    # its HLL registers (they haven't been emitted yet);
+                    # fired windows below cannot — their registers were
+                    # emitted at close and are gone, so the window_hll
+                    # estimate is a pure function of the window's ON-TIME
+                    # + open-accepted key set only. Refired count/sum
+                    # corrections ride window_updates; the HLL row does
+                    # not re-fire (documented exclusion).
+                    from gush_ray.stages.sketches import hll_idx_rank
+
+                    reg = self.winh.get(key)
+                    if reg is None:
+                        reg = self.winh[key] = np.zeros(
+                            1 << p.window_hll_p, dtype=np.uint8)
+                    li, lr = hll_idx_rank(
+                        sub["u"].to_numpy(), p.window_hll_p)
+                    np.maximum.at(reg, li, lr)
+                    self._winh_dirty.add(key)
             else:
                 slot = self.fired.setdefault(
                     key,
@@ -1824,8 +1846,10 @@ def _sketch_rep(vals: np.ndarray, k: int) -> np.ndarray:
     j = np.floor((x - 1.0) * k)        # sub-bucket, one rounding
     j = np.minimum(j, k - 1)           # (x-1)*k == k only via rounding
     rep = np.ldexp(1.0 + j / k, e - 1)  # exact power-of-two scale
-    rep = np.where(a == 0.0, 0.0, rep)
-    return np.copysign(rep, vals)
+    # copysign BEFORE the zero fixup: a -0.0 input must map to +0.0
+    # (the SQL twin's value=0 branch yields +0.0; copysign after the
+    # where() would resurrect the negative zero and diverge bit-wise)
+    return np.where(a == 0.0, 0.0, np.copysign(rep, vals))
 
 
 def _window_hist_table(rows, group_cols) -> pa.Table:

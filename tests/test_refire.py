@@ -419,3 +419,53 @@ def test_refire_rescale_guard(refire_pages, tmp_path):
                         window_size_us=WJOB, pattern=None)
     with pytest.raises(ValueError, match="fired-window"):
         rescale_state(out, 2, params=plain)
+
+
+def test_refire_hll_open_window_late_keys_join_registers():
+    """window_hll_p + window_refire (round-4 ADVICE fix): a late row
+    accepted into a STILL-OPEN window must reach the window's HLL
+    registers, so the emitted estimate is a pure function of the
+    window's on-time + open-accepted key set. (Keys late-accepted into
+    an already-FIRED window are excluded from the estimate by design —
+    the registers were emitted at close; count/sum corrections ride
+    window_updates.)"""
+    from gush_ray.stages.sketches import hll_estimate
+
+    ps = make_ps(window_hll_p=10, window_size_us=1000,
+                 allowed_lateness_us=1500)
+    # epoch 0: keys a, b in window 0; wm=500 keeps window 0 OPEN
+    step(ps, [r("a", 10), r("b", 50)], 500)
+    # epoch 1: key c at ts=100 is sub-watermark (late) but window 0's
+    # end (1000) is still ahead of wm=500 -> accepted into the OPEN
+    # accumulator AND the registers
+    m, _, win, _ = step(ps, [r("c", 100)], 600)
+    assert m["window_late_accepted"] == 1
+    reg = ps.winh[("en", 0)]
+    est_open = hll_estimate(reg)
+    assert abs(est_open - 3.0) < 0.25, est_open
+    # epoch 2: window 0 closes — count/sum/register state all carry 3
+    closes = ps.advance_watermark(1100)
+    win = closes["windows"].to_pandas()
+    assert win.to_dict("records") == [
+        {"lang": "en", "window_id": 0, "n": 3, "sum_value": 3.0}]
+    # registers were emitted at close; a further late key (window 0
+    # still within lateness: 1000+1500 > 1100) refires count/sum but
+    # cannot touch the emitted estimate — and must not crash
+    m, upd, _, _ = step(ps, [r("d", 200)], 1200)
+    assert m["window_late_accepted"] == 1
+    assert [x["change"] for x in upd.to_dict("records")] == [-1, 1]
+    assert ("en", 0) not in ps.winh
+
+
+def test_topk_refire_mutually_exclusive(tmp_path):
+    """window_topk ranks each window once from its on-time close;
+    refire keeps correcting closed windows with no re-ranking — the
+    combination must be rejected (round-4 ADVICE fix)."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    with pytest.raises(ValueError, match="window_topk.*window_refire"):
+        StreamingJob(
+            str(tmp_path / "in"), str(tmp_path / "out"), run_id="x",
+            num_partitions=1, pattern=None, window_size_us=1000,
+            window_group_cols=("lang",), key_col="url",
+            raw_ts_col="ts_us", window_topk=3, window_refire=True)

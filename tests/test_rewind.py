@@ -166,3 +166,190 @@ def test_interrupted_rewind_rerun_then_resume_parity(
         trial += 1
         assert trial < 60, "rewind does more deletions than expected"
     ref.kill_actors()
+
+
+def _stream_rows(out, stream):
+    """Rows currently visible to a reader via committed_files."""
+    import pyarrow.parquet as pq
+
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(out)
+    return sum(pq.read_metadata(f).num_rows
+               for f in sink.committed_files(stream))
+
+
+def test_rewind_compacted_range_reader_never_sees_missing_rows(
+        ray_session, pages_dir, tmp_path, monkeypatch):
+    """Round-4 ADVICE fix: with a whole-dropped COMPACTED range, at
+    EVERY possible interruption point of the rewind a concurrent
+    reader must see every committed epoch's rows in full — the old
+    record-before-manifests ordering had a window where epochs were
+    still committed but their only data pointer (the compaction
+    record) was gone, reading as zero rows. Then: re-running the
+    rewind + resuming reproduces the uninterrupted run."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from gush_ray import fs as fsmod
+    from gush_ray import rewind as rwmod
+    from gush_ray.compact import compact_stream
+
+    ref, _ = _run(pages_dir, str(tmp_path / "cref"), "cw_ref")
+
+    class Boom(Exception):
+        pass
+
+    # per-epoch visible rows for the reader invariant, taken from a
+    # pristine (uncompacted) run
+    probe = str(tmp_path / "cprobe")
+    jp, _ = _run(pages_dir, probe, "cw_probe")
+    jp.kill_actors()
+    fs0, _ = fsmod.get_fs(probe)
+    per_epoch = {}
+    for e in jp.sink.committed_epochs():
+        d = fs0.join(probe, "changes", f"epoch={e:05d}")
+        per_epoch[e] = (sum(
+            pq.read_metadata(fs0.join(d, n)).num_rows
+            for n in fs0.listdir(d) if n.endswith(".parquet"))
+            if fs0.isdir(d) else 0)
+
+    n_ops = 1
+    trial = 0
+    while True:
+        out = str(tmp_path / f"cw{trial}")
+        job, _ = _run(pages_dir, out, f"cw{trial}")
+        job.kill_actors()
+        # two records: [0,0] and [1,2]; rewinding to 0 whole-drops [1,2]
+        compact_stream(out, "changes", upto=0, min_epochs=1)
+        compact_stream(out, "changes", min_epochs=1)
+
+        budget = itertools.count()
+        real_remove = fsmod.LocalFS.remove
+        real_rmtree = fsmod.LocalFS.rmtree
+
+        def _remove(self, path, _b=budget, _lim=n_ops):
+            if next(_b) >= _lim:
+                raise Boom()
+            return real_remove(self, path)
+
+        def _rmtree(self, path, _b=budget, _lim=n_ops):
+            if next(_b) >= _lim:
+                raise Boom()
+            return real_rmtree(self, path)
+
+        monkeypatch.setattr(fsmod.LocalFS, "remove", _remove)
+        monkeypatch.setattr(fsmod.LocalFS, "rmtree", _rmtree)
+        try:
+            rwmod.rewind_stream(out, 0)
+            interrupted = False
+        except Boom:
+            interrupted = True
+        finally:
+            monkeypatch.setattr(fsmod.LocalFS, "remove", real_remove)
+            monkeypatch.setattr(fsmod.LocalFS, "rmtree", real_rmtree)
+
+        # THE reader invariant at this interruption point: every
+        # committed epoch's rows are fully visible (zero-rows-for-a-
+        # committed-epoch is the bug being pinned). A half-dropped
+        # compacted range may ADD its already-de-committed rows (the
+        # merged file can't be split per epoch — documented bounded
+        # staleness), so visible is bounded above by the full stream.
+        committed = job.sink.committed_epochs()
+        expected = sum(per_epoch[e] for e in committed)
+        visible = _stream_rows(out, "changes")
+        assert expected <= visible <= sum(per_epoch.values()), (
+            trial, committed, expected, visible)
+
+        rwmod.rewind_stream(out, 0)  # idempotent completion
+        assert _stream_rows(out, "changes") == per_epoch[0]
+        job2, _ = _run(pages_dir, out, f"cw{trial}b", resume=True)
+        _assert_same_output(job2, ref)
+        job2.kill_actors()
+
+        if not interrupted:
+            break
+        n_ops += 1
+        trial += 1
+        assert trial < 80, "rewind does more deletions than expected"
+    ref.kill_actors()
+
+
+def test_resume_sweeps_stale_compaction_record(ray_session, pages_dir,
+                                               tmp_path):
+    """The other half of the crash protocol: a rewind interrupted
+    between de-committing a compacted range and removing its record
+    leaves a stale record + merged slot. A plain RESUME (no rewind
+    re-run) must sweep both BEFORE replaying, so the stale merged file
+    never shadows the replayed per-epoch parts once the range
+    re-commits."""
+    from gush_ray import fs as fsmod
+    from gush_ray.compact import compact_stream, compaction_records
+    from gush_ray.fsck import audit
+
+    ref, _ = _run(pages_dir, str(tmp_path / "sref"), "sw_ref")
+    out = str(tmp_path / "sw")
+    job, _ = _run(pages_dir, out, "sw_a")
+    job.kill_actors()
+    compact_stream(out, "changes", upto=0, min_epochs=1)
+    compact_stream(out, "changes", min_epochs=1)  # record [1,2]
+
+    # manufacture the exact crash state: final marker + manifests 1,2
+    # removed (rewind got that far), record + slot for [1,2] survive
+    fs, _ = fsmod.get_fs(out)
+    fs.remove(fs.join(out, "_manifest", "final.json"))
+    for e in (2, 1):
+        fs.remove(fs.join(out, "_manifest", f"epoch={e:05d}.json"))
+    assert compaction_records(out).get("changes") == [(0, 0), (1, 2)]
+    # reader guard: the half-valid record is already invisible
+    assert job.sink.committed_files("changes")  # epoch-0 slot only
+    assert all("compact=00001" not in f
+               for f in job.sink.committed_files("changes"))
+
+    job2, _ = _run(pages_dir, out, "sw_b", resume=True)
+    # the sweep ran before replay: record + slot gone
+    assert compaction_records(out).get("changes") == [(0, 0)]
+    assert not fs.isdir(fs.join(out, "changes", "compact=00001-00002"))
+    _assert_same_output(job2, ref)
+    r = audit(out)
+    assert not r["problems"], r["problems"]
+    job2.kill_actors()
+    ref.kill_actors()
+
+
+def test_resume_refuses_mid_range_rewind_crash(ray_session, pages_dir,
+                                               tmp_path):
+    """A rewind that crashed MID-range (some of a compacted range's
+    epochs de-committed, some not) cannot be healed by the sweep — the
+    committed prefix's rows live only inside the merged file. Resume
+    must refuse loudly; re-running the rewind completes the truncation
+    and resume then reproduces the reference."""
+    from gush_ray import fs as fsmod
+    from gush_ray import rewind as rwmod
+    from gush_ray.compact import compact_stream
+
+    ref, _ = _run(pages_dir, str(tmp_path / "pref"), "pr_ref")
+    out = str(tmp_path / "pr")
+    job, _ = _run(pages_dir, out, "pr_a")
+    job.kill_actors()
+    compact_stream(out, "changes", upto=0, min_epochs=1)
+    compact_stream(out, "changes", min_epochs=1)  # record [1,2]
+
+    # crash state: final marker + manifest 2 removed, manifest 1 and
+    # the record survive — range [1,2] is half committed
+    fs, _ = fsmod.get_fs(out)
+    fs.remove(fs.join(out, "_manifest", "final.json"))
+    fs.remove(fs.join(out, "_manifest", "epoch=00002.json"))
+    # reader invariant holds here too: epoch 1 stays fully visible
+    assert any("compact=00001" in f
+               for f in job.sink.committed_files("changes"))
+
+    with pytest.raises(RuntimeError, match="partially committed"):
+        _run(pages_dir, out, "pr_b", resume=True)
+
+    rwmod.rewind_stream(out, 0)
+    job2, _ = _run(pages_dir, out, "pr_c", resume=True)
+    _assert_same_output(job2, ref)
+    job2.kill_actors()
+    ref.kill_actors()

@@ -219,3 +219,41 @@ def test_jsonl_compressed_roundtrips(tmp_path, ray_session):
     assert frames["t.jsonl"]["v"].tolist() == [1.5, -2.25, 3.0, 0.125]
     # the .gz file really is gzip bytes, not a misnamed plain file
     assert open(str(tmp_path / "t.jsonl.gz"), "rb").read(2) == b"\x1f\x8b"
+
+
+def test_quantile_disc_rank_matches_duckdb_grid():
+    """quantile_disc_rank0 == DuckDB's discrete-quantile rank on a
+    (q, n) grid that includes every known boundary anomaly: products
+    landing a hair above an integer (0.035*200 = 7.000000000000001 →
+    DuckDB picks 7, NOT ceil's 8; 0.55*200 = 110.00000000000001 →
+    DuckDB picks 111), exact-integer products, q→0/1 extremes. The
+    old ceil(q*n - 1e-9) guard diverged on these AND at n ~1e10+
+    (round-4 ADVICE finding); the shipped formula
+    max(1, n - floor(n - q*n)) is DuckDB's own double path, exact for
+    any n < 2^53."""
+    import duckdb
+    import numpy as np
+
+    from gush_ray.stages.sketches import quantile_disc_rank0
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(3)
+    qs = ([qi / 200.0 for qi in range(1, 200, 3)]
+          + [0.035, 0.55, 0.545, 0.0175, 0.07, 0.14, 0.28, 0.275,
+             1 / 3, 2 / 3, 0.123456789, 0.9999999, 1e-10]
+          + list(rng.uniform(0, 1, 25)))
+    ns = (1, 2, 3, 7, 10, 50, 100, 200, 400, 999)
+    # values are 1..n, so DuckDB's returned VALUE == its 1-based rank
+    for n in ns:
+        ranks = con.execute(
+            "SELECT " + ", ".join(
+                f"quantile_disc(v, CAST({q!r} AS DOUBLE))" for q in qs)
+            + f" FROM (SELECT unnest(range(1, {n + 1})) v)"
+        ).fetchone()
+        for q, d in zip(qs, ranks):
+            assert quantile_disc_rank0(q, n) == int(d) - 1, (q, n, d)
+    # large-n sanity: the formula never exceeds bounds and is monotone
+    for n in (10 ** 10, 2 ** 52):
+        r = [quantile_disc_rank0(q, n) for q in (0.0, 1e-15, 0.5, 1.0)]
+        assert r[0] == 0 and r[-1] == n - 1
+        assert all(a <= b for a, b in zip(r, r[1:]))

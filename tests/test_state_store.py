@@ -649,9 +649,13 @@ def test_window_early_fire_changelog_folds_to_totals():
 def test_sketch_rep_sql_twin_bit_parity_fuzz():
     """The quantile_sketch_k oracle claim — numpy _sketch_rep and the
     DuckDB expression produce BIT-IDENTICAL doubles — fuzzed over
-    adversarial positive values: uniform magnitudes across 12 decades,
+    adversarial SIGNED values: uniform magnitudes across 12 decades,
     exact powers of two, bucket-boundary neighbours (rep*(1+j/k) +- 1
-    ulp), and near-integer (x-1)*k products."""
+    ulp), near-integer (x-1)*k products, and (round-4 ADVICE fix) a
+    NEGATED copy of everything — the engine is sign-preserving via
+    abs+copysign and the SQL twin must mirror it (floor(log2(value))
+    on a raw negative is NaN and sorts greatest under DuckDB quantile
+    semantics)."""
     import duckdb
     import numpy as np
 
@@ -668,20 +672,36 @@ def test_sketch_rep_sql_twin_bit_parity_fuzz():
              np.nextafter(base, -np.inf)]
     v = np.abs(np.concatenate(vals))
     v = v[v > 0]
+    v = np.concatenate([v, -v])          # signed domain, both branches
     got = _sketch_rep(v, k)
+    assert (np.sign(got) == np.sign(v)).all()   # monotone for v < 0 too
 
     con = duckdb.connect()
     con.register("t", __import__("pandas").DataFrame({"value": v}))
+    # the EXACT production expression (abs/sign mirrored from the
+    # engine), kept in lockstep with SQL_WINDOW_QUANTILES_SKETCH
     want = con.execute(f"""
-        WITH e0 AS (SELECT value, floor(log2(value)) AS E0 FROM t),
+        WITH e0 AS (SELECT value, floor(log2(abs(value))) AS E0 FROM t),
         ee AS (SELECT value, CASE
-            WHEN pow(2.0, E0 + 1) <= value THEN E0 + 1
-            WHEN pow(2.0, E0) > value THEN E0 - 1 ELSE E0 END AS E
+            WHEN pow(2.0, E0 + 1) <= abs(value) THEN E0 + 1
+            WHEN pow(2.0, E0) > abs(value) THEN E0 - 1 ELSE E0 END AS E
           FROM e0)
-        SELECT pow(2.0, E) * (1.0 + LEAST(floor((value / pow(2.0, E)
+        SELECT sign(value) * pow(2.0, E)
+               * (1.0 + LEAST(floor((abs(value) / pow(2.0, E)
                - 1.0) * {k}), {k} - 1) / {k}) AS rep
         FROM ee
     """).fetchnumpy()["rep"]
     # bit-identical, not merely close
     assert (got.view(np.uint64) == want.view(np.uint64)).all(), \
         (got[got != want][:5], want[got != want][:5])
+
+
+def test_sketch_rep_negative_zero_normalizes():
+    """-0.0 input maps to +0.0 (the SQL twin's value=0 branch yields
+    +0.0; a resurrected negative zero would diverge bit-wise)."""
+    import numpy as np
+
+    from gush_ray.state.store import _sketch_rep
+
+    r = _sketch_rep(np.array([0.0, -0.0]), 128)
+    assert (r.view(np.uint64) == 0).all()
