@@ -21,6 +21,15 @@ uncommitted slots — but the manifest write itself should target a
 store with atomic put-if-absent or a consistent prefix listing (S3 is
 read-after-write consistent since 2020). ``sync`` is a no-op off-POSIX:
 object stores make a completed PUT durable by contract.
+
+These claims are EXECUTED, not aspirational: the full streaming job
+(map/reduce tasks, snapshot chain, committer, fsck, rewind,
+kill→resume) runs end to end against ``objstore://`` — an
+object-store-semantics filesystem (gush_ray/fakestore.py: non-atomic
+copy+delete mv, no fsync, shared across Ray worker processes) — with
+output identical to the local-POSIX run, including manifest-publish
+crash injection in BOTH halves of the non-atomic move
+(tests/test_objectstore_e2e.py).
 """
 
 from __future__ import annotations
@@ -101,9 +110,24 @@ class FsspecFS:
 
     sep = "/"
 
+    # scheme -> module whose import registers the fsspec implementation.
+    # Needed because registration is per-process: Ray worker tasks
+    # construct their own FsspecFS, so the plugin must load THERE, not
+    # just on the driver. Extend via GUSH_FS_PLUGINS=mod1,mod2 (each
+    # imported before scheme resolution) for user-supplied filesystems.
+    _PLUGIN_SCHEMES = {"objstore": "gush_ray.fakestore"}
+
     def __init__(self, scheme: str):
+        import importlib
+
         import fsspec
 
+        mod = self._PLUGIN_SCHEMES.get(scheme)
+        if mod is not None:
+            importlib.import_module(mod)
+        for m in filter(None,
+                        os.environ.get("GUSH_FS_PLUGINS", "").split(",")):
+            importlib.import_module(m)
         self.scheme = scheme
         self.fs = fsspec.filesystem(scheme)
 

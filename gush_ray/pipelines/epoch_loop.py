@@ -319,14 +319,17 @@ def _reduce_partition(
     makes the snapshot-file dependency explicit to the scheduler while
     letting other partitions' epochs overlap a straggler.
     """
+    from gush_ray.fs import get_fs
+
     t0 = time.perf_counter()
+    snap_fs, snapshot_out = get_fs(snapshot_out)
     ps = PartitionState(pid, params)
     base_epoch = None
     if snapshot_in is not None:
         # a missing snapshot for epoch>0 means lost state — proceeding
         # with an empty PartitionState would silently re-emit version-0
         # inserts and drop open windows; fail loudly instead
-        if not os.path.exists(snapshot_in):
+        if not snap_fs.exists(snapshot_in):
             raise FileNotFoundError(
                 f"state snapshot missing for partition {pid}: {snapshot_in}"
             )
@@ -381,17 +384,17 @@ def _reduce_partition(
         ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
                                    closes["sessions"])
         t_parts = time.perf_counter()
-        os.makedirs(os.path.dirname(snapshot_out), exist_ok=True)
+        snap_fs.makedirs(snapshot_out.rsplit("/", 1)[0])
         tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
         # frame choice is deterministic (base + interval), so a replayed
         # reduce rewrites the identical frame kind
         full = (base_epoch is None
                 or epoch - base_epoch >= params.snapshot_full_every)
-        with open(tmp, "wb") as f:
+        with snap_fs.open(tmp, "wb") as f:
             snap_bytes = (ps.snapshot_bytes() if full
                           else ps.delta_bytes(base_epoch))
             f.write(snap_bytes)
-        os.replace(tmp, snapshot_out)
+        snap_fs.replace(tmp, snapshot_out)
         t_snap = time.perf_counter()
     finally:
         # Ray reuses worker processes across tasks: unfreeze so this
@@ -427,8 +430,10 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
     ``prev_done``: the partition's last reduce ref — the flush reads that
     reduce's snapshot file, so the dependency must be explicit (reduces
     are barrier-free; see :meth:`StreamingJob._run_epoch`)."""
+    from gush_ray.fs import get_fs
+
     ps = PartitionState(pid, params)
-    if not os.path.exists(snapshot_in):
+    if not get_fs(snapshot_in)[0].exists(snapshot_in):
         raise FileNotFoundError(
             f"state snapshot missing for final flush: {snapshot_in}"
         )
@@ -1656,16 +1661,16 @@ class StreamingJob:
         chain = (self.params.snapshot_full_every - 1
                  if self.mode == "tasks" else 0)
         cutoff = committed_epoch - keep - chain
-        if cutoff < 0 or not os.path.isdir(self.ckpt_dir):
-            return
-        import shutil
+        from gush_ray.fs import get_fs
 
-        for name in os.listdir(self.ckpt_dir):
+        fs, ckpt_dir = get_fs(self.ckpt_dir)
+        if cutoff < 0 or not fs.isdir(ckpt_dir):
+            return
+        for name in fs.listdir(ckpt_dir):
             if name.startswith("epoch="):
                 e = int(name.split("=")[1])
                 if e <= cutoff:
-                    shutil.rmtree(os.path.join(self.ckpt_dir, name),
-                                  ignore_errors=True)
+                    fs.rmtree(fs.join(ckpt_dir, name))
 
     def _submit_flush(self, n_epochs: int):
         if self.mode != "tasks":
@@ -1748,7 +1753,17 @@ class StreamingJob:
             if not files:
                 return pd.DataFrame()
             try:
-                tabs = [pq.read_table(f) for f in files]
+                from gush_ray.fs import LocalFS
+
+                if isinstance(self.sink.fs, LocalFS):
+                    tabs = [pq.read_table(f) for f in files]
+                else:
+                    # remote scheme: pyarrow can't resolve the URI —
+                    # open through the sink's fsspec adapter
+                    tabs = []
+                    for f in files:
+                        with self.sink.fs.open(f, "rb") as fh:
+                            tabs.append(pq.read_table(fh))
             except FileNotFoundError as e:
                 last_err = e
                 continue

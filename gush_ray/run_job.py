@@ -199,10 +199,12 @@ def main(argv: list[str] | None = None) -> int:
         "result": res,
         "committed_epochs": job.sink.committed_epochs(),
         "streams": {
-            # metadata-only row counts — never load the output into memory
+            # metadata-only row counts — never load the output into
+            # memory; opened through the sink's fs adapter so remote
+            # schemes (objstore://, s3://) count the same as local
             s: sum(
                 __import__("pyarrow.parquet", fromlist=["x"])
-                .ParquetFile(f).metadata.num_rows
+                .ParquetFile(job.sink.fs.open(f, "rb")).metadata.num_rows
                 for f in job.sink.committed_files(s)
             )
             for s in (("changes", "windows", "sessions", "sessions_wm",

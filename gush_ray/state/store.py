@@ -1763,24 +1763,29 @@ def restore_state_from_chain(ps: PartitionState, snapshot_in: str,
     snapshot's parent — the epoch is passed in by the caller, never
     re-parsed from the (user-controlled) path. Returns the chain's base
     epoch so the caller can decide whether the NEXT frame is full or
-    delta."""
-    with open(snapshot_in, "rb") as f:
+    delta. Paths go through the fs seam, so the chain restores from a
+    remote-scheme ``out_dir`` (fsspec) the same as from local disk."""
+    from gush_ray.fs import get_fs
+
+    fs, snapshot_in = get_fs(snapshot_in)
+    with fs.open(snapshot_in, "rb") as f:
         blob = f.read()
     base = snapshot_base_epoch(blob[:12])
     if base is None:
         ps.restore_bytes(blob)
         return this_epoch
-    state_dir = os.path.dirname(os.path.dirname(snapshot_in))
-    fname = os.path.basename(snapshot_in)
+    # dirname/basename are plain "/" string ops, valid for URIs too
+    parent, fname = snapshot_in.rsplit("/", 1)
+    state_dir = parent.rsplit("/", 1)[0]
     blobs = []
     for e in range(base, this_epoch):
-        p = os.path.join(state_dir, f"epoch={e:05d}", fname)
-        if not os.path.exists(p):
+        p = fs.join(state_dir, f"epoch={e:05d}", fname)
+        if not fs.exists(p):
             raise FileNotFoundError(
                 f"snapshot chain broken: epoch {this_epoch} is a delta "
                 f"with base {base} but {p} is missing"
             )
-        with open(p, "rb") as f:
+        with fs.open(p, "rb") as f:
             blobs.append(f.read())
     blobs.append(blob)
     ps.restore_chain(blobs)
@@ -2017,12 +2022,15 @@ class StateStoreActor:
         self.ps.commit_epoch(epoch)
 
     def snapshot_to(self, path: str) -> str:
+        from gush_ray.fs import get_fs
+
         blob = self.ps.snapshot_bytes()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fs, path = get_fs(path)
+        fs.makedirs(path.rsplit("/", 1)[0])
         tmp = f"{path}.inprogress-{os.getpid()}"
-        with open(tmp, "wb") as f:
+        with fs.open(tmp, "wb") as f:
             f.write(blob)
-        os.replace(tmp, path)
+        fs.replace(tmp, path)
         return path
 
     def restore_from(self, path: str, epoch: "int | None" = None) -> None:
@@ -2033,7 +2041,10 @@ class StateStoreActor:
         if epoch is not None:
             restore_state_from_chain(self.ps, path, epoch)
         else:
-            with open(path, "rb") as f:
+            from gush_ray.fs import get_fs
+
+            fs, path = get_fs(path)
+            with fs.open(path, "rb") as f:
                 self.ps.restore_bytes(f.read())
 
 
