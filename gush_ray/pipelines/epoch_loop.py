@@ -724,8 +724,29 @@ class StreamingJob:
         idle_partition_epochs: int | None = None,
         statsd: str | None = None,
         window_refire: bool = False,
+        at_scale: bool = False,
     ):
         assert mode in ("tasks", "actors")
+        if at_scale:
+            # AT-SCALE profile: one switch flips every unbounded-state
+            # exact mode to its bounded-state sketch sibling (constants
+            # + rationale in state/store.py). Output SHAPE changes with
+            # it: distinct counts move from the windows stream's exact
+            # n_distinct column to the window_hll estimate stream, and
+            # quantiles become sketch-bucket representatives (rank-
+            # preserving: sketch q == rep(exact q), rel err < 1/k).
+            from gush_ray.state.store import (AT_SCALE_DEDUP_TTL_US,
+                                              AT_SCALE_HLL_P,
+                                              AT_SCALE_SKETCH_K)
+
+            if window_distinct:
+                window_distinct = False
+                if window_hll_p is None:
+                    window_hll_p = AT_SCALE_HLL_P
+            if window_quantiles is not None and quantile_sketch_k is None:
+                quantile_sketch_k = AT_SCALE_SKETCH_K
+            if dedup_ttl_us is None:
+                dedup_ttl_us = AT_SCALE_DEDUP_TTL_US
         if (right_dir is None) != (join_spec is None):
             raise ValueError(
                 "stream-stream join needs BOTH right_dir and join_spec"

@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="evict dedup state for keys idle this long in "
                          "event time (bounds state; version counters "
                          "restart for evicted keys)")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="AT-SCALE profile: flip unbounded-state exact "
+                         "modes to their bounded-state sketch siblings "
+                         "(window_distinct -> HLL p=12, exact quantiles "
+                         "-> sketch k=128, dedup TTL 1 week)")
     ap.add_argument("--dim-dir", default=None,
                     help="evolving dimension snapshots: epoch=NNNN/ "
                          "parquet dirs become effective at their epoch "
@@ -185,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         derive_host=args.derive_host,
         dedup_ttl_us=(args.dedup_ttl_sec * 1_000_000
                       if args.dedup_ttl_sec else None),
+        at_scale=args.at_scale,
         idle_partition_epochs=args.idle_partition_epochs,
         dim_dir=args.dim_dir,
         statsd=args.statsd,
@@ -215,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
                       + (("quantiles",)
                          if args.window_quantiles else ())
                       + (("window_hll",)
-                         if args.window_hll_p else ())
+                         if job.params.window_hll_p is not None else ())
                       + (("window_early",)
                          if args.window_early_fire else ()))
         },

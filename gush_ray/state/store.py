@@ -47,6 +47,21 @@ from gush_ray.stages.nfa import NFARunner, Pattern
 NEG_INF = -(1 << 62)
 POS_INF = 1 << 62
 
+# AT-SCALE profile defaults (StreamingJob(at_scale=True) / run_job
+# --at-scale): flip every unbounded-state exact mode to its
+# oracle-paired bounded-state sketch sibling in one switch —
+# window_distinct -> window_hll_p (2^p registers per open window,
+# ~1.04/sqrt(2^12) = 1.6% rel err), exact window_quantiles ->
+# quantile_sketch_k (O(octaves*k) histogram keys, rel err < 1/128
+# toward zero, STILL bit-exact SQL-paired), and dedup state bounded to
+# a week of event time (keys idle longer restart at version 0 —
+# Flink's cleared-state semantics). The exact modes stay available and
+# warn via `exact_state_oversized` when a slot outgrows
+# StateParams.exact_state_warn_keys.
+AT_SCALE_HLL_P = 12
+AT_SCALE_SKETCH_K = 128
+AT_SCALE_DEDUP_TTL_US = 7 * 24 * 3600 * 1_000_000
+
 
 @dataclass
 class StateParams:
@@ -193,6 +208,18 @@ class StateParams:
     # ts >= watermark > the evicted key's last_ts, so no stale row is
     # wrongly kept. None = keep state forever (the pre-TTL behavior).
     dedup_ttl_us: int | None = None
+    # Loud telemetry for the UNBOUNDED-state exact modes: when an open
+    # window's exact key SET (window_distinct) or exact value HISTOGRAM
+    # (window_quantiles without quantile_sketch_k) exceeds this many
+    # entries, the partition logs one warning and every subsequent
+    # epoch's manifest metrics carry `exact_state_oversized` (the count
+    # of oversized open slots). The exact modes are correct at any size
+    # — but on an unbounded key/value domain at 100 TB the bounded-state
+    # sketch siblings (window_hll_p / quantile_sketch_k, both
+    # oracle-paired) are the right defaults: flip them in one switch
+    # with the AT-SCALE profile (epoch_loop.StreamingJob(at_scale=True)
+    # / run_job --at-scale).
+    exact_state_warn_keys: int = 1_000_000
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -244,6 +271,7 @@ class PartitionState:
     def __init__(self, partition_id: int, params: StateParams):
         self.pid = partition_id
         self.p = params
+        self._oversized_warned = False
         self.last_ts: dict = {}
         self.version: dict = {}
         self.win: dict = {}        # (group..., window_id) -> [n, sum]
@@ -903,6 +931,10 @@ class PartitionState:
                 # cumulative dedup keys dropped by the state TTL (0 when
                 # dedup_ttl_us is unset — version counters never reset)
                 "ttl_evicted": int(self.evicted_total),
+                # open slots whose EXACT state (distinct key set / value
+                # histogram) exceeds exact_state_warn_keys — nonzero
+                # means this workload wants the at-scale sketch profile
+                "exact_state_oversized": self._count_oversized_exact(),
                 # window_refire mode: sub-watermark rows accepted into a
                 # still-alive window (they are in NO other stream), and
                 # (row, window) replicas dropped because that one window
@@ -916,6 +948,34 @@ class PartitionState:
         tt["p_arrow"] = time.perf_counter() - t0
         out["metrics"].update({k: round(v, 3) for k, v in tt.items()})
         return out
+
+    def _count_oversized_exact(self) -> int:
+        """Open slots whose exact state outgrew
+        ``exact_state_warn_keys`` (window_distinct key sets + exact-mode
+        window_quantiles histograms). O(open slots) per epoch — the
+        scan only runs when an unbounded-state exact mode is active,
+        and an epoch with many open slots is precisely the situation
+        the telemetry exists to surface. Logs ONE warning per partition
+        lifetime pointing at the at-scale profile."""
+        p = self.p
+        bound = p.exact_state_warn_keys
+        n = 0
+        if p.window_distinct:
+            n += sum(1 for s in self.win.values() if len(s[2]) > bound)
+        if p.window_quantiles is not None and p.quantile_sketch_k is None:
+            n += sum(1 for h in self.winq.values() if len(h) > bound)
+        if n and not self._oversized_warned:
+            self._oversized_warned = True
+            import logging
+
+            logging.getLogger("gush_ray").warning(
+                "partition %d: %d open window slot(s) exceed %d exact "
+                "state entries — on an unbounded key/value domain use "
+                "the at-scale profile (StreamingJob(at_scale=True) / "
+                "run_job --at-scale), which flips to the bounded-state "
+                "sketch modes (window_hll_p / quantile_sketch_k)",
+                self.pid, n, bound)
+        return n
 
     def _accumulate_refire(self, df: pd.DataFrame) -> int:
         """window_refire mode: fold late-but-accepted rows into their
