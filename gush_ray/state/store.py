@@ -614,138 +614,183 @@ class PartitionState:
         self._epoch_cache[epoch] = out
         return out
 
-    def _state_columns(self, table: pa.Table) -> list[str]:
-        """Columns the state logic actually reads. Payload columns (the
-        fat extracted ``text``) stay in Arrow and are re-attached to the
-        output via ``take`` — converting them through pandas was ~40% of
-        the reduce phase at 2.4M urls (p_pandas + p_arrow in the profile).
-        A pattern step with a custom ``predicate`` may touch any column,
-        so that (rare) case falls back to converting everything."""
-        p = self.p
-        need = {p.key_col, p.ts_col, *p.window_group_cols}
-        if p.value_col:
-            need.add(p.value_col)
-        if p.pattern is not None:
-            for s in p.pattern.steps:
-                if s.predicate is not None:
-                    return list(table.column_names)
-                if s.column is not None:
-                    need.add(s.column)
-            idc = p.pattern.id_col
-            # 'version' is computed below; any other id col is an input
-            if idc is not None and idc != "version":
-                need.add(idc)
-        return [c for c in table.column_names if c in need]
-
     def _process_impl(self, table: pa.Table) -> dict:
+        """Arrow/numpy-native hot path (round-3 verdict item 3): the old
+        per-batch ``to_pandas()`` of the state columns decoded every key
+        string per ROW; here key objects materialize once per RUN
+        (unique key per batch) and fan out by index, the multi-key sort
+        runs in Arrow C++, and the V1 dedup-map lookups drop from one
+        dict.get per row to one per unique key. pandas remains only
+        where it is the right kernel: the window-accumulator groupbys,
+        sessions, NFA, and the cold refire path."""
+        import pyarrow.compute as pc
+
         p = self.p
         tt = {}
         t0 = time.perf_counter()
-        df = table.select(self._state_columns(table)).to_pandas()
-        kc = df[p.key_col]
-        if kc.dtype.kind == "f" and kc.isna().any():
+        n_in = table.num_rows
+        key_chunked = table[p.key_col]
+        key_a = (key_chunked.combine_chunks()
+                 if isinstance(key_chunked, pa.ChunkedArray)
+                 else key_chunked)
+        if pa.types.is_floating(key_a.type):
             # float-NaN keys corrupt EVERY keyed stage (nan != nan:
-            # dict lookups miss, version arithmetic casts invalid,
-            # session segmentation splits per row — round-3 review
-            # finding). Normalize ONCE at the boundary to object/None,
-            # which every stage already handles as a null key.
-            df[p.key_col] = kc.astype(object).where(kc.notna(), None)
-        n_in = len(df)
+            # dict lookups miss, runs split per row — round-3 review
+            # finding). Normalize ONCE at the boundary to null, which
+            # every stage already handles as a None key.
+            key_a = pc.if_else(pc.is_nan(key_a),
+                               pa.scalar(None, key_a.type), key_a)
+        ts_all = table[p.ts_col].to_numpy().astype(np.int64, copy=False)
         tt["p_pandas"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        # the RangeIndex from to_pandas tracks original row positions
-        # through sort/filter, so output tables are built by taking those
-        # positions from the UNCONVERTED Arrow table
-        df = df.sort_values([p.key_col, p.ts_col], kind="mergesort")
-        df = df.drop_duplicates([p.key_col, p.ts_col], keep="first")
-        n_replay = n_in - len(df)
+
+        # total order (key, ts, original row): the explicit row tiebreak
+        # makes the sort deterministic whatever the C++ sorter's tie
+        # handling, so replay-dedup keeps the FIRST original occurrence
+        # — the old stable-mergesort + keep="first" contract
+        if n_in:
+            order = pc.sort_indices(
+                pa.table({"k": key_a, "t": pa.array(ts_all),
+                          "i": pa.array(np.arange(n_in, dtype=np.int64))}),
+                sort_keys=[("k", "ascending"), ("t", "ascending"),
+                           ("i", "ascending")],
+            ).to_numpy().astype(np.int64, copy=False)
+        else:
+            order = np.empty(0, dtype=np.int64)
+        ks = key_a.take(pa.array(order))
+        ts_s = ts_all[order]
+        one = np.ones(min(n_in, 1), dtype=bool)
+        if n_in > 1:
+            # null-aware neighbor equality: pc.equal(null, x) is null,
+            # and two consecutive null keys ARE the same run
+            nulls = pc.is_null(ks).to_numpy(zero_copy_only=False)
+            eqv = pc.fill_null(
+                pc.equal(ks.slice(1), ks.slice(0, n_in - 1)), False
+            ).to_numpy(zero_copy_only=False)
+            same_key = eqv | (nulls[1:] & nulls[:-1])
+        else:
+            same_key = np.empty(0, dtype=bool)
+        new_run = np.concatenate([one, ~same_key])
+        run_id = np.cumsum(new_run) - 1
+        # the ONLY per-key Python materialization: one object per run
+        uniq_keys = ks.take(
+            pa.array(np.nonzero(new_run)[0])).to_pylist()
+        n_runs = len(uniq_keys)
+
+        # replay dedup (key, ts) keep-first
+        if n_in > 1:
+            dup = same_key & (ts_s[1:] == ts_s[:-1])
+            keep1 = np.concatenate([one, ~dup])
+        else:
+            keep1 = one
+        n_replay = int(n_in - keep1.sum())
+        pos = order[keep1]
+        ts_s = ts_s[keep1]
+        run_id = run_id[keep1]
+        if len(ts_s):
+            self.max_ts_us = max(self.max_ts_us, int(ts_s.max()))
         tt["p_sort"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-
-        ts = df[p.ts_col].to_numpy()
-        if len(ts):
-            self.max_ts_us = max(self.max_ts_us, int(ts.max()))
 
         # late rows: event time already below the watermark → side output.
         # In window_refire mode a sub-watermark row is LATE only when
         # every window it belongs to is expired (Flink's drop rule);
         # otherwise it is accepted for window re-firing (but still
         # excluded from the changes/V1 path — see StateParams docs).
-        ts_np = df[p.ts_col].to_numpy()
-        lateok = None
+        lateok_pos = None
         if p.window_refire:
             slide_c = p.window_slide_us or p.window_size_us
             # the row's newest window ends at (ts//slide)*slide + size
-            max_end = (ts_np // slide_c) * slide_c + p.window_size_us
-            sub_wm = ts_np < self.watermark_us
+            max_end = (ts_s // slide_c) * slide_c + p.window_size_us
+            sub_wm = ts_s < self.watermark_us
             late_mask = sub_wm & (
                 max_end + p.allowed_lateness_us <= self.watermark_us)
-            lateok = df[sub_wm & ~late_mask]
-            late = df[late_mask]
-            df = df[~sub_wm]
+            lateok_pos = pos[sub_wm & ~late_mask]
+            late_pos = pos[late_mask]
+            on = ~sub_wm
         else:
-            late_mask = ts_np < self.watermark_us
-            late = df[late_mask]
-            df = df[~late_mask]
+            late_mask = ts_s < self.watermark_us
+            late_pos = pos[late_mask]
+            on = ~late_mask
+        pos = pos[on]
+        ts_s = ts_s[on]
+        run_id = run_id[on]
 
-        # V1 row-version dedup: drop stale (ts <= last seen for the url).
-        # dict.get per batch row, NOT Series.map(dict): pandas converts
-        # the mapping dict to an Index first, which is O(state) per batch
-        # — at millions of keys per partition that dominates the reduce
-        # and grows with stream length; .get keeps it O(batch)
+        # V1 row-version dedup: ONE dict.get per unique key (not per
+        # row — the old per-row loop was O(batch) Python calls), then
+        # broadcast to rows by run id; within a run ts is ascending, so
+        # stale rows are exactly those at or below the key's last ts
         lt_get = self.last_ts.get
-        prev_last = np.fromiter(
-            (lt_get(k, NEG_INF) for k in df[p.key_col]),
-            dtype=np.int64, count=len(df),
-        )
-        keep = df[p.ts_col].to_numpy() > prev_last
-        n_stale = int((~keep).sum())
-        df = df[keep]
-
         ver_get = self.version.get
-        prev_ver = np.fromiter(
-            (ver_get(k, -1) for k in df[p.key_col]),
-            dtype=np.int64, count=len(df),
-        )
-        # dropna=False: the default silently drops null-key rows from the
-        # cumcount (NaN occ → invalid int64 cast → garbage versions)
-        occ = df.groupby(
-            p.key_col, sort=False, dropna=False).cumcount().to_numpy()
-        version = (prev_ver + 1 + occ).astype(np.int64)
-        df = df.assign(
-            version=version,
-            change_kind=np.where(version == 0, "insert", "update"),
-        )
+        prev_last_u = np.fromiter(
+            (lt_get(k, NEG_INF) for k in uniq_keys),
+            dtype=np.int64, count=n_runs)
+        prev_ver_u = np.fromiter(
+            (ver_get(k, -1) for k in uniq_keys),
+            dtype=np.int64, count=n_runs)
+        keep = ts_s > prev_last_u[run_id]
+        n_stale = int((~keep).sum())
+        pos = pos[keep]
+        ts_s = ts_s[keep]
+        run_id = run_id[keep]
+        nk = len(pos)
+        if nk:
+            new_row_run = np.concatenate(
+                [[True], run_id[1:] != run_id[:-1]])
+            starts = np.nonzero(new_row_run)[0]
+            lens = np.diff(np.concatenate([starts, [nk]]))
+            occ = np.arange(nk) - np.repeat(starts, lens)
+            version = prev_ver_u[run_id] + 1 + occ
+            # update the dedup map with each key's final row of this
+            # batch; .tolist() keeps plain Python ints in the dicts
+            # (np.int64 values pickle several times slower in snapshots)
+            last_row = np.concatenate([new_row_run[1:], [True]])
+            tail_keys = [uniq_keys[r] for r in run_id[last_row].tolist()]
+            self.last_ts.update(
+                zip(tail_keys, ts_s[last_row].tolist()))
+            self.version.update(
+                zip(tail_keys, version[last_row].tolist()))
+            self._dirty.update(tail_keys)
+        else:
+            version = np.empty(0, dtype=np.int64)
+        ck_rows = np.where(version == 0, "insert", "update")
+        # per-row key OBJECTS by index fan-out of the unique list —
+        # shared references, no further string decoding
+        ku = np.empty(n_runs, dtype=object)
+        ku[:] = uniq_keys
+        key_rows = ku[run_id] if nk else np.empty(0, dtype=object)
+        # lazily-taken payload columns (group/value/pattern), decoded
+        # only for SURVIVING rows
+        _taken: dict = {}
 
-        # update the dedup map with each url's final row of this batch.
-        # .tolist() matters: zipping the Series directly stores np.int64
-        # OBJECTS as dict values — each pickles via object reduce, making
-        # snapshot/restore of millions of keys several times slower than
-        # plain Python ints (measured on the 2.4M-url flagship corpus)
-        tail = df.drop_duplicates(p.key_col, keep="last")
-        self.last_ts.update(
-            zip(tail[p.key_col].tolist(),
-                tail[p.ts_col].astype("int64").tolist())
-        )
-        self.version.update(
-            zip(tail[p.key_col].tolist(), tail["version"].tolist())
-        )
-        self._dirty.update(tail[p.key_col].tolist())
+        def col_rows(c: str) -> np.ndarray:
+            # change_kind/version are V1-derived, never table reads
+            if c == "change_kind":
+                return ck_rows
+            if c == "version":
+                return version
+            got = _taken.get(c)
+            if got is None:
+                got = _taken[c] = table[c].take(
+                    pa.array(pos)).to_numpy(zero_copy_only=False)
+            return got
+
         tt["p_dedup"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
         # W1/W2/W3 window accumulators on the deduped change rows
-        if len(df):
-            us = df[p.ts_col].to_numpy().astype("int64")
-            gcols = [df[c].to_numpy() for c in p.window_group_cols]
-            val = (df[p.value_col].to_numpy()
-                   if p.value_col else np.ones(len(df)))
+        val_base = (col_rows(p.value_col) if p.value_col and nk
+                    else None)
+        if nk:
+            us = ts_s
+            gcols = [col_rows(c) for c in p.window_group_cols]
+            val = val_base if val_base is not None else np.ones(nk)
             if p.window_slide_us:
                 # sliding (W3): replicate each row into its k windows
                 k = p.window_size_us // p.window_slide_us
                 base = us // p.window_slide_us
-                rep = np.repeat(np.arange(len(df)), k)
-                offs = np.tile(np.arange(k, dtype=np.int64), len(df))
+                rep = np.repeat(np.arange(nk), k)
+                offs = np.tile(np.arange(k, dtype=np.int64), nk)
                 wid = base[rep] - offs
                 gcols = [g[rep] for g in gcols]
                 val = val[rep]
@@ -753,7 +798,7 @@ class PartitionState:
                 wid = us // p.window_size_us
             keys_arr = None
             if p.window_distinct or p.window_hll_p is not None:
-                keys_arr = df[p.key_col].to_numpy()
+                keys_arr = key_rows
                 if p.window_slide_us:
                     keys_arr = keys_arr[rep]
             acc_df = pd.DataFrame(
@@ -870,19 +915,59 @@ class PartitionState:
                     self._winq_dirty.add(gk)
 
         n_refire_dropped = 0
-        if lateok is not None and len(lateok):
-            n_refire_dropped = self._accumulate_refire(lateok)
+        n_lateok = 0
+        if lateok_pos is not None and len(lateok_pos):
+            # COLD path by contract (late data is the exception): build
+            # the small pandas frame _accumulate_refire expects from the
+            # accepted-late positions only
+            n_lateok = len(lateok_pos)
+            want = list(dict.fromkeys(
+                [p.key_col, p.ts_col, *p.window_group_cols]
+                + ([p.value_col] if p.value_col else [])))
+            have = [c for c in want if c in table.column_names]
+            ldf = table.select(have).take(pa.array(lateok_pos)).to_pandas()
+            lkc = ldf[p.key_col]
+            if lkc.dtype.kind == "f" and lkc.isna().any():
+                ldf[p.key_col] = lkc.astype(object).where(
+                    lkc.notna(), None)
+            n_refire_dropped = self._accumulate_refire(ldf)
         tt["p_win"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
-        # W4 sessions: within-batch gap split, then merge with open state
-        closed_sessions = self._update_sessions(df)
+        # W4 sessions: within-batch gap split, then merge with open
+        # state. The frame is assembled from the already-computed arrays
+        # (key objects by run fan-out, int64 ts) in (key, ts) order — no
+        # Arrow conversion
+        sess_cols = {p.key_col: key_rows, p.ts_col: ts_s}
+        if p.session_values:
+            sess_cols[p.value_col] = (val_base if val_base is not None
+                                      else np.empty(0))
+        closed_sessions = self._update_sessions(pd.DataFrame(sess_cols))
         tt["p_sess"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
         # C3 NFA over the change rows
         if self.nfa is not None:
-            matches = self.nfa.process_sorted(df)  # stable schema even empty
+            if any(s.predicate is not None for s in p.pattern.steps):
+                # custom predicates may touch any column (rare,
+                # documented fallback): convert everything
+                ndf = table.take(pa.array(pos)).to_pandas()
+                ndf[p.key_col] = key_rows
+            else:
+                need = {s.column for s in p.pattern.steps
+                        if s.column is not None}
+                idc = p.pattern.id_col
+                if idc is not None:
+                    need.add(idc)
+                need -= {p.key_col, p.ts_col, "version", "change_kind"}
+                ndf = pd.DataFrame({p.key_col: key_rows,
+                                    p.ts_col: ts_s})
+                for c in sorted(need):
+                    ndf[c] = col_rows(c)
+            ndf["version"] = version
+            if "change_kind" not in ndf.columns:
+                ndf["change_kind"] = ck_rows
+            matches = self.nfa.process_sorted(ndf)  # stable schema even empty
         else:
             matches = pd.DataFrame()
         tt["p_nfa"] = time.perf_counter() - t0
@@ -894,11 +979,10 @@ class PartitionState:
         # then scatter the computed change columns back to original row
         # order. Output order is per-partition arbitrary by contract; the
         # sink streams are order-insensitive sets.
-        keep_pos = df.index.to_numpy()
         ver_scatter = np.empty(n_in, dtype=np.int64)
-        ver_scatter[keep_pos] = df["version"].to_numpy()
+        ver_scatter[pos] = version
         keep_mask = np.zeros(n_in, dtype=bool)
-        keep_mask[keep_pos] = True
+        keep_mask[pos] = True
         changes_t = table.filter(pa.array(keep_mask))
         ver_out = ver_scatter[keep_mask]
         changes_t = changes_t.append_column(
@@ -910,8 +994,9 @@ class PartitionState:
                      type=pa.string()),
         )
         late_mask_full = np.zeros(n_in, dtype=bool)
-        late_mask_full[late.index.to_numpy()] = True
+        late_mask_full[late_pos] = True
         late_t = table.filter(pa.array(late_mask_full))
+        n_inserts = int((version == 0).sum())
         out = {
             "changes": changes_t,
             "late": late_t,
@@ -921,9 +1006,9 @@ class PartitionState:
                 "rows_in": n_in,
                 "replays_dropped": n_replay,
                 "stale_dropped": n_stale,
-                "late_rows": int(len(late)),
-                "inserts": int((df["change_kind"] == "insert").sum()) if len(df) else 0,
-                "updates": int((df["change_kind"] == "update").sum()) if len(df) else 0,
+                "late_rows": int(len(late_pos)),
+                "inserts": n_inserts,
+                "updates": int(nk - n_inserts),
                 "matches": int(len(matches)),
                 # cumulative runs dropped by the max_partials cap (0 means
                 # the all-runs/SQL-self-join semantics are exact so far)
@@ -939,8 +1024,7 @@ class PartitionState:
                 # still-alive window (they are in NO other stream), and
                 # (row, window) replicas dropped because that one window
                 # was expired even though a sibling window was alive
-                "window_late_accepted": (
-                    int(len(lateok)) if lateok is not None else 0),
+                "window_late_accepted": int(n_lateok),
                 "refire_expired_replicas": n_refire_dropped,
                 "max_ts_us": self.max_ts_us,
             },
