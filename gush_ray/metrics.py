@@ -54,6 +54,9 @@ def summarize(out_dir: str) -> dict:
             "nfa_truncated": _sum(parts, "nfa_truncated"),
             "idle_partitions": sum(
                 1 for p in parts if p.get("idle_epochs", 0) > 0),
+            # hot-key skew: max/mean per-partition rows_in (1.0 =
+            # balanced); recorded by commit_epoch
+            "imbalance": (man.get("skew") or {}).get("imbalance"),
         }
         wall = (row["map_sec"] or 0) + (row["reduce_sec"] or 0)
         row["rows_per_sec"] = (
@@ -74,6 +77,9 @@ def summarize(out_dir: str) -> dict:
         "ttl_evicted_total": epochs[-1]["ttl_evicted"] if epochs else 0,
         "nfa_truncated_total": epochs[-1]["nfa_truncated"] if epochs else 0,
         "last_watermark_us": epochs[-1]["watermark_us"] if epochs else None,
+        "max_imbalance": max(
+            (r["imbalance"] for r in epochs
+             if r.get("imbalance") is not None), default=None),
         "epochs": epochs,
     }
     return report
@@ -81,7 +87,8 @@ def summarize(out_dir: str) -> dict:
 
 def _print_table(rep: dict) -> None:
     cols = ("epoch", "rows_in", "changes", "late", "matches",
-            "rows_per_sec", "snapshot_bytes", "idle_partitions")
+            "rows_per_sec", "snapshot_bytes", "idle_partitions",
+            "imbalance")
     widths = {c: max(len(c), 12) for c in cols}
     print("  ".join(c.rjust(widths[c]) for c in cols))
     for r in rep["epochs"]:

@@ -92,6 +92,22 @@ class ExactlyOnceSink:
             "watermark_us": watermark_us,
             "partitions": partitions,
         }
+        # hot-key imbalance telemetry: keyed state pins a hot key to one
+        # partition by construction (same as Flink), so per-epoch input
+        # skew is the first operational symptom of a hot url. Recorded
+        # per manifest: max/mean rows_in across partitions (1.0 =
+        # perfectly balanced) plus the argmax partition — an operator
+        # watching manifests (or gush_ray.metrics) sees the skew without
+        # touching data files.
+        rows = [int(p.get("rows_in", 0)) for p in partitions]
+        if rows and sum(rows):
+            mean = sum(rows) / len(rows)
+            payload["skew"] = {
+                "max_rows_in": max(rows),
+                "mean_rows_in": round(mean, 1),
+                "imbalance": round(max(rows) / mean, 3),
+                "argmax_partition": int(rows.index(max(rows))),
+            }
         if extra:
             payload.update(extra)
         tmp = self._manifest_path(epoch) + ".inprogress"

@@ -918,3 +918,61 @@ def test_all_window_analytics_compose_in_one_job(pages_dir, tmp_path):
         streams["sessions_wm"].columns)
     from gush_ray.fsck import audit
     assert not audit(str(tmp_path / "out"))["problems"]
+
+
+def test_hot_key_skew_telemetry_and_bounded_imbalance(
+        ray_session, tmp_path):
+    """Hot-key chaos (round-4 verdict item 7): keyed state pins a hot
+    url to ONE partition by construction (same as Flink), so a url
+    carrying 10% of the stream must (a) not break the job, (b) surface
+    as per-epoch `skew` telemetry in the manifests (max/mean rows_in +
+    the pinned argmax partition), and (c) stay within the imbalance
+    bound the 10% share implies (hot partition ≈ 10% + 90%/P vs mean
+    100%/P → ~1.3 at P=4; assert < 2)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gush_ray.datagen import write_pages_dir
+    from gush_ray.fsck import audit
+    from gush_ray.metrics import summarize
+
+    d = tmp_path / "hot_pages"
+    write_pages_dir(str(d), n_urls=400, seed=5, n_epochs=3)
+    hot = "https://hot.example.com/"
+    for ep in sorted(os.listdir(d)):
+        pdir = d / ep
+        if not ep.startswith("epoch=") or not pdir.is_dir():
+            continue
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(pdir / f)
+            urls = t["url"].to_pylist()
+            for i in range(0, len(urls), 10):
+                urls[i] = hot
+            t = t.set_column(t.schema.get_field_index("url"), "url",
+                             pa.array(urls, type=t["url"].type))
+            pq.write_table(t, pdir / f)
+
+    out = str(tmp_path / "hot_out")
+    job = StreamingJob(str(d), out, run_id="hotskew", num_partitions=4)
+    res = job.run()
+    assert res["completed"] == 2
+    argmaxes = set()
+    for e in job.sink.committed_epochs():
+        man = job.sink.read_manifest(e)
+        skew = man["skew"]
+        assert 1.0 <= skew["imbalance"] < 2.0, skew
+        assert skew["max_rows_in"] >= skew["mean_rows_in"]
+        argmaxes.add(skew["argmax_partition"])
+    # the hot url pins to one partition: the argmax is stable
+    assert len(argmaxes) == 1
+    rep = summarize(out)
+    assert rep["max_imbalance"] is not None
+    assert rep["max_imbalance"] < 2.0
+    # the hot partition's rows landed (conservation; fsck green)
+    r = audit(out)
+    assert not r["problems"], r["problems"]
+    job.kill_actors()
