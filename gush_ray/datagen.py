@@ -442,24 +442,31 @@ def ensure_frontier_messy_pages() -> str:
     return out
 
 
-def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
+def gen_media_table(n: int = 60, seed: int = 11,
+                    return_pixels: bool = False):
     """Deterministic multimodal fixture: real PNG / BMP / WAV blobs (plus
     a few deliberately-truncated ones) as an opaque binary column with an
-    id and a ground-truth kind — input for the real-decode stage."""
+    id and a ground-truth kind — input for the real-decode stage.
+    ``return_pixels``: also return {media_id: raw uint8 pixel array} for
+    the image rows (the generator-side ground truth the resize oracle
+    hashes against) as a second value."""
     from gush_ray.stages.codecs import encode_bmp, encode_png, encode_wav
 
     rng = np.random.RandomState(seed)
     blobs, kinds = [], []
+    pixels: dict[int, np.ndarray] = {}
     for i in range(n):
         k = i % 3
         if k == 0:
             w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            pixels[len(blobs)] = px
             blobs.append(encode_png(px))
             kinds.append("png")
         elif k == 1:
             w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            pixels[len(blobs)] = px
             blobs.append(encode_bmp(px))
             kinds.append("bmp")
         else:
@@ -482,11 +489,70 @@ def gen_media_table(n: int = 60, seed: int = 11) -> pa.Table:
         else:
             blobs.append(encode_gif_header(w, h, 1 + j % 8))
             kinds.append("gif")
-    return pa.table({
+    tbl = pa.table({
         "media_id": pa.array(range(len(blobs)), type=pa.int64()),
         "blob": pa.array(blobs, type=pa.binary()),
         "true_kind": pa.array(kinds, type=pa.string()),
     })
+    if return_pixels:
+        return tbl, pixels
+    return tbl
+
+
+def ensure_resize_fixture(tmp_root: str = "/tmp/gush_ray_media_rs/v1",
+                          n: int = 60, seed: int = 11,
+                          out_w: int = 32, out_h: int = 32) -> str:
+    """Resize-oracle fixture (round-4: pairs ``multimodal_resize``
+    exactly, the ``multimodal_decode`` technique): ``media.parquet`` is
+    the gen_media_table blob stream; ``expected_resize.parquet`` holds
+    the GENERATOR's ground truth per media_id — whether the resize
+    stage must resize the blob (real PNG/BMP only; WAV / truncated /
+    header-walk JPEG/GIF pass through) and, for resized rows, the md5
+    of the canonical resized-pixel bytes ``"{h}:{w}:{c}:" + raw``.
+
+    The expected pixels come from the generator's RAW arrays indexed
+    with the floor mapping ``src = dst * in // out`` (written here
+    independently of stages/codecs.resize_nearest), so the pair
+    verifies the engine's decode → resize → PNG-re-encode → re-decode
+    round trip byte-for-byte: one wrong pixel anywhere breaks the
+    hash."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    marker = os.path.join(tmp_root, "_COMPLETE")
+    if os.path.exists(marker):
+        return tmp_root
+    os.makedirs(tmp_root, exist_ok=True)
+    tbl, pixels = gen_media_table(n=n, seed=seed, return_pixels=True)
+    _pq.write_table(tbl, os.path.join(tmp_root, "media.parquet"))
+    ids = tbl["media_id"].to_pylist()
+    resized, hashes = [], []
+    for mid in ids:
+        px = pixels.get(mid)
+        if px is None:
+            resized.append(False)
+            hashes.append(None)
+            continue
+        h, w = px.shape[:2]
+        ys = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+        xs = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+        rp = px[ys][:, xs]
+        c = rp.shape[2] if rp.ndim == 3 else 1
+        hashes.append(hashlib.md5(
+            f"{rp.shape[0]}:{rp.shape[1]}:{c}:".encode()
+            + np.ascontiguousarray(rp).tobytes()).hexdigest())
+        resized.append(True)
+    _pq.write_table(
+        pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "resized": pa.array(resized, type=pa.bool_()),
+            "px_md5": pa.array(hashes, type=pa.string()),
+        }),
+        os.path.join(tmp_root, "expected_resize.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tmp_root
 
 
 def ensure_media_fixture(tmp_root: str = "/tmp/gush_ray_media/v3",

@@ -94,6 +94,9 @@ def ensure_oracle_fixtures() -> None:
     ensure_media_fixture()
     ensure_video_fixture()
     ensure_warc_fixture()
+    from gush_ray.datagen import ensure_resize_fixture
+
+    ensure_resize_fixture()
     from gush_ray.datagen import ensure_neardup_pages
 
     ensure_neardup_pages()
@@ -1674,16 +1677,29 @@ ORDER BY media_id
 """
 
 
+RESIZE_FIXTURE = "/tmp/gush_ray_media_rs/v1"
+
+
 def q_multimodal_resize(sf_dir: str):
-    """Real image resize pipeline: decode PNG/BMP → nearest-neighbor
-    resize to 32×32 → re-encode PNG (actor-pool stage); verify by
-    re-decoding the output blobs. WAV/truncated blobs pass through
-    unresized."""
-    from gush_ray.datagen import gen_media_table
-    from gush_ray.stages.agg import partial_aggregate
+    """Real image resize pipeline, EXACTLY paired (round 4 — the
+    multimodal_decode technique): decode PNG/BMP → nearest-neighbor
+    resize to 32×32 → re-encode PNG (actor-pool stage) → RE-DECODE the
+    output blob and hash the canonical pixel bytes. The oracle reads
+    the GENERATOR's ground truth (datagen.ensure_resize_fixture: the
+    raw synthetic pixel arrays indexed by an independently-written
+    floor mapping), so one wrong pixel anywhere in the
+    decode/resize/encode/decode round trip breaks the hash. WAV /
+    truncated / header-only JPEG/GIF blobs must pass through
+    unresized (null hash)."""
+    import hashlib
+
+    from gush_ray.datagen import ensure_resize_fixture
+    from gush_ray.stages.codecs import decode_png
     from gush_ray.stages.multimodal import ResizeImages, sniff_blob_batch
 
-    ds = rd.from_arrow(gen_media_table(n=60, seed=11))
+    root = ensure_resize_fixture(RESIZE_FIXTURE)
+    ds = rd.read_parquet(os.path.join(root, "media.parquet"),
+                         columns=["media_id", "blob"])
     ds = ds.map_batches(lambda b: sniff_blob_batch(b, blob_col="blob"),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
@@ -1691,12 +1707,34 @@ def q_multimodal_resize(sf_dir: str):
         fn_constructor_kwargs={"blob_col": "blob", "out_w": 32, "out_h": 32},
         batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1,
     )
-    agg = partial_aggregate(
-        ds, ["blob_kind", "resized"],
-        {"n": (None, "count"), "sum_bytes": ("blob_size", "sum")},
-    )
-    return (agg.to_pandas()
-            .sort_values(["blob_kind", "resized"]).reset_index(drop=True))
+
+    def verify(b: pa.Table) -> pa.Table:
+        hashes = []
+        for blob, did in zip(b["blob"].to_pylist(),
+                             b["resized"].to_pylist()):
+            if not did:
+                hashes.append(None)
+                continue
+            px = decode_png(blob)
+            c = px.shape[2] if px.ndim == 3 else 1
+            hashes.append(hashlib.md5(
+                f"{px.shape[0]}:{px.shape[1]}:{c}:".encode()
+                + np.ascontiguousarray(px).tobytes()).hexdigest())
+        return pa.table({
+            "media_id": b["media_id"],
+            "resized": b["resized"],
+            "px_md5": pa.array(hashes, type=pa.string()),
+        })
+
+    df = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT media_id, resized, px_md5
+FROM read_parquet('{RESIZE_FIXTURE}/expected_resize.parquet')
+ORDER BY media_id
+"""
 
 
 def q_frame_sample(sf_dir: str):
@@ -2975,7 +3013,7 @@ EXTRA_QUERIES = {
     "content_chunks": (q_content_chunks, SQL_CONTENT_CHUNKS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, None),
-    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),

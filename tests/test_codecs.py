@@ -233,9 +233,11 @@ def test_multimodal_resize_and_frame_sample_queries():
     )
 
     r = q_multimodal_resize("/root/testdata/sf0.001")
-    imgs = r[r["blob_kind"].isin(["png", "bmp"]) & r["resized"]]
-    assert imgs["n"].sum() == 40          # every intact image resized
-    assert not r[r["blob_kind"] == "wav"]["resized"].any()
+    # round 4: per-media exact form — every intact image resized with a
+    # pixel hash, everything else passed through with a null hash
+    assert int(r["resized"].sum()) == 40
+    assert r.loc[r["resized"], "px_md5"].notna().all()
+    assert r.loc[~r["resized"], "px_md5"].isna().all()
 
     fs = q_frame_sample("/root/testdata/sf0.001")
     # 12 Y4M + 6 MJPEG-AVI decodable clips; the two truncated clips
