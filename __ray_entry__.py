@@ -67,7 +67,16 @@ _PRIORITY = [
     "windowed_hll",
     "typed_field_extract", "latest_version",
     "deny_filter",
-    "hash_join_agg", "salted_join_agg",
+    # round-4 rotation: hash_join_agg rotates out — J1's hash-join
+    # kernel keeps TWO driver rows (pages_flagship exercises the
+    # broadcast dim join end to end; salted_join_agg is the same join
+    # + skew salting) and the plain pair stays green in
+    # tests/test_oracle.py. In: window_quantiles_sketch — the
+    # bounded-state DDSketch-mode windowed quantiles, now the AT-SCALE
+    # profile default (StreamingJob(at_scale=True)), bit-exact-paired
+    # via the verify-adjusted octave + sign-mirrored IEEE expressions
+    # (negative-domain fix this round).
+    "window_quantiles_sketch", "salted_join_agg",
     # interval_join's semantics stay driver-covered via stream_join's
     # oracle (same SQL family); lsh_index_ann (PRUNED probe, paired in
     # round 3 via baked hyperplanes) is strictly stronger evidence than
@@ -100,7 +109,21 @@ _PRIORITY = [
     # subset of the refire oracle (rows past the lateness horizon) and
     # which stays green in tests/test_oracle.py
     "pages_flagship", "pages_refire", "stream_join", "extract_parity",
-    "ann_topk", "ivf_index_ann", "lsh_index_ann",
+    # round-4 rotation: the ANN family held THREE driver slots
+    # (ann_topk exact scan, lsh pruned probe, ivf trained index); one
+    # per family is the standing rule, and ivf_index_ann's oracle
+    # already asserts full-probe == exact scan == ann_topk's SQL, so
+    # the exact-scan evidence survives transitively. ann_topk and
+    # lsh_index_ann rotate out (both stay green in tests/test_oracle.py)
+    # for two strictly-new driver families:
+    # hits — Kleinberg hubs/authorities with integer-exact L1
+    # normalization (Python-int x*scale//total; the SQL twin replays it
+    # in HUGEINT — int64 would overflow), a second bit-exact iterative
+    # web-graph algorithm next to pagerank;
+    # triangle_count — per-node triangle counts via low->high edge
+    # orientation + wedge join (each triangle enumerated once), the
+    # graph-analytics join shape pagerank/hits don't exercise.
+    "hits", "triangle_count", "ivf_index_ann",
     # near-dup family, oracle-paired round 3 via the md5 verification
     # hash mode (stages/dedup.md5_hash_strings == md5_number_lower):
     # rotated IN for family-redundant entries (windowed_join_agg,
