@@ -62,7 +62,9 @@ def _gen_text(rng: np.random.RandomState, n_words: int) -> str:
     return " ".join(words)
 
 
-def _url_universe(rng: np.random.RandomState, n_urls: int) -> np.ndarray:
+def _url_universe(rng: np.random.RandomState, n_urls: int,
+                  url_offset: int = 0,
+                  n_sites_total: int | None = None) -> np.ndarray:
     """The shared url universe of the pages AND clicks streams.
 
     Takes the caller's rng and consumes EXACTLY ONE draw (the
@@ -70,12 +72,20 @@ def _url_universe(rng: np.random.RandomState, n_urls: int) -> np.ndarray:
     therefore every cached corpus — is unchanged; gen_clicks gets the
     identical universe by passing a fresh RandomState(seed). Any change
     to the url format or draw order here changes BOTH streams together
-    (a divergence would silently empty the stream-join fixtures)."""
-    n_sites = max(4, n_urls // 20)
+    (a divergence would silently empty the stream-join fixtures).
+
+    ``url_offset`` / ``n_sites_total`` exist for the SHARDED generator
+    (:func:`write_pages_dir_parallel`): shard k names urls
+    ``p/{offset+i}`` (globally unique across shards) while drawing
+    sites from the GLOBAL site universe, so the dim join of a sharded
+    corpus hits exactly like the single-process one. Defaults reproduce
+    the historical single-shard layout bit-for-bit."""
+    n_sites = n_sites_total if n_sites_total is not None else max(
+        4, n_urls // 20)
     site_of_url = rng.randint(0, n_sites, size=n_urls)
     return np.array(
         [
-            f"https://site{site_of_url[i]:04d}.example.org/p/{i}"
+            f"https://site{site_of_url[i]:04d}.example.org/p/{url_offset + i}"
             for i in range(n_urls)
         ]
     )
@@ -94,6 +104,8 @@ def gen_pages(
     span_us: int = 4 * 3600 * 1_000_000,
     near_dup_groups: int | None = None,
     link_frontier: bool = False,
+    url_offset: int = 0,
+    n_sites_total: int | None = None,
 ) -> tuple[pa.Table, np.ndarray]:
     """Return (pages table sorted by assigned epoch then warc_ts, epoch ids).
 
@@ -102,7 +114,8 @@ def gen_pages(
     """
     rng = np.random.RandomState(seed)
 
-    urls = _url_universe(rng, n_urls)
+    urls = _url_universe(rng, n_urls, url_offset=url_offset,
+                         n_sites_total=n_sites_total)
     lang_of_url = np.array(LANGS)[rng.randint(0, len(LANGS), size=n_urls)]
 
     # version counts: 70% one, 25% 2-5, hot urls many
@@ -295,6 +308,9 @@ def gen_clicks(
     clicks_per_epoch: int = 1_500,
     n_epochs: int = 4,
     span_us: int = 4 * 3600 * 1_000_000,
+    url_offset: int = 0,
+    n_sites_total: int | None = None,
+    click_id_offset: int = 0,
 ) -> tuple[pa.Table, np.ndarray]:
     """Second event stream over the SAME url universe as
     :func:`gen_pages` (same ``n_urls``/``seed`` → identical urls):
@@ -306,7 +322,9 @@ def gen_clicks(
     epochs' maxima, so a correctly-bounded watermark never classifies a
     click late (the join equivalence tests rely on this).
     """
-    urls = _url_universe(np.random.RandomState(seed), n_urls)
+    urls = _url_universe(np.random.RandomState(seed), n_urls,
+                         url_offset=url_offset,
+                         n_sites_total=n_sites_total)
     crng = np.random.RandomState(seed + 4099)
     n = clicks_per_epoch * n_epochs
     url_idx = crng.randint(0, n_urls, size=n)
@@ -319,7 +337,8 @@ def gen_clicks(
         {
             "url": pa.array(urls[url_idx], type=pa.string()),
             "ts": pa.array(ts_us).cast(pa.timestamp("us")),
-            "click_id": pa.array(np.arange(n), type=pa.int64()),
+            "click_id": pa.array(
+                click_id_offset + np.arange(n), type=pa.int64()),
         }
     )
     return table, epoch
@@ -385,6 +404,108 @@ def ensure_pages(tmp_root: str = "/tmp/gush_ray_pages", *, n_urls: int = 2_000,
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def write_pages_dir_parallel(
+    out_dir: str,
+    *,
+    n_urls: int,
+    seed: int = 7,
+    n_epochs: int = 16,
+    n_shards: int = 32,
+    rows_per_file: int = 32_768,
+    **kw,
+) -> int:
+    """Sharded, Ray-parallel :func:`write_pages_dir` for headroom-scale
+    corpora (tens of millions of rows): shard k generates urls
+    ``[k*per, k*per+per)`` with its own RNG stream over the GLOBAL site
+    universe, so urls are disjoint across shards and the dim join hits
+    exactly as in the single-process layout. Content differs from the
+    single-process corpus (different RNG partitioning) but has the same
+    stream phenomena per shard; headroom/bench runs measure throughput,
+    not oracle parity, so that is the right trade. Requires an
+    initialized Ray session. Returns total rows written."""
+    import ray
+
+    n_sites_total = max(4, n_urls // 20)
+    per = -(-n_urls // n_shards)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _shard(k: int) -> int:
+        lo = k * per
+        cnt = min(per, n_urls - lo)
+        if cnt <= 0:
+            return 0
+        table, epoch = gen_pages(
+            n_urls=cnt, seed=seed * 1_000_003 + k, n_epochs=n_epochs,
+            url_offset=lo, n_sites_total=n_sites_total, **kw)
+        for e in range(n_epochs):
+            sub = table.filter(pa.array(epoch == e))
+            d = os.path.join(out_dir, f"epoch={e:04d}")
+            os.makedirs(d, exist_ok=True)
+            n_files = max(1, -(-sub.num_rows // rows_per_file))
+            per_f = -(-sub.num_rows // n_files)
+            for j in range(n_files):
+                pq.write_table(
+                    sub.slice(j * per_f, per_f),
+                    os.path.join(d, f"part-{k:04d}-{j:04d}.parquet"),
+                    row_group_size=4096, compression="zstd",
+                    compression_level=1,
+                )
+        return table.num_rows
+    return int(sum(ray.get([_shard.remote(k) for k in range(n_shards)])))
+
+
+def write_clicks_dir_parallel(
+    out_dir: str,
+    *,
+    n_urls: int,
+    seed: int = 7,
+    clicks_per_epoch: int = 600_000,
+    n_epochs: int = 16,
+    n_shards: int = 32,
+    rows_per_file: int = 65_536,
+    **kw,
+) -> int:
+    """Sharded clicks twin of :func:`write_pages_dir_parallel`: shard k
+    reproduces the SAME url slice as pages shard k (same shard seed /
+    offset / global site count), so stream-stream joins hit across the
+    two sharded corpora. click_id stays globally unique via per-shard
+    offsets. Requires an initialized Ray session."""
+    import ray
+
+    n_sites_total = max(4, n_urls // 20)
+    per = -(-n_urls // n_shards)
+    cpe_shard = -(-clicks_per_epoch // n_shards)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _shard(k: int) -> int:
+        lo = k * per
+        cnt = min(per, n_urls - lo)
+        if cnt <= 0:
+            return 0
+        table, epoch = gen_clicks(
+            n_urls=cnt, seed=seed * 1_000_003 + k,
+            clicks_per_epoch=cpe_shard, n_epochs=n_epochs,
+            url_offset=lo, n_sites_total=n_sites_total,
+            click_id_offset=k * cpe_shard * n_epochs, **kw)
+        for e in range(n_epochs):
+            sub = table.filter(pa.array(epoch == e))
+            d = os.path.join(out_dir, f"epoch={e:04d}")
+            os.makedirs(d, exist_ok=True)
+            n_files = max(1, -(-sub.num_rows // rows_per_file))
+            per_f = -(-sub.num_rows // n_files)
+            for j in range(n_files):
+                pq.write_table(
+                    sub.slice(j * per_f, per_f),
+                    os.path.join(d, f"part-{k:04d}-{j:04d}.parquet"),
+                    row_group_size=4096, compression="zstd",
+                    compression_level=1,
+                )
+        return table.num_rows
+    return int(sum(ray.get([_shard.remote(k) for k in range(n_shards)])))
 
 
 # fixed-path fixture for the streaming near-dup operator + its SQL

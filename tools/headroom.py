@@ -55,26 +55,38 @@ def main() -> int:
 
     ray.init(address="local", num_cpus=args.num_cpus,
              include_dashboard=False, logging_level="ERROR")
-    from gush_ray.datagen import ensure_pages, gen_dim_sites
+    from gush_ray.datagen import (gen_dim_sites, write_clicks_dir_parallel,
+                                  write_pages_dir_parallel)
     from gush_ray.fsck import audit
     from gush_ray.pipelines.epoch_loop import StreamingJob
     from gush_ray.state.join_state import JoinSpec
     from gush_ray.state.neardup import NearDupSpec
 
-    pages_dir = ensure_pages("/tmp/gush_scale_pages", n_urls=args.urls,
-                             seed=77, n_epochs=args.epochs)
+    # sharded Ray-parallel datagen (single-process gen of a ~40M-row
+    # html corpus would take ~an hour and ~40 GB driver heap)
+    pages_dir = (f"/tmp/gush_scale_pages/u{args.urls}_s77"
+                 f"_e{args.epochs}_p1")
+    if not os.path.exists(os.path.join(pages_dir, "_COMPLETE")):
+        t = time.perf_counter()
+        n = write_pages_dir_parallel(pages_dir, n_urls=args.urls, seed=77,
+                                     n_epochs=args.epochs)
+        with open(os.path.join(pages_dir, "_COMPLETE"), "w") as f:
+            f.write("ok")
+        print(f"# datagen pages: {n} rows in "
+              f"{time.perf_counter() - t:.1f}s", file=sys.stderr)
     kw: dict = {}
     if not args.no_join:
         clicks_dir = (f"/tmp/gush_scale_clicks/u{args.urls}_s77"
-                      f"_e{args.epochs}_v1")
+                      f"_e{args.epochs}_p1")
         if not os.path.exists(os.path.join(clicks_dir, "_COMPLETE")):
-            from gush_ray.datagen import write_clicks_dir
-
-            write_clicks_dir(clicks_dir, n_urls=args.urls, seed=77,
-                             clicks_per_epoch=600_000,
-                             n_epochs=args.epochs)
+            t = time.perf_counter()
+            n = write_clicks_dir_parallel(
+                clicks_dir, n_urls=args.urls, seed=77,
+                clicks_per_epoch=600_000, n_epochs=args.epochs)
             with open(os.path.join(clicks_dir, "_COMPLETE"), "w") as f:
                 f.write("ok")
+            print(f"# datagen clicks: {n} rows in "
+                  f"{time.perf_counter() - t:.1f}s", file=sys.stderr)
         half_h = 30 * 60 * 1_000_000
         kw["right_dir"] = clicks_dir
         kw["join_spec"] = JoinSpec(-half_h, half_h,
