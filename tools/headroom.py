@@ -6,11 +6,18 @@ over a ~40M-row pages stream, inside the 128 GiB sandbox.
 Records what the judge asked for: rows/s, driver peak RSS and its
 per-epoch trajectory (flat = no driver-side accumulation), snapshot and
 manifest byte growth per epoch, fsck green at the end. Prints one JSON
-line and appends a section to BENCH/BASELINE.md.
+line on stdout; the measured sections in BENCH/BASELINE.md are pasted
+from that output by hand (a tool must not edit the evidence log).
+
+``--at-scale`` runs the same job under the bounded-state profile
+(StreamingJob(at_scale=True): dedup TTL on, sketch modes for any
+exact-state analytics) — the per-epoch snapshot_mb trajectory is the
+profile's state-bound story measured at headroom scale.
 
 Usage:
     python tools/headroom.py [--urls 24000000] [--epochs 16] \
-        [--num-cpus 32] [--partitions 32] [--no-join] [--no-neardup]
+        [--num-cpus 32] [--partitions 32] [--no-join] [--no-neardup] \
+        [--at-scale]
 """
 
 import argparse
@@ -45,6 +52,17 @@ def main() -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--no-join", action="store_true")
     ap.add_argument("--no-neardup", action="store_true")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="run under the bounded-state profile "
+                         "(StreamingJob(at_scale=True))")
+    ap.add_argument("--update-frac", type=float, default=0.25,
+                    help="fraction of urls with 2-5 versions (datagen "
+                         "knob): higher = more CDC-like, more rows per "
+                         "distinct key, LESS keys-ever state per row")
+    ap.add_argument("--dedup-ttl-min", type=int, default=None,
+                    help="dedup-state TTL in event-time minutes: bounds "
+                         "keys-ever state to the active horizon (the "
+                         "documented watermark-bounded dedup trade)")
     ap.add_argument("--out", default=None,
                     help="out dir (default /tmp — REAL disk: the "
                          "headroom run measures the whole write path, "
@@ -64,12 +82,14 @@ def main() -> int:
 
     # sharded Ray-parallel datagen (single-process gen of a ~40M-row
     # html corpus would take ~an hour and ~40 GB driver heap)
+    uf = "" if args.update_frac == 0.25 else f"_uf{args.update_frac:g}"
     pages_dir = (f"/tmp/gush_scale_pages/u{args.urls}_s77"
-                 f"_e{args.epochs}_p1")
+                 f"_e{args.epochs}{uf}_p1")
     if not os.path.exists(os.path.join(pages_dir, "_COMPLETE")):
         t = time.perf_counter()
         n = write_pages_dir_parallel(pages_dir, n_urls=args.urls, seed=77,
-                                     n_epochs=args.epochs)
+                                     n_epochs=args.epochs,
+                                     update_frac=args.update_frac)
         with open(os.path.join(pages_dir, "_COMPLETE"), "w") as f:
             f.write("ok")
         print(f"# datagen pages: {n} rows in "
@@ -93,7 +113,9 @@ def main() -> int:
                                    left_cols=("version",),
                                    right_cols=("click_id",))
     if not args.no_neardup:
-        kw["neardup_spec"] = NearDupSpec(hash_fn="fast")
+        nd_ttl = (args.dedup_ttl_min * 60 * 1_000_000
+                  if args.dedup_ttl_min is not None else None)
+        kw["neardup_spec"] = NearDupSpec(hash_fn="fast", ttl_us=nd_ttl)
 
     out_dir = args.out or f"/tmp/gush_headroom/{uuid.uuid4().hex}"
     dim = gen_dim_sites(max(4, args.urls // 20)).to_pandas()
@@ -101,7 +123,9 @@ def main() -> int:
         pages_dir, out_dir, run_id=uuid.uuid4().hex,
         num_partitions=args.partitions, dim_df=dim,
         window_group_cols=("category", "change_kind"),
-        window_topk=args.topk, **kw)
+        window_topk=args.topk, at_scale=args.at_scale,
+        dedup_ttl_us=(args.dedup_ttl_min * 60 * 1_000_000
+                      if args.dedup_ttl_min is not None else None), **kw)
 
     # driver-RSS sampler: the judge's "flat driver memory across
     # epochs" criterion — the driver must hold scalars and manifests,
@@ -148,6 +172,9 @@ def main() -> int:
     rss_series = [s[1] for s in samples]
     report = {
         "metric": "headroom_composed_flagship",
+        "at_scale": args.at_scale,
+        "update_frac": args.update_frac,
+        "dedup_ttl_min": args.dedup_ttl_min,
         "urls": args.urls,
         "epochs": len(per_epoch),
         "num_cpus": args.num_cpus,
