@@ -381,9 +381,49 @@ def rescale_state(out_dir: str, new_P: int,
              if k not in ("epoch", "watermark_us", "partitions")}
     extra["rescaled_from"] = old_P
     sink.commit_epoch(last, man["watermark_us"], rows, extra=extra)
+    swept = _sweep_uncommitted_slots(out_dir, last)
     return {"rescaled": True, "old_P": old_P, "new_P": new_P,
             "epoch": last,
-            "keys_moved": int(sum(len(ps.last_ts) for ps in old_states))}
+            "keys_moved": int(sum(len(ps.last_ts) for ps in old_states)),
+            "swept_uncommitted_files": swept}
+
+
+def _sweep_uncommitted_slots(out_dir: str, last: int) -> int:
+    """Delete data/snapshot files of epochs ABOVE the last committed one.
+
+    A job killed mid-epoch leaves partially-written part files for the
+    in-flight epoch. Resume at the SAME partition count replays that
+    epoch onto the same deterministic file names, so the orphans vanish
+    by overwrite — but after a rescale the replay writes fewer (or
+    other) partition slots, and the old count's leftover files for the
+    higher slots would sit next to the replayed ones: committed-epoch
+    readers never see them (reader isolation is manifest-driven), but
+    once the epoch commits, fsck's disk↔manifest row conservation
+    counts the whole slot directory and fails. The uncommitted slots
+    are garbage by definition (their epochs replay in full), so sweep
+    them at rescale time. Found by the headroom-scale ops drill
+    (tools/drill.py): fsck flagged epoch-2 streams with 1.5× the
+    manifest's rows after a 32→16 kill+rescale."""
+    import shutil
+
+    swept = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if name == "_manifest" or not os.path.isdir(d):
+            continue
+        for slot in os.listdir(d):
+            if not slot.startswith("epoch="):
+                continue
+            try:
+                e = int(slot.split("=", 1)[1])
+            except ValueError:
+                continue  # the "final" flush slot (finalized streams
+                # refuse rescale above, so it cannot appear here)
+            if e > last:
+                sd = os.path.join(d, slot)
+                swept += len(os.listdir(sd))
+                shutil.rmtree(sd)
+    return swept
 
 
 def main(argv=None) -> int:

@@ -207,3 +207,48 @@ def test_rescale_with_window_analytics_state(tmp_path):
         return f[f["n_"] != 0].sort_values(key).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(fold(ja), fold(jb2))
+
+
+def test_rescale_sweeps_uncommitted_slots(tmp_path):
+    """A job killed mid-epoch leaves part files for the in-flight epoch
+    at the OLD partition count. Same-P resume overwrites them by name;
+    after a rescale DOWN the replay writes fewer slots, so the old
+    count's higher-slot leftovers would double-count once the epoch
+    commits (fsck disk!=manifest — found by the headroom ops drill).
+    rescale_state must sweep every slot above the committed prefix."""
+    import pyarrow as pa
+
+    from gush_ray.fsck import audit
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+    pages = _pages(tmp_path)
+    out = str(tmp_path / "b")
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="swA",
+                      num_partitions=4, pattern=None)
+    ja.run()
+
+    jb = StreamingJob(pages, out, run_id="swB1",
+                      num_partitions=4, pattern=None)
+    jb.run(stop_after=2)
+    # simulate the kill: the in-flight epoch 2 already wrote parts at
+    # P=4 (slots 0..3 — slots >= new_p are the ones a resume at new_p
+    # can never overwrite), plus an orphan state snapshot
+    t = pa.table({"url": ["x"], "v": [1]})
+    for pid in (0, 3):
+        ExactlyOnceSink.write_part(out, "changes", 2, pid, t)
+    snap = os.path.join(out, "_state", "epoch=00002")
+    os.makedirs(snap, exist_ok=True)
+    with open(os.path.join(snap, "part-00003.pkl"), "wb") as f:
+        f.write(b"garbage")
+
+    rep = rescale_state(out, 2, params=jb.params)
+    assert rep["rescaled"] and rep["swept_uncommitted_files"] == 3
+
+    jb2 = StreamingJob(pages, out, run_id="swB2",
+                       num_partitions=2, pattern=None)
+    jb2.run()
+    fs = audit(out)
+    assert fs["ok"], fs["problems"]
+    a, b = _outputs(ja), _outputs(jb2)
+    for s in a:
+        pd.testing.assert_frame_equal(a[s], b[s], check_dtype=False), s
