@@ -252,3 +252,51 @@ def test_rescale_sweeps_uncommitted_slots(tmp_path):
     a, b = _outputs(ja), _outputs(jb2)
     for s in a:
         pd.testing.assert_frame_equal(a[s], b[s], check_dtype=False), s
+
+
+def test_rescale_parallel_matches_serial(tmp_path):
+    """The Ray-task chain restore (parallel=True) must yield state
+    IDENTICAL to the in-process restore: rescale two copies of the same
+    checkpoint both ways and compare every restored state section of
+    every new partition, plus the rewritten manifests."""
+    import shutil
+
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+    from gush_ray.state.store import PartitionState, StateParams
+    from gush_ray.state.store import restore_state_from_chain
+
+    pages = _pages(tmp_path)
+    out_a = str(tmp_path / "a")
+    ja = StreamingJob(pages, out_a, run_id="rpA", num_partitions=4)
+    ja.run(stop_after=2)
+    out_b = str(tmp_path / "b")
+    shutil.copytree(out_a, out_b)
+
+    rep_a = rescale_state(out_a, 8, params=ja.params, parallel=False)
+    rep_b = rescale_state(out_b, 8, params=ja.params, parallel=True)
+    assert rep_a == rep_b
+
+    man_a = ExactlyOnceSink(out_a).read_manifest(1)
+    man_b = ExactlyOnceSink(out_b).read_manifest(1)
+    for pa_row, pb_row in zip(man_a["partitions"], man_b["partitions"]):
+        sa = {k: v for k, v in pa_row.items() if k != "snapshot"}
+        sb = {k: v for k, v in pb_row.items() if k != "snapshot"}
+        assert sa == sb
+
+    for pid in range(8):
+        a = PartitionState(pid, ja.params)
+        restore_state_from_chain(
+            a, os.path.join(out_a, "_state", "epoch=00001",
+                            f"part-{pid:05d}.pkl"), 1)
+        b = PartitionState(pid, ja.params)
+        restore_state_from_chain(
+            b, os.path.join(out_b, "_state", "epoch=00001",
+                            f"part-{pid:05d}.pkl"), 1)
+        assert a.last_ts == b.last_ts
+        assert a.version == b.version
+        assert a.sessions == b.sessions
+        assert a.win == b.win
+        assert a.winq == b.winq
+        assert a.watermark_us == b.watermark_us
+        assert a.max_ts_us == b.max_ts_us
+        assert a.nfa.partials == b.nfa.partials

@@ -89,13 +89,20 @@ def child_run(args, num_partitions: int, num_cpus: int) -> int:
 
 
 def child_rescale(args, new_p: int) -> int:
+    import ray
+
     from gush_ray.rescale import rescale_state
 
+    # parallel chain restore (the serial tool measured 26 min at 49M
+    # rows; the restore fan-out is the production path)
+    ray.init(address="local", include_dashboard=False,
+             logging_level="ERROR")
     job = build_job(args, new_p)  # only for .params (exact match)
     t0 = time.perf_counter()
-    rep = rescale_state(args.out, new_p, params=job.params)
+    rep = rescale_state(args.out, new_p, params=job.params, parallel=True)
     rep["sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(rep))
+    ray.shutdown()
     return 0
 
 
