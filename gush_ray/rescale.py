@@ -128,10 +128,12 @@ def rescale_state(out_dir: str, new_P: int,
     re-split/merge loop and the frame writes stay on the driver,
     byte-identical to the serial path (shipping merged states to write
     tasks would cost the same driver-side serialization it saves).
-    Default (None) = parallel iff Ray is already initialized. The
-    49M-row ops drill measured the serial tool at 26 min, ~20 of them
-    decompressing 32 delta chains one after another — the exact shape
-    the restore tasks remove."""
+    Default (None) = parallel iff Ray is already initialized. Measured
+    at the 49M-row ops drill: 1576 s serial → 1118 s parallel — the
+    chain decompressions overlap, but the driver still serially
+    unpickles the returned frames, walks the re-split/merge loop and
+    writes the new frames (the remaining cost; the full fix is an
+    exchange-shaped split/merge fan-out, BENCH/BASELINE.md)."""
     params = params or StateParams()
     # PROBE params for restore: a frame's NFA partials / join buffers
     # restore structurally under ANY pattern/spec (partials store step
