@@ -26,6 +26,22 @@ last committed manifest — from ``old_P`` to ``new_P`` partitions:
   matches — what fsck audits against disk rows) are preserved by
   placing the summed totals on partition 0's row.
 
+EXECUTION SHAPE (round-5 rewrite — the exchange the epoch loop already
+uses, now for the savepoint): one SPLIT task per OLD partition restores
+its delta chain and routes every state section into ``new_P``
+per-new-partition section dicts (returned as separate Ray objects,
+``num_returns = 1 + new_P``); one MERGE task per NEW partition folds
+its ``old_P`` sections together — the same additive/union/extend merge
+rules as a serial rescale — and writes the new full snapshot frame
+atomically. The driver holds only the per-old-partition SUMMARIES
+(scalars + section-presence flags, a few hundred bytes each) and the
+rewritten manifest: no key, buffer or frame ever materializes
+driver-side, so the tool's wall and memory scale with the cluster, not
+the checkpoint (the round-4 driver-side walk measured 19–26 min on a
+6.2M-key checkpoint; see BENCH/BASELINE.md round-5 drill re-run).
+``parallel=False`` (or no Ray) runs the identical route/merge kernels
+in-process, restoring and dropping one old partition at a time.
+
 Semantics note: ACROSS different partition counts the watermark (min
 over per-partition maxima) is inherently finer-grained at higher P, so
 the one output that depends on watermark PACING rather than event-time
@@ -47,6 +63,7 @@ the job's; the CLI covers the defaults).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import zlib
 
@@ -65,6 +82,8 @@ _CONSERVED_TOTALS = (
     "inserts", "updates", "matches", "joined_rows", "right_rows_in",
     "right_late", "near_dup_rows", "frontier_rows",
 )
+
+_log = logging.getLogger("gush_ray")
 
 
 def _probe_pattern():
@@ -105,11 +124,321 @@ def _key_part(key, new_P: int) -> int:
     return int(h % np.uint64(new_P))
 
 
+def _key_parts_vec(keys: list, new_P: int) -> list:
+    """Vectorized ``_key_part`` over a key list (one hash_array call for
+    the whole section instead of one per key — the re-split's hot loop;
+    element-wise identical to ``_key_part`` by construction)."""
+    import pandas as pd
+
+    if not keys:
+        return []
+    arr = np.empty(len(keys), dtype=object)
+    arr[:] = keys
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(new_P)).astype(np.int64).tolist()
+
+
 def _group_part(key, new_P: int) -> int:
     """Deterministic placement for group-keyed additive state (window
     accumulators): any consistent function works because partials merge
     by addition wherever they live."""
     return zlib.crc32(repr(key).encode()) % new_P
+
+
+# --------------------------------------------------------------------
+# route / merge kernels — shared verbatim by the serial path and the
+# SPLIT/MERGE Ray tasks, so the two paths are identical by construction
+# (pinned by test_rescale_parallel_matches_serial).
+
+_KEY_ROUTED = ("last_ts", "version", "sessions", "nfa_partials",
+               "frontier_seen")
+_GROUP_ROUTED = ("win", "winq", "wearly", "winh", "fired")
+
+
+def _empty_sections() -> dict:
+    sec: dict = {n: {} for n in _KEY_ROUTED + _GROUP_ROUTED}
+    sec["joinL"] = None
+    sec["joinR"] = None
+    sec["neardup_buckets"] = {}
+    return sec
+
+
+def _summarize(ps: PartitionState) -> dict:
+    """Driver-visible facts about one old partition: scalars that merge
+    into the new layout, plus section-presence flags for the
+    state-would-be-dropped guards. A few hundred bytes — the ONLY thing
+    the driver ever holds per partition."""
+    return {
+        "watermark_us": ps.watermark_us,
+        "max_ts_us": ps.max_ts_us,
+        "ttl_sweep_wm": ps._ttl_sweep_wm,
+        "evicted_total": ps.evicted_total,
+        "auto_ttl_engaged": getattr(ps, "auto_ttl_engaged", False),
+        "nfa_truncated": ps.nfa.truncated if ps.nfa else 0,
+        "pairs_emitted": ps.joiner.pairs_emitted if ps.joiner else 0,
+        "neardup_evicted": (ps.neardup.evicted_total
+                            if ps.neardup else 0),
+        "frontier_evicted": (ps.frontier.evicted_total
+                             if ps.frontier else 0),
+        "n_keys": len(ps.last_ts),
+        "has_nfa_partials": bool(ps.nfa and ps.nfa.partials),
+        "has_join_buf": bool(ps.joiner
+                             and (len(ps.joiner.bufL)
+                                  or len(ps.joiner.bufR))),
+        "has_neardup": bool(ps.neardup and ps.neardup.buckets),
+        "has_frontier": bool(ps.frontier and ps.frontier.seen),
+        "has_fired": bool(ps.fired),
+    }
+
+
+def _route_sections(ps: PartitionState, new_P: int) -> list:
+    """Split every state section of one restored OLD partition into
+    ``new_P`` per-new-partition section dicts (the SPLIT half of the
+    exchange). Pure routing — no merging happens here, so sections from
+    different old partitions stay independent Ray objects."""
+    out = [_empty_sections() for _ in range(new_P)]
+
+    # key-addressed sections: the engine's stable url-hash rule
+    for name, src in (
+        ("last_ts", ps.last_ts),
+        ("version", ps.version),
+        ("sessions", ps.sessions),
+        ("nfa_partials", ps.nfa.partials if ps.nfa else {}),
+        ("frontier_seen", ps.frontier.seen if ps.frontier else {}),
+    ):
+        if not src:
+            continue
+        keys = list(src.keys())
+        for k, pid in zip(keys, _key_parts_vec(keys, new_P)):
+            out[pid][name][k] = src[k]
+
+    # group-keyed additive sections: any consistent placement works
+    for name in _GROUP_ROUTED:
+        for gk, v in getattr(ps, name).items():
+            out[_group_part(gk, new_P)][name][gk] = v
+
+    # stream-join buffers: split the DataFrames by the key column with
+    # the same vectorized hash rule
+    if ps.joiner is not None:
+        import pandas as pd
+
+        for attr, name in (("bufL", "joinL"), ("bufR", "joinR")):
+            buf = getattr(ps.joiner, attr)
+            if not len(buf):
+                continue
+            part = pd.Series(
+                _key_parts_vec(buf[ps.p.key_col].tolist(), new_P),
+                index=buf.index)
+            for pid, sub in buf.groupby(part):
+                out[pid][name] = sub
+
+    # near-dup buckets re-route by the SAME pure function the map
+    # phase's band exchange uses (vectorized over all bucket keys)
+    if ps.neardup is not None and ps.neardup.buckets:
+        from gush_ray.state.neardup import bucket_part
+
+        bks = list(ps.neardup.buckets.keys())
+        # same asarray(dtype=uint64) conversion the per-bucket scalar
+        # call used, just over the whole key list at once
+        parts = bucket_part([b[0] for b in bks], [b[1] for b in bks],
+                            new_P)
+        for bk, pid in zip(bks, parts.tolist()):
+            out[pid]["neardup_buckets"][bk] = ps.neardup.buckets[bk]
+
+    return out
+
+
+def _merge_routed(nps: PartitionState, sec: dict,
+                  window_distinct: bool) -> None:
+    """Fold ONE old partition's routed section dict into a new
+    partition's state (the MERGE half). Key-addressed entries land
+    disjointly (each key lived in exactly one old partition);
+    group-keyed window slots merge additively; HLL registers by
+    elementwise max; fired/early slots by the documented
+    sum/union/max-per-field rules (each old partition held a PARTIAL of
+    the window, and each emitted its own partial — so the merged
+    changelog's future retraction must retract the SUM)."""
+    nps.last_ts.update(sec["last_ts"])
+    nps.version.update(sec["version"])
+    for k, sess in sec["sessions"].items():
+        nps.sessions[k] = list(sess)
+    for gkey, src in sec["win"].items():
+        # slots are [n, sum] or [n, sum, key_set] (window_distinct);
+        # counts/sums add, distinct KEY SETS union — both exact
+        # partial merges (a fixed-width unpack here crashed on
+        # 3-element distinct slots; round-3 review finding)
+        slot = nps.win.setdefault(
+            gkey, [0, 0.0, set()] if len(src) > 2 else [0, 0.0])
+        slot[0] += int(src[0])
+        slot[1] += float(src[1])
+        if len(src) > 2:
+            if len(slot) == 2:
+                slot.append(set())
+            slot[2] |= src[2]
+    for gkey, hist in sec["winq"].items():
+        # per-window value histograms merge additively per value
+        tgt = nps.winq.setdefault(gkey, {})
+        for v, c in hist.items():
+            tgt[v] = tgt.get(v, 0) + c
+    for gkey, eslot in sec["wearly"].items():
+        # last-early-emission slots merge additively (each partition
+        # emitted its own partial; the changelog's next retraction
+        # must retract the SUM — same argument as fired slots)
+        tgt = nps.wearly.setdefault(gkey, [0, 0.0, 0, 0])
+        tgt[0] += int(eslot[0])
+        tgt[1] += float(eslot[1])
+        tgt[2] += int(eslot[2])
+        tgt[3] = max(tgt[3], int(eslot[3]))
+    for gkey, regs in sec["winh"].items():
+        # HLL registers merge by elementwise max (exact union)
+        cur = nps.winh.get(gkey)
+        if cur is None:
+            nps.winh[gkey] = regs.copy()
+        else:
+            np.maximum(cur, regs, out=cur)
+    for gkey, fslot in sec["fired"].items():
+        # fired accumulators merge additively like open windows;
+        # n_emissions = max keeps the "nothing emitted yet" (0) case
+        # exact; any positive value only gates whether a -1 precedes
+        # the next +1.
+        tgt = nps.fired.setdefault(
+            gkey, [0, 0.0,
+                   set() if window_distinct else None,
+                   0, 0.0, 0, 0])
+        tgt[0] += int(fslot[0])
+        tgt[1] += float(fslot[1])
+        if fslot[2] is not None and tgt[2] is not None:
+            tgt[2] |= fslot[2]
+        tgt[3] += int(fslot[3])
+        tgt[4] += float(fslot[4])
+        tgt[5] += int(fslot[5])
+        tgt[6] = max(tgt[6], int(fslot[6]))
+    for k, plist in sec["nfa_partials"].items():
+        nps.nfa.partials.setdefault(k, []).extend(plist)
+    if sec["joinL"] is not None or sec["joinR"] is not None:
+        import pandas as pd
+
+        for name, attr in (("joinL", "bufL"), ("joinR", "bufR")):
+            sub = sec[name]
+            if sub is None or not len(sub):
+                continue
+            tgt = getattr(nps.joiner, attr)
+            setattr(nps.joiner, attr,
+                    pd.concat([tgt, sub], ignore_index=True))
+    nps.neardup.buckets.update(sec["neardup_buckets"])
+    nps.frontier.seen.update(sec["frontier_seen"])
+
+
+def _finish_new_state(nps: PartitionState, scalars: dict,
+                      totals0: "dict | None", ts_col: str) -> dict:
+    """Apply the global scalars, restore the join buffers' ts-sort
+    invariant, and report the facts the manifest rewrite needs."""
+    import pandas as pd  # noqa: F401  (sort_values below)
+
+    nps.watermark_us = scalars["watermark_us"]
+    nps.max_ts_us = scalars["max_ts_us"]
+    nps._ttl_sweep_wm = scalars["ttl_sweep_wm"]
+    if scalars.get("auto_ttl_engaged"):
+        nps.auto_ttl_engaged = True
+    if totals0 is not None:
+        nps.evicted_total = totals0["evicted_total"]
+        if nps.nfa is not None:
+            nps.nfa.truncated = totals0["nfa_truncated"]
+        if nps.joiner is not None:
+            nps.joiner.pairs_emitted = totals0["pairs_emitted"]
+        if nps.neardup is not None:
+            nps.neardup.evicted_total = totals0["neardup_evicted"]
+        if nps.frontier is not None:
+            nps.frontier.evicted_total = totals0["frontier_evicted"]
+    # the join buffers must stay ts-sorted per partition (the
+    # searchsorted kernel's precondition); the probe params always
+    # construct a joiner, so sort unconditionally
+    for side in ("bufL", "bufR"):
+        buf = getattr(nps.joiner, side)
+        if len(buf):
+            setattr(nps.joiner, side,
+                    buf.sort_values(ts_col, kind="mergesort")
+                    .reset_index(drop=True))
+    return {
+        "n_keys": len(nps.last_ts),
+        "max_last_ts": (max(nps.last_ts.values())
+                        if nps.last_ts else NEG_INF),
+    }
+
+
+def _write_frame(nps: PartitionState, path: str) -> None:
+    """Full snapshot frame, written atomically through the fs seam (so
+    a remote-scheme out_dir works the same as local disk)."""
+    from gush_ray.fs import get_fs
+
+    fs, path = get_fs(path)
+    nps._dirty = set()  # full frame; no delta bookkeeping carries over
+    fs.makedirs(path.rsplit("/", 1)[0])
+    tmp = f"{path}.rescale-{os.getpid()}"
+    with fs.open(tmp, "wb") as f:
+        f.write(nps.snapshot_bytes())
+    fs.replace(tmp, path)
+
+
+def _check_params_cover(params: StateParams, summaries: list) -> None:
+    """A checkpoint section the caller's params didn't enable would be
+    silently dropped on resume — refuse instead (same guards as before
+    the round-5 rewrite, now driven by the split summaries so the
+    driver never needs the states themselves)."""
+    if params.pattern is None and any(s["has_nfa_partials"]
+                                      for s in summaries):
+        raise ValueError(
+            "checkpoint holds NFA partial runs but no pattern was "
+            "passed — rescaling would silently drop them; call "
+            "rescale_state with the job's StateParams"
+        )
+    if params.join_spec is None and any(s["has_join_buf"]
+                                        for s in summaries):
+        raise ValueError(
+            "checkpoint holds stream-join buffers but no join_spec was "
+            "passed — rescaling would silently drop them; call "
+            "rescale_state with the job's StateParams"
+        )
+    if params.neardup_spec is None and any(s["has_neardup"]
+                                           for s in summaries):
+        raise ValueError(
+            "checkpoint holds near-dup bucket state but no neardup_spec "
+            "was passed — rescaling would silently drop it; call "
+            "rescale_state with the job's StateParams"
+        )
+    if params.frontier_spec is None and any(s["has_frontier"]
+                                            for s in summaries):
+        raise ValueError(
+            "checkpoint holds frontier seen-state but no frontier_spec "
+            "was passed — rescaling would silently drop it; call "
+            "rescale_state with the job's StateParams"
+        )
+    if not params.window_refire and any(s["has_fired"]
+                                        for s in summaries):
+        raise ValueError(
+            "checkpoint holds fired-window accumulators but "
+            "window_refire is off — rescaling would silently drop "
+            "pending late re-firings; call rescale_state with the "
+            "job's StateParams"
+        )
+
+
+def _global_scalars(summaries: list) -> dict:
+    return {
+        "watermark_us": min(s["watermark_us"] for s in summaries),
+        "max_ts_us": max(s["max_ts_us"] for s in summaries),
+        "ttl_sweep_wm": min(s["ttl_sweep_wm"] for s in summaries),
+        "auto_ttl_engaged": any(s.get("auto_ttl_engaged")
+                                for s in summaries),
+    }
+
+
+def _totals0(summaries: list) -> dict:
+    return {
+        k: sum(s[k] for s in summaries)
+        for k in ("evicted_total", "nfa_truncated", "pairs_emitted",
+                  "neardup_evicted", "frontier_evicted")
+    }
 
 
 def rescale_state(out_dir: str, new_P: int,
@@ -121,19 +450,13 @@ def rescale_state(out_dir: str, new_P: int,
     structurally, so only key/ts column names and the NFA/join presence
     matter, but passing the real params keeps restored objects exact.
 
-    ``parallel``: fan the chain restore out as Ray tasks — one task per
-    old partition resolves its delta chain and returns ONE full frame;
-    the driver rebuilds identical state from the canonical
-    serialization (``snapshot_bytes`` → ``restore_bytes``). The
-    re-split/merge loop and the frame writes stay on the driver,
-    byte-identical to the serial path (shipping merged states to write
-    tasks would cost the same driver-side serialization it saves).
-    Default (None) = parallel iff Ray is already initialized. Measured
-    at the 49M-row ops drill: 1576 s serial → 1118 s parallel — the
-    chain decompressions overlap, but the driver still serially
-    unpickles the returned frames, walks the re-split/merge loop and
-    writes the new frames (the remaining cost; the full fix is an
-    exchange-shaped split/merge fan-out, BENCH/BASELINE.md)."""
+    ``parallel``: run the exchange-shaped SPLIT/MERGE as Ray tasks (one
+    SPLIT per old partition, one MERGE+write per new partition — module
+    docstring); the driver holds only summaries and the manifest.
+    Default (None) = parallel iff Ray is already initialized. On a
+    multi-node cluster the snapshot dir must be shared (or a remote
+    scheme); when a task cannot see a local-scheme ``out_dir`` the tool
+    falls back to the in-process path with a warning (round-4 ADVICE)."""
     params = params or StateParams()
     # PROBE params for restore: a frame's NFA partials / join buffers
     # restore structurally under ANY pattern/spec (partials store step
@@ -167,7 +490,15 @@ def rescale_state(out_dir: str, new_P: int,
     old_parts = man["partitions"]
     old_P = len(old_parts)
     if new_P == old_P:
-        return {"rescaled": False, "old_P": old_P, "new_P": new_P}
+        # idempotence across the commit→sweep crash window (round-4
+        # ADVICE): uncommitted slots are garbage by definition (their
+        # epochs replay in full), so sweeping is always safe — a re-run
+        # after a crash mid-rescale (or a kill followed by a same-P
+        # "rescale") must still clear the orphan old-layout files that
+        # would otherwise fail fsck once the replayed epoch commits.
+        swept = _sweep_uncommitted_slots(out_dir, last)
+        return {"rescaled": False, "old_P": old_P, "new_P": new_P,
+                "swept_uncommitted_files": swept}
 
     state_dir = os.path.join(out_dir, "_state")
 
@@ -182,208 +513,23 @@ def rescale_state(out_dir: str, new_P: int,
         except ImportError:  # pragma: no cover - ray is a hard dep
             parallel = False
 
-    old_states: list[PartitionState] = []
     if parallel:
-        import ray
-
-        @ray.remote
-        def _restore_full(pid: int, path: str, last_e: int,
-                          probe_params) -> bytes:
-            st = PartitionState(pid, probe_params)
-            restore_state_from_chain(st, path, last_e)
-            # snapshot_bytes() is always a FULL frame — the canonical
-            # serialization — so the driver-side restore_bytes() below
-            # rebuilds state identical to an in-process chain restore
-            return st.snapshot_bytes()
-
-        blobs = ray.get([
-            _restore_full.remote(
-                p["partition_id"],
-                snap_path(last, p["partition_id"]), last, probe)
-            for p in old_parts
-        ])
-        for p, blob in zip(old_parts, blobs):
-            ps = PartitionState(p["partition_id"], probe)
-            ps.restore_bytes(blob)
-            old_states.append(ps)
+        try:
+            summaries, merge_reports = _rescale_distributed(
+                old_parts, snap_path, last, probe, params, new_P)
+        except FileNotFoundError:
+            # a task scheduled off the driver node cannot see a
+            # node-local out_dir — the serial path still can
+            _log.warning(
+                "rescale: a Ray task could not open the snapshot dir "
+                "(node-local out_dir on a multi-node cluster?) — "
+                "falling back to the in-process path")
+            summaries, merge_reports = _rescale_serial(
+                old_parts, snap_path, last, probe, params, new_P)
     else:
-        for p in old_parts:
-            ps = PartitionState(p["partition_id"], probe)
-            restore_state_from_chain(
-                ps, snap_path(last, p["partition_id"]), last)
-            old_states.append(ps)
-    if params.pattern is None and any(
-            ps.nfa.partials for ps in old_states):
-        raise ValueError(
-            "checkpoint holds NFA partial runs but no pattern was "
-            "passed — rescaling would silently drop them; call "
-            "rescale_state with the job's StateParams"
-        )
-    if params.join_spec is None and any(
-            len(ps.joiner.bufL) or len(ps.joiner.bufR)
-            for ps in old_states):
-        raise ValueError(
-            "checkpoint holds stream-join buffers but no join_spec was "
-            "passed — rescaling would silently drop them; call "
-            "rescale_state with the job's StateParams"
-        )
-    if params.neardup_spec is None and any(
-            ps.neardup.buckets for ps in old_states):
-        raise ValueError(
-            "checkpoint holds near-dup bucket state but no neardup_spec "
-            "was passed — rescaling would silently drop it; call "
-            "rescale_state with the job's StateParams"
-        )
-    if params.frontier_spec is None and any(
-            ps.frontier.seen for ps in old_states):
-        raise ValueError(
-            "checkpoint holds frontier seen-state but no frontier_spec "
-            "was passed — rescaling would silently drop it; call "
-            "rescale_state with the job's StateParams"
-        )
-    if not params.window_refire and any(ps.fired for ps in old_states):
-        raise ValueError(
-            "checkpoint holds fired-window accumulators but "
-            "window_refire is off — rescaling would silently drop "
-            "pending late re-firings; call rescale_state with the "
-            "job's StateParams"
-        )
+        summaries, merge_reports = _rescale_serial(
+            old_parts, snap_path, last, probe, params, new_P)
 
-    new_states = [PartitionState(pid, probe) for pid in range(new_P)]
-    global_wm = min(ps.watermark_us for ps in old_states)
-    global_max = max(ps.max_ts_us for ps in old_states)
-    for nps in new_states:
-        nps.watermark_us = global_wm
-        nps.max_ts_us = global_max
-        nps._ttl_sweep_wm = min(ps._ttl_sweep_wm for ps in old_states)
-    new_states[0].evicted_total = sum(ps.evicted_total
-                                      for ps in old_states)
-
-    for ps in old_states:
-        for k, ts in ps.last_ts.items():
-            new_states[_key_part(k, new_P)].last_ts[k] = ts
-        for k, v in ps.version.items():
-            new_states[_key_part(k, new_P)].version[k] = v
-        for k, sess in ps.sessions.items():
-            new_states[_key_part(k, new_P)].sessions[k] = list(sess)
-        for gkey, src in ps.win.items():
-            # slots are [n, sum] or [n, sum, key_set] (window_distinct);
-            # counts/sums add, distinct KEY SETS union — both exact
-            # partial merges (a fixed-width unpack here crashed on
-            # 3-element distinct slots; round-3 review finding)
-            slot = new_states[_group_part(gkey, new_P)].win.setdefault(
-                gkey, [0, 0.0, set()] if len(src) > 2 else [0, 0.0])
-            slot[0] += int(src[0])
-            slot[1] += float(src[1])
-            if len(src) > 2:
-                if len(slot) == 2:
-                    slot.append(set())
-                slot[2] |= src[2]
-        for gkey, hist in ps.winq.items():
-            # per-window value histograms merge additively per value
-            tgt = new_states[_group_part(gkey, new_P)].winq.setdefault(
-                gkey, {})
-            for v, c in hist.items():
-                tgt[v] = tgt.get(v, 0) + c
-        for gkey, eslot in ps.wearly.items():
-            # last-early-emission slots merge additively (each partition
-            # emitted its own partial; the changelog's next retraction
-            # must retract the SUM — same argument as fired slots)
-            tgt = new_states[_group_part(gkey, new_P)].wearly.setdefault(
-                gkey, [0, 0.0, 0, 0])
-            tgt[0] += int(eslot[0])
-            tgt[1] += float(eslot[1])
-            tgt[2] += int(eslot[2])
-            tgt[3] = max(tgt[3], int(eslot[3]))
-        for gkey, regs in ps.winh.items():
-            # HLL registers merge by elementwise max (exact union)
-            tgt_st = new_states[_group_part(gkey, new_P)]
-            cur = tgt_st.winh.get(gkey)
-            if cur is None:
-                tgt_st.winh[gkey] = regs.copy()
-            else:
-                np.maximum(cur, regs, out=cur)
-        for gkey, fslot in ps.fired.items():
-            # fired accumulators merge additively like open windows
-            # (each partition held a PARTIAL of the window); emitted
-            # values also add — every partition emitted its own partial,
-            # so the merged changelog's future retraction must retract
-            # the SUM of what was emitted. n_emissions = max keeps the
-            # "nothing emitted yet" (0) case exact; any positive value
-            # only gates whether a -1 precedes the next +1.
-            tgt = new_states[_group_part(gkey, new_P)].fired.setdefault(
-                gkey, [0, 0.0,
-                       set() if params.window_distinct else None,
-                       0, 0.0, 0, 0])
-            tgt[0] += int(fslot[0])
-            tgt[1] += float(fslot[1])
-            if fslot[2] is not None and tgt[2] is not None:
-                tgt[2] |= fslot[2]
-            tgt[3] += int(fslot[3])
-            tgt[4] += float(fslot[4])
-            tgt[5] += int(fslot[5])
-            tgt[6] = max(tgt[6], int(fslot[6]))
-        if ps.nfa is not None:
-            for k, plist in ps.nfa.partials.items():
-                tgt = new_states[_key_part(k, new_P)].nfa
-                tgt.partials.setdefault(k, []).extend(plist)
-            new_states[0].nfa.truncated += ps.nfa.truncated
-        if ps.joiner is not None:
-            import pandas as pd
-
-            for side in ("bufL", "bufR"):
-                buf = getattr(ps.joiner, side)
-                if not len(buf):
-                    continue
-                part = buf[params.key_col].map(
-                    lambda k: _key_part(k, new_P))
-                for pid, sub in buf.groupby(part):
-                    tgt = getattr(new_states[pid].joiner, side)
-                    merged = pd.concat([tgt, sub], ignore_index=True)
-                    setattr(new_states[pid].joiner, side, merged)
-            new_states[0].joiner.pairs_emitted += ps.joiner.pairs_emitted
-        if ps.neardup is not None:
-            from gush_ray.state.neardup import bucket_part
-
-            # buckets re-route by the SAME pure function the map phase
-            # uses (band exchange), so a resumed run's fragments land on
-            # the partition that now owns the bucket
-            for bk, owner in ps.neardup.buckets.items():
-                pid = int(bucket_part(bk[0], bk[1], new_P)[()])
-                new_states[pid].neardup.buckets[bk] = owner
-            new_states[0].neardup.evicted_total += (
-                ps.neardup.evicted_total)
-        if ps.frontier is not None:
-            # seen entries re-route by the url-hash rule the map phase's
-            # link exchange uses (stable_hash(dst_url) % P == _key_part)
-            for u, first in ps.frontier.seen.items():
-                new_states[_key_part(u, new_P)].frontier.seen[u] = first
-            new_states[0].frontier.evicted_total += (
-                ps.frontier.evicted_total)
-
-    # the join buffers must stay ts-sorted per partition (the
-    # searchsorted kernel's precondition); the probe params always
-    # construct a joiner, so sort unconditionally
-    for nps in new_states:
-        for side in ("bufL", "bufR"):
-            buf = getattr(nps.joiner, side)
-            if len(buf):
-                setattr(nps.joiner, side,
-                        buf.sort_values(params.ts_col, kind="mergesort")
-                        .reset_index(drop=True))
-
-    # write FULL snapshot frames for the new layout (atomic per file)
-    os.makedirs(os.path.join(state_dir, f"epoch={last:05d}"),
-                exist_ok=True)
-    new_snap_paths = []
-    for pid, nps in enumerate(new_states):
-        nps._dirty = set()  # full frame; no delta bookkeeping carries over
-        path = snap_path(last, pid)
-        tmp = path + f".rescale-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(nps.snapshot_bytes())
-        os.replace(tmp, path)
-        new_snap_paths.append(path)
     # stale old-layout snapshot files beyond new_P would never be read
     # again but would confuse a later rescale back; remove them
     for pid in range(new_P, old_P):
@@ -398,11 +544,7 @@ def rescale_state(out_dir: str, new_P: int,
     old_min = min(p.get("max_ts_us", NEG_INF) for p in old_parts)
     old_min_r = (min(p.get("max_ts_us_r", NEG_INF) for p in old_parts)
                  if has_right else None)
-    new_max = [
-        max((max(nps.last_ts.values()) if nps.last_ts else NEG_INF),
-            old_min)
-        for nps in new_states
-    ]
+    new_max = [max(r["max_last_ts"], old_min) for r in merge_reports]
     # right-stream maxima are not key-addressed state; the join buffers
     # hold only the unpruned window, so reconstruct conservatively
     new_max_r = [old_min_r] * new_P if has_right else None
@@ -414,7 +556,7 @@ def rescale_state(out_dir: str, new_P: int,
     rows = []
     for pid in range(new_P):
         row = {"partition_id": pid, "max_ts_us": int(new_max[pid]),
-               "idle_epochs": 0, "snapshot": new_snap_paths[pid]}
+               "idle_epochs": 0, "snapshot": snap_path(last, pid)}
         if has_right:
             row["max_ts_us_r"] = new_max_r[pid]
             row["idle_epochs_r"] = 0
@@ -430,8 +572,98 @@ def rescale_state(out_dir: str, new_P: int,
     swept = _sweep_uncommitted_slots(out_dir, last)
     return {"rescaled": True, "old_P": old_P, "new_P": new_P,
             "epoch": last,
-            "keys_moved": int(sum(len(ps.last_ts) for ps in old_states)),
+            "keys_moved": int(sum(s["n_keys"] for s in summaries)),
             "swept_uncommitted_files": swept}
+
+
+def _rescale_serial(old_parts, snap_path, last: int,
+                    probe: StateParams, params: StateParams,
+                    new_P: int):
+    """In-process path: restore one old partition at a time, route it,
+    merge into the new states, DROP it — peak memory is one old
+    partition plus the new layout (the old all-olds-resident list held
+    both full populations at once)."""
+    new_states = [PartitionState(pid, probe) for pid in range(new_P)]
+    summaries = []
+    for p in old_parts:
+        ps = PartitionState(p["partition_id"], probe)
+        restore_state_from_chain(
+            ps, snap_path(last, p["partition_id"]), last)
+        summaries.append(_summarize(ps))
+        routed = _route_sections(ps, new_P)
+        del ps
+        for pid in range(new_P):
+            _merge_routed(new_states[pid], routed[pid],
+                          params.window_distinct)
+    _check_params_cover(params, summaries)
+    scalars = _global_scalars(summaries)
+    totals0 = _totals0(summaries)
+    reports = []
+    for pid, nps in enumerate(new_states):
+        rep = _finish_new_state(nps, scalars,
+                                totals0 if pid == 0 else None,
+                                params.ts_col)
+        _write_frame(nps, snap_path(last, pid))
+        reports.append(rep)
+    return summaries, reports
+
+
+def _rescale_distributed(old_parts, snap_path, last: int,
+                         probe: StateParams, params: StateParams,
+                         new_P: int):
+    """The exchange: old_P SPLIT tasks × new_P MERGE tasks. Section
+    dicts travel SPLIT→MERGE through the object store as direct task
+    arguments; the driver gets summaries and write reports only."""
+    import ray
+
+    @ray.remote
+    def _split_task(pid: int, path: str, last_e: int, probe_params,
+                    nP: int) -> list:
+        ps = PartitionState(pid, probe_params)
+        restore_state_from_chain(ps, path, last_e)
+        return [_summarize(ps)] + _route_sections(ps, nP)
+
+    @ray.remote
+    def _merge_task(pid: int, probe_params, scalars: dict,
+                    totals0: "dict | None", window_distinct: bool,
+                    ts_col: str, out_path: str, *secs) -> dict:
+        nps = PartitionState(pid, probe_params)
+        for sec in secs:  # old-pid order — same as the serial loop
+            _merge_routed(nps, sec, window_distinct)
+        rep = _finish_new_state(nps, scalars, totals0, ts_col)
+        _write_frame(nps, out_path)
+        return rep
+
+    splits = [
+        _split_task.options(num_returns=1 + new_P).remote(
+            p["partition_id"],
+            snap_path(last, p["partition_id"]), last, probe, new_P)
+        for p in old_parts
+    ]
+    try:
+        summaries = ray.get([s[0] for s in splits])
+    except ray.exceptions.RayTaskError as e:
+        if isinstance(e.cause, FileNotFoundError):
+            raise e.cause
+        raise
+    _check_params_cover(params, summaries)
+    scalars = _global_scalars(summaries)
+    totals0 = _totals0(summaries)
+    merges = [
+        _merge_task.remote(
+            pid, probe, scalars, totals0 if pid == 0 else None,
+            params.window_distinct, params.ts_col,
+            snap_path(last, pid),
+            *[s[1 + pid] for s in splits])
+        for pid in range(new_P)
+    ]
+    try:
+        reports = ray.get(merges)
+    except ray.exceptions.RayTaskError as e:
+        if isinstance(e.cause, FileNotFoundError):
+            raise e.cause
+        raise
+    return summaries, reports
 
 
 def _sweep_uncommitted_slots(out_dir: str, last: int) -> int:
@@ -447,9 +679,11 @@ def _sweep_uncommitted_slots(out_dir: str, last: int) -> int:
     once the epoch commits, fsck's disk↔manifest row conservation
     counts the whole slot directory and fails. The uncommitted slots
     are garbage by definition (their epochs replay in full), so sweep
-    them at rescale time. Found by the headroom-scale ops drill
-    (tools/drill.py): fsck flagged epoch-2 streams with 1.5× the
-    manifest's rows after a 32→16 kill+rescale."""
+    them at rescale time — including when new_P == old_P, so a re-run
+    that crashed between commit and sweep stays idempotent (round-4
+    ADVICE). Found by the headroom-scale ops drill (tools/drill.py):
+    fsck flagged epoch-2 streams with 1.5× the manifest's rows after a
+    32→16 kill+rescale."""
     import shutil
 
     swept = 0
@@ -483,9 +717,9 @@ def main(argv=None) -> int:
     ap.add_argument("out_dir")
     ap.add_argument("new_p", type=int)
     ap.add_argument("--parallel", action="store_true",
-                    help="restore the old partitions' delta chains as "
-                         "Ray tasks (one per partition) instead of "
-                         "serially on this process")
+                    help="run the SPLIT/MERGE exchange as Ray tasks "
+                         "(one split per old partition, one merge+write "
+                         "per new partition) instead of in-process")
     args = ap.parse_args(argv)
     if args.parallel:
         import ray

@@ -148,10 +148,17 @@ def test_rescale_guards(tmp_path):
     # bare params must refuse rather than silently drop them
     with pytest.raises(ValueError, match="NFA partial"):
         rescale_state(str(tmp_path / "b"), 8, params=StateParams())
-    # same P is a no-op
+    # same P is a no-op for the layout, but STILL sweeps uncommitted
+    # slots (idempotence across the commit→sweep crash window: a re-run
+    # after a crash mid-rescale must clear the orphans — round-4 ADVICE)
+    orphan = tmp_path / "b" / "changes" / "epoch=00099"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
     assert rescale_state(str(tmp_path / "b"), 4,
                          params=jb.params) == {
-        "rescaled": False, "old_P": 4, "new_P": 4}
+        "rescaled": False, "old_P": 4, "new_P": 4,
+        "swept_uncommitted_files": 1}
+    assert not orphan.exists()
 
     jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="rsgB2",
                        num_partitions=4)
