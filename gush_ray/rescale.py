@@ -173,7 +173,7 @@ def _summarize(ps: PartitionState) -> dict:
         "max_ts_us": ps.max_ts_us,
         "ttl_sweep_wm": ps._ttl_sweep_wm,
         "evicted_total": ps.evicted_total,
-        "auto_ttl_engaged": getattr(ps, "auto_ttl_engaged", False),
+        "state_cap_engaged": getattr(ps, "state_cap_engaged", False),
         "nfa_truncated": ps.nfa.truncated if ps.nfa else 0,
         "pairs_emitted": ps.joiner.pairs_emitted if ps.joiner else 0,
         "neardup_evicted": (ps.neardup.evicted_total
@@ -338,8 +338,8 @@ def _finish_new_state(nps: PartitionState, scalars: dict,
     nps.watermark_us = scalars["watermark_us"]
     nps.max_ts_us = scalars["max_ts_us"]
     nps._ttl_sweep_wm = scalars["ttl_sweep_wm"]
-    if scalars.get("auto_ttl_engaged"):
-        nps.auto_ttl_engaged = True
+    if scalars.get("state_cap_engaged"):
+        nps.state_cap_engaged = True
     if totals0 is not None:
         nps.evicted_total = totals0["evicted_total"]
         if nps.nfa is not None:
@@ -428,8 +428,8 @@ def _global_scalars(summaries: list) -> dict:
         "watermark_us": min(s["watermark_us"] for s in summaries),
         "max_ts_us": max(s["max_ts_us"] for s in summaries),
         "ttl_sweep_wm": min(s["ttl_sweep_wm"] for s in summaries),
-        "auto_ttl_engaged": any(s.get("auto_ttl_engaged")
-                                for s in summaries),
+        "state_cap_engaged": any(s.get("state_cap_engaged")
+                                 for s in summaries),
     }
 
 

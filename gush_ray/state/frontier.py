@@ -198,6 +198,26 @@ class FrontierState:
         self.evicted_total += len(dead)
         return len(dead)
 
+    def cap(self, cap_keys: int, watermark_us: int) -> int:
+        """Capacity-wall bound (StateParams.state_keys_cap): evict the
+        OLDEST sub-watermark seen-entries down to ~90% of the cap when
+        the map crosses it (re-discovery semantics, same trade as the
+        TTL; cutoff from store.PartitionState.cap_cutoff_ts)."""
+        from gush_ray.state.store import PartitionState
+
+        cut = PartitionState.cap_cutoff_ts(
+            (ts for (ts, _) in self.seen.values()),
+            len(self.seen), cap_keys, watermark_us)
+        if cut is None:
+            return 0
+        dead = [u for u, (ts, _) in self.seen.items() if ts < cut]
+        for u in dead:
+            del self.seen[u]
+            self._evicted.add(u)
+            self._dirty.discard(u)
+        self.evicted_total += len(dead)
+        return len(dead)
+
     # -------------------------------------------------- snapshot frames
 
     def state(self) -> dict:

@@ -269,6 +269,27 @@ class NearDupState:
         self.evicted_total += len(dead)
         return len(dead)
 
+    def cap(self, cap_keys: int, watermark_us: int) -> int:
+        """Capacity-wall bound (StateParams.state_keys_cap): evict the
+        OLDEST sub-watermark bucket owners down to ~90% of the cap when
+        the map crosses it — the TTL eviction made adaptive (same
+        cleared-state semantics and delta-frame bookkeeping; cutoff
+        from store.PartitionState.cap_cutoff_ts)."""
+        from gush_ray.state.store import PartitionState
+
+        cut = PartitionState.cap_cutoff_ts(
+            (ts for (_, ts) in self.buckets.values()),
+            len(self.buckets), cap_keys, watermark_us)
+        if cut is None:
+            return 0
+        dead = [bk for bk, (_, ts) in self.buckets.items() if ts < cut]
+        for bk in dead:
+            del self.buckets[bk]
+            self._evicted.add(bk)
+            self._dirty.discard(bk)
+        self.evicted_total += len(dead)
+        return len(dead)
+
     # -------------------------------------------------- snapshot frames
 
     def state(self) -> dict:

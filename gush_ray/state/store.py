@@ -220,6 +220,31 @@ class StateParams:
     # with the AT-SCALE profile (epoch_loop.StreamingJob(at_scale=True)
     # / run_job --at-scale).
     exact_state_warn_keys: int = 1_000_000
+    # CAPACITY-WALL auto-escalation (round-5; the measured 24M-key wall
+    # in BENCH/BASELINE.md): the keys-EVER maps — V1 dedup last_ts/
+    # version, near-dup bucket owners, frontier seen — are the only
+    # sections whose growth is unbounded in KEYS rather than
+    # watermark-bounded in time, and with no TTL configured they
+    # OOM-killed the 24M-distinct-key headroom run. When any of those
+    # maps crosses this per-partition cap, the partition ENGAGES
+    # bounded-state mode: watermark-safe oldest-first eviction (only
+    # entries with last-activity ts < watermark are candidates — the
+    # same safety argument as the TTL sweep: any non-late row has
+    # ts >= watermark > the evicted entry's ts, so no stale row is
+    # wrongly kept) down to 90% of the cap, with the SAME cleared-state
+    # semantics as `dedup_ttl_us` (an evicted key restarts at version
+    # 0 / re-discovery). This is the event-time TTL made adaptive: a
+    # fixed TTL cannot bound a short-horizon stream (the wall corpus
+    # spans 4 h — a 7-day TTL evicts nothing), a key-count cap bounds
+    # memory whatever the horizon, and the age of the oldest retained
+    # key IS the effective TTL. Engagement is deterministic (a pure
+    # function of state), persisted in snapshots, logged once, and
+    # recorded per-epoch in the manifest (`state_cap_engaged`).
+    # None disables (the round-4 warn-only behavior). StreamingJob
+    # derives the default from a whole-job budget divided by the
+    # partition count (state_keys_budget), so the per-partition cap
+    # scales with how many states must co-reside on a node.
+    state_keys_cap: "int | None" = None
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -272,6 +297,10 @@ class PartitionState:
         self.pid = partition_id
         self.p = params
         self._oversized_warned = False
+        # capacity-wall auto-escalation (StateParams.state_keys_cap):
+        # once engaged, stays engaged for the partition's lifetime
+        # (persisted in snapshot scalars, surfaced in the manifest)
+        self.state_cap_engaged = False
         self.last_ts: dict = {}
         self.version: dict = {}
         self.win: dict = {}        # (group..., window_id) -> [n, sum]
@@ -1033,6 +1062,74 @@ class PartitionState:
         out["metrics"].update({k: round(v, 3) for k, v in tt.items()})
         return out
 
+    @staticmethod
+    def cap_cutoff_ts(ts_values, n: int, cap: int, wm: int) -> "int | None":
+        """Eviction cutoff for a keys-ever map over its cap: the ts
+        below which entries are evicted so ~90% of the cap remains
+        (hysteresis — the O(n) scan then runs once per cap/10 new keys,
+        not every epoch at the boundary), clamped to the watermark so
+        only sub-watermark entries — the ones the dedup safety argument
+        covers — are ever candidates. Deterministic: a pure function of
+        the entry timestamps. None = nothing to do."""
+        if cap is None or n <= cap or wm <= NEG_INF:
+            return None
+        vals = np.fromiter(ts_values, dtype=np.int64, count=n)
+        excess = n - int(cap * 0.9)
+        # the excess-th smallest ts: evicting everything strictly below
+        # (kth+1) removes at least `excess` entries (ties evict a few
+        # more — fine, deterministic)
+        kth = int(np.partition(vals, excess - 1)[excess - 1])
+        return min(kth + 1, wm)
+
+    def _enforce_state_cap(self, wm: int) -> None:
+        """Capacity-wall auto-escalation (StateParams.state_keys_cap):
+        bound every keys-EVER map — dedup last_ts/version, near-dup
+        bucket owners, frontier seen — by oldest-first eviction once it
+        crosses the cap. Cleared-state semantics identical to the TTL
+        sweep above (evicted key restarts at version 0 / re-discovery);
+        eviction bookkeeping rides the same delta-frame tombstone
+        protocol. Engagement is recorded (manifest `state_cap_engaged`)
+        and logged once per partition lifetime."""
+        cap = self.p.state_keys_cap
+        if cap is None:
+            return
+        cut = self.cap_cutoff_ts(self.last_ts.values(), len(self.last_ts),
+                                 cap, wm)
+        if cut is not None:
+            expired = [k for k, t in self.last_ts.items() if t < cut]
+            for k in expired:
+                del self.last_ts[k]
+                self.version.pop(k, None)
+                self._dirty.discard(k)
+            self._evicted.update(expired)
+            self.evicted_total += len(expired)
+            self._note_cap_engaged("dedup", len(expired))
+        if self.neardup is not None:
+            n = self.neardup.cap(cap, wm)
+            if n:
+                self._note_cap_engaged("neardup", n)
+        if self.frontier is not None:
+            n = self.frontier.cap(cap, wm)
+            if n:
+                self._note_cap_engaged("frontier", n)
+
+    def _note_cap_engaged(self, section: str, evicted: int) -> None:
+        if self.state_cap_engaged:
+            return
+        self.state_cap_engaged = True
+        import logging
+
+        logging.getLogger("gush_ray").warning(
+            "partition %d: %s keys-ever state crossed "
+            "state_keys_cap=%d — bounded-state mode ENGAGED (oldest "
+            "sub-watermark entries evict with cleared-state semantics, "
+            "%d evicted now; the switch is recorded in every "
+            "subsequent epoch manifest as state_cap_engaged). To keep "
+            "exact keys-ever semantics raise state_keys_budget / "
+            "state_keys_cap or set an explicit dedup_ttl_us sized to "
+            "the stream's horizon.",
+            self.pid, section, self.p.state_keys_cap, evicted)
+
     def _count_oversized_exact(self) -> int:
         """Open slots whose exact state outgrew
         ``exact_state_warn_keys`` (window_distinct key sets + exact-mode
@@ -1359,6 +1456,8 @@ class PartitionState:
             self.evicted_total += len(expired)
             self._ttl_sweep_wm = wm
 
+        self._enforce_state_cap(wm)
+
         slide = self.p.window_slide_us or self.p.window_size_us
         refire = self.p.window_refire
         win_rows = []
@@ -1535,6 +1634,7 @@ class PartitionState:
             "sessions": _sessions_table(sess_rows, self.p.key_col,
                                         values=self.p.session_values),
             "watermark_us": wm,
+            "state_cap_engaged": int(self.state_cap_engaged),
         }
         if self.p.window_quantiles is not None:
             out["window_hist"] = _window_hist_table(
@@ -1582,6 +1682,7 @@ class PartitionState:
             "max_ts_us": self.max_ts_us,
             "ttl_sweep_wm": self._ttl_sweep_wm,
             "evicted_total": self.evicted_total,
+            "cap_engaged": self.state_cap_engaged,
         }
         self._win_dirty = set()
         self._win_closed = set()
@@ -1646,6 +1747,7 @@ class PartitionState:
             "max_ts_us": self.max_ts_us,
             "ttl_sweep_wm": self._ttl_sweep_wm,
             "evicted_total": self.evicted_total,
+            "cap_engaged": self.state_cap_engaged,
         }
         self._win_dirty = set()
         self._win_closed = set()
@@ -1742,6 +1844,9 @@ class PartitionState:
         # .get: pre-TTL frames lack these keys
         self._ttl_sweep_wm = st.get("ttl_sweep_wm", NEG_INF)
         self.evicted_total = st.get("evicted_total", 0)
+        # .get: pre-cap frames lack the key; engagement is monotone so
+        # each applied frame's value is the truth as of that epoch
+        self.state_cap_engaged = bool(st.get("cap_engaged", False))
 
     def _fixup_win_slots(self) -> None:
         """Frames written before window_distinct was enabled carry

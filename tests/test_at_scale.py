@@ -143,3 +143,110 @@ def test_exact_state_oversized_metric_and_single_warning(caplog):
         [f"u{i}" for i in range(10)], [100 + i for i in range(10)],
         ["en"] * 10))
     assert out["metrics"]["exact_state_oversized"] == 0
+
+
+def test_state_keys_cap_engages_and_bounds(ray_session, tmp_path):
+    """Round-5 capacity-wall escalation: with NO TTL configured and a
+    tiny state_keys_budget, the keys-ever dedup maps cross the
+    per-partition cap mid-stream and the engine ACTS — oldest
+    sub-watermark keys evict with cleared-state semantics, the switch
+    is recorded in the manifest (`state_cap_engaged`), and the final
+    state is bounded near the cap instead of tracking keys-ever. The
+    flag survives snapshot/restore."""
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+    from gush_ray.state.store import restore_state_from_chain
+
+    pages = str(tmp_path / "pages")
+    # many distinct urls, no recrawls -> keys-ever grows ~linearly
+    write_pages_dir(pages, n_urls=3000, seed=41, n_epochs=4,
+                    late_frac=0.0)
+    out = str(tmp_path / "out")
+    P = 2
+    job = StreamingJob(pages, out, run_id="cap1", num_partitions=P,
+                       pattern=None, state_keys_budget=400)  # cap=200
+    job.run()
+
+    sink = ExactlyOnceSink(out)
+    engaged_epochs = [
+        e for e in sink.committed_epochs()
+        if any(p.get("state_cap_engaged") for p in
+               sink.read_manifest(e)["partitions"])
+    ]
+    assert engaged_epochs, "cap never engaged on a 3000-key stream"
+    last = sink.last_contiguous_epoch()
+    man = sink.read_manifest(last)
+    assert any(p.get("state_cap_engaged") for p in man["partitions"])
+    assert sum(p.get("ttl_evicted", 0) for p in man["partitions"]) > 0
+
+    total_keys = 0
+    for pid in range(P):
+        ps = PartitionState(pid, job.params)
+        restore_state_from_chain(
+            ps, str(tmp_path / "out" / "_state" / f"epoch={last:05d}" /
+                    f"part-{pid:05d}.pkl"), last)
+        assert ps.state_cap_engaged  # persisted through the frames
+        # bounded near the cap (hysteresis floor 90%; keys at/above the
+        # watermark are never evicted, so allow the active horizon)
+        assert len(ps.last_ts) <= 200 + 600
+        total_keys += len(ps.last_ts)
+    assert total_keys < 3000  # NOT keys-ever
+
+    # the default budget leaves a small job untouched
+    out2 = str(tmp_path / "out2")
+    job2 = StreamingJob(pages, out2, run_id="cap2", num_partitions=P,
+                        pattern=None)
+    job2.run()
+    man2 = ExactlyOnceSink(out2).read_manifest(
+        ExactlyOnceSink(out2).last_contiguous_epoch())
+    assert not any(p.get("state_cap_engaged")
+                   for p in man2["partitions"])
+    # and the two runs' CHANGES streams differ only in the re-inserts
+    # the evictions caused (cleared-state semantics): every (url, ts)
+    # pair is still emitted exactly once
+    ca = job.read_output("changes")[["url", "ts_us"]]
+    cb = job2.read_output("changes")[["url", "ts_us"]]
+    pd.testing.assert_frame_equal(
+        ca.sort_values(["url", "ts_us"]).reset_index(drop=True),
+        cb.sort_values(["url", "ts_us"]).reset_index(drop=True))
+
+
+def test_state_cap_deterministic_under_resume(ray_session, tmp_path):
+    """Eviction is a pure function of state, so kill -> resume replays
+    the same engagement point and the same final state as the
+    uninterrupted run."""
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+    pages = str(tmp_path / "pages")
+    write_pages_dir(pages, n_urls=2000, seed=43, n_epochs=4,
+                    late_frac=0.0)
+
+    ja = StreamingJob(pages, str(tmp_path / "a"), run_id="capA",
+                      num_partitions=2, pattern=None,
+                      state_keys_budget=300)
+    ja.run()
+
+    jb = StreamingJob(pages, str(tmp_path / "b"), run_id="capB",
+                      num_partitions=2, pattern=None,
+                      state_keys_budget=300)
+    jb.run(stop_after=2)
+    jb2 = StreamingJob(pages, str(tmp_path / "b"), run_id="capB2",
+                       num_partitions=2, pattern=None,
+                       state_keys_budget=300)
+    jb2.run()
+
+    for s in ("changes", "late"):
+        da = ja.read_output(s)
+        db = jb2.read_output(s)
+        cols = sorted(da.columns)
+        pd.testing.assert_frame_equal(
+            da[cols].sort_values(cols).reset_index(drop=True),
+            db[cols].sort_values(cols).reset_index(drop=True))
+    ma = ExactlyOnceSink(str(tmp_path / "a"))
+    mb = ExactlyOnceSink(str(tmp_path / "b"))
+    for e in ma.committed_epochs():
+        pa_rows = ma.read_manifest(e)["partitions"]
+        pb_rows = mb.read_manifest(e)["partitions"]
+        for ra, rb in zip(pa_rows, pb_rows):
+            assert ra.get("state_cap_engaged") == \
+                rb.get("state_cap_engaged")
+            assert ra.get("ttl_evicted", 0) == rb.get("ttl_evicted", 0)
