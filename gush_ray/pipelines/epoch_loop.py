@@ -467,9 +467,90 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
             "sessions": closes["sessions"].num_rows}
 
 
+def _read_stage2_parts(stream: str, epoch: "int | str", out_dir: str,
+                       pids) -> list:
+    """The per-partition stage-2 partials of one epoch slot, for the
+    given partition ids (a slice for tree leaves, all P for the direct
+    root path)."""
+    import pyarrow.parquet as pq
+
+    from gush_ray.fs import get_fs
+
+    fs, base = get_fs(out_dir)
+    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
+            else f"epoch={epoch}")
+    tabs = []
+    for pid in pids:
+        path = fs.join(base, stream, slot, f"part-{pid:05d}.parquet")
+        if fs.exists(path):
+            with fs.open(path, "rb") as f:
+                tabs.append(pq.read_table(f))
+    return tabs
+
+
+@ray.remote
+def _stage2_leaf(stream: str, epoch: "int | str", out_dir: str,
+                 params: StateParams, pids: list, *deps):
+    """TREE FAN-IN leaf (round-5 verdict item 5): partial-merge one
+    SLICE of the per-partition stage-2 parts so the root task folds
+    ``ceil(P/branch)`` leaf partials instead of P raw parts. Every
+    merge here is the associative half of the corresponding root merge
+    — count/sum addition for the windows/top-k partials, per-value
+    histogram addition for the quantile partials, elementwise register
+    max for the HLL partials — so root(leaves(parts)) == root(parts)
+    exactly (pinned by test_stage2_tree_fanin_equal_output). Leaves
+    chain on their slice's reduce refs only; results travel to the
+    root as in-memory Arrow tables through the object store, never as
+    files, so exactly-once still hinges solely on the root's single
+    deterministic output part."""
+    tabs = [t for t in _read_stage2_parts(stream, epoch, out_dir, pids)
+            if t.num_rows]
+    if not tabs:
+        return None
+    df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+    gcols = list(params.window_group_cols)
+    if stream == "windows":
+        aggs = {"n": "sum", "sum_value": "sum"}
+        if "n_distinct" in df.columns:
+            aggs["n_distinct"] = "sum"
+        out = df.groupby(gcols + ["window_id"], as_index=False,
+                         dropna=False).agg(aggs)
+    elif stream == "window_hist":
+        out = df.groupby(gcols + ["window_id", "value"], as_index=False,
+                         dropna=False, sort=False)["n"].sum()
+    elif stream == "window_hll_parts":
+        rows = []
+        for key, grp in df.groupby(gcols + ["window_id"], sort=False,
+                                   dropna=False):
+            regs = np.frombuffer(grp["registers"].iloc[0],
+                                 dtype=np.uint8).copy()
+            for blob in grp["registers"].iloc[1:]:
+                np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                           out=regs)
+            if not isinstance(key, tuple):
+                key = (key,)
+            rows.append((*key, regs.tobytes()))
+        out = pd.DataFrame(rows, columns=gcols + ["window_id",
+                                                  "registers"])
+    else:  # pragma: no cover - driver passes only the three streams
+        raise ValueError(f"unknown stage-2 stream {stream!r}")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _stage2_tabs(from_leaves: bool, deps, stream: str,
+                 epoch: "int | str", out_dir: str, P: int) -> list:
+    """Root-task input: either the leaf partials delivered as direct
+    arguments (tree mode) or the P per-partition part files."""
+    if from_leaves:
+        return [t for t in deps if t is not None and t.num_rows]
+    return [t for t in _read_stage2_parts(stream, epoch, out_dir,
+                                          range(P))]
+
+
 @ray.remote
 def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
-                  k: int, P: int, *deps) -> dict:
+                  k: int, P: int, *deps, from_leaves: bool = False
+                  ) -> dict:
     """Second streaming stage: GLOBAL per-window top-k groups, merged
     from the P per-partition closed-window partials of this epoch slot.
 
@@ -495,19 +576,7 @@ def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
     later rows of a closed window are late-routed by definition), so a
     window appears in exactly one epoch's topk part.
     """
-    import pyarrow.parquet as pq
-
-    from gush_ray.fs import get_fs
-
-    fs, base = get_fs(out_dir)
-    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
-            else f"epoch={epoch}")
-    tabs = []
-    for pid in range(P):
-        path = fs.join(base, "windows", slot, f"part-{pid:05d}.parquet")
-        if fs.exists(path):
-            with fs.open(path, "rb") as f:
-                tabs.append(pq.read_table(f))
+    tabs = _stage2_tabs(from_leaves, deps, "windows", epoch, out_dir, P)
     if not tabs:
         return {"topk_rows": 0}
     df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
@@ -535,7 +604,8 @@ def _topk_windows(epoch: "int | str", out_dir: str, params: StateParams,
 
 @ray.remote
 def _hll_windows(epoch: "int | str", out_dir: str,
-                 params: StateParams, P: int, *deps) -> dict:
+                 params: StateParams, P: int, *deps,
+                 from_leaves: bool = False) -> dict:
     """Second streaming stage: GLOBAL bounded-state per-window distinct
     estimates, merged from the P per-partition closed-window HLL
     register partials (``window_hll_parts``). Same two-stage topology,
@@ -549,21 +619,10 @@ def _hll_windows(epoch: "int | str", out_dir: str,
     rounded HLL estimate (standard error ~1.04/sqrt(2^p); linear
     counting at small cardinalities).
     """
-    import pyarrow.parquet as pq
-
-    from gush_ray.fs import get_fs
     from gush_ray.stages.sketches import hll_estimate
 
-    fs, base = get_fs(out_dir)
-    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
-            else f"epoch={epoch}")
-    tabs = []
-    for pid in range(P):
-        path = fs.join(base, "window_hll_parts", slot,
-                       f"part-{pid:05d}.parquet")
-        if fs.exists(path):
-            with fs.open(path, "rb") as f:
-                tabs.append(pq.read_table(f))
+    tabs = _stage2_tabs(from_leaves, deps, "window_hll_parts", epoch,
+                        out_dir, P)
     gcols = list(params.window_group_cols)
     kcols = gcols + ["window_id"]
     if not tabs or sum(t.num_rows for t in tabs) == 0:
@@ -594,7 +653,8 @@ def _hll_windows(epoch: "int | str", out_dir: str,
 
 @ray.remote
 def _quantile_windows(epoch: "int | str", out_dir: str,
-                      params: StateParams, P: int, *deps) -> dict:
+                      params: StateParams, P: int, *deps,
+                      from_leaves: bool = False) -> dict:
     """Second streaming stage: GLOBAL exact per-window order statistics,
     merged from the P per-partition closed-window value histograms of
     this epoch slot (the ``window_hist`` parts).
@@ -616,19 +676,8 @@ def _quantile_windows(epoch: "int | str", out_dir: str,
     (group, window, q) — (groups..., window_id, q, value, n) where n is
     the window's total (non-null) value count.
     """
-    import pyarrow.parquet as pq
-
-    from gush_ray.fs import get_fs
-
-    fs, base = get_fs(out_dir)
-    slot = (f"epoch={epoch:05d}" if isinstance(epoch, int)
-            else f"epoch={epoch}")
-    tabs = []
-    for pid in range(P):
-        path = fs.join(base, "window_hist", slot, f"part-{pid:05d}.parquet")
-        if fs.exists(path):
-            with fs.open(path, "rb") as f:
-                tabs.append(pq.read_table(f))
+    tabs = _stage2_tabs(from_leaves, deps, "window_hist", epoch,
+                        out_dir, P)
     gcols = list(params.window_group_cols)
     kcols = gcols + ["window_id"]
     qs = sorted(params.window_quantiles)
@@ -1460,24 +1509,50 @@ class StreamingJob:
                 for pid in range(self.P)
             ]
             self._reduce_tail = refs
+
+            def stage2(root_fn, stream, *extra):
+                """Submit a stage-2 merge: direct single-task fold at
+                small P; at P >= GUSH_STAGE2_TREE_P (default 12) a TREE
+                — ceil(P/branch) leaf tasks partial-merge slices of the
+                per-partition parts (each chained only on ITS slice's
+                reduces, so leaves start as their slice finishes) and
+                the root folds the leaf partials. Kills the one-task
+                fan-in choke at high P / high-cardinality group cols
+                (round-5 verdict item 5); output is identical by
+                associativity (pinned by the tree-fanin parity test)."""
+                thresh = int(os.environ.get("GUSH_STAGE2_TREE_P", "12"))
+                if self.P < thresh:
+                    return root_fn.remote(epoch, self.out_dir,
+                                          self.params, *extra, self.P,
+                                          *refs)
+                branch = max(2, int(os.environ.get(
+                    "GUSH_STAGE2_BRANCH", "8")))
+                leaves = [
+                    _stage2_leaf.remote(
+                        stream, epoch, self.out_dir, self.params,
+                        list(range(lo, min(lo + branch, self.P))),
+                        *refs[lo:lo + branch])
+                    for lo in range(0, self.P, branch)
+                ]
+                return root_fn.remote(epoch, self.out_dir, self.params,
+                                      *extra, self.P, *leaves,
+                                      from_leaves=True)
+
             topk_ref = None
             if self.window_topk is not None:
                 # second stage: global per-window top-k, chained on this
                 # epoch's reduces; gathered in the committer (below) so
                 # the part is durable before the manifest commits
-                topk_ref = _topk_windows.remote(
-                    epoch, self.out_dir, self.params, self.window_topk,
-                    self.P, *refs)
+                topk_ref = stage2(_topk_windows, "windows",
+                                  self.window_topk)
             quant_ref = None
             if self.params.window_quantiles is not None:
                 # second stage: global per-window exact quantiles, same
                 # chaining/commit-gating as the top-k merge
-                quant_ref = _quantile_windows.remote(
-                    epoch, self.out_dir, self.params, self.P, *refs)
+                quant_ref = stage2(_quantile_windows, "window_hist")
             hll_ref = None
             if self.params.window_hll_p is not None:
-                hll_ref = _hll_windows.remote(
-                    epoch, self.out_dir, self.params, self.P, *refs)
+                hll_ref = stage2(_hll_windows, "window_hll_parts")
             submit_sec = round(time.perf_counter() - t0, 3)
             max_ts_now = [int(t) for t in self._part_max_ts]
             max_ts_r_now = ([int(t) for t in self._part_max_ts_r]
