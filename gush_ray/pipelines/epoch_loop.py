@@ -126,7 +126,8 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
                raw_ts_col: str = "warc_ts",
                neardup_spec=None,
                frontier_spec=None,
-               derive_host: bool = False) -> list:
+               derive_host: bool = False,
+               combine: "dict | None" = None) -> list:
     """Stateless map side: read one shard group, extract, filter,
     (optionally) broadcast-join the dimension snapshot, partition.
 
@@ -237,6 +238,16 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
             for pid in np.unique(fpart):
                 ffrags[int(pid)] = ftab.filter(pa.array(fpart == pid))
 
+    if combine is not None:
+        # MAP-SIDE WINDOW COMBINER (window_combine mode, store.py
+        # StateParams docs): aggregate this shard's on-time rows into
+        # per-(group, window) cells BEFORE the exchange — the hot-key
+        # mitigation for the commutative window state. Late rows (ts
+        # below the deterministic wm_floor) ship RAW on the standard
+        # url-keyed lane and reach the late stream unchanged.
+        return _map_combine(batch, combine, P, key_col, n_read,
+                            n_errors)
+
     h = stable_hash(batch[key_col].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)
     ts = batch["ts_us"].to_numpy(zero_copy_only=False)
@@ -288,6 +299,121 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
     return [meta] + frags + nfrags + (ffrags if ffrags is not None else [])
 
 
+def _map_combine(batch: pa.Table, combine: dict, P: int, key_col: str,
+                 n_read: int, n_errors: int) -> list:
+    """Build the combined-exchange return list:
+    ``[meta] + late_frags(P) + cell_frags(P)``.
+
+    Cells: one row per (group..., window_id) of the shard's on-time
+    rows — columns (groups..., window_id, n, sum_value, max_ts
+    [, registers]) — routed by group+window hash so a hot KEY spreads
+    over partitions with its groups; per-cell ``max_ts`` keeps the
+    watermark inputs exact (every cell max is a real row's ts). Late =
+    ts below the caller-provided ``wm_floor`` (the committed watermark
+    of two epochs back — deterministic across kill→resume); those rows
+    ship raw, url-routed, for the late stream."""
+    from gush_ray.stages.shuffle import stable_hash
+
+    gcols = list(combine["group_cols"])
+    size = combine["size_us"]
+    slide = combine["slide_us"] or size
+    k = size // slide
+    value_col = combine["value_col"]
+    hll_p = combine["hll_p"]
+    wm_floor = combine["wm_floor"]
+
+    ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+    late_mask = ts < wm_floor
+    late_t = batch.filter(pa.array(late_mask))
+    on_t = batch.filter(pa.array(~late_mask))
+    ts_on = ts[~late_mask]
+    n_on = on_t.num_rows
+
+    max_ts = [NEG_INF] * P
+    rows = [0] * P
+    late_frags: list = [None] * P
+    if late_t.num_rows:
+        lh = stable_hash(late_t[key_col].to_numpy(zero_copy_only=False))
+        lpart = (lh % np.uint64(P)).astype(np.int64)
+        lts = late_t["ts_us"].to_numpy(zero_copy_only=False)
+        for pid in np.unique(lpart):
+            sel = lpart == pid
+            i = int(pid)
+            late_frags[i] = late_t.filter(pa.array(sel))
+            max_ts[i] = int(lts[sel].max())
+            rows[i] = int(sel.sum())
+
+    cell_frags: list = [None] * P
+    if n_on:
+        base = ts_on // slide
+        if k > 1:
+            rep = np.repeat(np.arange(n_on), k)
+            wid = base[rep] - np.tile(np.arange(k, dtype=np.int64), n_on)
+        else:
+            rep = np.arange(n_on)
+            wid = base
+        cols = {
+            g: on_t[g].to_numpy(zero_copy_only=False)[rep] for g in gcols
+        } | {"window_id": wid, "__ts": ts_on[rep]}
+        if value_col is not None:
+            cols["__v"] = on_t[value_col].to_numpy(
+                zero_copy_only=False)[rep].astype(np.float64)
+        else:
+            cols["__v"] = np.ones(len(rep))
+        cdf = pd.DataFrame(cols)
+        agg = cdf.groupby(gcols + ["window_id"], dropna=False,
+                          as_index=False, sort=False).agg(
+            n=("__v", "size"), sum_value=("__v", "sum"),
+            max_ts=("__ts", "max"))
+        if value_col is None:
+            # count-only semantics: sum_value == n (what the reduce's
+            # per-row path produces with no value column)
+            agg["sum_value"] = agg["n"].astype(np.float64)
+        if hll_p is not None:
+            from gush_ray.stages.sketches import hll_idx_rank
+
+            keys_rep = on_t[key_col].to_numpy(zero_copy_only=False)[rep]
+            idx_a, rank_a = hll_idx_rank(keys_rep, hll_p)
+            # per-row group codes in ORDER OF APPEARANCE — identical to
+            # the sort=False agg's row order, so code i is agg row i
+            # (no keyed lookup: NaN group labels from an unmatched dim
+            # key would miss a dict probe, since distinct NaN objects
+            # hash by identity)
+            codes = cdf.groupby(gcols + ["window_id"], dropna=False,
+                                sort=False).ngroup().to_numpy()
+            regs2d = np.zeros((len(agg), 1 << hll_p), dtype=np.uint8)
+            np.maximum.at(regs2d, (codes, idx_a), rank_a)
+            agg["registers"] = [regs2d[i].tobytes()
+                                for i in range(len(agg))]
+        # route by (groups, window) hash — the same combine recipe as
+        # stages/shuffle.add_partition_column, window_id included so
+        # one group's windows spread
+        h = np.zeros(len(agg), dtype=np.uint64)
+        for g in gcols:
+            h = h * np.uint64(1000003) + stable_hash(
+                agg[g].to_numpy())
+        h = h * np.uint64(1000003) + stable_hash(
+            agg["window_id"].to_numpy())
+        cpart = (h % np.uint64(P)).astype(np.int64)
+        ctab = pa.Table.from_pandas(agg, preserve_index=False)
+        cmax = agg["max_ts"].to_numpy()
+        cn = agg["n"].to_numpy()
+        for pid in np.unique(cpart):
+            sel = cpart == pid
+            i = int(pid)
+            cell_frags[i] = ctab.filter(pa.array(sel))
+            max_ts[i] = max(max_ts[i], int(cmax[sel].max()))
+            rows[i] += int(sel.sum())
+
+    meta = {
+        "max_ts": max_ts,
+        "rows": rows,
+        "rows_read": n_read,
+        "parse_errors": int(n_errors),
+    }
+    return [meta] + late_frags + cell_frags
+
+
 @ray.remote
 def _reduce_partition(
     pid: int,
@@ -300,6 +426,7 @@ def _reduce_partition(
     rfrag_keys: list[int],
     nfrag_keys: list[int],
     ffrag_keys: list[int],
+    cfrag_keys: list[int],
     watermark_us: int,
     *tables,
     prev_done=None,
@@ -356,9 +483,16 @@ def _reduce_partition(
                           tables[n_left + n_right:n_left + n_right + n_nd]):
             if t is not None and t.num_rows:
                 ps.ingest_neardup(epoch, key, t)
-        for key, t in zip(ffrag_keys, tables[n_left + n_right + n_nd:]):
+        n_f = len(ffrag_keys)
+        for key, t in zip(ffrag_keys,
+                          tables[n_left + n_right + n_nd:
+                                 n_left + n_right + n_nd + n_f]):
             if t is not None and t.num_rows:
                 ps.ingest_frontier(epoch, key, t)
+        for key, t in zip(cfrag_keys,
+                          tables[n_left + n_right + n_nd + n_f:]):
+            if t is not None and t.num_rows:
+                ps.ingest_cells(epoch, key, t)
         t_ingest = time.perf_counter()
         metrics = ps.process_epoch_to(epoch, out_dir)
         t_process = time.perf_counter()
@@ -780,6 +914,7 @@ class StreamingJob:
         window_refire: bool = False,
         at_scale: bool = False,
         state_keys_budget: "int | None" = 12_000_000,
+        window_combine: bool = False,
     ):
         """``state_keys_budget``: whole-job budget for each keys-EVER
         state family (dedup maps, near-dup bucket owners, frontier
@@ -852,6 +987,9 @@ class StreamingJob:
         if window_early_fire and mode != "tasks":
             # the early changelog is written by the reduce task
             raise ValueError("window_early_fire requires mode='tasks'")
+        if window_combine and mode != "tasks":
+            # the cell lane rides the tasks-mode fragment protocol
+            raise ValueError("window_combine requires mode='tasks'")
         if (join_spec is not None and join_spec.mode == "asof"
                 and mode != "tasks"):
             # the watermark-gated drain is written by the reduce task
@@ -919,6 +1057,7 @@ class StreamingJob:
             window_refire=window_refire,
             state_keys_cap=(max(state_keys_budget // num_partitions, 1)
                             if state_keys_budget is not None else None),
+            window_combine=window_combine,
         )
         self.right_dir = (normalize_uri(right_dir)
                           if right_dir is not None else None)
@@ -965,6 +1104,11 @@ class StreamingJob:
         # per-partition ref of the LAST submitted reduce: the next epoch's
         # reduce for that partition chains on it (barrier-free scheduling)
         self._reduce_tail: list = [None] * self.P
+        # committed watermark per epoch (window_combine: the map's
+        # deterministic lateness floor for epoch e is the watermark of
+        # epoch e-2 — repopulated from manifests on resume, so a
+        # resumed run classifies identically to the uninterrupted one)
+        self._wm_by_epoch: dict = {}
 
     # ------------------------------------------------------------ setup
 
@@ -1124,6 +1268,10 @@ class StreamingJob:
                         f"{os.path.basename(files[e])!r}"
                     )
             man = self.sink.read_manifest(last)
+            for e in (last - 1, last):
+                if e >= 0:
+                    self._wm_by_epoch[e] = \
+                        self.sink.read_manifest(e)["watermark_us"]
             for p in man["partitions"]:
                 pid = p["partition_id"]
                 self._part_max_ts[pid] = p.get("max_ts_us", NEG_INF)
@@ -1350,13 +1498,29 @@ class StreamingJob:
                       if self.dim_dir is not None else self._dim_holder)
         ndspec = self.params.neardup_spec
         fspec = self.params.frontier_spec
+        combine = None
+        if self.params.window_combine:
+            combine = {
+                "group_cols": self.params.window_group_cols,
+                "size_us": self.params.window_size_us,
+                "slide_us": self.params.window_slide_us,
+                "value_col": self.params.value_col,
+                "hll_p": self.params.window_hll_p,
+                # deterministic lateness floor: committed watermark of
+                # TWO epochs back (what the driver provably knew when
+                # this map was submitted, live or resumed)
+                "wm_floor": int(self._wm_by_epoch.get(epoch - 2,
+                                                      NEG_INF)),
+            }
         nr = (1 + self.P + (self.P if ndspec is not None else 0)
-              + (self.P if fspec is not None else 0))
+              + (self.P if fspec is not None else 0)
+              + (self.P if combine is not None else 0))
         refsets = [
             _map_shard.options(num_returns=nr).remote(
                 s, self.cfg, self.P, dim_holder, self.dim_key,
                 (self.out_dir, "errors", epoch, i), self.key_col,
                 self.raw_ts_col, ndspec, fspec, self.derive_host,
+                combine,
             )
             for i, s in enumerate(shards)
         ]
@@ -1464,6 +1628,8 @@ class StreamingJob:
             # partition, idle partitions excluded as above)
             maxima += active(self._part_max_ts_r, self._part_idle_r)
         watermark = min(maxima) if maxima else NEG_INF
+        self._wm_by_epoch[epoch] = int(watermark)
+        self._wm_by_epoch.pop(epoch - 4, None)  # only e-2 is ever read
 
         if self.mode == "tasks":
             # BARRIER-FREE reduces: submit all P reduce tasks, each chained
@@ -1493,6 +1659,8 @@ class StreamingJob:
                      if self.params.neardup_spec is not None else []),
                     (list(range(len(metas)))
                      if self.params.frontier_spec is not None else []),
+                    (list(range(len(metas)))
+                     if self.params.window_combine else []),
                     watermark,
                     *[rs[1 + pid] for rs in refsets],
                     *[rs[1 + pid] for rs in rrefsets],
@@ -1504,6 +1672,11 @@ class StreamingJob:
                           + (self.P if self.params.neardup_spec is not None
                              else 0) + pid] for rs in refsets]
                       if self.params.frontier_spec is not None else []),
+                    # cell fragments (window_combine) ride the lane the
+                    # band/frontier exchanges would occupy — the profile
+                    # excludes them, so the offset is always 1 + P
+                    *([rs[1 + self.P + pid] for rs in refsets]
+                      if self.params.window_combine else []),
                     prev_done=self._reduce_tail[pid],
                 )
                 for pid in range(self.P)

@@ -245,6 +245,34 @@ class StateParams:
     # partition count (state_keys_budget), so the per-partition cap
     # scales with how many states must co-reside on a node.
     state_keys_cap: "int | None" = None
+    # MAP-SIDE WINDOW COMBINERS (round-5 verdict item 4 — hot-key
+    # mitigation for the commutative window state). The keyed exchange
+    # pins every row of a hot key to one partition by construction —
+    # correct and fundamental for ORDER-DEPENDENT state (V1 dedup, NFA,
+    # sessions), but the window count/sum/HLL accumulators are
+    # commutative partials that merge wherever they live. With
+    # window_combine the job becomes a pure windowed-analytics
+    # topology (Flink's pre-aggregated window pipeline): the MAP task
+    # aggregates each shard's on-time rows into per-(group, window)
+    # CELLS — count, sum, HLL registers, per-cell max event ts — and
+    # ships cells routed by group-hash; the reduce folds cells into
+    # the window slots. A hot key then costs O(map tasks × open
+    # windows) cells on its owner partition instead of O(rows).
+    # SEMANTICS (documented, deliberate): windows aggregate ON-TIME
+    # ARRIVALS — the V1 change/session/NFA sections are off (their
+    # per-key state is exactly what the combiner cannot see), so the
+    # profile refuses pattern/join/neardup/frontier/distinct/quantile/
+    # refire/early-fire/session-value modes. Lateness is classified
+    # map-side against the committed watermark of TWO epochs back
+    # (wm_floor — deterministic across kill→resume because it reads
+    # the epoch-(e-2) manifest, not driver memory); late rows ship raw
+    # on the standard lane and reach the late stream unchanged. A cell
+    # whose window already closed at the restored watermark is dropped
+    # with the `window_expired_dropped` metric (the same rows are
+    # late-routed in the default topology). On an in-order stream the
+    # two topologies produce IDENTICAL windows/hll output
+    # (chaos-test-pinned, tests/test_window_combine.py).
+    window_combine: bool = False
 
     def __post_init__(self):
         if self.window_slide_us and self.window_size_us % self.window_slide_us:
@@ -288,6 +316,24 @@ class StateParams:
                 "exclusive (each changelog keeps its own fold "
                 "invariant; combining them would interleave pre-close "
                 "and post-close retractions in two streams)")
+        if self.window_combine:
+            bad = [n for n, v in (
+                ("pattern", self.pattern),
+                ("join_spec", self.join_spec),
+                ("neardup_spec", self.neardup_spec),
+                ("frontier_spec", self.frontier_spec),
+                ("window_distinct", self.window_distinct or None),
+                ("window_quantiles", self.window_quantiles),
+                ("window_refire", self.window_refire or None),
+                ("window_early_fire", self.window_early_fire or None),
+                ("session_values", self.session_values or None),
+            ) if v is not None]
+            if bad:
+                raise ValueError(
+                    "window_combine is the pure windowed-analytics "
+                    "profile (map-side pre-aggregation): the per-key "
+                    f"order-dependent modes {bad} cannot ride it — "
+                    "run them as a separate (default-topology) job")
 
 
 class PartitionState:
@@ -399,6 +445,8 @@ class PartitionState:
         # key space; dst-url-partitioned)
         self._ffrag_buf: dict[int, list] = {}
         self._ffrag_seen: dict[int, set] = {}
+        self._cfrag_buf: dict[int, list] = {}
+        self._cfrag_seen: dict[int, set] = {}
 
     # -------------------------------------------- direct-exchange ingest
 
@@ -441,6 +489,17 @@ class PartitionState:
         seen.add(frag_key)
         self._ffrag_buf.setdefault(epoch, []).append(table)
 
+    def ingest_cells(self, epoch: int, frag_key: int,
+                     table: pa.Table) -> None:
+        """Buffer one window-CELL fragment of the map-side-combined
+        exchange (window_combine mode; idempotent, same retry contract
+        as :meth:`ingest`)."""
+        seen = self._cfrag_seen.setdefault(epoch, set())
+        if frag_key in seen:
+            return
+        seen.add(frag_key)
+        self._cfrag_buf.setdefault(epoch, []).append(table)
+
     def process_epoch_to(self, epoch: int, base_dir: str) -> dict:
         """Sort + process everything ingested for ``epoch`` and write this
         partition's output files idempotently; returns metrics.
@@ -462,6 +521,8 @@ class PartitionState:
             self._nfrag_seen.pop(epoch, None)
             self._ffrag_buf.pop(epoch, None)
             self._ffrag_seen.pop(epoch, None)
+            self._cfrag_buf.pop(epoch, None)
+            self._cfrag_seen.pop(epoch, None)
             return self._epoch_cache[epoch]["metrics"]
         from gush_ray.sinks.exactly_once import ExactlyOnceSink
 
@@ -497,6 +558,14 @@ class PartitionState:
         if self.frontier is not None:
             metrics = dict(metrics)
             metrics.update(self._process_frontier(epoch, base_dir))
+        if self.p.window_combine:
+            metrics = dict(metrics)
+            cm = self._process_cells(epoch)
+            # rows_in = physical arrivals at this partition: raw late
+            # rows (standard lane) + cell rows — the manifest metric
+            # the hot-key chaos pin reads the owner's load from
+            cm["rows_in"] = metrics.get("rows_in", 0) + cm["combine_cells"]
+            metrics.update(cm)
         self._epoch_cache[epoch] = {"metrics": metrics}
         return metrics
 
@@ -531,6 +600,77 @@ class PartitionState:
                                    self.pid, out_t)
         return {"frontier_rows": int(len(out)),
                 "frontier_seen": int(len(self.frontier.seen))}
+
+    def _process_cells(self, epoch: int) -> dict:
+        """window_combine mode: fold this epoch's map-side-combined
+        window CELLS (count/sum/HLL-register partials per (group,
+        window), routed here by group-hash) into the window slots.
+        Pure commutative merges — addition for count/sum, elementwise
+        max for registers — so the result equals per-row accumulation
+        of the same on-time rows (chaos-test-pinned). Cells whose
+        window already closed at the restored watermark are dropped
+        and counted (`window_expired_dropped`): the same rows are
+        late-routed in the default topology, and folding them would
+        re-open and re-fire a closed window."""
+        p = self.p
+        cfrags = self._cfrag_buf.pop(epoch, [])
+        self._cfrag_seen.pop(epoch, None)
+        if not cfrags:
+            return {"combine_cells": 0, "rows_represented": 0,
+                    "window_expired_dropped": 0}
+        df = pa.concat_tables(
+            cfrags, promote_options="permissive").to_pandas()
+        gcols = list(p.window_group_cols)
+        # state max tracks every represented row (incl. expired-window
+        # cells — their rows DID arrive and already bounded the
+        # driver's watermark inputs via the map metas)
+        if len(df):
+            self.max_ts_us = max(self.max_ts_us,
+                                 int(df["max_ts"].max()))
+        slide = p.window_slide_us or p.window_size_us
+        w_end = df["window_id"].to_numpy() * slide + p.window_size_us
+        expired = w_end <= self.watermark_us
+        n_expired = int(df.loc[expired, "n"].sum())
+        df = df[~expired]
+        n_cells = int(len(df))
+        n_rows = int(df["n"].sum()) if n_cells else 0
+        if n_cells:
+            aggs = {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")}
+            m = df.groupby(gcols + ["window_id"], dropna=False,
+                           as_index=False, sort=False).agg(**aggs)
+            for key, cnt, s in zip(
+                m[gcols + ["window_id"]].itertuples(index=False,
+                                                    name=None),
+                m["n"].to_numpy(), m["sum_value"].to_numpy(),
+            ):
+                key = tuple(
+                    None if (isinstance(v, float) and v != v) else v
+                    for v in key
+                )
+                slot = self.win.setdefault(key, [0, 0.0])
+                slot[0] += int(cnt)
+                slot[1] += float(s)
+                self._win_dirty.add(key)
+            if p.window_hll_p is not None and "registers" in df.columns:
+                for key, grp in df.groupby(gcols + ["window_id"],
+                                           sort=False, dropna=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    key = tuple(
+                        None if (isinstance(v, float) and v != v) else v
+                        for v in key
+                    )
+                    reg = self.winh.get(key)
+                    if reg is None:
+                        reg = self.winh[key] = np.zeros(
+                            1 << p.window_hll_p, dtype=np.uint8)
+                    for blob in grp["registers"]:
+                        np.maximum(reg,
+                                   np.frombuffer(blob, dtype=np.uint8),
+                                   out=reg)
+                    self._winh_dirty.add(key)
+        return {"combine_cells": n_cells, "rows_represented": n_rows,
+                "window_expired_dropped": n_expired}
 
     def _process_neardup(self, epoch: int, base_dir: str) -> dict:
         """Streaming near-dup step: this epoch's band rows (routed here
@@ -1093,22 +1233,29 @@ class PartitionState:
         cap = self.p.state_keys_cap
         if cap is None:
             return
-        cut = self.cap_cutoff_ts(self.last_ts.values(), len(self.last_ts),
-                                 cap, wm)
-        if cut is not None:
-            expired = [k for k, t in self.last_ts.items() if t < cut]
-            for k in expired:
-                del self.last_ts[k]
-                self.version.pop(k, None)
-                self._dirty.discard(k)
-            self._evicted.update(expired)
-            self.evicted_total += len(expired)
-            self._note_cap_engaged("dedup", len(expired))
-        if self.neardup is not None:
+        # the cap is the NO-CONFIG safety net: a section the user
+        # already bounded with an explicit event-time TTL is their
+        # deliberate sizing decision — capping it too would silently
+        # shrink a deliberately-sized horizon (found by the round-5
+        # ops drill: the default cap halved the TTL-bounded near-dup
+        # hit counts of the headroom corpus)
+        if self.p.dedup_ttl_us is None:
+            cut = self.cap_cutoff_ts(self.last_ts.values(),
+                                     len(self.last_ts), cap, wm)
+            if cut is not None:
+                expired = [k for k, t in self.last_ts.items() if t < cut]
+                for k in expired:
+                    del self.last_ts[k]
+                    self.version.pop(k, None)
+                    self._dirty.discard(k)
+                self._evicted.update(expired)
+                self.evicted_total += len(expired)
+                self._note_cap_engaged("dedup", len(expired))
+        if self.neardup is not None and self.neardup.spec.ttl_us is None:
             n = self.neardup.cap(cap, wm)
             if n:
                 self._note_cap_engaged("neardup", n)
-        if self.frontier is not None:
+        if self.frontier is not None and self.frontier.spec.ttl_us is None:
             n = self.frontier.cap(cap, wm)
             if n:
                 self._note_cap_engaged("frontier", n)
@@ -1934,6 +2081,8 @@ class PartitionState:
         self._nfrag_seen = {}
         self._ffrag_buf = {}
         self._ffrag_seen = {}
+        self._cfrag_buf = {}
+        self._cfrag_seen = {}
 
     def apply_delta_bytes(self, blob: bytes) -> None:
         if blob[:4] != self._DELTA_MAGIC:

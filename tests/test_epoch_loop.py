@@ -159,7 +159,7 @@ def test_reduce_task_retry_idempotent(pages_dir, tmp_path):
         return ray.get(
             _reduce_partition.remote(
                 0, 0, None, snap_out, out, job.params,
-                list(range(len(metas))), [], [], [], -(1 << 62),
+                list(range(len(metas))), [], [], [], [], -(1 << 62),
                 *[rs[1] for rs in refsets],
             )
         )

@@ -1,0 +1,160 @@
+"""Map-side window combiners (round-5 verdict item 4): the hot-key
+mitigation for the commutative window state. A hot url pins O(rows) to
+one partition in the default keyed exchange; with ``window_combine``
+the map pre-aggregates per-(group, window) cells and the owner costs
+O(map tasks × open windows). The chaos pin: a 30%-of-stream hot key,
+default topology vs combined topology — windows + HLL output IDENTICAL,
+owner-partition rows_in drops >= 5x."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gush_ray.pipelines.epoch_loop import StreamingJob
+from gush_ray.sinks.exactly_once import ExactlyOnceSink
+
+N_EPOCHS = 4
+ROWS_PER_EPOCH = 6000
+HOT_FRAC = 0.30
+
+
+def _write_hotkey_pages(root, seed=97):
+    """In-order stream (every epoch's rows above all earlier ones) with
+    a 30% hot url — the adversarial shape for the keyed exchange."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr", "pt"])
+    for e in range(N_EPOCHS):
+        n = ROWS_PER_EPOCH
+        hot = rng.random(n) < HOT_FRAC
+        urls = np.array([f"https://x.org/u{e}_{i}" for i in range(n)],
+                        dtype=object)
+        urls[hot] = "https://hot.example.com/"
+        ts = (np.int64(1_700_000_000_000_000)
+              + np.int64(e) * 1_800_000_000
+              + np.sort(rng.integers(0, 1_799_000_000, n)))
+        tab = pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "lang": pa.array(rng.choice(langs, n)),
+            "size": pa.array(rng.integers(100, 5000, n).astype("float64")),
+        })
+        d = os.path.join(root, f"epoch={e:04d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tab, os.path.join(d, "part-0.parquet"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def hot_pages(tmp_path_factory):
+    return _write_hotkey_pages(str(tmp_path_factory.mktemp("hot")))
+
+
+def _run(pages, out, run_id, combine):
+    job = StreamingJob(
+        pages, out, run_id=run_id, num_partitions=4, pattern=None,
+        window_group_cols=("lang",), value_col="size",
+        window_hll_p=10, window_combine=combine)
+    job.run()
+    return job
+
+
+def _norm_windows(df):
+    m = df.groupby(["lang", "window_id"], as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum"))
+    return m.sort_values(["lang", "window_id"]).reset_index(drop=True)
+
+
+def _owner_rows(out):
+    """Max per-partition total rows_in across the run — the hot-key
+    owner's load."""
+    sink = ExactlyOnceSink(out)
+    tot = {}
+    for e in sink.committed_epochs():
+        for p in sink.read_manifest(e)["partitions"]:
+            tot[p["partition_id"]] = (tot.get(p["partition_id"], 0)
+                                      + p.get("rows_in", 0))
+    return max(tot.values())
+
+
+def test_hotkey_combine_identical_output_and_load_drop(
+        ray_session, hot_pages, tmp_path):
+    jd = _run(hot_pages, str(tmp_path / "default"), "hk-d", False)
+    jc = _run(hot_pages, str(tmp_path / "combine"), "hk-c", True)
+
+    # windows: same global (group, window) totals, exactly
+    wd = _norm_windows(jd.read_output("windows"))
+    wc = _norm_windows(jc.read_output("windows"))
+    pd.testing.assert_frame_equal(wd, wc)
+    assert wd["n"].sum() == N_EPOCHS * ROWS_PER_EPOCH
+
+    # HLL distinct estimates: a pure function of each window's key SET
+    # (fixed hash), so the streams are IDENTICAL row-for-row
+    hd = jd.read_output("window_hll")
+    hc = jc.read_output("window_hll")
+    cols = ["lang", "window_id", "n_est"]
+    pd.testing.assert_frame_equal(
+        hd[cols].sort_values(cols).reset_index(drop=True),
+        hc[cols].sort_values(cols).reset_index(drop=True))
+    assert len(hd) > 0
+
+    # in-order stream: nothing late in either topology
+    assert len(jd.read_output("late")) == 0
+    assert len(jc.read_output("late")) == 0
+
+    # the mitigation itself: the hot key's owner partition carried the
+    # whole key in the default exchange; cells spread it
+    owner_d = _owner_rows(str(tmp_path / "default"))
+    owner_c = _owner_rows(str(tmp_path / "combine"))
+    assert owner_d >= HOT_FRAC * N_EPOCHS * ROWS_PER_EPOCH  # sanity
+    assert owner_d / owner_c >= 5, (owner_d, owner_c)
+
+    # conservation metric: every on-time row is represented in cells
+    sink = ExactlyOnceSink(str(tmp_path / "combine"))
+    rep = sum(p.get("rows_represented", 0)
+              for e in sink.committed_epochs()
+              for p in sink.read_manifest(e)["partitions"])
+    assert rep == N_EPOCHS * ROWS_PER_EPOCH
+
+    from gush_ray.fsck import audit
+    for d in ("default", "combine"):
+        r = audit(str(tmp_path / d))
+        assert r["ok"] and not r["problems"], (d, r["problems"])
+
+
+def test_combine_kill_resume_parity(ray_session, hot_pages, tmp_path):
+    """The lateness floor is read from the epoch-(e-2) manifest, so a
+    resumed combined run reproduces the uninterrupted one exactly."""
+    ja = _run(hot_pages, str(tmp_path / "a"), "hkr-a", True)
+    jb = StreamingJob(hot_pages, str(tmp_path / "b"), run_id="hkr-b",
+                      num_partitions=4, pattern=None,
+                      window_group_cols=("lang",), value_col="size",
+                      window_hll_p=10, window_combine=True)
+    jb.run(stop_after=2)
+    jb2 = StreamingJob(hot_pages, str(tmp_path / "b"), run_id="hkr-b2",
+                       num_partitions=4, pattern=None,
+                       window_group_cols=("lang",), value_col="size",
+                       window_hll_p=10, window_combine=True)
+    jb2.run()
+    pd.testing.assert_frame_equal(
+        _norm_windows(ja.read_output("windows")),
+        _norm_windows(jb2.read_output("windows")))
+    cols = ["lang", "window_id", "n_est"]
+    pd.testing.assert_frame_equal(
+        ja.read_output("window_hll")[cols].sort_values(cols)
+        .reset_index(drop=True),
+        jb2.read_output("window_hll")[cols].sort_values(cols)
+        .reset_index(drop=True))
+
+
+def test_combine_refuses_order_dependent_modes(hot_pages, tmp_path):
+    with pytest.raises(ValueError, match="windowed-analytics"):
+        StreamingJob(hot_pages, str(tmp_path / "x"), run_id="hk-x",
+                     num_partitions=2, window_combine=True)  # default NFA
+    with pytest.raises(ValueError, match="windowed-analytics"):
+        StreamingJob(hot_pages, str(tmp_path / "y"), run_id="hk-y",
+                     num_partitions=2, pattern=None, window_combine=True,
+                     window_distinct=True)
