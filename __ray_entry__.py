@@ -101,7 +101,16 @@ _PRIORITY = [
     # (content_chunks keeps the rolling-hash family) — all three stay
     # green in tests/test_oracle.py. link_extract/link_components stay
     # outside the 50 (same fixture + graph as pagerank).
-    "pagerank", "url_canonical_dedup", "dsir_select",
+    # round-5 rotation: incremental_pagerank — the evolving-graph WARM
+    # RESTART (4 integer-exact iterations over the "first crawl" edge
+    # subset, then 4 more over the FULL edge set warm-started from
+    # phase A's rank vector; stages/web.pagerank init_ranks) — is
+    # strictly stronger evidence for the PageRank kernel than the
+    # uniform-start anchor it replaces: the oracle's CTE chain replays
+    # BOTH phases (per-phase out-degrees, warm pr4 handoff), of which
+    # plain pagerank is the degenerate one-phase case. pagerank stays
+    # green in tests/test_oracle.py.
+    "incremental_pagerank", "url_canonical_dedup", "dsir_select",
     # pages_refire (round 3, seventh wave): Flink-style allowed-
     # lateness window RE-FIRING with a retraction changelog (the
     # window_updates stream) — a new streaming-semantics family; it

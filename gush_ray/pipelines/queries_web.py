@@ -173,6 +173,72 @@ SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM pr{_PR_ITERS}
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_incremental_pagerank(sf_dir: str):
+    """INCREMENTAL PageRank (evolving-graph warm restart, round-5
+    new family): phase A runs 4 integer-exact iterations over the
+    "first crawl" edge subset (the deterministic arithmetic cut
+    ``(src*31 + dst) % 3 != 0`` — no extra fixture column needed);
+    phase B continues 4 MORE iterations over the FULL edge set,
+    warm-started from phase A's rank vector (stages/web.pagerank
+    ``init_ranks``) — the production pattern when a crawl grows and
+    ranks keep converging from where they were instead of restarting
+    uniform. All arithmetic is int64 floor division, so the two-phase
+    result is bit-identical to the oracle's unrolled CTE chain (warm
+    pr4 feeding the full-graph iterations with their own out-degrees).
+    """
+    edges, pages = _edge_dataset()
+    nodes = pages.map_batches(lambda b: b[["page_id"]].rename(
+        columns={"page_id": "node"}), batch_format="pandas")
+    edges_a = edges.map_batches(
+        lambda b: b[(b["src"] * 31 + b["dst"]) % 3 != 0],
+        batch_format="pandas").materialize()
+    pr_a = pagerank(edges_a, nodes, iters=_PR_ITERS // 2,
+                    scale=_PR_SCALE)
+    pr = pagerank(edges, nodes, iters=_PR_ITERS // 2, scale=_PR_SCALE,
+                  init_ranks=pr_a)
+    return pr.map_batches(
+        lambda b: b.rename(columns={"node": "page_id"}),
+        batch_format="pandas")
+
+
+def _sql_incremental_pagerank() -> str:
+    n_nodes = 900  # fixture-fixed, as for the pagerank oracle
+    r0 = _PR_SCALE // n_nodes
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    half = _PR_ITERS // 2
+
+    def step(k: int, edges_name: str, deg_name: str) -> str:
+        return f"""
+pr{k} AS MATERIALIZED (
+  SELECT n.page_id AS page_id,
+         {base}::BIGINT + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM pages n LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.r // d.d) AS c
+    FROM pr{k-1} p
+    JOIN {edges_name} e ON e.src = p.page_id
+    JOIN {deg_name} d ON d.src = e.src
+    GROUP BY e.dst) s ON s.dst = n.page_id)"""
+
+    ctes = [f"pr0 AS (SELECT page_id, {r0}::BIGINT AS r FROM pages)"]
+    for k in range(1, half + 1):
+        ctes.append(step(k, "edges_a", "deg_a"))
+    for k in range(half + 1, 2 * half + 1):
+        ctes.append(step(k, "edges", "deg"))
+    chain = ",".join(ctes)
+    return f"""
+WITH {_SQL_GRAPH_BASE},
+edges_a AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE (src*31 + dst) % 3 <> 0),
+deg_a AS MATERIALIZED (SELECT src, count(*) AS d FROM edges_a GROUP BY src),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+{chain}
+SELECT page_id, CAST(r AS BIGINT) AS rank_micro FROM pr{2 * half}
+"""
+
+
+SQL_INCREMENTAL_PAGERANK = _sql_incremental_pagerank()
+
+
 _HITS_ITERS = 4
 
 
@@ -1089,6 +1155,8 @@ def ensure_web_fixtures() -> None:
 WEB_QUERIES = {
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "incremental_pagerank": (q_incremental_pagerank,
+                             SQL_INCREMENTAL_PAGERANK),
     "link_components": (q_link_components, SQL_LINK_COMPONENTS),
     "url_canonical_dedup": (q_url_canonical_dedup,
                             SQL_URL_CANONICAL_DEDUP),

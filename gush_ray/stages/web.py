@@ -241,7 +241,7 @@ PR_SCALE = 10**12  # micro-rank units: 1.0 of rank mass == PR_SCALE
 def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
              damp_num: int = 85, damp_den: int = 100,
              node_col: str = "node", src_col: str = "src",
-             dst_col: str = "dst", seeds=None):
+             dst_col: str = "dst", seeds=None, init_ranks=None):
     """Integer-exact PageRank over a Dataset edge list.
 
     ``r0(v) = scale // N``;
@@ -299,7 +299,25 @@ def pagerank(edges, nodes, *, iters: int = 8, scale: int = PR_SCALE,
              else np.where(v.isin(seed_set), r0, 0).astype(np.int64))
         return pd.DataFrame({src_col: v.to_numpy(), "r": r})
 
-    ranks = nodes.map_batches(init, batch_format="pandas").materialize()
+    if init_ranks is not None:
+        # WARM START (incremental recomputation): continue iterating
+        # from a previous run's rank vector instead of uniform — the
+        # evolving-graph pattern (crawl grows, ranks keep converging
+        # from where they were; same iterations thereafter, so the
+        # result stays bit-replayable by the SQL chain with a warm pr0)
+        def warm(b: pd.DataFrame) -> pd.DataFrame:
+            cols = {node_col: src_col, "rank_micro": "r"}
+            out_b = b.rename(columns={k: v for k, v in cols.items()
+                                      if k in b.columns})
+            return pd.DataFrame({
+                src_col: out_b[src_col].to_numpy(),
+                "r": out_b["r"].to_numpy(np.int64)})
+
+        ranks = init_ranks.map_batches(
+            warm, batch_format="pandas").materialize()
+    else:
+        ranks = nodes.map_batches(init,
+                                  batch_format="pandas").materialize()
 
     def contrib(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
