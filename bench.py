@@ -417,6 +417,94 @@ def _minhash_dedup_fast(sf_dir: str):
                              num_bands=16, shingle=3, hash_fn="fast")
 
 
+def _headroom_block() -> dict:
+    """Per-round at-scale regression row (round-5 verdict item 7): a
+    REDUCED cut of the round-4 sf1 TTL headroom run — the composed
+    flagship (dim join + stream-stream click join + streaming
+    MinHash/LSH near-dup + windowed top-k + NFA, dedup/near-dup TTL
+    45 min) over the cached 12M-url CDC-shaped corpus, first 5 arrival
+    epochs (~13M rows) — so the bounded-state path cannot regress
+    silently between rounds. Falls back to a 3M-url/4-epoch corpus
+    (generated once, cached) when the 12M cache is absent. Runs inside
+    the bench's Ray session; records rows/s, per-epoch snapshot bytes
+    (the TTL plateau), TTL evictions, capacity-cap engagements (must
+    stay 0 — both sections carry explicit TTLs) and a prefix fsck."""
+    import shutil
+    import uuid
+
+    from gush_ray.datagen import (gen_dim_sites, write_clicks_dir_parallel,
+                                  write_pages_dir_parallel)
+    from gush_ray.fsck import audit
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+    from gush_ray.sinks.exactly_once import ExactlyOnceSink
+    from gush_ray.state.join_state import JoinSpec
+    from gush_ray.state.neardup import NearDupSpec
+
+    def complete(d):
+        return os.path.exists(os.path.join(d, "_COMPLETE"))
+
+    urls, epochs, stop_after = 12_000_000, 16, 5
+    pages = f"/tmp/gush_scale_pages/u{urls}_s77_e{epochs}_uf0.9_p1"
+    clicks = f"/tmp/gush_scale_clicks/u{urls}_s77_e{epochs}_p1"
+    if not (complete(pages) and complete(clicks)):
+        urls, epochs, stop_after = 3_000_000, 8, 4
+        pages = f"/tmp/gush_scale_pages/u{urls}_s77_e{epochs}_uf0.9_p1"
+        clicks = f"/tmp/gush_scale_clicks/u{urls}_s77_e{epochs}_p1"
+        if not complete(pages):
+            write_pages_dir_parallel(pages, n_urls=urls, seed=77,
+                                     n_epochs=epochs, update_frac=0.9)
+            open(os.path.join(pages, "_COMPLETE"), "w").write("ok")
+        if not complete(clicks):
+            write_clicks_dir_parallel(clicks, n_urls=urls, seed=77,
+                                      clicks_per_epoch=600_000,
+                                      n_epochs=epochs)
+            open(os.path.join(clicks, "_COMPLETE"), "w").write("ok")
+
+    ttl = 45 * 60 * 1_000_000
+    half_h = 30 * 60 * 1_000_000
+    out = f"/tmp/gush_bench_headroom/{uuid.uuid4().hex}"
+    dim = gen_dim_sites(max(4, urls // 20)).to_pandas()
+    job = StreamingJob(
+        pages, out, run_id=uuid.uuid4().hex, num_partitions=32,
+        dim_df=dim, window_group_cols=("category", "change_kind"),
+        window_topk=10, dedup_ttl_us=ttl,
+        right_dir=clicks,
+        join_spec=JoinSpec(-half_h, half_h, left_cols=("version",),
+                           right_cols=("click_id",)),
+        neardup_spec=NearDupSpec(hash_fn="fast", ttl_us=ttl))
+    t0 = time.perf_counter()
+    job.run(stop_after=stop_after)
+    wall = time.perf_counter() - t0
+
+    sink = ExactlyOnceSink(out)
+    rows = near = pairs = evicted = caps = 0
+    snap_mb = []
+    for e in sink.committed_epochs():
+        parts = sink.read_manifest(e)["partitions"]
+        rows += sum(p.get("rows_in", 0) + p.get("right_rows_in", 0)
+                    for p in parts)
+        near += sum(p.get("near_dup_rows", 0) for p in parts)
+        pairs += sum(p.get("joined_rows", 0) for p in parts)
+        evicted = sum(p.get("ttl_evicted", 0) for p in parts)
+        caps += sum(1 for p in parts if p.get("state_cap_engaged"))
+        snap_mb.append(round(sum(p.get("snapshot_bytes", 0)
+                                 for p in parts) / 1e6, 1))
+    rep = audit(out)
+    block = {
+        "urls": urls, "epochs_run": stop_after, "partitions": 32,
+        "ttl_min": 45, "rows": rows, "sec": round(wall, 2),
+        "rows_per_sec": round(rows / wall, 1),
+        "near_dups": near, "join_pairs": pairs,
+        "ttl_evicted_total": int(evicted),
+        "state_cap_engaged_rows": caps,
+        "snapshot_mb_per_epoch": snap_mb,
+        "fsck_ok": bool(rep["ok"] and not rep["problems"]),
+    }
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return block
+
+
 def run_bench() -> dict:
     import ray
 
@@ -540,6 +628,14 @@ def run_bench() -> dict:
         "flagship_quantiles_rows": flag_wq["rows"],
         "flagship_quantiles_emitted": flag_wq["quantile_rows"],
     }
+    # per-round at-scale regression row (reduced sf1 TTL headroom run;
+    # GUSH_BENCH_HEADROOM=0 skips). Never fails the whole bench: the
+    # block records its own error string instead.
+    if os.environ.get("GUSH_BENCH_HEADROOM", "1") != "0":
+        try:
+            result["headroom"] = _headroom_block()
+        except Exception as exc:  # noqa: BLE001 - recorded, not raised
+            result["headroom"] = {"error": f"{type(exc).__name__}: {exc}"}
     # attach the most recent `--scaling` measurement (the north-rule
     # two-cluster-size criterion runs as its own multi-process job; the
     # full history with host-ceiling context is in BENCH/BASELINE.md)
