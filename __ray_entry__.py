@@ -178,7 +178,15 @@ _PRIORITY = [
     # stay green in tests), boilerplate_removal = per-host corpus
     # cleaning (replaces heavy_hitters; the sketch family keeps
     # bloom_semi at slot 50)
-    "boilerplate_removal", "streaming_frontier",
+    # round-5 rotation: window_combine_stream — the map-side-combined
+    # window topology (hot-key mitigation: per-(group, window) cells
+    # pre-aggregated in the map, group-hash cell exchange, additive
+    # reduce fold; 816x owner-load drop chaos-pinned in
+    # tests/test_window_combine.py) — is a NEW topology family; it
+    # takes boilerplate_removal's slot (the line-frequency corpus-
+    # cleaning family keeps line_dedup as its driver rep, and the
+    # boilerplate pair stays green in tests/test_oracle.py)
+    "window_combine_stream", "streaming_frontier",
     # window_quantiles_stream (round 3, seventh wave): streaming EXACT
     # per-window order statistics — per-partition value histograms
     # merged by a second-stage task, quantile_disc semantics (replaces

@@ -2206,6 +2206,51 @@ def q_early_fire_fold(sf_dir: str):
         drop=True)
 
 
+SQL_WINDOW_COMBINE = """
+SELECT event_type,
+       epoch_us(ts) // 21600000000 AS window_id,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_window_combine_stream(sf_dir: str):
+    """MAP-SIDE-COMBINED streaming windows (round-5 hot-key
+    mitigation, StateParams.window_combine): the map task
+    pre-aggregates each shard's on-time rows into per-(group, window)
+    cells — count, sum, per-cell max event ts — routed by group+window
+    hash; the reduce folds cells into the window slots, so a hot key
+    costs its owner O(map tasks × windows) instead of O(rows)
+    (chaos-pinned 816× owner-load drop in tests/test_window_combine.py).
+    Window semantics in this profile are ON-TIME ARRIVALS; over the
+    ts-sorted events epoch stream nothing is ever late, so the
+    combined streaming result equals the plain batch GROUP BY at any
+    partition count — P=4 here exercises the real cell exchange +
+    cross-partition additive merge. sum_value carries the repo's
+    6-decimal summation-order rounding contract (see
+    q_session_values_stream)."""
+    from gush_ray.pipelines.epoch_loop import StreamingJob
+
+    epochs_dir = _ensure_events_epochs(sf_dir)
+    out_dir = f"/tmp/gush_ray_q/{uuid.uuid4().hex}"
+    job = StreamingJob(
+        epochs_dir, out_dir, run_id=uuid.uuid4().hex, num_partitions=4,
+        pattern=None, window_size_us=6 * 3600 * 1_000_000,
+        window_group_cols=("event_type",), key_col="user_id",
+        raw_ts_col="ts", value_col="value", window_combine=True,
+    )
+    job.run()
+    w = job.read_output("windows")
+    job.kill_actors()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    m = w.groupby(["event_type", "window_id"], as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum"))
+    m["sum_value"] = m["sum_value"].round(6)
+    return m.sort_values(["event_type", "window_id"]).reset_index(
+        drop=True)
+
+
 def q_window_quantiles_stream(sf_dir: str):
     """Streaming windowed EXACT order statistics (two-stage dataflow):
     every open (event_type, 6h window) accumulates an exact value
@@ -2967,6 +3012,8 @@ EXTRA_QUERIES = {
     "windowed_unique": (q_windowed_unique, SQL_WINDOWED_UNIQUE),
     "windowed_hll": (q_windowed_hll, SQL_WINDOWED_HLL),
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
+    "window_combine_stream": (q_window_combine_stream,
+                              SQL_WINDOW_COMBINE),
     "window_quantiles_stream": (q_window_quantiles_stream,
                                 SQL_WINDOW_QUANTILES),
     "window_quantiles_sketch": (q_window_quantiles_sketch,
