@@ -158,3 +158,87 @@ def test_combine_refuses_order_dependent_modes(hot_pages, tmp_path):
         StreamingJob(hot_pages, str(tmp_path / "y"), run_id="hk-y",
                      num_partitions=2, pattern=None, window_combine=True,
                      window_distinct=True)
+
+
+def test_combine_sliding_windows_match_default(ray_session, hot_pages,
+                                               tmp_path):
+    """Sliding windows ride the cell path by row replication in the
+    MAP (one cell contribution per overlapping window) — totals must
+    equal the default topology's per-row replication exactly."""
+    def run(out, run_id, combine):
+        job = StreamingJob(
+            hot_pages, out, run_id=run_id, num_partitions=4,
+            pattern=None, window_group_cols=("lang",),
+            window_size_us=30 * 60 * 1_000_000,
+            window_slide_us=10 * 60 * 1_000_000,
+            value_col="size", window_combine=combine)
+        job.run()
+        return job
+
+    jd = run(str(tmp_path / "d"), "sl-d", False)
+    jc = run(str(tmp_path / "c"), "sl-c", True)
+    pd.testing.assert_frame_equal(
+        _norm_windows(jd.read_output("windows")),
+        _norm_windows(jc.read_output("windows")))
+
+
+def test_combine_expired_cells_dropped_exactly_once(ray_session,
+                                                    tmp_path):
+    """A watermark jump makes the deterministic lateness floor
+    (epoch-(e-2) watermark) lag the state's watermark: cells can then
+    target ALREADY-CLOSED windows. They must be DROPPED and counted
+    (window_expired_dropped) — folding them would re-open and re-fire
+    a closed window, breaking exactly-once on the windows stream."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "pages")
+    H = 3600 * 1_000_000
+    base = 1_700_000_000_000_000
+
+    def write_epoch(e, ts_list):
+        d = os.path.join(root, f"epoch={e:04d}")
+        os.makedirs(d, exist_ok=True)
+        tab = pa.table({
+            "url": pa.array([f"u{e}_{i}" for i in range(len(ts_list))]),
+            "warc_ts": pa.array(np.array(ts_list, dtype=np.int64),
+                                type=pa.timestamp("us")),
+            "lang": pa.array(["en"] * len(ts_list)),
+            "size": pa.array(np.ones(len(ts_list))),
+        })
+        pq.write_table(tab, os.path.join(d, "part-0.parquet"))
+
+    # epoch 0: ts up to 1h; epoch 1: watermark JUMPS to 10h;
+    # epoch 2: rows at ~2h — above wm_floor(2)=wm(0)=1h, so they are
+    # combined as on-time, but their windows closed when wm hit 10h
+    write_epoch(0, [base + i * 60_000_000 for i in range(60)])
+    write_epoch(1, [base + 10 * H])
+    write_epoch(2, [base + 2 * H + i * 60_000_000 for i in range(10)])
+
+    # P=1: the watermark is min over partition maxima, so the jump
+    # must land on EVERY partition to advance it — one partition makes
+    # the scenario deterministic
+    job = StreamingJob(root, str(tmp_path / "out"), run_id="exp-c",
+                       num_partitions=1, pattern=None,
+                       window_group_cols=("lang",), value_col="size",
+                       window_combine=True)
+    job.run()
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    dropped = sum(p.get("window_expired_dropped", 0)
+                  for e in sink.committed_epochs()
+                  for p in sink.read_manifest(e)["partitions"])
+    assert dropped == 10  # every epoch-2 row targeted a closed window
+
+    # exactly-once: no window fired twice (one row per (group, window)
+    # per OWNING partition; here all epoch-0 windows closed once)
+    w = job.read_output("windows")
+    assert not w.duplicated(["lang", "window_id"]).any()
+    # the dropped rows are in NO stream (documented: the default
+    # topology late-routes them; the combined profile drops-and-counts)
+    assert w["n"].sum() == 61  # 60 epoch-0 rows + the jump row
+
+    from gush_ray.fsck import audit
+    rep = audit(str(tmp_path / "out"))
+    assert rep["ok"] and not rep["problems"]
