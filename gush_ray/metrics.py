@@ -52,6 +52,9 @@ def summarize(out_dir: str) -> dict:
             # cumulative counters: the LAST epoch's value is the total
             "ttl_evicted": _sum(parts, "ttl_evicted"),
             "nfa_truncated": _sum(parts, "nfa_truncated"),
+            # partitions running in bounded-state mode (capacity-wall
+            # escalation engaged — StateParams.state_keys_cap)
+            "cap_engaged_partitions": _sum(parts, "state_cap_engaged"),
             "idle_partitions": sum(
                 1 for p in parts if p.get("idle_epochs", 0) > 0),
             # hot-key skew: max/mean per-partition rows_in (1.0 =
@@ -75,6 +78,8 @@ def summarize(out_dir: str) -> dict:
         "totals": totals,
         # cumulative-by-design counters: read from the last epoch
         "ttl_evicted_total": epochs[-1]["ttl_evicted"] if epochs else 0,
+        "cap_engaged_partitions": (epochs[-1]["cap_engaged_partitions"]
+                                   if epochs else 0),
         "nfa_truncated_total": epochs[-1]["nfa_truncated"] if epochs else 0,
         "last_watermark_us": epochs[-1]["watermark_us"] if epochs else None,
         "max_imbalance": max(
@@ -101,7 +106,8 @@ def _print_table(rep: dict) -> None:
         f"({t['late']} late, {t['replays_dropped']} replays, "
         f"{t['stale_dropped']} stale), {t['matches']} matches; "
         f"ttl_evicted={rep['ttl_evicted_total']} "
-        f"nfa_truncated={rep['nfa_truncated_total']}"
+        f"nfa_truncated={rep['nfa_truncated_total']} "
+        f"cap_engaged={rep['cap_engaged_partitions']}"
     )
 
 
