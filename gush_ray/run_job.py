@@ -134,6 +134,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="evict frontier seen-entries idle this long in "
                          "event time (bounds state; an evicted url "
                          "re-emits if rediscovered; implies --frontier)")
+    ap.add_argument("--window-combine", action="store_true",
+                    help="map-side window combiners (hot-key "
+                         "mitigation): pre-aggregate per-(group, "
+                         "window) cells in the map; pure windowed-"
+                         "analytics profile — refuses the per-key "
+                         "order-dependent modes (pass no pattern)")
+    ap.add_argument("--state-keys-budget", type=int, default=12_000_000,
+                    help="whole-job cap for each keys-ever state "
+                         "family (dedup maps, near-dup buckets, "
+                         "frontier seen); per-partition cap = budget/P;"
+                         " crossing it engages bounded-state eviction "
+                         "with a manifest record; 0 disables")
     ap.add_argument("--statsd", default=None,
                     help="push per-epoch metrics as statsd lines: "
                          "'host[:port]' (UDP), 'file:///path', or unset "
@@ -196,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
         statsd=args.statsd,
         neardup_spec=_neardup_spec(args),
         frontier_spec=_frontier_spec(args),
+        window_combine=args.window_combine,
+        state_keys_budget=(args.state_keys_budget
+                           if args.state_keys_budget > 0 else None),
+        # the combined profile is pure windowed analytics: the default
+        # NFA pattern is a per-key mode it refuses by design
+        **({"pattern": None} if args.window_combine else {}),
         **({"window_group_cols":
             tuple(args.window_group_cols.split(","))}
            if args.window_group_cols else {}),
