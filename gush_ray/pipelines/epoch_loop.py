@@ -369,11 +369,8 @@ def _map_combine(batch: pa.Table, combine: dict, P: int, key_col: str,
             # count-only semantics: sum_value == n (what the reduce's
             # per-row path produces with no value column)
             agg["sum_value"] = agg["n"].astype(np.float64)
-        if hll_p is not None:
-            from gush_ray.stages.sketches import hll_idx_rank
-
-            keys_rep = on_t[key_col].to_numpy(zero_copy_only=False)[rep]
-            idx_a, rank_a = hll_idx_rank(keys_rep, hll_p)
+        codes = None
+        if hll_p is not None or combine.get("sketch_k") is not None:
             # per-row group codes in ORDER OF APPEARANCE — identical to
             # the sort=False agg's row order, so code i is agg row i
             # (no keyed lookup: NaN group labels from an unmatched dim
@@ -381,10 +378,37 @@ def _map_combine(batch: pa.Table, combine: dict, P: int, key_col: str,
             # hash by identity)
             codes = cdf.groupby(gcols + ["window_id"], dropna=False,
                                 sort=False).ngroup().to_numpy()
+        if hll_p is not None:
+            from gush_ray.stages.sketches import hll_idx_rank
+
+            keys_rep = on_t[key_col].to_numpy(zero_copy_only=False)[rep]
+            idx_a, rank_a = hll_idx_rank(keys_rep, hll_p)
             regs2d = np.zeros((len(agg), 1 << hll_p), dtype=np.uint8)
             np.maximum.at(regs2d, (codes, idx_a), rank_a)
             agg["registers"] = [regs2d[i].tobytes()
                                 for i in range(len(agg))]
+        if combine.get("sketch_k") is not None:
+            # bounded per-cell value HISTOGRAM for windowed quantiles:
+            # bucketize with the SAME monotone DDSketch transform the
+            # reduce uses (store._sketch_rep), then one groupby on
+            # (cell, bucket) — a cell holds at most O(octaves × k)
+            # distinct reps whatever the value cardinality. NaN/None
+            # values are excluded (the order statistics ignore NULLs;
+            # the count/sum slots above still see the row).
+            import pickle as _pickle
+
+            from gush_ray.state.store import _sketch_rep
+
+            vals = cols["__v"]
+            reps_v = _sketch_rep(np.asarray(vals, dtype=np.float64),
+                                 combine["sketch_k"])
+            hmask = ~np.isnan(reps_v)
+            hd = pd.DataFrame({"c": codes[hmask], "v": reps_v[hmask]})
+            hists: list = [{} for _ in range(len(agg))]
+            hg = hd.groupby(["c", "v"], sort=False).size()
+            for (c, v), n_ in zip(hg.index, hg.to_numpy()):
+                hists[int(c)][float(v)] = int(n_)
+            agg["hist"] = [_pickle.dumps(h) for h in hists]
         # route by (groups, window) hash — the same combine recipe as
         # stages/shuffle.add_partition_column, window_id included so
         # one group's windows spread
@@ -1520,6 +1544,7 @@ class StreamingJob:
                 "slide_us": self.params.window_slide_us,
                 "value_col": self.params.value_col,
                 "hll_p": self.params.window_hll_p,
+                "sketch_k": self.params.quantile_sketch_k,
                 # deterministic lateness floor: committed watermark of
                 # TWO epochs back (what the driver provably knew when
                 # this map was submitted, live or resumed)

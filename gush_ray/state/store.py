@@ -317,13 +317,21 @@ class StateParams:
                 "invariant; combining them would interleave pre-close "
                 "and post-close retractions in two streams)")
         if self.window_combine:
+            # window_quantiles rides the combiner ONLY in sketch mode:
+            # the DDSketch-bucketed histogram is O(octaves × k) per
+            # cell whatever the value cardinality, so a map-side cell
+            # stays bounded; an exact histogram cell over an unbounded
+            # value domain would ship the shard's whole value set
+            exact_q = (self.window_quantiles
+                       if self.quantile_sketch_k is None else None)
             bad = [n for n, v in (
                 ("pattern", self.pattern),
                 ("join_spec", self.join_spec),
                 ("neardup_spec", self.neardup_spec),
                 ("frontier_spec", self.frontier_spec),
                 ("window_distinct", self.window_distinct or None),
-                ("window_quantiles", self.window_quantiles),
+                ("window_quantiles (exact mode; set quantile_sketch_k)",
+                 exact_q),
                 ("window_refire", self.window_refire or None),
                 ("window_early_fire", self.window_early_fire or None),
                 ("session_values", self.session_values or None),
@@ -654,6 +662,27 @@ class PartitionState:
                 slot[0] += int(cnt)
                 slot[1] += float(s)
                 self._win_dirty.add(key)
+            if (p.quantile_sketch_k is not None
+                    and "hist" in df.columns):
+                # sketched value-histogram cells fold additively into
+                # the winq slots (same upsert granularity as the
+                # per-row path; the window-close emission and stage-2
+                # quantile merge downstream are unchanged)
+                import pickle as _pkl
+
+                for key, grp in df.groupby(gcols + ["window_id"],
+                                           sort=False, dropna=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    key = tuple(
+                        None if (isinstance(v, float) and v != v) else v
+                        for v in key
+                    )
+                    hist = self.winq.setdefault(key, {})
+                    for blob in grp["hist"]:
+                        for v, c in _pkl.loads(blob).items():
+                            hist[v] = hist.get(v, 0) + c
+                    self._winq_dirty.add(key)
             if p.window_hll_p is not None and "registers" in df.columns:
                 for key, grp in df.groupby(gcols + ["window_id"],
                                            sort=False, dropna=False):

@@ -242,3 +242,37 @@ def test_combine_expired_cells_dropped_exactly_once(ray_session,
     from gush_ray.fsck import audit
     rep = audit(str(tmp_path / "out"))
     assert rep["ok"] and not rep["problems"]
+
+
+def test_combine_sketch_quantiles_match_default(ray_session, hot_pages,
+                                                tmp_path):
+    """Windowed quantiles ride the combiner in SKETCH mode only (a
+    DDSketch-bucketed cell histogram is O(octaves x k) whatever the
+    value cardinality). The bucket transform is deterministic and
+    histograms merge additively, so the combined quantiles stream must
+    equal the default topology's exactly."""
+    def run(out, run_id, combine):
+        job = StreamingJob(
+            hot_pages, out, run_id=run_id, num_partitions=4,
+            pattern=None, window_group_cols=("lang",),
+            value_col="size", window_quantiles=(0.5, 0.95),
+            quantile_sketch_k=128, window_combine=combine)
+        job.run()
+        return job
+
+    jd = run(str(tmp_path / "d"), "qs-d", False)
+    jc = run(str(tmp_path / "c"), "qs-c", True)
+    cols = ["lang", "window_id", "q", "value", "n"]
+    pd.testing.assert_frame_equal(
+        jd.read_output("quantiles")[cols].sort_values(cols)
+        .reset_index(drop=True),
+        jc.read_output("quantiles")[cols].sort_values(cols)
+        .reset_index(drop=True))
+    assert len(jd.read_output("quantiles")) > 0
+
+    # exact-mode quantiles + combine stays refused
+    with pytest.raises(ValueError, match="sketch"):
+        StreamingJob(hot_pages, str(tmp_path / "x"), run_id="qs-x",
+                     num_partitions=2, pattern=None,
+                     window_group_cols=("lang",), value_col="size",
+                     window_quantiles=(0.5,), window_combine=True)
