@@ -1732,7 +1732,14 @@ class StreamingJob:
                 fan-in choke at high P / high-cardinality group cols
                 (round-5 verdict item 5); output is identical by
                 associativity (pinned by the tree-fanin parity test)."""
-                thresh = int(os.environ.get("GUSH_STAGE2_TREE_P", "12"))
+                # measured (tools/stage2_bench.py, BENCH round-5): at
+                # P=16 the tree is wall-NEUTRAL-to-4%-slower — leaf
+                # scheduling overhead matches the fan-in saving at
+                # sandbox partial sizes — so the default threshold sits
+                # above the single-node partition counts and the tree
+                # engages only on genuinely wide layouts where the
+                # one-task fan-in is the measured choke
+                thresh = int(os.environ.get("GUSH_STAGE2_TREE_P", "24"))
                 if self.P < thresh:
                     return root_fn.remote(epoch, self.out_dir,
                                           self.params, *extra, self.P,
