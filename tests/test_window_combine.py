@@ -276,3 +276,69 @@ def test_combine_sketch_quantiles_match_default(ray_session, hot_pages,
                      num_partitions=2, pattern=None,
                      window_group_cols=("lang",), value_col="size",
                      window_quantiles=(0.5,), window_combine=True)
+
+
+def test_combine_rescale_resume_parity(ray_session, hot_pages,
+                                       tmp_path):
+    """A combined-topology checkpoint rescales like any other: the
+    win/winh window slots are group-keyed additive partials, so a
+    4->2 rescale mid-stream reproduces the uninterrupted output."""
+    from gush_ray.rescale import rescale_state
+
+    ja = _run(hot_pages, str(tmp_path / "a"), "rc-a", True)
+
+    jb = StreamingJob(hot_pages, str(tmp_path / "b"), run_id="rc-b",
+                      num_partitions=4, pattern=None,
+                      window_group_cols=("lang",), value_col="size",
+                      window_hll_p=10, window_combine=True)
+    jb.run(stop_after=2)
+    rep = rescale_state(str(tmp_path / "b"), 2, params=jb.params)
+    assert rep["rescaled"]
+    jb2 = StreamingJob(hot_pages, str(tmp_path / "b"), run_id="rc-b2",
+                       num_partitions=2, pattern=None,
+                       window_group_cols=("lang",), value_col="size",
+                       window_hll_p=10, window_combine=True)
+    jb2.run()
+    pd.testing.assert_frame_equal(
+        _norm_windows(ja.read_output("windows")),
+        _norm_windows(jb2.read_output("windows")))
+    cols = ["lang", "window_id", "n_est"]
+    pd.testing.assert_frame_equal(
+        ja.read_output("window_hll")[cols].sort_values(cols)
+        .reset_index(drop=True),
+        jb2.read_output("window_hll")[cols].sort_values(cols)
+        .reset_index(drop=True))
+    from gush_ray.fsck import audit
+    r = audit(str(tmp_path / "b"))
+    assert r["ok"] and not r["problems"]
+
+
+def test_combine_continuous_matches_batch(ray_session, hot_pages,
+                                          tmp_path):
+    """Continuous ingestion (directory tail) with the combined
+    topology produces the batch run's output — the live form uses the
+    same submit/reduce path, including the manifest-read lateness
+    floor."""
+    import os
+    import shutil as sh
+
+    live_pages = str(tmp_path / "live")
+    os.makedirs(live_pages)
+    for e in range(N_EPOCHS):
+        src = os.path.join(hot_pages, f"epoch={e:04d}")
+        dst = os.path.join(live_pages, f"epoch={e:04d}")
+        sh.copytree(src, dst)
+        open(os.path.join(dst, "_READY"), "w").write("ok")
+    open(os.path.join(live_pages, "_END"), "w").write("ok")
+
+    jb = StreamingJob(live_pages, str(tmp_path / "live_out"),
+                      run_id="cc-l", num_partitions=4, pattern=None,
+                      window_group_cols=("lang",), value_col="size",
+                      window_hll_p=10, window_combine=True)
+    res = jb.run_continuous(poll_interval_s=0.05)
+    assert res["finalized"]
+
+    ja = _run(hot_pages, str(tmp_path / "batch_out"), "cc-b", True)
+    pd.testing.assert_frame_equal(
+        _norm_windows(ja.read_output("windows")),
+        _norm_windows(jb.read_output("windows")))
