@@ -159,6 +159,8 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         batch = pq.read_table(shard_path)
     n_read = batch.num_rows
     n_errors = 0
+    err_thread = None
+    err_exc: list = []
     if "html" in batch.column_names:
         # pages schema: html→text extraction + dead-letter side output;
         # any other keyed event table streams through unchanged. The
@@ -173,12 +175,24 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
             # dead-letter side output (SURVEY.md §1.2): unparseable rows
             # are kept, not silently dropped (gush merely Resumes);
             # the stream name distinguishes left from the join's right
-            # stream (`errors` vs `errors_right`)
+            # stream (`errors` vs `errors_right`). Written on a side
+            # thread so the put's store round-trips overlap the filter/
+            # partition compute below (joined before the task returns —
+            # the fragment protocol never exposes a half-written part).
+            import threading
+
             base_dir, stream, epoch, shard_idx = errors_sink
-            ExactlyOnceSink.write_part(
-                base_dir, stream, epoch, shard_idx,
-                errors.select([key_col, raw_ts_col, "lang"]),
-            )
+            err_tab = errors.select([key_col, raw_ts_col, "lang"])
+
+            def _put_errors():
+                try:
+                    ExactlyOnceSink.write_part(base_dir, stream, epoch,
+                                               shard_idx, err_tab)
+                except BaseException as exc:  # re-raised on join
+                    err_exc.append(exc)
+
+            err_thread = threading.Thread(target=_put_errors)
+            err_thread.start()
         batch = batch.drop_columns(["text_extracted", "extract_ok"])
     batch = deny_filter_batch(batch, cfg)
     from gush_ray.stages.windows import ts_to_us
@@ -238,6 +252,12 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
             for pid in np.unique(fpart):
                 ffrags[int(pid)] = ftab.filter(pa.array(fpart == pid))
 
+    def _join_errors():
+        if err_thread is not None:
+            err_thread.join()
+            if err_exc:
+                raise err_exc[0]
+
     if combine is not None:
         # MAP-SIDE WINDOW COMBINER (window_combine mode, store.py
         # StateParams docs): aggregate this shard's on-time rows into
@@ -245,8 +265,10 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         # mitigation for the commutative window state. Late rows (ts
         # below the deterministic wm_floor) ship RAW on the standard
         # url-keyed lane and reach the late stream unchanged.
-        return _map_combine(batch, combine, P, key_col, n_read,
-                            n_errors)
+        out = _map_combine(batch, combine, P, key_col, n_read,
+                           n_errors)
+        _join_errors()
+        return out
 
     h = stable_hash(batch[key_col].to_numpy(zero_copy_only=False))
     part = (h % np.uint64(P)).astype(np.int64)
@@ -267,6 +289,7 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         "parse_errors": int(n_errors),
     }
     if neardup_spec is None:
+        _join_errors()
         return [meta] + frags + (ffrags if ffrags is not None else [])
     # streaming near-dup: a SECOND keyed exchange rides the same map
     # task — band rows route by bucket hash (state/neardup.bucket_part),
@@ -296,6 +319,7 @@ def _map_shard(shard_path: "str | list[str]", cfg: EngineConfig, P: int,
         # store.py).
         nfrags[int(pid)] = frag.set_column(
             ki, key_col, frag.column(key_col).dictionary_encode())
+    _join_errors()
     return [meta] + frags + nfrags + (ffrags if ffrags is not None else [])
 
 
